@@ -1,0 +1,69 @@
+import math
+
+from pyspark.sql import functions as F
+
+from trackintel_spark.functions import (
+    haversine_m,
+    linestring_length_m,
+    meters_to_decimal_degrees,
+    temp_overlap_ratio,
+)
+
+
+def _ref_haversine(lon1, lat1, lon2, lat2):
+    """Reference formula: geogr/distances.py:15-86 (law of cosines form)."""
+    la1, la2 = math.radians(lat1), math.radians(lat2)
+    dlon = math.radians(lon1) - math.radians(lon2)
+    arg = math.cos(la1 - la2) - math.cos(la1) * math.cos(la2) * (1 - math.cos(dlon))
+    return 6371000 * math.acos(max(-1.0, min(1.0, arg)))
+
+
+def test_haversine_matches_reference_formula(spark):
+    cases = [
+        (8.5, 47.4, 8.6, 47.5),
+        (0.0, 0.0, 0.0, 0.0),
+        (179.9, 10.0, -179.9, 10.0),  # dateline wrap
+        (-122.4, 37.8, 2.35, 48.85),  # SF -> Paris
+    ]
+    df = spark.createDataFrame(cases, "lon1 double, lat1 double, lon2 double, lat2 double")
+    got = df.select(haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")).collect()
+    for row, c in zip(got, cases):
+        assert abs(row.d - _ref_haversine(*c)) < 1e-6
+
+
+def test_linestring_length(spark):
+    df = spark.createDataFrame([(1,)], "id long").select(
+        F.array(
+            F.struct(F.lit(8.5).alias("lon"), F.lit(47.4).alias("lat")),
+            F.struct(F.lit(8.5).alias("lon"), F.lit(47.41).alias("lat")),
+            F.struct(F.lit(8.51).alias("lon"), F.lit(47.41).alias("lat")),
+        ).alias("v")
+    )
+    (got,) = df.select(linestring_length_m(F.col("v")).alias("len")).collect()
+    want = _ref_haversine(8.5, 47.4, 8.5, 47.41) + _ref_haversine(8.5, 47.41, 8.51, 47.41)
+    assert abs(got.len - want) < 1e-6
+
+
+def test_linestring_length_degenerate(spark):
+    df = spark.createDataFrame([(1,)], "id long").select(
+        F.array(F.struct(F.lit(8.5).alias("lon"), F.lit(47.4).alias("lat"))).alias("v")
+    )
+    (got,) = df.select(linestring_length_m(F.col("v")).alias("len")).collect()
+    assert got.len == 0.0
+
+
+def test_meters_to_decimal_degrees(spark):
+    df = spark.createDataFrame([(111320.0, 0.0)], "m double, lat double")
+    (got,) = df.select(meters_to_decimal_degrees(F.col("m"), F.col("lat")).alias("deg")).collect()
+    assert abs(got.deg - 1.0) < 1e-9
+
+
+def test_temp_overlap_ratio(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "s1 string, e1 string, s2 string, e2 string",
+    ).select(*[F.to_timestamp(c).alias(c) for c in ("s1", "e1", "s2", "e2")])
+    (got,) = df.select(
+        temp_overlap_ratio(F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2")).alias("r")
+    ).collect()
+    assert abs(got.r - 0.5) < 1e-12

@@ -1,0 +1,23 @@
+"""trackintel_spark — a PySpark-native spatio-temporal mobility analytics engine.
+
+A from-scratch re-expression of the semantics of mie-lab/trackintel
+(eager pandas/GeoPandas mobility library) on idiomatic PySpark:
+
+* entities are plain Spark DataFrames validated against ``StructType``
+  schemas (``trackintel_spark.model``) — no subclasses, no accessors;
+* geometry is ``struct<lon,lat>`` / ``array<struct<lon,lat>>`` so the
+  great-circle math stays inside whole-stage codegen;
+* every operator is a lazy ``DataFrame -> DataFrame`` transformation;
+  Python kernels (Arrow-batched ``applyInPandas``) appear only where the
+  reference algorithm is inherently sequential per user (staypoint
+  sliding scan, tour stack scan, per-user DBSCAN).
+
+Reference parity citations use ``file:line`` relative to the reference
+checkout (mie-lab/trackintel).
+"""
+
+from trackintel_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

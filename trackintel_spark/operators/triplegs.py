@@ -1,0 +1,170 @@
+"""generate_triplegs — segment positionfixes between staypoints into legs.
+
+Reference: trackintel ``generate_triplegs`` (preprocessing/
+positionfixes.py:187-414). Unlike staypoint detection, this is fully
+vectorizable: the reference uses shift/ffill/searchsorted; we use lag()
++ running-sum window segmentation — zero Python, whole-stage codegen,
+one shuffle on user_id.
+
+Semantics reproduced:
+* new-leg triggers (reference :307-330): user change, temporal gap >
+  gap_threshold, staypoint-membership change — all masked to rows that
+  are not inside a staypoint;
+* legs with <2 positionfixes are invalid: their pfs get NULL tripleg_id
+  and no leg row is emitted (:368-372);
+* a leg's geometry is the time-ordered LineString of its member pfs
+  (:386-391); ``started_at``/``finished_at`` = min/max tracked_at;
+* geometrically invalid legs (all vertices identical — zero-extent
+  LineString) are dropped and their pfs unlinked (:398,
+  ``_drop_invalid_triplegs`` :582-619);
+* leg ids are dense 0..n-1 in (user_id, started_at) order (:376 over
+  the (user_id, tracked_at)-sorted frame);
+* case 2 (staypoints given but pfs lack ``staypoint_id``): member pfs
+  are matched into staypoint [started_at, finished_at) intervals via an
+  interval join (:268-300).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trackintel_spark.model.schemas import validate
+from trackintel_spark.plans.ids import dense_id_by_user
+
+
+def _match_pfs_to_staypoint_intervals(pfs: DataFrame, sp: DataFrame) -> DataFrame:
+    """Case-2 preprocessing (preprocessing/positionfixes.py:268-300):
+    tag pfs whose tracked_at falls in a staypoint's [started_at,
+    finished_at) with that staypoint's id, per user.
+
+    Implemented as a time-bucketed interval join: both sides are binned
+    to coarse buckets so the join is an equi-join on (user_id, bucket)
+    plus a residual range predicate — avoids the O(n_pfs * n_sp)
+    cross product a naive theta-join would produce.
+    """
+    bucket_s = 6 * 3600  # 6h buckets: staypoints are minutes-to-hours long
+    b = lambda c: (c.cast("long") / bucket_s).cast("long")  # noqa: E731
+
+    sp_i = sp.select(
+        F.col("user_id").alias("__sp_user"),
+        F.col("id").alias("__sp_id"),
+        F.col("started_at").alias("__sp_start"),
+        F.col("finished_at").alias("__sp_end"),
+        F.explode(F.sequence(b(F.col("started_at")), b(F.col("finished_at")))).alias("__bucket"),
+    )
+    pfs_b = pfs.withColumn("__bucket", b(F.col("tracked_at")))
+    joined = pfs_b.join(
+        sp_i,
+        on=(
+            (pfs_b["user_id"] == sp_i["__sp_user"])
+            & (pfs_b["__bucket"] == sp_i["__bucket"])
+            & (pfs_b["tracked_at"] >= sp_i["__sp_start"])
+            & (pfs_b["tracked_at"] < sp_i["__sp_end"])
+        ),
+        how="left",
+    )
+    # a pf can only fall into one staypoint of its user (non-overlapping
+    # by construction) — but guard with min() for safety.
+    keys = [c for c in pfs.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(F.min("__sp_id").alias("staypoint_id"))
+        .select(*keys, "staypoint_id")
+    )
+
+
+def generate_triplegs(
+    pfs: DataFrame,
+    staypoints: DataFrame | None = None,
+    method: str = "between_staypoints",
+    gap_threshold: float = 15.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Segment pfs into triplegs; returns (pfs+tripleg_id, tpls)."""
+    validate(pfs, "positionfixes")
+    if method != "between_staypoints":
+        raise ValueError(f"only 'between_staypoints' is supported, got {method!r}")
+
+    staypoints_exist = "staypoint_id" in pfs.columns
+    if not staypoints_exist:
+        if staypoints is None:
+            raise TypeError("staypoints input must be provided for pfs without staypoint_id column.")
+        validate(staypoints, "staypoints")
+        pfs = _match_pfs_to_staypoint_intervals(pfs, staypoints)
+
+    if "tripleg_id" in pfs.columns:
+        pfs = pfs.drop("tripleg_id")
+
+    w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+
+    # stage 1: lag-based raw signals (window functions can't nest, so
+    # materialize these before the running sum).
+    staged = pfs.withColumn("__prev_ts", F.lag("tracked_at").over(w)).withColumn(
+        "__prev_sp", F.lag("staypoint_id").over(w)
+    ).withColumn("__first", F.row_number().over(w) == 1)
+
+    is_sp = F.col("staypoint_id").isNotNull()
+    gap = (F.col("tracked_at").cast("double") - F.col("__prev_ts").cast("double")) > gap_threshold * 60.0
+    # staypoint-membership change: NULL-safe inequality with the previous
+    # row (reference cond_stp via the +1/fillna(0) diff trick, :316-320 —
+    # true on the first row of each user because the shift is NaN there).
+    sp_change = ~F.col("staypoint_id").eqNullSafe(F.col("__prev_sp")) | F.col("__first")
+
+    leg_trigger = (F.col("__first") | F.coalesce(gap, F.lit(False)) | sp_change) & ~is_sp
+    # segment boundary: a leg start OR entering a (new) staypoint — the
+    # running sum of boundaries gives each leg / staypoint-block its own
+    # segment id, which bounds leg length exactly like the reference's
+    # searchsorted bookkeeping (:332-366).
+    staged = staged.withColumn("__leg_trigger", leg_trigger).withColumn(
+        "__boundary", leg_trigger | (is_sp & sp_change)
+    )
+    seg = staged.withColumn("__seg", F.sum(F.col("__boundary").cast("long")).over(w)).drop(
+        "__prev_ts", "__prev_sp", "__first", "__boundary"
+    )
+
+    wseg = Window.partitionBy("user_id", "__seg")
+    seg = seg.withColumn("__seg_n", F.count(F.lit(1)).over(wseg)).withColumn(
+        "__is_leg", F.max(F.col("__leg_trigger").cast("int")).over(wseg) == 1
+    )
+
+    # valid legs have >=2 member pfs (:368-372)
+    seg = seg.withColumn("__valid_leg", F.col("__is_leg") & (F.col("__seg_n") >= 2) & ~is_sp)
+
+    legs = (
+        seg.filter(F.col("__valid_leg"))
+        .groupBy("user_id", "__seg")
+        .agg(
+            F.min("tracked_at").alias("started_at"),
+            F.max("tracked_at").alias("finished_at"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tracked_at").alias("t"), F.col("id").alias("i"), F.col("geom").alias("p")))
+            ).alias("__pts"),
+        )
+        .withColumn("geom", F.transform(F.col("__pts"), lambda s: s["p"]))
+        .withColumn("__distinct_pts", F.size(F.array_distinct(F.col("geom"))))
+    )
+
+    # ids are assigned BEFORE the geometric-validity drop, matching the
+    # reference order (arange at :376, invalid rows dropped at :398) —
+    # surviving ids keep their numbers, so the sequence may have holes.
+    legs = dense_id_by_user(legs, order_by=["started_at"], id_col="id")
+    # zero-extent LineStrings are invalid (shapely is_valid=False,
+    # _drop_invalid_triplegs :582-619): need >=2 distinct vertices.
+    legs = legs.filter(F.col("__distinct_pts") >= 2)
+
+    tpls = legs.select("id", "user_id", "started_at", "finished_at", "geom")
+
+    link = legs.select(F.col("user_id").alias("__lu"), "__seg", F.col("id").alias("tripleg_id"))
+    pfs_out = (
+        seg.join(
+            link,
+            on=((seg["user_id"] == link["__lu"]) & (seg["__seg"] == link["__seg"])),
+            how="left",
+        )
+        .drop("__lu", "__seg", "__leg_trigger", "__seg_n", "__is_leg", "__valid_leg")
+    )
+
+    if not staypoints_exist:
+        pfs_out = pfs_out.drop("staypoint_id")
+
+    return pfs_out, tpls

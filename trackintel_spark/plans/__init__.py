@@ -1,0 +1,4 @@
+from trackintel_spark.plans.ids import dense_id_by_user
+from trackintel_spark.plans.partitioning import co_partition_by_user, write_bucketed_by_user
+
+__all__ = ["dense_id_by_user", "co_partition_by_user", "write_bucketed_by_user"]

@@ -1,0 +1,34 @@
+"""Co-partitioning discipline for the entity tables.
+
+All per-user operators (the generate_* family, speeds, metrics) shuffle
+on user_id. Persisting every entity table bucketed by user_id makes the
+whole pipeline reuse ONE partitioning: Spark recognizes bucketed tables
+and elides the exchange before windows/groupBys/joins keyed on user_id.
+At 100 TB this removes the dominant shuffle from every stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_partition_by_user(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Hash-repartition by user_id (in-plan co-location for one job)."""
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("user_id"))
+    return df.repartition(F.col("user_id"))
+
+
+def write_bucketed_by_user(
+    df: DataFrame, table_name: str, num_buckets: int = 256, sort_cols: tuple[str, ...] = ("tracked_at",)
+) -> None:
+    """Persist an entity table bucketed+sorted by user_id for shuffle-free
+    downstream windows and co-located joins."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, "user_id")
+        .sortBy("user_id", *sort_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
