@@ -1,0 +1,219 @@
+"""merge_staypoints, activity flag, transport mode, metrics, modal split,
+tracking quality."""
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.analysis import (
+    calculate_modal_split,
+    create_activity_flag,
+    predict_transport_mode,
+    radius_gyration,
+    temporal_tracking_quality,
+)
+from trackintel_spark.analysis.metrics import jump_length
+from trackintel_spark.analysis.tracking_quality import split_overlaps
+from trackintel_spark.operators import merge_staypoints
+
+T0 = datetime(2024, 1, 1, 8, 0, 0)
+
+
+def _mk_sp(spark, rows, with_loc=False):
+    schema = "id long, user_id long, started_at timestamp, finished_at timestamp, lon double, lat double"
+    if with_loc:
+        schema += ", location_id long"
+    data = [
+        (r[0], r[1], T0 + timedelta(minutes=r[2]), T0 + timedelta(minutes=r[3]), r[4], r[5], *r[6:])
+        for r in rows
+    ]
+    df = spark.createDataFrame(data, schema)
+    cols = ["id", "user_id", "started_at", "finished_at", F.struct("lon", "lat").alias("geom")]
+    if with_loc:
+        cols.append("location_id")
+    return df.select(*cols)
+
+
+def _mk_tpls(spark, rows):
+    data = [
+        (i, u, T0 + timedelta(minutes=s), T0 + timedelta(minutes=e), [{"lon": p[0], "lat": p[1]} for p in pts])
+        for i, u, s, e, pts in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon:double,lat:double>>",
+    )
+
+
+# -- merge_staypoints ---------------------------------------------------------
+
+
+def test_merge_chain(spark):
+    # three same-location staypoints within gap -> one merged row
+    sp = _mk_sp(
+        spark,
+        [
+            (0, 1, 0, 10, 8.5, 47.4, 5),
+            (1, 1, 15, 25, 8.5, 47.4, 5),
+            (2, 1, 30, 40, 8.5, 47.4, 5),
+            (3, 1, 120, 130, 8.5, 47.4, 5),  # too far in time
+        ],
+        with_loc=True,
+    )
+    tpls = _mk_tpls(spark, [])  # empty triplegs
+    tpls = spark.createDataFrame(
+        [], "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon:double,lat:double>>"
+    )
+    out = merge_staypoints(sp, tpls, max_time_gap=10).orderBy("started_at").collect()
+    assert len(out) == 2
+    assert out[0].id == 0
+    assert out[0].started_at == T0 and out[0].finished_at == T0 + timedelta(minutes=40)
+    assert out[1].id == 3
+
+
+def test_merge_blocked_by_tripleg(spark):
+    sp = _mk_sp(
+        spark,
+        [(0, 1, 0, 10, 8.5, 47.4, 5), (1, 1, 15, 25, 8.5, 47.4, 5)],
+        with_loc=True,
+    )
+    tpls = _mk_tpls(spark, [(0, 1, 11, 14, [(8.5, 47.4), (8.51, 47.41)])])
+    out = merge_staypoints(sp, tpls, max_time_gap=10).collect()
+    assert len(out) == 2
+
+
+def test_merge_different_location_not_merged(spark):
+    sp = _mk_sp(
+        spark,
+        [(0, 1, 0, 10, 8.5, 47.4, 5), (1, 1, 15, 25, 8.5, 47.4, 6)],
+        with_loc=True,
+    )
+    tpls = _mk_tpls(spark, [])
+    tpls = spark.createDataFrame(
+        [], "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon:double,lat:double>>"
+    )
+    assert merge_staypoints(sp, tpls, max_time_gap=10).count() == 2
+
+
+def test_merge_agg(spark):
+    sp = _mk_sp(
+        spark,
+        [(0, 1, 0, 10, 8.5, 47.4, 5), (1, 1, 15, 25, 8.6, 47.5, 5)],
+        with_loc=True,
+    ).withColumn("elevation", F.col("id").cast("double") * 100)
+    tpls = spark.createDataFrame(
+        [], "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon:double,lat:double>>"
+    )
+    out = merge_staypoints(sp, tpls, max_time_gap=10, agg={"elevation": "mean", "geom": "first"}).collect()
+    assert len(out) == 1
+    assert out[0].elevation == 50.0
+    assert out[0].geom.lon == 8.5
+
+
+# -- labelling ----------------------------------------------------------------
+
+
+def test_activity_flag(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 20, 8.5, 47.4), (1, 1, 30, 40, 8.5, 47.4)])
+    out = {r.id: r.is_activity for r in create_activity_flag(sp, time_threshold=15).collect()}
+    assert out == {0: True, 1: False}
+
+
+def test_predict_transport_mode(spark):
+    # ~1.1 km in 10 min -> ~1.9 m/s slow; same dist in 30 s -> ~37 m/s fast
+    tpls = _mk_tpls(
+        spark,
+        [
+            (0, 1, 0, 10, [(8.5, 47.4), (8.5, 47.41)]),
+            (1, 1, 20, 20.5, [(8.5, 47.4), (8.5, 47.41)]),
+        ],
+    )
+    out = {r.id: r.mode for r in predict_transport_mode(tpls).collect()}
+    assert out[0] == "slow_mobility"
+    assert out[1] == "fast_mobility"
+
+
+# -- metrics ------------------------------------------------------------------
+
+
+def test_radius_gyration_symmetric_pair(spark):
+    # two points symmetric around a center: rg = distance to center
+    sp = _mk_sp(spark, [(0, 1, 0, 10, 8.5, 47.40), (1, 1, 20, 30, 8.5, 47.42)])
+    (row,) = radius_gyration(sp, method="count").collect()
+    from trackintel_spark.functions.spatial import EARTH_RADIUS_M
+
+    # expected: haversine((8.5,47.40),(8.5,47.41))
+    expected = 0.01 / 180 * math.pi * EARTH_RADIUS_M
+    assert abs(row.radius_gyration - expected) < 1.0
+
+
+def test_radius_gyration_duration_weighting(spark):
+    # all weight on one point -> center is that point; rg pulled toward 0
+    sp = _mk_sp(spark, [(0, 1, 0, 1000, 8.5, 47.40), (1, 1, 2000, 2001, 8.5, 47.42)])
+    (c,) = radius_gyration(sp, "count").collect()
+    (d,) = radius_gyration(sp, "duration").collect()
+    assert d.radius_gyration < c.radius_gyration
+
+
+def test_jump_length(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 10, 8.5, 47.40), (1, 1, 20, 30, 8.5, 47.41)])
+    rows = {r.id: r.jump_length for r in jump_length(sp).collect()}
+    assert rows[1] is None
+    assert abs(rows[0] - 1111.9) < 5
+
+
+# -- modal split --------------------------------------------------------------
+
+
+def test_modal_split_count_norm(spark):
+    tpls = _mk_tpls(
+        spark,
+        [
+            (0, 1, 0, 10, [(8.5, 47.4), (8.5, 47.41)]),
+            (1, 1, 20, 30, [(8.5, 47.4), (8.5, 47.41)]),
+            (2, 1, 40, 40.5, [(8.5, 47.4), (8.5, 47.41)]),
+        ],
+    )
+    tpls = predict_transport_mode(tpls)
+    out = calculate_modal_split(tpls, per_user=True, norm=True).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert abs(row["slow_mobility"] - 2 / 3) < 1e-12
+    assert abs(row["fast_mobility"] - 1 / 3) < 1e-12
+
+
+# -- tracking quality ---------------------------------------------------------
+
+
+def test_split_overlaps_day(spark):
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 22, 0), datetime(2024, 1, 3, 2, 0))],
+        "user_id long, started_at timestamp, finished_at timestamp",
+    )
+    rows = split_overlaps(df, "day").orderBy("started_at").collect()
+    assert [(r.started_at, r.finished_at) for r in rows] == [
+        (datetime(2024, 1, 1, 22, 0), datetime(2024, 1, 2, 0, 0)),
+        (datetime(2024, 1, 2, 0, 0), datetime(2024, 1, 3, 0, 0)),
+        (datetime(2024, 1, 3, 0, 0), datetime(2024, 1, 3, 2, 0)),
+    ]
+
+
+def test_tracking_quality_all(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 30, 8.5, 47.4), (1, 1, 60, 90, 8.5, 47.4)])
+    (row,) = temporal_tracking_quality(sp, "all").collect()
+    assert abs(row.quality - 60 / 90) < 1e-12
+
+
+def test_tracking_quality_day(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 30, 8.5, 47.4)])  # 30 min on Jan 1
+    (row,) = temporal_tracking_quality(sp, "day").collect()
+    assert row.day == datetime(2024, 1, 1)
+    assert abs(row.quality - 1800 / 86400) < 1e-12
+
+
+def test_tracking_quality_bad_granularity(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 30, 8.5, 47.4)])
+    with pytest.raises(ValueError, match="granularity unknown"):
+        temporal_tracking_quality(sp, "year")

@@ -1,0 +1,13 @@
+from trackintel_spark.analysis.labelling import create_activity_flag, predict_transport_mode
+from trackintel_spark.analysis.metrics import jump_length, radius_gyration
+from trackintel_spark.analysis.modal_split import calculate_modal_split
+from trackintel_spark.analysis.tracking_quality import temporal_tracking_quality
+
+__all__ = [
+    "create_activity_flag",
+    "predict_transport_mode",
+    "radius_gyration",
+    "jump_length",
+    "calculate_modal_split",
+    "temporal_tracking_quality",
+]

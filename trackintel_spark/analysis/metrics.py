@@ -1,0 +1,49 @@
+"""Mobility metrics: radius of gyration, jump length.
+
+Reference: analysis/metrics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trackintel_spark.functions.spatial import haversine_m, haversine_point
+from trackintel_spark.model.schemas import validate
+
+
+def radius_gyration(sp: DataFrame, method: str = "count") -> DataFrame:
+    """Per-user radius of gyration (Gonzalez et al. 2008).
+
+    Reference: analysis/metrics.py:8-79 — weighted (count|duration)
+    center of mass (plain lon/lat mean, NOT wrap-safe, :72-73), then
+    sqrt of the weighted mean squared haversine distance to it.
+
+    Two-phase: per-user centers (tiny) broadcast back; both aggregations
+    shuffle once on user_id.
+    """
+    if method not in ("count", "duration"):
+        raise ValueError(f'Method unknown. Should be one of {{"count", "duration"}}. You passed "{method}"')
+    validate(sp, "staypoints")
+
+    w = (
+        (F.col("finished_at").cast("double") - F.col("started_at").cast("double"))
+        if method == "duration"
+        else F.lit(1.0)
+    )
+    weighted = sp.select("user_id", F.col("geom.lon").alias("x"), F.col("geom.lat").alias("y"), w.alias("w"))
+    centers = weighted.groupBy("user_id").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("__cx"),
+        (F.sum(F.col("w") * F.col("y")) / F.sum("w")).alias("__cy"),
+    )
+    joined = weighted.join(F.broadcast(centers), on="user_id")
+    sq = F.pow(haversine_m(F.col("x"), F.col("y"), F.col("__cx"), F.col("__cy")), 2)
+    return joined.groupBy("user_id").agg(F.sqrt(F.sum(sq * F.col("w")) / F.sum("w")).alias("radius_gyration"))
+
+
+def jump_length(sp: DataFrame) -> DataFrame:
+    """Distance to the user's next staypoint; the user's last staypoint
+    gets NULL (reference analysis/metrics.py:82-128)."""
+    validate(sp, "staypoints")
+    w = Window.partitionBy("user_id").orderBy("started_at", "id")
+    return sp.withColumn("jump_length", haversine_point(F.col("geom"), F.lead("geom").over(w)))

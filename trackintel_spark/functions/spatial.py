@@ -44,7 +44,8 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     la1, la2 = F.radians(lat1), F.radians(lat2)
     dlon = F.radians(lon1) - F.radians(lon2)
     arg = F.cos(la1 - la2) - F.cos(la1) * F.cos(la2) * (F.lit(1.0) - F.cos(dlon))
-    arg = F.least(F.greatest(arg, F.lit(-1.0)), F.lit(1.0))
+    # NULL-preserving clamp: greatest/least would swallow NULL inputs
+    arg = F.when(arg > 1.0, F.lit(1.0)).when(arg < -1.0, F.lit(-1.0)).otherwise(arg)
     return F.lit(EARTH_RADIUS_M) * F.acos(arg)
 
 

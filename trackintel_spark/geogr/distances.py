@@ -1,0 +1,100 @@
+"""Distance / speed operators.
+
+Reference: trackintel geogr/distances.py. All point math is pure Column
+expressions (whole-stage codegen); the all-pairs matrix is long-form
+(i, j, dist) — the only sane shape at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trackintel_spark.functions.spatial import haversine_point, linestring_length_m
+from trackintel_spark.functions.temporal import duration_s
+from trackintel_spark.model.schemas import validate
+
+
+def get_speed_positionfixes(pfs: DataFrame) -> DataFrame:
+    """Speed per positionfix in m/s (geogr/distances.py:280-316).
+
+    Distance/time to the previous pf of the same user in time order;
+    the first pf copies the second one's speed (:314). (The reference
+    computes over the frame's current row order; the deterministic
+    distributed equivalent is per user ordered by tracked_at.)
+    """
+    validate(pfs, "positionfixes")
+    w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+    prev_pt = F.lag("geom").over(w)
+    prev_ts = F.lag("tracked_at").over(w)
+    speed = haversine_point(F.col("geom"), prev_pt) / duration_s(prev_ts, F.col("tracked_at"))
+    out = pfs.withColumn("__speed_raw", speed)
+    # first-row imputation: take the next row's computed speed
+    out = out.withColumn("speed", F.coalesce(F.col("__speed_raw"), F.lead("__speed_raw").over(w)))
+    return out.drop("__speed_raw")
+
+
+def get_speed_triplegs(tpls: DataFrame, pfs: DataFrame | None = None, method: str = "tpls_speed") -> DataFrame:
+    """Speed per tripleg in m/s (geogr/distances.py:319-374)."""
+    validate(tpls, "triplegs")
+    if method == "tpls_speed":
+        return tpls.withColumn(
+            "speed",
+            linestring_length_m(F.col("geom")) / duration_s(F.col("started_at"), F.col("finished_at")),
+        )
+    if method == "pfs_mean_speed":
+        if pfs is None:
+            raise ValueError('Method "pfs_mean_speed" requires positionfixes as input.')
+        if "tripleg_id" not in pfs.columns:
+            raise AttributeError('Positionfixes must include column "tripleg_id".')
+        # mean of member-pf speeds, skipping each leg's first pf (:371-374)
+        w = Window.partitionBy("tripleg_id").orderBy("tracked_at", "id")
+        member = pfs.filter(F.col("tripleg_id").isNotNull())
+        member = member.withColumn(
+            "__speed",
+            haversine_point(F.col("geom"), F.lag("geom").over(w))
+            / duration_s(F.lag("tracked_at").over(w), F.col("tracked_at")),
+        )
+        speeds = member.groupBy("tripleg_id").agg(F.avg("__speed").alias("speed"))
+        return tpls.join(speeds.withColumnRenamed("tripleg_id", "id"), on="id", how="left")
+    raise ValueError(f"Method {method} not known for speed computation.")
+
+
+def calculate_distance_matrix(
+    X: DataFrame,
+    Y: DataFrame | None = None,
+    dist_threshold: float | None = None,
+) -> DataFrame:
+    """All-pairs great-circle distances in long form (i, j, dist_m).
+
+    Reference: calculate_distance_matrix (geogr/distances.py:89-185)
+    returns a dense n x n numpy matrix — unusable at scale. We emit the
+    long form; for X==Y only the upper triangle (i < j), mirroring the
+    reference's upper-triangle optimization (:173-179).
+
+    ``dist_threshold`` adds a bounding-box band prefilter so Catalyst can
+    turn the cross join into a pruned range join (the scalable variant).
+    """
+    symmetric = Y is None
+    a = X.select(F.col("id").alias("i"), F.col("geom").alias("__ga"))
+    b = (X if symmetric else Y).select(F.col("id").alias("j"), F.col("geom").alias("__gb"))
+    cond = [F.col("i") < F.col("j")] if symmetric else []
+    if dist_threshold is not None:
+        # ~1 deg lat = 111.32 km; cheap band predicate before the acos
+        deg = dist_threshold / 111320.0
+        cond.append(F.abs(a["__ga"]["lat"] - b["__gb"]["lat"]) <= deg)
+    joined = a.join(b, on=cond if cond else None, how="cross" if not cond else "inner")
+    out = joined.withColumn("dist_m", haversine_point(F.col("__ga"), F.col("__gb"))).select("i", "j", "dist_m")
+    if dist_threshold is not None:
+        out = out.filter(F.col("dist_m") <= dist_threshold)
+    return out
+
+
+def jump_length(sp: DataFrame) -> DataFrame:
+    """Distance to each user's NEXT staypoint; last one NULL.
+
+    Reference: analysis/metrics.py:82-128 (lead + haversine).
+    """
+    validate(sp, "staypoints")
+    w = Window.partitionBy("user_id").orderBy("started_at", "id")
+    return sp.withColumn("jump_length_m", haversine_point(F.col("geom"), F.lead("geom").over(w)))
