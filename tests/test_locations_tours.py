@@ -1,0 +1,241 @@
+"""generate_locations (DBSCAN), generate_tours, location identification."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.analysis import freq_method, osna_method, pre_filter_locations
+from trackintel_spark.operators import generate_locations, generate_tours, get_trips_grouped
+
+T0 = datetime(2024, 1, 1, 8, 0, 0)  # a Monday
+
+
+def _mk_sp(spark, rows):
+    """(id, user, start_min, end_min, lon, lat)"""
+    data = [(i, u, T0 + timedelta(minutes=s), T0 + timedelta(minutes=e), lon, lat) for i, u, s, e, lon, lat in rows]
+    df = spark.createDataFrame(
+        data, "id long, user_id long, started_at timestamp, finished_at timestamp, lon double, lat double"
+    )
+    return df.select("id", "user_id", "started_at", "finished_at", F.struct("lon", "lat").alias("geom"))
+
+
+def _mk_trips(spark, rows):
+    """(id, user, start_min, end_min, o_sp, d_sp)"""
+    data = [
+        (i, u, T0 + timedelta(minutes=s), T0 + timedelta(minutes=e), o, d) for i, u, s, e, o, d in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "id long, user_id long, started_at timestamp, finished_at timestamp, "
+        "origin_staypoint_id long, destination_staypoint_id long",
+    )
+
+
+# -- locations ----------------------------------------------------------------
+
+
+def test_dbscan_two_clusters_and_noise(spark):
+    sp = _mk_sp(
+        spark,
+        [
+            (0, 1, 0, 10, 8.5000, 47.4),
+            (1, 1, 20, 30, 8.5001, 47.4),   # ~7.5m from 0 -> same cluster
+            (2, 1, 40, 50, 8.6000, 47.4),
+            (3, 1, 60, 70, 8.6001, 47.4),   # second cluster
+            (4, 1, 80, 90, 9.9, 48.9),      # far away; min_samples=2 -> noise
+        ],
+    )
+    sp_o, locs = generate_locations(sp, epsilon=100, num_samples=2)
+    got = {r.id: r.location_id for r in sp_o.collect()}
+    assert got[0] == got[1] and got[2] == got[3]
+    assert got[0] != got[2]
+    assert got[4] is None
+    assert locs.count() == 2
+
+
+def test_dbscan_min_samples_1_everything_clustered(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 10, 8.5, 47.4), (1, 1, 20, 30, 9.9, 48.9)])
+    sp_o, locs = generate_locations(sp, epsilon=100, num_samples=1)
+    got = {r.id: r.location_id for r in sp_o.collect()}
+    assert got[0] is not None and got[1] is not None and got[0] != got[1]
+
+
+def test_location_id_offsets_across_users(spark):
+    sp = _mk_sp(
+        spark,
+        [
+            (0, 1, 0, 10, 8.5, 47.4),
+            (1, 1, 20, 30, 8.6, 47.4),
+            (2, 2, 0, 10, 8.5, 47.4),
+        ],
+    )
+    _, locs = generate_locations(sp, epsilon=100, num_samples=1)
+    rows = sorted((r.user_id, r.id) for r in locs.collect())
+    # user 1 gets 0,1; user 2 continues at 2 (reference offsetting :119-137)
+    assert rows == [(1, 0), (1, 1), (2, 2)]
+
+
+def test_location_center_and_extent(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 10, 8.5, 47.4), (1, 1, 20, 30, 8.502, 47.4)])
+    _, locs = generate_locations(sp, epsilon=200, num_samples=1)
+    (loc,) = locs.collect()
+    assert abs(loc.center.lon - 8.501) < 1e-9
+    assert abs(loc.center.lat - 47.4) < 1e-9
+    lons = [p.lon for p in loc.extent]
+    lats = [p.lat for p in loc.extent]
+    # extent hull must contain both points buffered by ~200m (~0.0027 deg)
+    assert min(lons) < 8.5 - 0.002 and max(lons) > 8.502 + 0.002
+    assert min(lats) < 47.4 and max(lats) > 47.4
+
+
+def test_dataset_agg_level_clusters_across_users(spark):
+    sp = _mk_sp(spark, [(0, 1, 0, 10, 8.5, 47.4), (1, 2, 20, 30, 8.50005, 47.4)])
+    _, locs_user = generate_locations(sp, epsilon=100, num_samples=1, agg_level="user")
+    sp_o, locs_ds = generate_locations(sp, epsilon=100, num_samples=1, agg_level="dataset")
+    assert locs_user.count() == 2
+    got = {r.id: r.location_id for r in sp_o.collect()}
+    assert got[0] == got[1]  # shared location across users
+    assert locs_ds.count() == 2  # one (user, loc) row per user (:162-168)
+
+
+# -- tours --------------------------------------------------------------------
+
+
+def _sp_with_locs(spark, pairs):
+    """staypoint id -> location id"""
+    sp = _mk_sp(spark, [(i, 1, 0, 10, 8.5, 47.4) for i, _ in pairs])
+    locmap = {i: l for i, l in pairs}
+    return sp.withColumn(
+        "location_id",
+        F.udf(lambda i: locmap.get(i), "long")(F.col("id")),
+    )
+
+
+def test_tour_closes_at_same_location(spark):
+    # trip0: loc A -> B, trip1: B -> A  => tour [0, 1]
+    sp = _sp_with_locs(spark, [(0, 100), (1, 200), (2, 200), (3, 100)])
+    trips = _mk_trips(spark, [(0, 1, 0, 60, 0, 1), (1, 1, 120, 180, 2, 3)])
+    trips_o, tours = generate_tours(trips, staypoints=sp)
+    got = tours.collect()
+    assert len(got) == 1
+    t = got[0]
+    assert t.id == 0 and t.trips == [0, 1] and t.location_id == 100
+    assert t.started_at == T0 and t.finished_at == T0 + timedelta(minutes=180)
+    links = {r.id: r.tour_id for r in trips_o.collect()}
+    assert links[0] == [0] and links[1] == [0]
+
+
+def test_no_tour_when_max_time_exceeded(spark):
+    sp = _sp_with_locs(spark, [(0, 100), (1, 200), (2, 200), (3, 100)])
+    trips = _mk_trips(spark, [(0, 1, 0, 60, 0, 1), (1, 1, 2000, 2060, 2, 3)])
+    _, tours = generate_tours(trips, staypoints=sp, max_time=1440)
+    assert tours.count() == 0
+
+
+def test_gap_breaks_chain_without_allowance(spark):
+    # trip0 A->B, trip1 C->A (origin C != B => spatial gap)
+    sp = _sp_with_locs(spark, [(0, 100), (1, 200), (2, 300), (3, 100)])
+    trips = _mk_trips(spark, [(0, 1, 0, 60, 0, 1), (1, 1, 120, 180, 2, 3)])
+    _, tours0 = generate_tours(trips, staypoints=sp, max_nr_gaps=0)
+    assert tours0.count() == 0
+    _, tours1 = generate_tours(trips, staypoints=sp, max_nr_gaps=1)
+    got = tours1.collect()
+    assert len(got) == 1 and got[0].trips == [0, 1]
+
+
+def test_nested_tours(spark):
+    # A->B, B->B (small loop), B->A : closes small tour [1] then big [0,1,2]
+    sp = _sp_with_locs(spark, [(0, 100), (1, 200), (2, 200), (3, 200), (4, 200), (5, 100)])
+    trips = _mk_trips(
+        spark,
+        [(0, 1, 0, 60, 0, 1), (1, 1, 120, 180, 2, 3), (2, 1, 240, 300, 4, 5)],
+    )
+    trips_o, tours = generate_tours(trips, staypoints=sp)
+    got = sorted(tours.collect(), key=lambda r: r.id)
+    assert len(got) == 2
+    assert got[0].trips == [1]  # nested tour found first
+    assert got[1].trips == [0, 1, 2]
+    links = {r.id: r.tour_id for r in trips_o.collect()}
+    assert links[1] == [0, 1]  # trip 1 belongs to both tours
+    grouped = get_trips_grouped(trips_o, tours)
+    assert grouped.filter(F.col("tour_id") == 1).count() == 3
+
+
+def test_tours_max_dist_mode(spark):
+    trips = _mk_trips(spark, [(0, 1, 0, 60, 0, 1), (1, 1, 120, 180, 2, 3)]).withColumn(
+        "geom",
+        F.when(
+            F.col("id") == 0,
+            F.struct(
+                F.struct(F.lit(8.5).alias("lon"), F.lit(47.4).alias("lat")).alias("origin"),
+                F.struct(F.lit(8.6).alias("lon"), F.lit(47.5).alias("lat")).alias("dest"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.struct(F.lit(8.6).alias("lon"), F.lit(47.5).alias("lat")).alias("origin"),
+                F.struct(F.lit(8.50001).alias("lon"), F.lit(47.40001).alias("lat")).alias("dest"),
+            )
+        ),
+    )
+    _, tours = generate_tours(trips, staypoints=None, max_dist=100)
+    got = tours.collect()
+    assert len(got) == 1 and got[0].trips == [0, 1] and got[0].location_id is None
+
+
+# -- location identification --------------------------------------------------
+
+
+def test_freq_method(spark):
+    # loc 7 visited 3h, loc 8 visited 1h, loc 9 10min
+    rows = [
+        (0, 1, 0, 60, 8.5, 47.4),
+        (1, 1, 100, 160, 8.5, 47.4),
+        (2, 1, 200, 260, 8.5, 47.4),
+        (3, 1, 300, 360, 8.6, 47.5),
+        (4, 1, 400, 410, 8.7, 47.6),
+    ]
+    sp = _mk_sp(spark, rows).withColumn(
+        "location_id", F.when(F.col("id") <= 2, 7).when(F.col("id") == 3, 8).otherwise(9).cast("long")
+    )
+    out = {r.id: r.purpose for r in freq_method(sp).collect()}
+    assert out[0] == "home" and out[1] == "home" and out[2] == "home"
+    assert out[3] == "work"
+    assert out[4] is None
+
+
+def test_pre_filter_locations(spark):
+    # user 1: 12 staypoints across 12 locations -> user passes; but each
+    # location has 1 sp -> all locations fail -> everything filtered out
+    rows = [(i, 1, i * 500, i * 500 + 120, 8.5 + i * 0.01, 47.4) for i in range(12)]
+    sp = _mk_sp(spark, rows).withColumn("location_id", F.col("id"))
+    mask = pre_filter_locations(sp, thresh_sp=10, thresh_loc=10, thresh_sp_at_loc=2)
+    assert mask.filter(F.col("total_filter")).count() == 0
+    # with per-location thresholds disabled, everything passes
+    mask2 = pre_filter_locations(sp, thresh_sp=10, thresh_loc=10, thresh_sp_at_loc=0, thresh_loc_time=0, thresh_loc_period=0)
+    assert mask2.filter(F.col("total_filter")).count() == 12
+
+
+def test_osna_method(spark):
+    # Monday: night hours (rest->home) at loc 1, working hours at loc 2
+    rows = [
+        (0, 1, -5 * 60, -3 * 60, 8.5, 47.4),   # 03:00-05:00 Mon -> rest
+        (1, 1, 60, 9 * 60, 8.6, 47.5),          # 09:00-17:00 Mon -> work
+    ]
+    sp = _mk_sp(spark, rows).withColumn("location_id", F.when(F.col("id") == 0, 1).otherwise(2).cast("long"))
+    out = {r.id: r.purpose for r in osna_method(sp).collect()}
+    assert out[0] == "home" and out[1] == "work"
+
+
+def test_osna_conflict_home_wins(spark):
+    # single location wins both home and work, second location gets work
+    rows = [
+        (0, 1, -5 * 60, -3 * 60, 8.5, 47.4),  # rest at loc 1
+        (1, 1, 60, 9 * 60, 8.5, 47.4),         # work at loc 1 (same loc)
+        (2, 1, 24 * 60 + 60, 24 * 60 + 120, 8.6, 47.5),  # Tue work at loc 2
+    ]
+    sp = _mk_sp(spark, rows).withColumn("location_id", F.when(F.col("id") <= 1, 1).otherwise(2).cast("long"))
+    out = osna_method(sp)
+    per_loc = {r.location_id: r.purpose for r in out.collect()}
+    assert per_loc[1] == "home"
+    assert per_loc[2] == "work"

@@ -1,4 +1,10 @@
 from trackintel_spark.analysis.labelling import create_activity_flag, predict_transport_mode
+from trackintel_spark.analysis.location_identification import (
+    freq_method,
+    location_identifier,
+    osna_method,
+    pre_filter_locations,
+)
 from trackintel_spark.analysis.metrics import jump_length, radius_gyration
 from trackintel_spark.analysis.modal_split import calculate_modal_split
 from trackintel_spark.analysis.tracking_quality import temporal_tracking_quality
@@ -10,4 +16,8 @@ __all__ = [
     "jump_length",
     "calculate_modal_split",
     "temporal_tracking_quality",
+    "location_identifier",
+    "pre_filter_locations",
+    "freq_method",
+    "osna_method",
 ]

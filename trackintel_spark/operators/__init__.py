@@ -1,6 +1,17 @@
+from trackintel_spark.operators.locations import generate_locations, generate_locations_grid
 from trackintel_spark.operators.merge import merge_staypoints
 from trackintel_spark.operators.staypoints import generate_staypoints
+from trackintel_spark.operators.tours import generate_tours, get_trips_grouped
 from trackintel_spark.operators.triplegs import generate_triplegs
 from trackintel_spark.operators.trips import generate_trips
 
-__all__ = ["generate_staypoints", "generate_triplegs", "generate_trips", "merge_staypoints"]
+__all__ = [
+    "generate_staypoints",
+    "generate_triplegs",
+    "generate_trips",
+    "generate_tours",
+    "get_trips_grouped",
+    "generate_locations",
+    "generate_locations_grid",
+    "merge_staypoints",
+]

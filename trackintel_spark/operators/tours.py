@@ -1,0 +1,235 @@
+"""generate_tours — detect closed chains of trips (tours).
+
+Reference: trackintel ``generate_tours`` (preprocessing/trips.py:54-188)
+with the per-user stack scan ``_generate_tours_user`` (:191-359),
+``_check_same_loc`` (:362-382), ``_check_max_dist`` (:385-404) and
+``_create_tour_from_stack`` (:407-452).
+
+The candidate stack has arbitrary lookback (a closing trip may match any
+earlier trip inside the time window), so this is a per-user sequential
+kernel — the same ``applyInPandas`` pattern as staypoint detection.
+Staypoint location ids are pre-joined onto the trips BEFORE the scan so
+the kernel is self-contained (no side lookups into a second table).
+
+Semantics reproduced:
+* two trips chain when the previous trip's destination staypoint shares
+  the ``location_id`` of the next trip's origin (staypoints mode), or
+  their endpoints are within ``max_dist`` meters (geometry mode);
+* a tour closes when the current trip's destination matches a
+  candidate's origin; candidates are scanned newest-to-oldest and one
+  trip closes at most one tour (:291-336);
+* ``max_time`` bounds tour duration; stale candidates are pruned;
+* ``max_nr_gaps`` spatial gaps are tolerated when > 0 (:269-275);
+* nested/overlapping tours allowed: trips may belong to several tours;
+  ``trips.tour_id`` is the LIST of tour ids per trip (:177-183);
+* tour ids are dense 0..n-1 in (user, closing-trip order) (:174).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from trackintel_spark.model.schemas import validate
+from trackintel_spark.plans.ids import dense_id_by_user
+
+_TOUR_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+        T.StructField("origin_staypoint_id", T.LongType()),
+        T.StructField("destination_staypoint_id", T.LongType()),
+        T.StructField("location_id", T.LongType()),
+        T.StructField("trips", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _haversine_s(lon1, lat1, lon2, lat2):
+    arg = math.cos(math.radians(lat1) - math.radians(lat2)) - math.cos(math.radians(lat1)) * math.cos(
+        math.radians(lat2)
+    ) * (1 - math.cos(math.radians(lon1) - math.radians(lon2)))
+    return 6371000.0 * math.acos(min(1.0, max(-1.0, arg)))
+
+
+def _tours_kernel(pdf: pd.DataFrame, use_locations: bool, max_dist: float, max_time_s: float, max_nr_gaps: int) -> pd.DataFrame:
+    pdf = pdf.sort_values(["started_at", "id"], kind="stable").reset_index(drop=True)
+    n = len(pdf)
+    ids = pdf["id"].to_numpy()
+    started = pdf["started_at"].astype("int64").to_numpy() / 1e9
+    finished = pdf["finished_at"].astype("int64").to_numpy() / 1e9
+    o_stp = pdf["origin_staypoint_id"].to_numpy(dtype="float64", na_value=np.nan)
+    d_stp = pdf["destination_staypoint_id"].to_numpy(dtype="float64", na_value=np.nan)
+    if use_locations:
+        o_loc = pdf["origin_loc"].to_numpy(dtype="float64", na_value=np.nan)
+        d_loc = pdf["dest_loc"].to_numpy(dtype="float64", na_value=np.nan)
+    else:
+        o_lon = pdf["o_lon"].to_numpy()
+        o_lat = pdf["o_lat"].to_numpy()
+        d_lon = pdf["d_lon"].to_numpy()
+        d_lat = pdf["d_lat"].to_numpy()
+
+    def same_loc_prev(prev: int, cur: int) -> bool:
+        """destination of prev == origin of cur (reference :252-265)."""
+        if use_locations:
+            if np.isnan(d_stp[prev]) or np.isnan(o_stp[cur]):
+                return False
+            a, b = d_loc[prev], o_loc[cur]
+            return (not np.isnan(a)) and (not np.isnan(b)) and a == b
+        return _haversine_s(d_lon[prev], d_lat[prev], o_lon[cur], o_lat[cur]) <= max_dist
+
+    def closes_tour(cand: int, cur: int) -> bool:
+        """origin of cand == destination of cur (reference :313-326)."""
+        if use_locations:
+            if np.isnan(o_stp[cand]) or np.isnan(d_stp[cur]):
+                return False
+            a, b = o_loc[cand], d_loc[cur]
+            return (not np.isnan(a)) and (not np.isnan(b)) and a == b
+        return _haversine_s(o_lon[cand], o_lat[cand], d_lon[cur], d_lat[cur]) <= max_dist
+
+    GAP = -1
+    candidates: list[int] = []
+    out: list[dict] = []
+    for i in range(n):
+        end_time = finished[i]
+        if candidates:
+            if not same_loc_prev(candidates[-1], i):
+                if max_nr_gaps == 0:
+                    candidates = [i]
+                    continue
+                candidates.append(GAP)
+        candidates.append(i)
+
+        # endpoint is an unknown activity -> cannot close a tour (:281)
+        if np.isnan(d_stp[i]):
+            continue
+
+        new_list_start = 0
+        gap_counter = 0
+        for j, cand in enumerate(reversed(candidates)):
+            if cand == GAP:
+                gap_counter += 1
+                if gap_counter > max_nr_gaps:
+                    new_list_start = j + 1  # verbatim reference slicing (:297)
+                    break
+                continue
+            if end_time - started[cand] > max_time_s:
+                new_list_start = len(candidates) - j - 1
+                break
+            # candidate starts at an unknown activity (:309)
+            if np.isnan(o_stp[cand]):
+                continue
+            if closes_tour(cand, i):
+                members = [c for c in candidates[-j - 1:] if c != GAP]
+                first, last = members[0], members[-1]
+                out.append(
+                    {
+                        "seq": len(out),
+                        "started_at": pdf["started_at"].iloc[first],
+                        "finished_at": pdf["finished_at"].iloc[last],
+                        "origin_staypoint_id": None if np.isnan(o_stp[first]) else int(o_stp[first]),
+                        "destination_staypoint_id": None if np.isnan(d_stp[last]) else int(d_stp[last]),
+                        "location_id": (
+                            None
+                            if (not use_locations or np.isnan(o_loc[first]))
+                            else int(o_loc[first])
+                        ),
+                        "trips": [int(ids[c]) for c in members],
+                    }
+                )
+                break
+        candidates = candidates[new_list_start:]
+
+    res = pd.DataFrame(out, columns=[f.name for f in _TOUR_SCHEMA.fields if f.name != "user_id"])
+    res["user_id"] = pdf["user_id"].iloc[0] if n else None
+    return res
+
+
+def generate_tours(
+    trips: DataFrame,
+    staypoints: DataFrame | None = None,
+    max_dist: float = 100.0,
+    max_time: float = 1440.0,
+    max_nr_gaps: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Generate tours; returns (trips+tour_id list, tours).
+
+    ``max_time`` in minutes (reference default '1D').
+    """
+    validate(trips, "trips")
+    use_locations = staypoints is not None
+    if use_locations:
+        if "location_id" not in staypoints.columns:
+            raise AssertionError(
+                "Staypoints with location ID is required, otherwise tours are generated without location using max_dist"
+            )
+    elif "geom" not in trips.columns:
+        raise ValueError("trips must have a 'geom' (origin/dest pair) column when staypoints are not given")
+
+    trips_in = trips.drop(*[c for c in ("tour_id",) if c in trips.columns])
+
+    if use_locations:
+        sp_loc = staypoints.select(F.col("id").alias("__sp"), F.col("location_id").alias("__loc"))
+        kin = (
+            trips_in.select("id", "user_id", "started_at", "finished_at", "origin_staypoint_id", "destination_staypoint_id")
+            .join(
+                F.broadcast(sp_loc).withColumnRenamed("__sp", "origin_staypoint_id").withColumnRenamed("__loc", "origin_loc"),
+                on="origin_staypoint_id",
+                how="left",
+            )
+            .join(
+                F.broadcast(sp_loc).withColumnRenamed("__sp", "destination_staypoint_id").withColumnRenamed("__loc", "dest_loc"),
+                on="destination_staypoint_id",
+                how="left",
+            )
+        )
+    else:
+        kin = trips_in.select(
+            "id",
+            "user_id",
+            "started_at",
+            "finished_at",
+            "origin_staypoint_id",
+            "destination_staypoint_id",
+            F.col("geom.origin.lon").alias("o_lon"),
+            F.col("geom.origin.lat").alias("o_lat"),
+            F.col("geom.dest.lon").alias("d_lon"),
+            F.col("geom.dest.lat").alias("d_lat"),
+        )
+
+    max_time_s = max_time * 60.0
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _tours_kernel(pdf, use_locations, max_dist, max_time_s, max_nr_gaps)
+
+    raw = kin.groupBy("user_id").applyInPandas(_run, schema=_TOUR_SCHEMA)
+    tours = dense_id_by_user(raw, order_by=["seq"], id_col="id").drop("seq")
+
+    links = tours.select(F.col("id").alias("tour_id"), F.explode("trips").alias("id"))
+    tour_lists = links.groupBy("id").agg(F.sort_array(F.collect_list("tour_id")).alias("tour_id"))
+    trips_out = trips_in.join(tour_lists, on="id", how="left")
+
+    tours = tours.select(
+        "id", "user_id", "started_at", "finished_at",
+        "origin_staypoint_id", "destination_staypoint_id", "location_id", "trips",
+    )
+    return trips_out, tours
+
+
+def get_trips_grouped(trips: DataFrame, tours: DataFrame) -> DataFrame:
+    """All (tour_id, trip) rows — each tour's full member trips, incl.
+    trips whose own ``tour_id`` points at a smaller nested tour.
+
+    Reference: get_trips_grouped (preprocessing/trips.py:12-51); returns
+    the exploded join rather than a pandas GroupBy object.
+    """
+    t = trips.drop(*[c for c in ("tour_id",) if c in trips.columns])
+    links = tours.select(F.col("id").alias("tour_id"), F.explode("trips").alias("id"))
+    return links.join(t, on="id", how="left")
