@@ -1,0 +1,165 @@
+"""Scale extensions: dedup, similarity search, text analysis, multimodal
+plumbing — driven on the real driver testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.scale import (
+    cosine_topk_bruteforce,
+    dedup_embedding_cosine,
+    dedup_exact,
+    detect_language,
+    document_fingerprint,
+    lsh_bucketed_topk,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+from trackintel_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = dedup_exact(df).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.dup_count) for r in out] == [(0, 2), (2, 1)]
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different words here nothing shared at all whatsoever")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.minhash for r in minhash_signature(df, num_perm=16).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog on a sunny morning in the park"
+    near = base.replace("sunny", "rainy")
+    far = "entirely unrelated content about database query optimization and spark plans"
+    df = spark.createDataFrame([(0, base), (1, near), (2, far)], "doc_id long, text string")
+    pairs = minhash_lsh_candidates(df, num_perm=32, bands=16).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f"), (2, "q r s t u v")], "doc_id long, text string"
+    )
+    out = ngram_jaccard_pairs(df, n=2, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].jaccard == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " truly"), (2, "spark catalyst optimizer rewrites logical plans into physical ones")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    ham01 = sum(a != b for a, b in zip(out[0], out[1]))
+    ham02 = sum(a != b for a, b in zip(out[0], out[2]))
+    assert len(out[0]) == 32
+    assert ham01 < ham02
+
+
+def test_embedding_cosine_dedup(spark, emb):
+    # duplicate vector 0 with id 10_000: must be found as a near-dup pair
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(10_000).cast("long"))
+    out = dedup_embedding_cosine(emb.unionByName(dup), threshold=0.999).collect()
+    assert any(r.id_a == 0 and r.id_b == 10_000 for r in out)
+
+
+def test_cosine_topk_bruteforce(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # self-similarity must rank first
+    firsts = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert all(q == v for q, v in firsts.items())
+
+
+def test_lsh_topk_recall_at_1(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_bucketed_topk(emb, queries, k=3, n_planes=6)
+    firsts = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    # the query vector itself always falls in its own bucket -> recall@1 = 1
+    assert all(q == v for q, v in firsts.items())
+
+
+def test_token_count_and_quality(spark, docs):
+    out = quality_score(docs.withColumn("n_tok", token_count(F.col("text")))).limit(50).collect()
+    for r in out:
+        assert r.n_tok == len(r.text.split())
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is warm"),
+            (1, "der hund ist nicht zu hause und die katze"),
+            (2, "le chat est sur la table et il ne dort pas"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr"
+    assert out[3] is None
+
+
+def test_document_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.fingerprint for r in document_fingerprint(df).collect()}
+    assert out[0] == out[1] != out[2]
+
+
+def test_multimodal_plumbing(spark):
+    from trackintel_spark.scale.multimodal import attach_media_metadata, extract_features, sample_video_frames
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x89PNG\r\n" + b"x" * 100)), (1, bytearray(b"RIFF" + b"y" * 300))],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r.media_meta for r in attach_media_metadata(df).collect()}
+    assert meta[0].format == "png" and meta[0].media_type == "image"
+    assert meta[1].format == "riff" and meta[1].media_type == "audio"
+
+    feats = extract_features(df, feature_dim=16).collect()
+    assert len(feats) == 2 and all(len(r.features) == 16 for r in feats)
+    # determinism
+    feats2 = extract_features(df, feature_dim=16).collect()
+    assert {r.doc_id: r.features for r in feats} == {r.doc_id: r.features for r in feats2}
+
+    frames = sample_video_frames(df).collect()
+    assert len(frames) > 2
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_video_frames(df, decode_stub=False).collect()

@@ -1,0 +1,30 @@
+from trackintel_spark.scale.dedup import (
+    dedup_exact,
+    dedup_embedding_cosine,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from trackintel_spark.scale.similarity import cosine_topk_bruteforce, lsh_bucketed_topk
+from trackintel_spark.scale.text import (
+    detect_language,
+    document_fingerprint,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "cosine_topk_bruteforce",
+    "lsh_bucketed_topk",
+    "token_count",
+    "quality_score",
+    "detect_language",
+    "document_fingerprint",
+]

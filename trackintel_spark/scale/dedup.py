@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-duplicates.
+
+Scale notes
+-----------
+* exact dedup: one hash aggregation — the cheapest possible plan;
+* MinHash signatures use the *lexicographic minimum of
+  md5(seed || shingle)* per permutation. This is engine-portable (any
+  SQL engine with md5 computes the identical signature) and avoids a
+  Python UDF; banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — the classic shuffle-friendly LSH plan;
+* n-gram Jaccard is exact pairwise verification — use it AFTER LSH
+  candidate generation, never as a full cross join at scale;
+* SimHash packs 32 md5-digit dimensions into a bit string via one
+  explode + groupBy;
+* embedding near-dup: banded by L2-norm bucket to prune the cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from trackintel_spark.scale.text import tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (smallest id) per exact text; adds ``dup_count``."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy(text_col)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), lowercased."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add ``minhash: array<string>`` — per-permutation minimum of
+    md5(perm_seed || shingle). Engine-portable, UDF-free.
+
+    Plan shape: explode shingles ONCE, hash into num_perm columns, then
+    one hash aggregation with map-side partial mins — the shingle
+    construction is never duplicated per permutation (inlining it in a
+    single projection would blow up the expression tree num_perm-fold).
+    Documents with no shingles get a NULL signature.
+    """
+    ex = df.select(F.col(id_col).alias("__mid"), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"))
+    hashed = ex.select(
+        "__mid", *[F.md5(F.concat(F.lit(f"p{i}:"), F.col("__s"))).alias(f"__h{i}") for i in range(num_perm)]
+    )
+    sig = hashed.groupBy("__mid").agg(
+        F.array(*[F.min(f"__h{i}") for i in range(num_perm)]).alias("minhash")
+    )
+    return df.join(sig, on=df[id_col] == sig["__mid"], how="left").drop("__mid")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of num_perm/bands rows; docs
+    sharing any band hash become a candidate pair. Returns (id_a, id_b,
+    jaccard_est) with id_a < id_b; jaccard_est = fraction of matching
+    signature positions.
+    """
+    rows = num_perm // bands
+    sig_df = minhash_signature(df, text_col, num_perm, shingle_n, id_col=id_col).select(
+        F.col(id_col).alias("__id"), "minhash"
+    ).filter(F.col("minhash").isNotNull())
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
+                        "bhash"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("__band")
+    banded = sig_df.select("__id", "minhash", band_cols).select(
+        "__id", "minhash", F.col("__band.band").alias("band"), F.col("__band.bhash").alias("bhash")
+    )
+    a = banded.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__ma"), "band", "bhash")
+    b = banded.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__mb"), "band", "bhash")
+    pairs = (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    eq = F.aggregate(
+        F.zip_with("__ma", "__mb", lambda x, y: (x == y).cast("int")), F.lit(0), lambda acc, v: acc + v
+    )
+    return pairs.withColumn("jaccard_est", eq.cast("double") / F.size("__ma")).select(
+        "id_a", "id_b", "jaccard_est"
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over md5 hex digits of tokens.
+
+    Dimension d (1..32) contributes +1 when digit d of md5(token) is in
+    [8..f], else -1; fingerprint bit d = (sum >= 0). One explode + one
+    groupBy — engine-portable and UDF-free.
+    """
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__tok"))
+    h = F.md5(F.col("__tok"))
+    sums = [
+        F.sum(
+            F.when(F.substring(h, d + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"__s{d}")
+        for d in range(32)
+    ]
+    agg = ex.groupBy("__id").agg(*sums)
+    bits = F.concat(*[F.when(F.col(f"__s{d}") >= 0, F.lit("1")).otherwise(F.lit("0")) for d in range(32)])
+    fp = agg.select(F.col("__id").alias(id_col), bits.alias("simhash"))
+    return df.join(fp, on=id_col, how="left")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity for document pairs.
+
+    Without ``candidates`` this self-joins all pairs (id_a < id_b) —
+    exact but quadratic; feed LSH candidates at scale.
+    """
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b").join(a, on="id_a").join(b, on="id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    norm_band_width: float = 0.05,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Banding prunes the self-join: vectors are bucketed by L2 norm and
+    only neighboring buckets are compared (cos >= t constrains the norm
+    ratio only weakly, but duplicates cluster tightly in norm — this is
+    the cheap first-cut band; exact cosine verifies).
+    """
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__norm", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
+    v = v.withColumn("__band", F.floor(F.col("__norm") / norm_band_width))
+    a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__norm").alias("__na"), "__band")
+    bands = v.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb"),
+        F.explode(F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)).alias("__band"),
+    )
+    pairs = a.join(bands, on="__band").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

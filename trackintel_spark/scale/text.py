@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen) — designed to sweep
+100 TB of documents without Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small multilingual stopword sample per language for the n-gram/
+# stopword-ratio language heuristic. Public knowledge (common words).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "no"),
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ("a", "an", "for", "on", "with", "as", "at", "by")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with lowercasing; empty strings removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column, method: str = "whitespace") -> Column:
+    """Token count: 'whitespace' splits on runs of whitespace; 'bpe_ish'
+    counts word-piece-like units (letter runs, digit runs, punctuation
+    singletons) via regex — a cheap stand-in for BPE vocab size."""
+    if method == "whitespace":
+        return F.size(tokens(text))
+    if method == "bpe_ish":
+        return F.size(
+            F.filter(
+                F.split(F.lower(text), r"([^a-z0-9]+)|(?<=[a-z]{6})"), lambda t: t != ""
+            )
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + a combined score in [0,1].
+
+    length / mean word length / punctuation ratio / stopword ratio /
+    uppercase ratio — the standard cheap pre-filters of web-scale
+    corpora pipelines.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    upper_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+
+    score = (
+        F.when(n_tokens >= 10, F.lit(0.25)).otherwise(n_tokens.cast("double") / 40.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 2.5, F.lit(0.25))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: the language whose stopword set
+    hits the most tokens wins; NULL when nothing matches."""
+    toks = tokens(F.col(text_col))
+    hit_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols.append(F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias(f"__hits_{lang}"))
+    out = df.select("*", *hit_cols)
+    best = None
+    langs = list(_LANG_MARKERS)
+    score = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    for lang in langs:
+        cond = (F.col(f"__hits_{lang}") == score) & (score > 0)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    out = out.withColumn("lang_pred", best.otherwise(F.lit(None)))
+    return out.drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """Deterministic content fingerprint: md5 over the whitespace- and
+    case-normalized text. The normalization makes trivially-reformatted
+    duplicates collide — the first stage of every dedup pipeline."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(t))
