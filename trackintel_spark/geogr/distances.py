@@ -27,7 +27,7 @@ def get_speed_positionfixes(pfs: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
     prev_pt = F.lag("geom").over(w)
     prev_ts = F.lag("tracked_at").over(w)
-    speed = haversine_point(F.col("geom"), prev_pt) / duration_s(prev_ts, F.col("tracked_at"))
+    speed = F.try_divide(haversine_point(F.col("geom"), prev_pt), duration_s(prev_ts, F.col("tracked_at")))
     out = pfs.withColumn("__speed_raw", speed)
     # first-row imputation: take the next row's computed speed
     out = out.withColumn("speed", F.coalesce(F.col("__speed_raw"), F.lead("__speed_raw").over(w)))
@@ -40,7 +40,7 @@ def get_speed_triplegs(tpls: DataFrame, pfs: DataFrame | None = None, method: st
     if method == "tpls_speed":
         return tpls.withColumn(
             "speed",
-            linestring_length_m(F.col("geom")) / duration_s(F.col("started_at"), F.col("finished_at")),
+            F.try_divide(linestring_length_m(F.col("geom")), duration_s(F.col("started_at"), F.col("finished_at"))),
         )
     if method == "pfs_mean_speed":
         if pfs is None:
@@ -52,8 +52,10 @@ def get_speed_triplegs(tpls: DataFrame, pfs: DataFrame | None = None, method: st
         member = pfs.filter(F.col("tripleg_id").isNotNull())
         member = member.withColumn(
             "__speed",
-            haversine_point(F.col("geom"), F.lag("geom").over(w))
-            / duration_s(F.lag("tracked_at").over(w), F.col("tracked_at")),
+            F.try_divide(
+                haversine_point(F.col("geom"), F.lag("geom").over(w)),
+                duration_s(F.lag("tracked_at").over(w), F.col("tracked_at")),
+            ),
         )
         speeds = member.groupBy("tripleg_id").agg(F.avg("__speed").alias("speed"))
         return tpls.join(speeds.withColumnRenamed("tripleg_id", "id"), on="id", how="left")
