@@ -172,8 +172,15 @@ def generate_locations(
         labels = dbscan_haversine(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), eps_rad, num_samples)
         return pd.DataFrame({"id": pdf["id"], "user_id": pdf["user_id"], "location_id": labels})
 
+    from trackintel_spark.plans.partitioning import kernel_partitions
+
     if agg_level == "user":
-        labeled = pts_ordered.groupBy("user_id").applyInPandas(_label_sorted, schema=_LABEL_SCHEMA)
+        labeled = (
+            pts_ordered.repartition(kernel_partitions(pts_ordered), "user_id")
+            .groupBy("user_id")
+            .applyInPandas(_label_sorted, schema=_LABEL_SCHEMA)
+            .persist()
+        )
         # per-user label offsetting (:119-137): base = running sum of
         # (max label + 1) over users in user_id order; tiny table.
         maxes = labeled.filter(F.col("location_id") >= 0).groupBy("user_id").agg(

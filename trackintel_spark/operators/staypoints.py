@@ -69,11 +69,11 @@ def _sliding_kernel(
     one pandas group per (user[, session]) partition."""
     pdf = pdf.sort_values(["tracked_at", "id"], kind="stable")
     n = len(pdf)
-    out: list[dict] = []
     if n == 0:
         return pd.DataFrame(columns=[f.name for f in _KERNEL_SCHEMA.fields])
 
-    t = pdf["tracked_at"].astype("int64").to_numpy() / 1e9  # epoch seconds
+    ts = pdf["tracked_at"].to_numpy()  # datetime64
+    t = ts.astype("int64") / 1e9  # epoch seconds
     x = pdf["lon"].to_numpy()
     y = pdf["lat"].to_numpy()
     ids = pdf["id"].to_numpy()
@@ -82,22 +82,28 @@ def _sliding_kernel(
     lat_rad = np.deg2rad(y)
     cos_lat = np.cos(lat_rad)
 
-    def emit(start: int, end: int, last_flag: bool = False) -> dict:
+    # columnar output buffers — emit() per-row dicts dominate kernel
+    # time when most of the input turns into staypoints
+    o_start: list = []
+    o_finish: list = []
+    o_lon: list[float] = []
+    o_lat: list[float] = []
+    o_elev: list = []
+    o_pfs: list[list[int]] = []
+
+    def emit(start: int, end: int, last_flag: bool = False) -> None:
         # finished_at is pfs[end]'s time; geometry/linkage span [start, end)
         # — or [start, end] when closing the trailing window
         # (preprocessing/positionfixes.py:560-577).
-        rec = {
-            "started_at": pdf["tracked_at"].iloc[start],
-            "finished_at": pdf["tracked_at"].iloc[end],
-        }
+        o_start.append(ts[start])
+        o_finish.append(ts[end])
         stop = n if last_flag else end
         coords = np.unique(np.column_stack((x[start:stop], y[start:stop])), axis=0)
         xr = np.deg2rad(coords[:, 0])
-        rec["lon"] = float(np.rad2deg(np.arctan2(np.sin(xr).mean(), np.cos(xr).mean())))
-        rec["lat"] = float(coords[:, 1].mean())
-        rec["elevation"] = float(np.median(elev[start:stop])) if elevation_flag else None
-        rec["pfs_ids"] = [int(i) for i in ids[start:stop]]
-        return rec
+        o_lon.append(float(np.rad2deg(np.arctan2(np.sin(xr).mean(), np.cos(xr).mean()))))
+        o_lat.append(float(coords[:, 1].mean()))
+        o_elev.append(float(np.median(elev[start:stop])) if elevation_flag else None)
+        o_pfs.append([int(i) for i in ids[start:stop]])
 
     curr = start = 0
     for curr in range(1, n):
@@ -110,15 +116,25 @@ def _sliding_kernel(
         delta_dist = 6371000.0 * math.acos(min(1.0, max(-1.0, arg)))
         if delta_dist >= dist_threshold:
             if t[curr] - t[start] >= time_threshold_s:
-                out.append(emit(start, curr))
+                emit(start, curr)
             start = curr
 
     if include_last and t[curr] - t[start] >= time_threshold_s:
-        out.append(emit(start, curr, last_flag=True))
+        emit(start, curr, last_flag=True)
 
-    res = pd.DataFrame(out, columns=[f.name for f in _KERNEL_SCHEMA.fields])
-    res["user_id"] = pdf["user_id"].iloc[0]
-    return res
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([pdf["user_id"].iloc[0]] * len(o_start), dtype="int64"),
+            "started_at": pd.Series(o_start, dtype="datetime64[ns]"),
+            "finished_at": pd.Series(o_finish, dtype="datetime64[ns]"),
+            "lon": pd.Series(o_lon, dtype="float64"),
+            "lat": pd.Series(o_lat, dtype="float64"),
+            "elevation": pd.Series(o_elev, dtype="float64"),
+            # explicit object dtype: an empty list would otherwise infer
+            # float64, which Arrow cannot convert to list<int64>
+            "pfs_ids": pd.Series(o_pfs, dtype="object"),
+        }
+    )
 
 
 def generate_staypoints(
@@ -175,7 +191,17 @@ def generate_staypoints(
             elevation_flag=elevation_flag,
         )
 
-    raw_sp = kernel_in.groupBy("user_id").applyInPandas(_run, schema=_KERNEL_SCHEMA)
+    from trackintel_spark.plans.partitioning import kernel_partitions
+
+    raw_sp = (
+        kernel_in.repartition(kernel_partitions(kernel_in), "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_run, schema=_KERNEL_SCHEMA)
+    )
+    # the kernel output is small (staypoints << pfs) but expensive to
+    # recompute: persist so the sp and link-back branches (and every
+    # downstream operator) run the sliding scan once.
+    raw_sp = raw_sp.persist()
 
     sp = dense_id_by_user(raw_sp, order_by=["started_at"], id_col="id")
 

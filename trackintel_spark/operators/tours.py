@@ -209,7 +209,14 @@ def generate_tours(
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _tours_kernel(pdf, use_locations, max_dist, max_time_s, max_nr_gaps)
 
-    raw = kin.groupBy("user_id").applyInPandas(_run, schema=_TOUR_SCHEMA)
+    from trackintel_spark.plans.partitioning import kernel_partitions
+
+    raw = (
+        kin.repartition(kernel_partitions(kin), "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_run, schema=_TOUR_SCHEMA)
+        .persist()
+    )
     tours = dense_id_by_user(raw, order_by=["seq"], id_col="id").drop("seq")
 
     links = tours.select(F.col("id").alias("tour_id"), F.explode("trips").alias("id"))

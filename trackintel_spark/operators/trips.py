@@ -120,6 +120,9 @@ def generate_trips(
     # drop trips without triplegs (:119) and assign dense ids (:122-123)
     trips_raw = trips_raw.filter(F.size("tpls") > 0)
     trips_raw = dense_id_by_user(trips_raw, order_by=["__temp_trip"], id_col="id").drop("__sps", "__tpls")
+    # trips_raw feeds the interleave, endpoint-geometry joins, and both
+    # link-backs — persist so its (window-heavy) lineage runs once.
+    trips_raw = trips_raw.persist()
 
     # interleave trips + activity staypoints + gap buffers (:126-146)
     trip_rows = trips_raw.select(
@@ -152,6 +155,7 @@ def generate_trips(
     inter = trip_rows.unionByName(act_rows).unionByName(gap_rows)
 
     wi = Window.partitionBy("user_id").orderBy("started_at", "type", "sp_tpls_id")
+    inter = inter.persist()
     inter = (
         inter.withColumn("origin_staypoint_id", F.lag("sp_tpls_id").over(wi))
         .withColumn("destination_staypoint_id", F.lead("sp_tpls_id").over(wi))
@@ -204,6 +208,10 @@ def generate_trips(
             )
             .drop("__tid", "__tid2", "__first_pt", "__last_pt")
         )
+
+    # trips feeds the final projection plus the tpls/sp link-backs —
+    # persist the finished (small) trips table once.
+    trips = trips.persist()
 
     trips_out_cols = ["id", "user_id", "started_at", "finished_at", "origin_staypoint_id", "destination_staypoint_id"]
     if add_geometry:

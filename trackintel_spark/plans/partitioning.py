@@ -13,6 +13,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def kernel_partitions(df: DataFrame) -> int:
+    """Partition count for Python-kernel (applyInPandas) stages.
+
+    AQE coalesces small shuffles down to 1-2 partitions — right for JVM
+    exchanges, wrong for Python kernels where per-task Arrow + kernel
+    cost dominates. An explicit user repartition count is exempt from
+    AQE coalescing, so kernel inputs repartition to default parallelism.
+    """
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def co_partition_by_user(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Hash-repartition by user_id (in-plan co-location for one job)."""
     if num_partitions:
