@@ -1,0 +1,175 @@
+"""CSV/WKT round-trips, geolife reader, mode matching, streaming sessionization."""
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from trackintel_spark.sources import (
+    geolife_add_modes_to_triplegs,
+    read_geolife,
+    read_positionfixes_csv,
+    read_staypoints_csv,
+    read_tours_csv,
+    read_triplegs_csv,
+    write_positionfixes_csv,
+    write_staypoints_csv,
+    write_triplegs_csv,
+    write_tours_csv,
+)
+from trackintel_spark.streaming import sessionize_stream, staypoints_stream
+
+T0 = datetime(2024, 1, 1, 8, 0, 0)
+
+
+def test_positionfixes_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "pfs_csv")
+    src = spark.createDataFrame(
+        [(0, 1, T0, 8.5, 47.4), (1, 1, T0 + timedelta(minutes=5), 8.6, 47.5)],
+        "id long, user_id long, tracked_at timestamp, lon double, lat double",
+    ).select("id", "user_id", "tracked_at", F.struct("lon", "lat").alias("geom"))
+    write_positionfixes_csv(src, p)
+    back = read_positionfixes_csv(spark, p)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[0].geom.lon == 8.5 and rows[1].geom.lat == 47.5
+    assert rows[0].tracked_at == T0
+
+
+def test_staypoints_wkt_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "sp_csv")
+    src = spark.createDataFrame(
+        [(0, 1, T0, T0 + timedelta(minutes=30), 8.5, 47.4)],
+        "id long, user_id long, started_at timestamp, finished_at timestamp, lon double, lat double",
+    ).select("id", "user_id", "started_at", "finished_at", F.struct("lon", "lat").alias("geom"))
+    write_staypoints_csv(src, p)
+    back = read_staypoints_csv(spark, p)
+    (row,) = back.collect()
+    assert row.geom.lon == 8.5 and row.geom.lat == 47.4
+
+
+def test_triplegs_wkt_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "tpls_csv")
+    src = spark.createDataFrame(
+        [(0, 1, T0, T0 + timedelta(minutes=30), [{"lon": 8.5, "lat": 47.4}, {"lon": 8.6, "lat": 47.5}])],
+        "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon:double,lat:double>>",
+    )
+    write_triplegs_csv(src, p)
+    back = read_triplegs_csv(spark, p)
+    (row,) = back.collect()
+    assert [(v.lon, v.lat) for v in row.geom] == [(8.5, 47.4), (8.6, 47.5)]
+
+
+def test_tours_trips_list_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "tours_csv")
+    src = spark.createDataFrame(
+        [(0, 1, T0, T0 + timedelta(hours=3), [3, 5, 7])],
+        "id long, user_id long, started_at timestamp, finished_at timestamp, trips array<bigint>",
+    )
+    write_tours_csv(src, p)
+    back = read_tours_csv(spark, p)
+    (row,) = back.collect()
+    assert row.trips == [3, 5, 7]
+
+
+def test_read_geolife(spark, tmp_path):
+    root = tmp_path / "geolife" / "010" / "Trajectory"
+    os.makedirs(root)
+    header = "Geolife trajectory\nWGS 84\nAltitude is in Feet\nReserved 3\n0,2,255,My Track,0,0,2,8421376\n0\n"
+    rows = [
+        "39.984702,116.318417,0,492,39744.245,2008-10-23,05:53:05",
+        "39.984683,116.31845,0,492,39744.245,2008-10-23,05:53:10",
+    ]
+    (root / "20081023055305.plt").write_text(header + "\n".join(rows) + "\n")
+    pfs = read_geolife(spark, str(tmp_path / "geolife"))
+    got = pfs.orderBy("id").collect()
+    assert len(got) == 2
+    assert got[0].user_id == 10
+    assert abs(got[0].geom.lat - 39.984702) < 1e-9
+    assert abs(got[0].elevation - 492 * 0.3048) < 1e-9
+    assert got[0].tracked_at == datetime(2008, 10, 23, 5, 53, 5)
+    assert got[0].id == 0 and got[1].id == 1
+
+
+def test_geolife_mode_matching(spark):
+    tpls = spark.createDataFrame(
+        [
+            (0, 1, T0, T0 + timedelta(minutes=30), [{"lon": 8.5, "lat": 47.4}, {"lon": 8.6, "lat": 47.5}]),
+            (1, 1, T0 + timedelta(hours=5), T0 + timedelta(hours=6), [{"lon": 8.5, "lat": 47.4}, {"lon": 8.6, "lat": 47.5}]),
+        ],
+        "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon:double,lat:double>>",
+    )
+    labels = spark.createDataFrame(
+        [(1, T0 + timedelta(minutes=5), T0 + timedelta(minutes=25), "walk")],
+        "user_id long, started_at timestamp, finished_at timestamp, mode string",
+    )
+    out = {r.id: r.mode for r in geolife_add_modes_to_triplegs(tpls, labels).collect()}
+    assert out[0] == "walk"  # 20/30 overlap >= 0.5
+    assert out[1] is None
+
+
+def test_sessionize_stream_batch_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, T0), (1, T0 + timedelta(minutes=10)),   # session 1
+            (1, T0 + timedelta(minutes=90)),             # session 2 (gap 80 > 30)
+            (2, T0),                                     # other user
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = sessionize_stream(ev, gap_minutes=30).orderBy("user_id", "started_at").collect()
+    assert len(got) == 3
+    assert got[0].n_events == 2
+    assert got[0].started_at == T0
+
+
+def test_staypoints_stream_batch_semantics(spark):
+    pfs = spark.createDataFrame(
+        [
+            (0, 1, T0, 8.5, 47.4),
+            (1, 1, T0 + timedelta(minutes=5), 8.50001, 47.4),  # same cell
+            (2, 1, T0 + timedelta(minutes=10), 9.5, 48.4),     # cell change
+        ],
+        "id long, user_id long, tracked_at timestamp, lon double, lat double",
+    ).select("id", "user_id", "tracked_at", F.struct("lon", "lat").alias("geom"))
+    got = staypoints_stream(pfs, cell_size_m=100, gap_minutes=15).orderBy("started_at").collect()
+    assert len(got) == 2
+    assert got[0].n_pfs == 2
+
+
+def test_staypoints_stream_streaming_mode(spark, tmp_path):
+    """End-to-end streaming: file source -> session windows -> memory sink."""
+    src_dir = tmp_path / "stream_src"
+    os.makedirs(src_dir)
+    lines = [
+        f'{{"user_id": 1, "tracked_at": "2024-01-01T08:{m:02d}:00Z", "lon": 8.5, "lat": 47.4}}'
+        for m in (0, 5, 10)
+    ]
+    (src_dir / "batch1.json").write_text("\n".join(lines))
+    stream = (
+        spark.readStream.schema("user_id long, tracked_at timestamp, lon double, lat double")
+        .json(str(src_dir))
+        .select("user_id", "tracked_at", F.struct("lon", "lat").alias("geom"))
+    )
+    out = staypoints_stream(stream, cell_size_m=100, gap_minutes=15)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sp_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sp_stream_test").collect()
+    # session still open (no watermark passed) -> append emits nothing yet,
+    # but the query must run without error; complete-mode check:
+    q2 = (
+        staypoints_stream(stream, cell_size_m=100, gap_minutes=15)
+        .writeStream.format("memory")
+        .queryName("sp_stream_test2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    rows2 = spark.sql("SELECT * FROM sp_stream_test2").collect()
+    assert len(rows2) == 1 and rows2[0].n_pfs == 3

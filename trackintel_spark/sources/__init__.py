@@ -1,3 +1,34 @@
+from trackintel_spark.sources.csv import (
+    read_locations_csv,
+    read_positionfixes_csv,
+    read_staypoints_csv,
+    read_tours_csv,
+    read_triplegs_csv,
+    read_trips_csv,
+    write_locations_csv,
+    write_positionfixes_csv,
+    write_staypoints_csv,
+    write_tours_csv,
+    write_triplegs_csv,
+    write_trips_csv,
+)
+from trackintel_spark.sources.geolife import geolife_add_modes_to_triplegs, read_geolife
 from trackintel_spark.sources.testdata import load_table
 
-__all__ = ["load_table"]
+__all__ = [
+    "load_table",
+    "read_geolife",
+    "geolife_add_modes_to_triplegs",
+    "read_positionfixes_csv",
+    "read_staypoints_csv",
+    "read_triplegs_csv",
+    "read_trips_csv",
+    "read_locations_csv",
+    "read_tours_csv",
+    "write_positionfixes_csv",
+    "write_staypoints_csv",
+    "write_triplegs_csv",
+    "write_trips_csv",
+    "write_locations_csv",
+    "write_tours_csv",
+]
