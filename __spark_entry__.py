@@ -702,6 +702,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = q_multimodal_features
 
+    # -- generate_trips with a FULL SQL oracle over sessions/movements --------
+    def q_trips_oracle(spark, sf):
+        from trackintel_spark.analysis import create_activity_flag
+        from trackintel_spark.operators import generate_trips
+
+        sp = create_activity_flag(_sessions(spark, sf), time_threshold=45)
+        tpls = _movements(spark, sf)
+        _, _, trips = generate_trips(sp, tpls, gap_threshold=180, add_geometry=False)
+        return trips.select(
+            "id", "user_id", "started_at", "finished_at",
+            "origin_staypoint_id", "destination_staypoint_id",
+        )
+
+    q["generate_trips_sql"] = q_trips_oracle
+
+    # -- linestring length + tripleg speed -----------------------------------
+    def q_tripleg_length(spark, sf):
+        from trackintel_spark.functions import linestring_length_m
+
+        tpls = _movements(spark, sf)
+        return tpls.select("id", "user_id", _r(linestring_length_m(F.col("geom")), 3).alias("length_m"))
+
+    q["tripleg_length"] = q_tripleg_length
+
+    def q_speed_triplegs(spark, sf):
+        from trackintel_spark.geogr import get_speed_triplegs
+
+        tpls = _movements(spark, sf)
+        return get_speed_triplegs(tpls).select("id", "user_id", _r("speed", 4).alias("speed_mps"))
+
+    q["speed_triplegs"] = q_speed_triplegs
+
+    # -- more tracking-quality granularities ----------------------------------
+    def q_tracking_quality_week(spark, sf):
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        return temporal_tracking_quality(sp, "week").select(
+            "user_id", "week_monday", _r("quality", 8).alias("quality")
+        )
+
+    q["tracking_quality_week"] = q_tracking_quality_week
+
+    def q_tracking_quality_weekday(spark, sf):
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        return temporal_tracking_quality(sp, "weekday").select(
+            "user_id", "weekday", _r("quality", 8).alias("quality")
+        )
+
+    q["tracking_quality_weekday"] = q_tracking_quality_weekday
+
+    def q_tracking_quality_hour(spark, sf):
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        return temporal_tracking_quality(sp, "hour").select(
+            "user_id", "hour", _r("quality", 8).alias("quality")
+        )
+
+    q["tracking_quality_hour"] = q_tracking_quality_hour
+
+    # -- streaming sessionization (batch-mode semantics) -----------------------
+    def q_session_window(spark, sf):
+        from trackintel_spark.streaming import sessionize_stream
+
+        ev = load_table(spark, sf, "events")
+        return sessionize_stream(ev, gap_minutes=30).select(
+            "user_id", "started_at", "finished_at", "n_events"
+        )
+
+    q["session_window"] = q_session_window
+
+    # -- minhash LSH candidate pairs (full oracle) ------------------------------
+    def q_minhash_lsh_pairs(spark, sf):
+        from trackintel_spark.scale import minhash_lsh_candidates
+
+        docs = load_table(spark, sf, "documents")
+        out = minhash_lsh_candidates(docs, num_perm=16, bands=8, shingle_n=2)
+        return out.select("id_a", "id_b", _r("jaccard_est", 6).alias("jaccard_est"))
+
+    q["minhash_lsh_pairs"] = q_minhash_lsh_pairs
+
     return q
 
 
@@ -1223,6 +1307,206 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, ROUND(cosine, 5) AS cosine
         FROM pairs WHERE cosine >= 0.5
+    """
+
+    hav_mv = _hav_sql("o_lon", "o_lat", "d_lon", "d_lat")
+    o["tripleg_length"] = f"""
+        SELECT id, user_id, ROUND({hav_mv}, 3) AS length_m
+        FROM ({_movements_sql()})
+    """
+
+    o["speed_triplegs"] = f"""
+        SELECT id, user_id,
+               ROUND({hav_mv} / EPOCH(finished_at - started_at), 4) AS speed_mps
+        FROM ({_movements_sql()})
+    """
+
+    _day_split = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        pos AS (SELECT user_id, started_at, finished_at FROM sessions
+                WHERE EPOCH(finished_at) - EPOCH(started_at) > 0),
+        cuts AS (
+            SELECT user_id, started_at, finished_at,
+                   list_sort(list_distinct(
+                     [started_at]
+                     || CASE WHEN date_trunc('day', started_at) + INTERVAL 1 DAY <= finished_at
+                             THEN generate_series(date_trunc('day', started_at) + INTERVAL 1 DAY,
+                                                  finished_at, INTERVAL 1 DAY)
+                             ELSE [] END
+                     || [finished_at])) AS cut
+            FROM pos
+        ),
+        pieces AS (
+            SELECT user_id, cut[i] AS s, cut[i+1] AS e
+            FROM cuts, UNNEST(generate_series(1, len(cut) - 1)) AS t(i)
+        )
+    """
+
+    o["tracking_quality_week"] = f"""
+        {_day_split}
+        SELECT user_id,
+               CAST(CAST(s AS DATE) + ((7 - dayofweek(CAST(s AS DATE))) % 7) * INTERVAL 1 DAY AS TIMESTAMP) AS week_monday,
+               ROUND(SUM(EPOCH(e) - EPOCH(s)) / 604800.0, 8) AS quality
+        FROM pieces GROUP BY 1, 2
+    """
+
+    o["tracking_quality_weekday"] = f"""
+        {_day_split},
+        st AS (SELECT date_trunc('day', MIN(s)) AS start FROM pieces),
+        spans AS (
+            SELECT user_id, s, e,
+                   (dayofweek(s) + 6) % 7 AS weekday,
+                   FLOOR(FLOOR(EPOCH(s - st.start) / 86400.0) / 7) AS week
+            FROM pieces, st
+        )
+        SELECT user_id, weekday,
+               ROUND(SUM(EPOCH(e) - EPOCH(s)) / (86400.0 * (MAX(week) - MIN(week) + 1)), 8) AS quality
+        FROM spans GROUP BY user_id, weekday
+    """
+
+    _hour_split = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        pos AS (SELECT user_id, started_at, finished_at FROM sessions
+                WHERE EPOCH(finished_at) - EPOCH(started_at) > 0),
+        cuts AS (
+            SELECT user_id, started_at, finished_at,
+                   list_sort(list_distinct(
+                     [started_at]
+                     || CASE WHEN date_trunc('hour', started_at) + INTERVAL 1 HOUR <= finished_at
+                             THEN generate_series(date_trunc('hour', started_at) + INTERVAL 1 HOUR,
+                                                  finished_at, INTERVAL 1 HOUR)
+                             ELSE [] END
+                     || [finished_at])) AS cut
+            FROM pos
+        ),
+        pieces AS (
+            SELECT user_id, cut[i] AS s, cut[i+1] AS e
+            FROM cuts, UNNEST(generate_series(1, len(cut) - 1)) AS t(i)
+        )
+    """
+
+    o["tracking_quality_hour"] = f"""
+        {_hour_split},
+        st AS (SELECT date_trunc('day', MIN(s)) AS start FROM pieces),
+        spans AS (
+            SELECT user_id, s, e, hour(s) AS hour,
+                   FLOOR(EPOCH(s - st.start) / 86400.0) AS day
+            FROM pieces, st
+        )
+        SELECT user_id, hour,
+               ROUND(SUM(EPOCH(e) - EPOCH(s)) / (3600.0 * (MAX(day) - MIN(day) + 1)), 8) AS quality
+        FROM spans GROUP BY user_id, hour
+    """
+
+    # session_window semantics: window end = last event + gap
+    o["session_window"] = f"""
+        SELECT user_id, started_at,
+               finished_at + INTERVAL 30 MINUTE AS finished_at,
+               n_pfs AS n_events
+        FROM ({_sessions_sql()})
+    """
+
+    # banded minhash LSH: 16 permutations, 8 bands x 2 rows; candidate
+    # pairs share any band hash; jaccard_est = matching signature share
+    _mh_cols = ",\n               ".join(f"MIN(md5('p{i}:' || s)) AS m{i}" for i in range(16))
+    _bands = ", ".join(f"md5(m{2*b} || '|' || m{2*b+1}) AS b{b}" for b in range(8))
+    _band_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, b{b} AS bhash FROM banded" for b in range(8)
+    )
+    _eq16 = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16))
+    o["minhash_lsh_pairs"] = f"""
+        WITH ex AS (
+            SELECT doc_id, UNNEST({_shingles2}) AS s FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, {_mh_cols}
+            FROM ex GROUP BY doc_id
+        ),
+        banded AS (SELECT *, {_bands} FROM sig),
+        long_bands AS (
+{_band_union}
+        ),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM long_bands x JOIN long_bands y
+              ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+        )
+        SELECT p.id_a, p.id_b, ROUND(({_eq16}) / 16.0, 6) AS jaccard_est
+        FROM pairs p
+        JOIN sig a ON p.id_a = a.doc_id
+        JOIN sig b ON p.id_b = b.doc_id
+    """
+
+    # full trips-segmentation oracle: mirrors operators/trips.py
+    # (reference preprocessing/triplegs.py:12-232) — union, last-activity
+    # / gap / user-change triggers, running-sum temp ids, empty-trip drop,
+    # dense re-id, origin/destination via lag/lead over the interleaved
+    # trips + activities + gap-buffer sequence.
+    o["generate_trips_sql"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (
+            SELECT *, EPOCH(finished_at - started_at) > 45 * 60 AS is_activity
+            FROM sessions
+        ),
+        mv AS (SELECT id, user_id, started_at, finished_at FROM ({_movements_sql()})),
+        sp_tpls AS (
+            SELECT user_id, started_at, finished_at, 'staypoint' AS type, is_activity, id AS sp_tpls_id FROM sp
+            UNION ALL
+            SELECT user_id, started_at, finished_at, 'tripleg', FALSE, id FROM mv
+        ),
+        staged AS (
+            SELECT *,
+                ROW_NUMBER() OVER w = 1 AS frst,
+                COALESCE(LEAD(is_activity) OVER w, FALSE) AS next_act,
+                COALESCE(EPOCH(LEAD(started_at) OVER w - finished_at) > 180 * 60, FALSE) AS gap
+            FROM sp_tpls
+            WINDOW w AS (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST)
+        ),
+        staged2 AS (
+            SELECT *,
+                (frst OR (is_activity AND NOT next_act)
+                      OR COALESCE(LAG(gap) OVER w, FALSE)) AS new_trip
+            FROM staged
+            WINDOW w AS (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST)
+        ),
+        seg AS (
+            SELECT *, SUM(CASE WHEN new_trip THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST
+                              ROWS UNBOUNDED PRECEDING) AS temp_trip
+            FROM staged2
+        ),
+        trips_raw AS (
+            SELECT user_id, temp_trip,
+                   MIN(started_at) AS started_at, MAX(finished_at) AS finished_at
+            FROM seg WHERE NOT is_activity
+            GROUP BY user_id, temp_trip
+            HAVING COUNT(*) FILTER (type = 'tripleg') > 0
+        ),
+        trips_id AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY user_id, temp_trip) - 1 AS id, *
+            FROM trips_raw
+        ),
+        inter AS (
+            SELECT user_id, started_at, 'trip' AS type, CAST(NULL AS BIGINT) AS sp_tpls_id, id AS trip_id
+            FROM trips_id
+            UNION ALL
+            SELECT user_id, started_at, 'staypoint', sp_tpls_id, CAST(NULL AS BIGINT)
+            FROM seg WHERE is_activity AND type = 'staypoint'
+            UNION ALL
+            SELECT user_id, finished_at + INTERVAL 90 MINUTE, 'gap', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM seg WHERE gap
+        ),
+        linked AS (
+            SELECT *,
+                LAG(sp_tpls_id) OVER wi AS origin_staypoint_id,
+                LEAD(sp_tpls_id) OVER wi AS destination_staypoint_id
+            FROM inter
+            WINDOW wi AS (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST)
+        )
+        SELECT t.id, t.user_id, t.started_at, t.finished_at,
+               l.origin_staypoint_id, l.destination_staypoint_id
+        FROM linked l JOIN trips_id t ON l.trip_id = t.id
+        WHERE l.type = 'trip'
     """
 
     return {k: _portable_round(v) for k, v in o.items()}

@@ -93,8 +93,10 @@ def temporal_tracking_quality(source: DataFrame, granularity: str = "all") -> Da
         # the GLOBAL measurement start (:108, :151-163)
         start = df.agg(F.date_trunc("day", F.min("started_at")).alias("__start"))
         df = df.crossJoin(F.broadcast(start))
+        # exact integer-microsecond difference: double subtraction of
+        # ~1.7e9-second timestamps can flip floor() at day boundaries
         span_days = F.floor(
-            (F.col("started_at").cast("double") - F.col("__start").cast("double")) / 86400.0
+            (F.unix_micros(F.col("started_at")) - F.unix_micros(F.col("__start"))) / 86400e6
         ).cast("long")
         span = span_days / 7 if granularity == "weekday" else span_days
         unit_s = 86400.0 if granularity == "weekday" else 3600.0
