@@ -786,6 +786,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_pairs"] = q_minhash_lsh_pairs
 
+    # -- trajectory distances + distributed DBSCAN (rows-only) ------------------
+    def q_trajectory_dtw(spark, sf):
+        from trackintel_spark.geogr import trajectory_distance_matrix
+
+        tpls = _movements(spark, sf).filter(F.col("user_id") == 1)
+        out = trajectory_distance_matrix(tpls, metric="dtw")
+        return out.select("i", "j", _r("dist_m", 3).alias("dist_m"))
+
+    q["trajectory_dtw"] = q_trajectory_dtw
+
+    def q_trajectory_frechet(spark, sf):
+        from trackintel_spark.geogr import trajectory_distance_matrix
+
+        tpls = _movements(spark, sf).filter(F.col("user_id") == 1)
+        out = trajectory_distance_matrix(tpls, metric="frechet")
+        return out.select("i", "j", _r("dist_m", 3).alias("dist_m"))
+
+    q["trajectory_frechet"] = q_trajectory_frechet
+
+    def q_dbscan_distributed(spark, sf):
+        from trackintel_spark.operators import dbscan_distributed
+
+        # decimate: the synthetic events collapse into six ~20m hotspots,
+        # so any eps makes neighbor lists quadratic in hotspot size —
+        # pathological for EVERY DBSCAN. A 1-in-20 sample keeps the
+        # grid-join + label-propagation plan fully exercised.
+        sp = _sessions(spark, sf).filter(F.col("id") % 20 == 0).select(
+            "id", F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat")
+        )
+        return dbscan_distributed(sp, epsilon_m=2000, min_samples=2)
+
+    q["dbscan_distributed"] = q_dbscan_distributed
+
     return q
 
 

@@ -1,0 +1,96 @@
+"""DTW/Fréchet trajectory distances + distributed DBSCAN."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.geogr.trajectory_distance import (
+    dtw_distance,
+    frechet_distance,
+    trajectory_distance_matrix,
+)
+from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
+from trackintel_spark.operators.locations import dbscan_haversine
+
+import numpy as np
+
+
+def test_dtw_identical_is_zero():
+    a = np.array([[8.5, 47.4], [8.51, 47.41], [8.52, 47.42]])
+    assert dtw_distance(a, a) == 0.0
+    assert frechet_distance(a, a) == 0.0
+
+
+def test_frechet_parallel_offset():
+    # two parallel horizontal 2-point lines offset by 0.01 deg lat
+    a = np.array([[8.5, 47.40], [8.6, 47.40]])
+    b = np.array([[8.5, 47.41], [8.6, 47.41]])
+    d = frechet_distance(a, b)
+    expected = 0.01 / 180 * math.pi * 6371000  # ~1112 m
+    assert abs(d - expected) < 1.0
+
+
+def test_trajectory_distance_matrix(spark):
+    data = [
+        (0, [{"lon": 8.5, "lat": 47.4}, {"lon": 8.6, "lat": 47.4}]),
+        (1, [{"lon": 8.5, "lat": 47.41}, {"lon": 8.6, "lat": 47.41}]),
+        (2, [{"lon": 9.5, "lat": 48.4}, {"lon": 9.6, "lat": 48.4}]),
+    ]
+    tpls = spark.createDataFrame(data, "id long, geom array<struct<lon:double,lat:double>>")
+    out = {(r.i, r.j): r.dist_m for r in trajectory_distance_matrix(tpls, metric="frechet").collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert abs(out[(0, 1)] - 1111.95) < 1.0
+    assert out[(0, 2)] > 100_000
+    dtw = {(r.i, r.j): r.dist_m for r in trajectory_distance_matrix(tpls, metric="dtw").collect()}
+    # DTW accumulates per-step costs: 2 steps x ~1112 m
+    assert abs(dtw[(0, 1)] - 2 * 1111.95) < 2.0
+
+
+def test_trajectory_distance_unknown_metric(spark):
+    tpls = spark.createDataFrame([(0, [{"lon": 8.5, "lat": 47.4}])], "id long, geom array<struct<lon:double,lat:double>>")
+    with pytest.raises(ValueError, match="metric unknown"):
+        trajectory_distance_matrix(tpls, metric="euclid")
+
+
+def test_dbscan_distributed_matches_local(spark):
+    # three clusters + noise, spread across grid-cell borders
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = []
+    centers = [(8.5, 47.4), (8.502, 47.4), (9.0, 48.0)]
+    pid = 0
+    for cx, cy in centers:
+        for _ in range(20):
+            pts.append((pid, cx + rng.uniform(-3e-4, 3e-4), cy + rng.uniform(-2e-4, 2e-4)))
+            pid += 1
+    pts.append((pid, 12.0, 50.0))  # isolated noise (min_samples=2)
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+
+    out = dbscan_distributed(df, epsilon_m=100, min_samples=2)
+    got = {r.id: r.location_id for r in out.collect()}
+
+    # local reference implementation on the same data
+    arr = np.array([(p[1], p[2]) for p in pts])
+    local = dbscan_haversine(arr[:, 0], arr[:, 1], 100 / 6371000.0, 2)
+
+    # same partition structure: group points by label, compare as sets
+    def partition(labels):
+        clusters = {}
+        for i, l in enumerate(labels):
+            if l is None or (isinstance(l, (int, np.integer)) and l == -1):
+                continue
+            clusters.setdefault(l, set()).add(i)
+        return {frozenset(v) for v in clusters.values()}
+
+    assert partition([got[i] for i in range(len(pts))]) == partition(local)
+    assert got[pid] is None  # noise
+
+
+def test_dbscan_distributed_partition_invariance(spark):
+    pts = [(i, 8.5 + (i % 5) * 1e-4, 47.4) for i in range(50)]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    a = {r.id: r.location_id for r in dbscan_distributed(df.repartition(1), epsilon_m=150, min_samples=1).collect()}
+    b = {r.id: r.location_id for r in dbscan_distributed(df.repartition(13), epsilon_m=150, min_samples=1).collect()}
+    assert a == b

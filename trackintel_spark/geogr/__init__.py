@@ -4,10 +4,12 @@ from trackintel_spark.geogr.distances import (
     get_speed_triplegs,
 )
 from trackintel_spark.geogr.filter import spatial_filter
+from trackintel_spark.geogr.trajectory_distance import trajectory_distance_matrix
 
 __all__ = [
     "get_speed_positionfixes",
     "get_speed_triplegs",
     "calculate_distance_matrix",
     "spatial_filter",
+    "trajectory_distance_matrix",
 ]

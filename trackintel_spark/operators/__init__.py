@@ -1,3 +1,4 @@
+from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
 from trackintel_spark.operators.locations import generate_locations, generate_locations_grid
 from trackintel_spark.operators.merge import merge_staypoints
 from trackintel_spark.operators.staypoints import generate_staypoints
@@ -13,5 +14,6 @@ __all__ = [
     "get_trips_grouped",
     "generate_locations",
     "generate_locations_grid",
+    "dbscan_distributed",
     "merge_staypoints",
 ]
