@@ -707,7 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from trackintel_spark.analysis import create_activity_flag
         from trackintel_spark.operators import generate_trips
 
-        sp = create_activity_flag(_sessions(spark, sf), time_threshold=45)
+        sp = create_activity_flag(_sessions(spark, sf), time_threshold=5)
         tpls = _movements(spark, sf)
         _, _, trips = generate_trips(sp, tpls, gap_threshold=180, add_geometry=False)
         return trips.select(
@@ -818,6 +818,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dbscan_distributed(sp, epsilon_m=2000, min_samples=2)
 
     q["dbscan_distributed"] = q_dbscan_distributed
+
+    # -- composite location_identifier (pre-filter + FREQ) ---------------------
+    def q_location_identifier(spark, sf):
+        from trackintel_spark.analysis import location_identifier
+
+        out = location_identifier(
+            _sp_with_grid_loc(spark, sf), method="FREQ", pre_filter=True,
+            thresh_sp=5, thresh_loc=2, thresh_sp_at_loc=3,
+            thresh_loc_time=30.0, thresh_loc_period=120.0,
+        )
+        return out.select("id", "user_id", "purpose")
+
+    q["location_identifier"] = q_location_identifier
+
+    # -- tours (rows-only): event-anchored activity staypoints -----------------
+    def q_generate_tours_sessions(spark, sf):
+        """Each event becomes a 20-min ACTIVITY staypoint at its hotspot;
+        movements bridge consecutive events (<= 12 h apart). Every trip
+        then has known origin/destination activities, so tours close on
+        hotspot revisits — exercising the full stack-scan kernel."""
+        from trackintel_spark.operators import generate_tours, generate_trips
+
+        pfs = _pfs(spark, sf)
+        sp = pfs.select(
+            "id",
+            "user_id",
+            F.col("tracked_at").alias("started_at"),
+            F.timestamp_seconds(F.col("tracked_at").cast("double") + 1200.0).alias("finished_at"),
+            F.lit(True).alias("is_activity"),
+            "geom",
+            (F.floor(F.col("geom.lon") * 20) * 1000 + F.floor(F.col("geom.lat") * 20)).cast("long").alias("location_id"),
+        )
+        w = Window.partitionBy("user_id").orderBy("started_at", "id")
+        mv = (
+            sp.withColumn("__ns", F.lead("started_at").over(w))
+            .withColumn("__ng", F.lead("geom").over(w))
+            .filter(
+                F.col("__ns").isNotNull()
+                & ((F.col("__ns").cast("double") - F.col("finished_at").cast("double")) > 0)
+                & ((F.col("__ns").cast("double") - F.col("finished_at").cast("double")) <= 720 * 60.0)
+            )
+            .select(
+                "user_id",
+                F.col("finished_at").alias("started_at"),
+                F.col("__ns").alias("finished_at"),
+                F.array(F.col("geom"), F.col("__ng")).alias("geom"),
+            )
+        )
+        from trackintel_spark.plans.ids import dense_id_by_user
+
+        mv = dense_id_by_user(mv, order_by=["started_at"], id_col="id")
+        _, _, trips = generate_trips(sp, mv, gap_threshold=720, add_geometry=False)
+        _, tours = generate_tours(trips, staypoints=sp, max_time=1440)
+        return tours.select(
+            "id", "user_id", "started_at", "finished_at", "location_id", F.size("trips").alias("n_trips")
+        )
+
+    q["generate_tours_sessions"] = q_generate_tours_sessions
 
     return q
 
@@ -1470,6 +1528,52 @@ def oracle_sql() -> dict[str, str]:
         JOIN sig b ON p.id_b = b.doc_id
     """
 
+    # composite: pre_filter mask AND FREQ labels; filtered-out staypoints
+    # keep NULL purpose (location_identifier, reference :6-71)
+    o["location_identifier"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (SELECT *, {grid_loc} AS location_id FROM sessions),
+        users AS (
+            SELECT user_id,
+                   COUNT(DISTINCT started_at) >= 5 AND COUNT(DISTINCT location_id) >= 2 AS user_filter
+            FROM sp GROUP BY user_id
+        ),
+        locs AS (
+            SELECT user_id, location_id,
+                   COUNT(started_at) >= 3
+                   AND SUM(EPOCH(finished_at) - EPOCH(started_at)) >= 30 * 60
+                   AND MAX(EPOCH(finished_at)) - MIN(EPOCH(started_at)) >= 120 * 60 AS loc_filter
+            FROM sp WHERE location_id IS NOT NULL
+            GROUP BY user_id, location_id
+        ),
+        kept AS (
+            SELECT sp.* FROM sp
+            LEFT JOIN users USING (user_id)
+            LEFT JOIN locs USING (user_id, location_id)
+            WHERE users.user_filter AND COALESCE(locs.loc_filter, FALSE)
+        ),
+        per_loc AS (
+            SELECT user_id, location_id, SUM(EPOCH(finished_at) - EPOCH(started_at)) AS dur
+            FROM kept GROUP BY user_id, location_id
+        ),
+        ranked AS (
+            SELECT user_id, location_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dur DESC, location_id ASC) AS r
+            FROM per_loc
+        ),
+        labels AS (
+            SELECT user_id, location_id,
+                   CASE r WHEN 1 THEN 'home' WHEN 2 THEN 'work' END AS purpose
+            FROM ranked WHERE r <= 2
+        ),
+        labeled AS (
+            SELECT kept.id, labels.purpose
+            FROM kept LEFT JOIN labels USING (user_id, location_id)
+        )
+        SELECT sp.id, sp.user_id, labeled.purpose
+        FROM sp LEFT JOIN labeled USING (id)
+    """
+
     # full trips-segmentation oracle: mirrors operators/trips.py
     # (reference preprocessing/triplegs.py:12-232) — union, last-activity
     # / gap / user-change triggers, running-sum temp ids, empty-trip drop,
@@ -1478,7 +1582,7 @@ def oracle_sql() -> dict[str, str]:
     o["generate_trips_sql"] = f"""
         WITH sessions AS ({_sessions_sql()}),
         sp AS (
-            SELECT *, EPOCH(finished_at - started_at) > 45 * 60 AS is_activity
+            SELECT *, EPOCH(finished_at - started_at) > 5 * 60 AS is_activity
             FROM sessions
         ),
         mv AS (SELECT id, user_id, started_at, finished_at FROM ({_movements_sql()})),
