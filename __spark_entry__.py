@@ -1346,12 +1346,16 @@ def oracle_sql() -> dict[str, str]:
         f"list_distinct(list_transform(range(1, GREATEST(len({_toks}) - 1, 0) + 1),"
         f" i -> array_to_string(list_slice({_toks}, i, i + 1), ' ')))"
     )
-    minhash_elems = ", ".join(
-        f"MIN(md5('p{i}:' || s))" for i in range(8)
-    )
+    # affine minhash permutations over the 28-bit md5 prefix — constants
+    # mirror trackintel_spark.scale.dedup.minhash_a/minhash_b
+    def _mh_min(i: int) -> str:
+        return f"MIN(({1000003 + 2 * i}::BIGINT * h + {12345 + 7 * i}) % 2147483647)"
+
+    minhash_elems = ", ".join(_mh_min(i) for i in range(8))
     o["minhash"] = f"""
         WITH ex AS (
-            SELECT doc_id, UNNEST({_shingles2}) AS s FROM documents
+            SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+            FROM (SELECT doc_id, UNNEST({_shingles2}) AS s FROM documents)
         ),
         sig AS (
             SELECT doc_id, CONCAT_WS('|', {minhash_elems}) AS minhash_sig
@@ -1499,15 +1503,16 @@ def oracle_sql() -> dict[str, str]:
 
     # banded minhash LSH: 16 permutations, 8 bands x 2 rows; candidate
     # pairs share any band hash; jaccard_est = matching signature share
-    _mh_cols = ",\n               ".join(f"MIN(md5('p{i}:' || s)) AS m{i}" for i in range(16))
-    _bands = ", ".join(f"md5(m{2*b} || '|' || m{2*b+1}) AS b{b}" for b in range(8))
+    _mh_cols = ",\n               ".join(f"{_mh_min(i)} AS m{i}" for i in range(16))
+    _bands = ", ".join(f"md5(concat_ws('|', m{2*b}, m{2*b+1})) AS b{b}" for b in range(8))
     _band_union = "\n            UNION ALL\n".join(
         f"            SELECT doc_id, {b} AS band, b{b} AS bhash FROM banded" for b in range(8)
     )
     _eq16 = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16))
     o["minhash_lsh_pairs"] = f"""
         WITH ex AS (
-            SELECT doc_id, UNNEST({_shingles2}) AS s FROM documents
+            SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+            FROM (SELECT doc_id, UNNEST({_shingles2}) AS s FROM documents)
         ),
         sig AS (
             SELECT doc_id, {_mh_cols}

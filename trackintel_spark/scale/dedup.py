@@ -36,13 +36,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), lowercased."""
+    """Word n-gram shingles (distinct), lowercased.
+
+    Built from n-1 shifted copies zipped with concat — O(tokens) per
+    document. (The naive per-index ``slice`` construction is
+    O(tokens^2): one array copy per shingle.) ``concat`` yields NULL
+    past the end (zip_with pads the shorter side), so trailing partial
+    shingles drop out in the filter.
+    """
     toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+
+
+# minhash permutation parameters: h_i(x) = (A(i) * x + B(i)) mod P with
+# x = the first 7 md5 hex digits of the shingle as an integer. All
+# engine-portable integer arithmetic; the deterministic A/B formulas are
+# mirrored verbatim in SQL oracles.
+MINHASH_P = 2147483647
+
+
+def minhash_a(i: int) -> int:
+    return 1000003 + 2 * i
+
+
+def minhash_b(i: int) -> int:
+    return 12345 + 7 * i
 
 
 def minhash_signature(
@@ -52,18 +74,33 @@ def minhash_signature(
     shingle_n: int = 3,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Add ``minhash: array<string>`` — per-permutation minimum of
-    md5(perm_seed || shingle). Engine-portable, UDF-free.
+    """Add ``minhash: array<long>`` — per-permutation minimum of an
+    affine permutation of the shingle hash. Engine-portable, UDF-free.
 
-    Plan shape: explode shingles ONCE, hash into num_perm columns, then
-    one hash aggregation with map-side partial mins — the shingle
-    construction is never duplicated per permutation (inlining it in a
-    single projection would blow up the expression tree num_perm-fold).
+    Plan shape: explode shingles ONCE, md5 ONCE per shingle (the 28-bit
+    integer prefix), then num_perm cheap affine permutations + one hash
+    aggregation with map-side partial mins. Hashing per (permutation x
+    shingle) — the naive layout — costs num_perm x more digest work.
     Documents with no shingles get a NULL signature.
     """
-    ex = df.select(F.col(id_col).alias("__mid"), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"))
-    hashed = ex.select(
-        "__mid", *[F.md5(F.concat(F.lit(f"p{i}:"), F.col("__s"))).alias(f"__h{i}") for i in range(num_perm)]
+    # spread documents across cores BEFORE the explode: small-document
+    # tables often arrive as a single parquet split, serializing the
+    # whole shingle+hash pipeline onto one task
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.select(F.col(id_col).alias("__mid"), F.col(text_col))
+        .repartition(par)
+        .select("__mid", F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"))
+    )
+    # materialize the base hash first: referencing the md5 expression in
+    # all num_perm projections would recompute it per permutation
+    based = ex.select("__mid", F.conv(F.substring(F.md5("__s"), 1, 7), 16, 10).cast("long").alias("__h"))
+    hashed = based.select(
+        "__mid",
+        *[
+            ((F.lit(minhash_a(i)) * F.col("__h") + F.lit(minhash_b(i))) % F.lit(MINHASH_P)).alias(f"__h{i}")
+            for i in range(num_perm)
+        ],
     )
     sig = hashed.groupBy("__mid").agg(
         F.array(*[F.min(f"__h{i}") for i in range(num_perm)]).alias("minhash")
