@@ -122,3 +122,12 @@ def test_requires_is_activity(spark):
 
     with pytest.raises(AttributeError, match="is_activity"):
         generate_trips(sp.drop("is_activity"), tpls)
+
+
+def test_trips_partition_count_invariance(spark):
+    sp, tpls = _basic(spark)
+    outs = []
+    for n in (1, 7):
+        _, _, trips = generate_trips(sp.repartition(n), tpls.repartition(n), gap_threshold=15)
+        outs.append(sorted(map(str, trips.drop("geom").collect())))
+    assert outs[0] == outs[1]
