@@ -173,3 +173,21 @@ def test_staypoints_stream_streaming_mode(spark, tmp_path):
     q2.awaitTermination(60)
     rows2 = spark.sql("SELECT * FROM sp_stream_test2").collect()
     assert len(rows2) == 1 and rows2[0].n_pfs == 3
+
+
+def test_read_gpx_reference_data(spark):
+    import os
+    import pytest as _pytest
+
+    path = "/root/reference/tests/data/gpx_data"
+    if not os.path.isdir(path):
+        _pytest.skip("reference gpx data not present")
+    from trackintel_spark.sources import read_gpx
+
+    pfs = read_gpx(spark, path)
+    rows = pfs.orderBy("id").collect()
+    assert len(rows) == 3
+    assert all(r.user_id == 0 for r in rows)  # single user (reference :735)
+    assert [r.track_fid for r in rows] == [0, 1, 1]  # tracks numbered across files
+    assert rows[0].geom.lat == 47.0 and rows[0].elevation == 1000.0
+    assert rows[0].tracked_at == datetime(2023, 11, 8, 10, 0, 0)
