@@ -122,3 +122,22 @@ def test_partition_count_invariance(spark):
     _, sp1 = generate_staypoints(pfs.repartition(1), dist_threshold=100, time_threshold=5, gap_threshold=60)
     _, sp7 = generate_staypoints(pfs.repartition(7), dist_threshold=100, time_threshold=5, gap_threshold=60)
     assert sorted(map(str, sp1.collect())) == sorted(map(str, sp7.collect()))
+
+
+def test_session_salting_equivalence(spark):
+    """Salted (per-session) kernel groups produce IDENTICAL staypoints:
+    gap boundaries reset the anchor without emitting, so no state
+    crosses them."""
+    rows = []
+    i = 0
+    for block in range(3):  # three bursts separated by >15-min gaps
+        for m in range(0, 11, 2):
+            rows.append((i, 1, _ts(block * 60 + m), 8.5 + block * 0.2, 47.4))
+            i += 1
+        rows.append((i, 1, _ts(block * 60 + 13), 8.5 + block * 0.2 + 0.1, 47.5))
+        i += 1
+    pfs = make_pfs(spark, rows)
+    _, a = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=15, salt_sessions=True)
+    _, b = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=15, salt_sessions=False)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    assert a.count() == 3

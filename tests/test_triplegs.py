@@ -103,3 +103,34 @@ def test_case2_staypoints_without_link(spark):
     got1 = [(r.id, r.started_at, r.finished_at) for r in tpls_case1.orderBy("id").collect()]
     got2 = [(r.id, r.started_at, r.finished_at) for r in tpls_case2.orderBy("id").collect()]
     assert got1 == got2
+
+
+def test_overlap_staypoints_method(spark):
+    pfs = _pipeline_fixture(spark)
+    pfs_sp, sp = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=60)
+    pfs_b, tpls_b = generate_triplegs(pfs_sp, gap_threshold=60)
+    pfs_o, tpls_o = generate_triplegs(pfs_sp, staypoints=sp, method="overlap_staypoints", gap_threshold=60)
+    leg_b = tpls_b.orderBy("id").collect()[0]
+    leg_o = tpls_o.orderBy("id").collect()[0]
+    # started_at unchanged; finished_at extends to the first pf of the
+    # following staypoint (reference docstring :227-228)
+    assert leg_o.started_at == leg_b.started_at
+    assert leg_o.finished_at > leg_b.finished_at
+    assert leg_o.finished_at == T0 + timedelta(minutes=16)
+    # geometry shares endpoints with the bounding staypoint centroids
+    sps = {r.id: r for r in sp.collect()}
+    assert abs(leg_o.geom[0].lon - sps[0].geom.lon) < 1e-9
+    assert abs(leg_o.geom[-1].lon - sps[1].geom.lon) < 1e-9
+    # between-method geometry does NOT include staypoint coords
+    assert leg_b.geom[0].lon != leg_o.geom[0].lon
+
+
+def test_overlap_staypoints_requires_inputs(spark):
+    import pytest
+
+    pfs = _pipeline_fixture(spark)
+    pfs_sp, sp = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=60)
+    with pytest.raises(TypeError, match="staypoints input"):
+        generate_triplegs(pfs_sp, method="overlap_staypoints")
+    with pytest.raises(TypeError, match="staypoint_id column"):
+        generate_triplegs(pfs_sp.drop("staypoint_id"), staypoints=sp, method="overlap_staypoints")

@@ -146,10 +146,18 @@ def generate_staypoints(
     gap_threshold: float = 15.0,
     include_last: bool = False,
     exclude_duplicate_pfs: bool = True,
+    salt_sessions: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Detect staypoints in positionfixes; returns (pfs+staypoint_id, sp).
 
     Thresholds in the reference's units: dist meters, time/gap minutes.
+
+    ``salt_sessions`` splits each user's stream at recording gaps >
+    gap_threshold into independent kernel groups — results are
+    IDENTICAL (a gap resets the anchor without emitting, so no kernel
+    state crosses it) but a single mega-user no longer serializes into
+    one task. Disabled automatically with ``include_last`` (the
+    trailing-window emit is per user, not per session).
     """
     if method != "sliding":
         raise ValueError(f"method unknown, only 'sliding' is supported, got {method!r}")
@@ -193,9 +201,24 @@ def generate_staypoints(
 
     from trackintel_spark.plans.partitioning import kernel_partitions
 
+    if salt_sessions and not include_last:
+        wgap = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+        kernel_in = kernel_in.withColumn(
+            "__gap_flag",
+            F.coalesce(
+                (F.col("tracked_at").cast("double") - F.lag("tracked_at").over(wgap).cast("double"))
+                > gap_threshold_s,
+                F.lit(True),
+            ).cast("long"),
+        )
+        kernel_in = kernel_in.withColumn("__session", F.sum("__gap_flag").over(wgap)).drop("__gap_flag")
+        group_cols = ["user_id", "__session"]
+    else:
+        group_cols = ["user_id"]
+
     raw_sp = (
-        kernel_in.repartition(kernel_partitions(kernel_in), "user_id")
-        .groupBy("user_id")
+        kernel_in.repartition(kernel_partitions(kernel_in), *group_cols)
+        .groupBy(*group_cols)
         .applyInPandas(_run, schema=_KERNEL_SCHEMA)
     )
     # the kernel output is small (staypoints << pfs) but expensive to

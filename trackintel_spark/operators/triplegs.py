@@ -82,10 +82,18 @@ def generate_triplegs(
 ) -> tuple[DataFrame, DataFrame]:
     """Segment pfs into triplegs; returns (pfs+tripleg_id, tpls)."""
     validate(pfs, "positionfixes")
-    if method != "between_staypoints":
-        raise ValueError(f"only 'between_staypoints' is supported, got {method!r}")
+    if method not in ("between_staypoints", "overlap_staypoints"):
+        raise ValueError(
+            f"Method unknown. We only support 'between_staypoints' and 'overlap_staypoints'. You passed {method}"
+        )
 
     staypoints_exist = "staypoint_id" in pfs.columns
+    if method == "overlap_staypoints":
+        # reference preconditions (:254-258)
+        if staypoints is None:
+            raise TypeError("staypoints input must be provided for overlap_staypoints method.")
+        if not staypoints_exist:
+            raise TypeError("positionfixes must contain a staypoint_id column for overlap_staypoints method.")
     if not staypoints_exist:
         if staypoints is None:
             raise TypeError("staypoints input must be provided for pfs without staypoint_id column.")
@@ -117,7 +125,7 @@ def generate_triplegs(
     # searchsorted bookkeeping (:332-366).
     staged = staged.withColumn("__leg_trigger", leg_trigger).withColumn(
         "__boundary", leg_trigger | (is_sp & sp_change)
-    )
+    ).withColumn("__gap", F.coalesce(gap, F.lit(False)))
     seg = staged.withColumn("__seg", F.sum(F.col("__boundary").cast("long")).over(w)).drop(
         "__prev_ts", "__prev_sp", "__first", "__boundary"
     )
@@ -168,7 +176,82 @@ def generate_triplegs(
         .drop("__lu", "__seg", "__leg_trigger", "__seg_n", "__is_leg", "__valid_leg")
     )
 
+    if method == "overlap_staypoints":
+        return _overlap_staypoints(pfs_out, staypoints)
+
+    pfs_out = pfs_out.drop("__gap")
     if not staypoints_exist:
         pfs_out = pfs_out.drop("staypoint_id")
 
+    return pfs_out, tpls
+
+
+def _overlap_staypoints(pfs_between: DataFrame, staypoints: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """overlap_staypoints variant (reference
+    _generate_triplegs_overlap_staypoints, preprocessing/
+    positionfixes.py:417-475): triplegs share endpoint coordinates with
+    their bounding staypoints.
+
+    * temporal extension (:449-455): a staypoint's FIRST pf joins the
+      PRECEDING leg unless a recording gap sits between — so
+      ``finished_at`` = first pf of the following staypoint;
+      ``started_at`` stays the first pf after the previous staypoint;
+    * spatial extension (:457-462): a staypoint's pf also joins the
+      FOLLOWING leg (when no gap follows) so geometries overlap; member
+      pfs inside staypoints contribute the STAYPOINT geometry (:464-468).
+    """
+    w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+    x = (
+        pfs_between.withColumn("__prev_tpl", F.lag("tripleg_id").over(w))
+        .withColumn("__next_tpl", F.lead("tripleg_id").over(w))
+        .withColumn("__first", F.row_number().over(w) == 1)
+        .withColumn("__next_gap", F.coalesce(F.lead("__gap").over(w), F.lit(False)))
+    )
+    is_sp = F.col("staypoint_id").isNotNull()
+    overlap = ~F.col("__first") & is_sp
+
+    tpl_time = F.when(
+        overlap & ~F.col("__gap") & F.col("tripleg_id").isNull(), F.col("__prev_tpl")
+    ).otherwise(F.col("tripleg_id"))
+    x = x.withColumn("__tpl_time", tpl_time)
+    tpl_geom = F.when(F.col("__tpl_time").isNotNull(), F.col("__tpl_time")).when(
+        overlap & ~F.col("__next_gap"), F.col("__next_tpl")
+    )
+    x = x.withColumn("__tpl_geom", tpl_geom)
+
+    times = (
+        x.filter(F.col("__tpl_time").isNotNull())
+        .groupBy("__tpl_time")
+        .agg(
+            F.first("user_id").alias("user_id"),
+            F.min("tracked_at").alias("started_at"),
+            F.max("tracked_at").alias("finished_at"),
+        )
+        .withColumnRenamed("__tpl_time", "id")
+    )
+
+    # member pfs inside staypoints contribute the staypoint geometry
+    sp_geom = staypoints.select(F.col("id").alias("staypoint_id"), F.col("geom").alias("__sp_geom"))
+    geoms = (
+        x.filter(F.col("__tpl_geom").isNotNull())
+        .join(F.broadcast(sp_geom), on="staypoint_id", how="left")
+        .withColumn("__pt", F.when(is_sp, F.col("__sp_geom")).otherwise(F.col("geom")))
+        .groupBy("__tpl_geom")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tracked_at").alias("t"), F.col("id").alias("i"), F.col("__pt").alias("p")))
+            ).alias("__pts")
+        )
+        .select(
+            F.col("__tpl_geom").alias("id"),
+            F.transform("__pts", lambda s: s["p"]).alias("geom"),
+        )
+    )
+    tpls = times.join(geoms, on="id", how="inner").filter(
+        F.size(F.array_distinct("geom")) >= 2
+    ).select("id", "user_id", "started_at", "finished_at", "geom")
+
+    pfs_out = x.withColumn("tripleg_id", F.col("__tpl_geom")).drop(
+        "__prev_tpl", "__next_tpl", "__first", "__next_gap", "__tpl_time", "__tpl_geom", "__gap"
+    )
     return pfs_out, tpls
