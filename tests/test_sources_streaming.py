@@ -191,3 +191,23 @@ def test_read_gpx_reference_data(spark):
     assert [r.track_fid for r in rows] == [0, 1, 1]  # tracks numbered across files
     assert rows[0].geom.lat == 47.0 and rows[0].elevation == 1000.0
     assert rows[0].tracked_at == datetime(2023, 11, 8, 10, 0, 0)
+
+
+def test_load_table_self_heals_bare_session(spark):
+    """The correctness driver hands us a session WITHOUT nanosAsLong set.
+
+    load_table must set it (runtime-settable) so events.parquet reads
+    instead of dying with PARQUET_TYPE_ILLEGAL (round-1 driver failure).
+    """
+    from trackintel_spark.sources.testdata import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert df.limit(1).count() == 1
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
