@@ -54,7 +54,7 @@ def main() -> None:
         "embedding_topk": lambda: em.queries()["embedding_topk"](spark, sf_dir),
         "simhash": lambda: em.queries()["simhash"](spark, sf_dir),
         "osna_method": lambda: em.queries()["osna_method"](spark, sf_dir),
-        "generate_tours": lambda: em.queries()["generate_tours_sessions"](spark, sf_dir),
+        "generate_tours": lambda: em.queries()["generate_tours"](spark, sf_dir),
         "dbscan_distributed": lambda: em.queries()["dbscan_distributed"](spark, sf_dir),
         "location_identifier": lambda: em.queries()["location_identifier"](spark, sf_dir),
         "quality_and_lang": lambda: em.queries()["quality_score"](spark, sf_dir).join(
