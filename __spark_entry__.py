@@ -965,8 +965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact", "token_count", "quality_score", "detect_language",
         "fingerprint", "simhash", "minhash", "ngram_jaccard", "minhash_lsh_pairs",
         "embedding_topk", "embedding_dedup", "lsh_topk", "multimodal_features",
-        # rows-only kernels last
-        "generate_tours", "trajectory_distances",
+        "trajectory_distances",
+        # rows-only kernel last (tour stack scan: pruned candidate list +
+        # one-close-per-trip — genuinely not SQL-expressible)
+        "generate_tours",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1873,6 +1875,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, vec_id, rank, ROUND(cosine, 5) AS cosine FROM ranked WHERE rank <= 5
+    """
+
+    # DTW / discrete Fréchet over the 2-vertex movement linestrings: the
+    # DP recurrences collapse to closed forms — DTW(a,b) = d(a0,b0) +
+    # d(a1,b1) (diagonal path dominates: both detours add a nonnegative
+    # cost on top of it) and Fréchet(a,b) = max(d(a0,b0), d(a1,b1)).
+    # This checks the Arrow DP kernels exactly on this data; longer
+    # trajectories stay covered by pytest.
+    o["trajectory_distances"] = f"""
+        WITH mv AS (SELECT * FROM ({_movements_sql()}) WHERE user_id = 1),
+        pairs AS (
+            SELECT a.id AS i, b.id AS j,
+                   {_hav_sql('a.o_lon', 'a.o_lat', 'b.o_lon', 'b.o_lat')} AS c00,
+                   {_hav_sql('a.d_lon', 'a.d_lat', 'b.d_lon', 'b.d_lat')} AS c11
+            FROM mv a JOIN mv b ON a.id < b.id
+        )
+        SELECT 'dtw' AS metric, i, j, ROUND(c00 + c11, 3) AS dist_m FROM pairs
+        UNION ALL
+        SELECT 'frechet' AS metric, i, j, ROUND(GREATEST(c00, c11), 3) AS dist_m FROM pairs
     """
 
     # header sniffing over real magic-byte payloads (attach_media_metadata)
