@@ -50,3 +50,22 @@ def test_write_bucketed_by_user(spark, tmp_path):
     plan = back.groupBy("user_id").count()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     spark.sql("DROP TABLE t_bucketed")
+
+
+def test_dense_rank_ordered_matches_global_rank(spark):
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.plans.ids import dense_rank_ordered
+
+    vals = [37, 2, 99, 2, 5, 41, 41, 8, 13, 0, 99, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "lbl long")
+    got = {r.lbl: r.dense_id for r in dense_rank_ordered(df, "lbl").collect()}
+    expected = {v: i for i, v in enumerate(sorted(set(vals)))}
+    assert got == expected
+
+
+def test_dense_rank_ordered_empty(spark):
+    df = spark.createDataFrame([], "lbl long")
+    from trackintel_spark.plans.ids import dense_rank_ordered
+
+    assert dense_rank_ordered(df, "lbl").count() == 0

@@ -20,7 +20,7 @@ Labels are re-densified to 0..k-1 by (min member id) for stability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trackintel_spark.functions.spatial import haversine_m
@@ -123,9 +123,11 @@ def dbscan_distributed(
     )
     all_labels = core_labels.unionByName(border)
 
-    # densify labels 0..k-1 by min-member order (tiny distinct set)
-    w = Window.orderBy("lbl")
-    dense = all_labels.select("lbl").distinct().withColumn("location_id", F.row_number().over(w) - 1)
+    # densify labels 0..k-1 by min-member order; two-phase range-partitioned
+    # rank so a huge cluster count never funnels through one task
+    from trackintel_spark.plans.ids import dense_rank_ordered
+
+    dense = dense_rank_ordered(all_labels.select("lbl"), "lbl", out_col="location_id")
     out = (
         pts.select("pid")
         .join(all_labels, on="pid", how="left")

@@ -45,3 +45,33 @@ def dense_id_by_user(
     return out.withColumn(id_col, (F.col("__off") + F.col("__rn") - 1).cast("long")).drop(
         "__rn", "__off"
     )
+
+
+def dense_rank_ordered(df: DataFrame, order_col: str, out_col: str = "dense_id") -> DataFrame:
+    """Global 0-based dense index over the DISTINCT values of ``order_col``
+    without a single-task global window.
+
+    Range-repartition the distinct values (disjoint, ordered ranges), rank
+    within each partition, then add broadcast per-partition offsets. The
+    sampled range boundaries only decide which partition a value lands in,
+    never its global rank — results are deterministic. Use when the
+    distinct-value count can grow with the data (e.g. cluster labels);
+    for per-user ids use :func:`dense_id_by_user`.
+    """
+    d = df.select(order_col).distinct()
+    p = d.sparkSession.sparkContext.defaultParallelism
+    d = (
+        d.repartitionByRange(p, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__p", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("__p").orderBy(order_col)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    counts = d.groupBy("__p").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select("__p", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    return (
+        d.join(F.broadcast(offsets), on="__p")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .select(order_col, out_col)
+    )
