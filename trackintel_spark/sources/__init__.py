@@ -14,12 +14,14 @@ from trackintel_spark.sources.csv import (
 )
 from trackintel_spark.sources.geolife import geolife_add_modes_to_triplegs, read_geolife
 from trackintel_spark.sources.gpx import read_gpx
+from trackintel_spark.sources.mzmv import read_mzmv
 from trackintel_spark.sources.testdata import load_table
 
 __all__ = [
     "load_table",
     "read_geolife",
     "read_gpx",
+    "read_mzmv",
     "geolife_add_modes_to_triplegs",
     "read_positionfixes_csv",
     "read_staypoints_csv",
