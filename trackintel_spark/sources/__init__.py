@@ -14,6 +14,7 @@ from trackintel_spark.sources.csv import (
 )
 from trackintel_spark.sources.geolife import geolife_add_modes_to_triplegs, read_geolife
 from trackintel_spark.sources.gpx import read_gpx
+from trackintel_spark.sources.jdbc import read_entity_jdbc, write_entity_jdbc
 from trackintel_spark.sources.mzmv import read_mzmv
 from trackintel_spark.sources.testdata import load_table
 
@@ -22,6 +23,8 @@ __all__ = [
     "read_geolife",
     "read_gpx",
     "read_mzmv",
+    "read_entity_jdbc",
+    "write_entity_jdbc",
     "geolife_add_modes_to_triplegs",
     "read_positionfixes_csv",
     "read_staypoints_csv",

@@ -133,16 +133,4 @@ def write_tours_csv(tours: DataFrame, path: str, sep: str = ";") -> None:
     out.write.mode("overwrite").csv(path, header=True, sep=sep)
 
 
-def read_entity_jdbc(
-    spark: SparkSession, url: str, table: str, entity: str, properties: dict[str, str] | None = None
-) -> DataFrame:
-    """JDBC reader analog of the reference's read_*_postgis family
-    (io/postgis.py:47-708). Geometry is expected as WKT text in the
-    source query (``SELECT ..., ST_AsText(geom) AS geom``); parse with
-    sources.wkt after loading. Untested here (no database in the
-    container); the plan shape is a plain spark.read.jdbc scan that
-    supports predicate pushdown via the ``table`` subquery."""
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    return reader.load()
+# JDBC (PostGIS-analog) entity IO lives in trackintel_spark.sources.jdbc.
