@@ -1,0 +1,100 @@
+"""CRS transform tests: round-trip identity, known fixtures, and
+planar-distance consistency with haversine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.geogr import check_planar, transform_points, transform_xy
+from trackintel_spark.functions.spatial import haversine_m
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, lon double, lat double").select(
+        "id", F.struct("lon", "lat").alias("geom")
+    )
+
+
+EUROPE = [(0, 8.5417, 47.3769), (1, 7.4474, 46.9480), (2, 13.4050, 52.5200), (3, 2.3522, 48.8566)]
+
+
+def test_check_planar():
+    assert not check_planar(None, 4326)
+    assert not check_planar(None, None)
+    assert check_planar(None, 3857)
+    assert check_planar(None, 32632)
+    assert check_planar(None, 21781)
+
+
+@pytest.mark.parametrize("epsg", [3857, 32632, 32732, 21781])
+def test_roundtrip_wgs84(spark, epsg):
+    pts = _pts(spark, EUROPE)
+    if epsg in (32632, 32732):
+        # UTM series accuracy holds inside the zone (6E-12E for zone 32);
+        # Zurich, Bern, Milan, Munich — resp. southern in-zone points
+        pts = _pts(spark, [(0, 8.5417, 47.3769), (1, 7.4474, 46.9480),
+                           (2, 9.19, 45.4642), (3, 11.5820, 48.1351)])
+    if epsg == 32732:
+        pts = _pts(spark, [(0, 8.5, -33.9189), (1, 9.6, -34.2)])
+    if epsg == 21781:
+        # the swisstopo polynomials are only valid inside Switzerland:
+        # Zurich, Bern, Geneva, Lugano
+        pts = _pts(spark, [(0, 8.5417, 47.3769), (1, 7.4474, 46.9480),
+                           (2, 6.1432, 46.2044), (3, 8.9511, 46.0037)])
+    there = transform_points(pts, 4326, epsg)
+    back = transform_points(there, epsg, 4326)
+    joined = pts.alias("a").join(back.alias("b"), on="id").select(
+        F.abs(F.col("a.geom.lon") - F.col("b.geom.lon")).alias("dlon"),
+        F.abs(F.col("a.geom.lat") - F.col("b.geom.lat")).alias("dlat"),
+    ).agg(F.max("dlon").alias("mlon"), F.max("dlat").alias("mlat")).first()
+    tol = 1e-4 if epsg == 21781 else 1e-8  # LV03 formulas are approximate
+    assert joined.mlon < tol and joined.mlat < tol
+
+
+def test_utm_central_meridian_fixture(spark):
+    # zone 32 central meridian is 9E: easting == 500000 exactly, and the
+    # equator maps to northing 0
+    df = _pts(spark, [(0, 9.0, 47.0), (1, 9.0, 0.0)])
+    utm = transform_points(df, 4326, 32632)
+    rows = {r.id: r.geom for r in utm.collect()}
+    assert abs(rows[0]["lon"] - 500000.0) < 1e-6
+    assert abs(rows[1]["lat"]) < 1e-6
+    # one degree of latitude along the central meridian is ~110.6 km
+    # (scaled by k0=0.9996)
+    d = transform_points(_pts(spark, [(0, 9.0, 47.0), (1, 9.0, 48.0)]), 4326, 32632)
+    ys = sorted(r.geom["lat"] for r in d.collect())
+    assert 110_000 < (ys[1] - ys[0]) < 112_000
+
+
+def test_ch1903_bern_fixture(spark):
+    # swisstopo reference point: LV03 (600000, 200000) is Bern,
+    # lon 7.438632, lat 46.951082
+    df = spark.createDataFrame([(0, 600000.0, 200000.0)], "id long, e double, n double").select(
+        "id", F.struct(F.col("e").alias("lon"), F.col("n").alias("lat")).alias("geom")
+    )
+    wgs = transform_points(df, 21781, 4326)
+    g = wgs.first().geom
+    assert abs(g["lon"] - 7.438632) < 1e-4
+    assert abs(g["lat"] - 46.951082) < 1e-4
+
+
+def test_projected_distance_matches_haversine(spark):
+    # two points ~1.2 km apart near Zurich: UTM planar distance should
+    # match the great-circle distance within ~0.1%
+    df = spark.createDataFrame(
+        [(8.5417, 47.3769, 8.5417, 47.3879)], "lon1 double, lat1 double, lon2 double, lat2 double"
+    )
+    x1, y1 = transform_xy(F.col("lon1"), F.col("lat1"), 4326, 32632)
+    x2, y2 = transform_xy(F.col("lon2"), F.col("lat2"), 4326, 32632)
+    row = df.select(
+        F.sqrt(F.pow(x1 - x2, 2) + F.pow(y1 - y2, 2)).alias("planar"),
+        haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("gc"),
+    ).first()
+    assert abs(row.planar - row.gc) / row.gc < 1e-3
+
+
+def test_unknown_crs_raises(spark):
+    df = _pts(spark, EUROPE)
+    with pytest.raises(NotImplementedError, match="pyproj"):
+        transform_points(df, 4326, 2056).collect()

@@ -1,0 +1,260 @@
+"""CRS handling: planar checks + reprojection as pure Spark expressions.
+
+Reference: ``check_gdf_planar`` (geogr/distances.py:213-250) delegates
+reprojection to geopandas/pyproj. Neither is available here, so the
+common projections are implemented as closed-form column expressions
+(whole-stage codegen, no UDF in the data path):
+
+* EPSG:4326 (WGS84 lon/lat) — the engine's native geometry;
+* EPSG:3857 (Web Mercator) — exact spherical formulas;
+* EPSG:326xx / 327xx (WGS84 UTM north/south) — transverse Mercator via
+  the USGS/Snyder series (Map Projections: A Working Manual, 1987,
+  pp. 60-64; public knowledge), centimeter-level accuracy;
+* EPSG:21781 (Swiss CH1903/LV03) — the swisstopo approximate formulas
+  (public), meter-level accuracy (matches the published accuracy of the
+  approximation itself).
+
+Anything else dispatches to a pyproj-backed Arrow UDF IF pyproj is
+importable (feature-flagged; not present in this container), else
+raises with a clear message.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WGS84 = 4326
+WEB_MERCATOR = 3857
+CH1903 = 21781
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1 / 298.257223563
+_E2 = _F * (2 - _F)
+_EP2 = _E2 / (1 - _E2)
+_K0 = 0.9996  # UTM scale factor
+
+
+def is_geographic(epsg: int) -> bool:
+    """True when coordinates are lon/lat degrees (the engine's native
+    form); False for projected (planar, meters) systems."""
+    return epsg in (WGS84, 4979, 4258)
+
+
+def check_planar(df: DataFrame, epsg: int | None) -> bool:
+    """check_gdf_planar analog: True when the declared CRS is planar.
+    A None CRS counts as geographic (like the reference, with a warning
+    left to the caller)."""
+    return epsg is not None and not is_geographic(epsg)
+
+
+def _utm_zone(epsg: int) -> tuple[int, bool] | None:
+    if 32601 <= epsg <= 32660:
+        return epsg - 32600, True
+    if 32701 <= epsg <= 32760:
+        return epsg - 32700, False
+    return None
+
+
+# -- Web Mercator (exact, spherical) ----------------------------------------
+
+def wgs84_to_web_mercator(lon: Column, lat: Column) -> tuple[Column, Column]:
+    x = F.radians(lon) * _A
+    y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / 2.0)) * _A
+    return x, y
+
+
+def web_mercator_to_wgs84(x: Column, y: Column) -> tuple[Column, Column]:
+    lon = F.degrees(x / _A)
+    lat = F.degrees(F.atan(F.sinh(y / _A)))
+    return lon, lat
+
+
+# -- UTM (transverse Mercator, Snyder series) --------------------------------
+
+def _meridian_arc(phi: Column) -> Column:
+    e2, e4, e6 = _E2, _E2**2, _E2**3
+    return _A * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * F.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * F.sin(4 * phi)
+        - (35 * e6 / 3072) * F.sin(6 * phi)
+    )
+
+
+def wgs84_to_utm(lon: Column, lat: Column, zone: int) -> tuple[Column, Column]:
+    """Forward transverse Mercator (Snyder 8-9..8-13). Returns (easting,
+    northing-without-false-northing); southern-hemisphere callers add
+    10 000 000 (handled by :func:`transform_points`)."""
+    lam0 = math.radians(zone * 6 - 183)
+    phi = F.radians(lat)
+    lam = F.radians(lon)
+    sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = _A / F.sqrt(1 - _E2 * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = _EP2 * cos_p * cos_p
+    a = (lam - lam0) * cos_p
+    a2 = a * a
+    a3, a4 = a2 * a, a2 * a2
+    a5, a6 = a4 * a, a4 * a2
+    x = _K0 * n * (a + (1 - t + c) * a3 / 6 + (5 - 18 * t + t * t + 72 * c - 58 * _EP2) * a5 / 120)
+    y = _K0 * (
+        _meridian_arc(phi)
+        + n * tan_p * (a2 / 2 + (5 - t + 9 * c + 4 * c * c) * a4 / 24
+                       + (61 - 58 * t + t * t + 600 * c - 330 * _EP2) * a6 / 720)
+    )
+    return x + 500000.0, y
+
+
+def utm_to_wgs84(x: Column, y: Column, zone: int) -> tuple[Column, Column]:
+    """Inverse transverse Mercator (Snyder 8-17..8-25, footpoint
+    latitude). ``y`` must already have any false northing removed."""
+    lam0 = math.radians(zone * 6 - 183)
+    e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
+    m = y / _K0
+    mu = m / (_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + (151 * e1**3 / 96) * F.sin(6 * mu)
+        + (1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = _EP2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = _A / F.sqrt(1 - _E2 * sin1 * sin1)
+    r1 = _A * (1 - _E2) / F.pow(1 - _E2 * sin1 * sin1, 1.5)
+    d = (x - 500000.0) / (n1 * _K0)
+    d2 = d * d
+    d3, d4 = d2 * d, d2 * d2
+    d5, d6 = d4 * d, d4 * d2
+    phi = phi1 - (n1 * tan1 / r1) * (
+        d2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * _EP2) * d4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * _EP2 - 3 * c1 * c1) * d6 / 720
+    )
+    lam = (
+        d
+        - (1 + 2 * t1 + c1) * d3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * _EP2 + 24 * t1 * t1) * d5 / 120
+    ) / cos1
+    return F.degrees(F.lit(lam0) + lam), F.degrees(phi)
+
+
+# -- Swiss CH1903 / LV03 (swisstopo approximate formulas) --------------------
+
+def ch1903_to_wgs84(e: Column, n: Column) -> tuple[Column, Column]:
+    yp = (e - 600000.0) / 1000000.0
+    xp = (n - 200000.0) / 1000000.0
+    lam = 2.6779094 + 4.728982 * yp + 0.791484 * yp * xp + 0.1306 * yp * xp * xp - 0.0436 * yp * yp * yp
+    phi = (
+        16.9023892 + 3.238272 * xp - 0.270978 * yp * yp - 0.002528 * xp * xp
+        - 0.0447 * yp * yp * xp - 0.0140 * xp * xp * xp
+    )
+    return lam * 100.0 / 36.0, phi * 100.0 / 36.0
+
+
+def wgs84_to_ch1903(lon: Column, lat: Column) -> tuple[Column, Column]:
+    phi = (lat * 3600.0 - 169028.66) / 10000.0
+    lam = (lon * 3600.0 - 26782.5) / 10000.0
+    e = (
+        600072.37 + 211455.93 * lam - 10938.51 * lam * phi
+        - 0.36 * lam * phi * phi - 44.54 * lam * lam * lam
+    )
+    n = (
+        200147.07 + 308807.95 * phi + 3745.25 * lam * lam + 76.63 * phi * phi
+        - 194.56 * lam * lam * phi + 119.79 * phi * phi * phi
+    )
+    return e, n
+
+
+# -- dispatcher ---------------------------------------------------------------
+
+def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
+    if is_geographic(epsg):
+        return x, y
+    if epsg == WEB_MERCATOR:
+        return web_mercator_to_wgs84(x, y)
+    if epsg == CH1903:
+        return ch1903_to_wgs84(x, y)
+    z = _utm_zone(epsg)
+    if z is not None:
+        zone, north = z
+        return utm_to_wgs84(x, y if north else y - 10000000.0, zone)
+    raise NotImplementedError(
+        f"EPSG:{epsg} has no built-in transform; install pyproj for arbitrary CRS support"
+    )
+
+
+def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
+    if is_geographic(epsg):
+        return lon, lat
+    if epsg == WEB_MERCATOR:
+        return wgs84_to_web_mercator(lon, lat)
+    if epsg == CH1903:
+        return wgs84_to_ch1903(lon, lat)
+    z = _utm_zone(epsg)
+    if z is not None:
+        zone, north = z
+        x, y = wgs84_to_utm(lon, lat, zone)
+        return x, (y if north else y + 10000000.0)
+    raise NotImplementedError(
+        f"EPSG:{epsg} has no built-in transform; install pyproj for arbitrary CRS support"
+    )
+
+
+def transform_xy(x: Column, y: Column, src_epsg: int, dst_epsg: int) -> tuple[Column, Column]:
+    """Coordinate pair from src to dst CRS, WGS84 as the hub. Pure
+    column expressions for the built-in systems; pyproj Arrow UDF for
+    everything else when available."""
+    try:
+        lon, lat = _to_wgs84(x, y, src_epsg)
+        return _from_wgs84(lon, lat, dst_epsg)
+    except NotImplementedError:
+        return _pyproj_transform(x, y, src_epsg, dst_epsg)
+
+
+def transform_points(
+    df: DataFrame, src_epsg: int, dst_epsg: int, geom_cols: tuple[str, ...] = ("geom",)
+) -> DataFrame:
+    """Reproject ``struct<lon,lat>`` geometry columns in place. The
+    struct keeps its field names — downstream operators address
+    ``geom.lon``/``geom.lat`` regardless of CRS, with the CRS carried as
+    metadata by convention (model/schemas)."""
+    if src_epsg == dst_epsg:
+        return df
+    out = df
+    for g in geom_cols:
+        if g not in out.columns:
+            continue
+        nx, ny = transform_xy(F.col(g)["lon"], F.col(g)["lat"], src_epsg, dst_epsg)
+        out = out.withColumn(g, F.struct(nx.alias("lon"), ny.alias("lat")))
+    return out
+
+
+def _pyproj_transform(x: Column, y: Column, src_epsg: int, dst_epsg: int) -> tuple[Column, Column]:
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - pyproj absent here
+        raise NotImplementedError(
+            f"EPSG:{src_epsg}->EPSG:{dst_epsg} needs pyproj, which is not installed"
+        ) from exc
+
+    import pandas as pd  # pragma: no cover - exercised only with pyproj
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]))
+    def _tx(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        from pyproj import Transformer
+
+        tr = Transformer.from_crs(src_epsg, dst_epsg, always_xy=True)
+        ox, oy = tr.transform(xs.to_numpy(), ys.to_numpy())
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    res = _tx(x, y)
+    return res["x"], res["y"]
