@@ -2,9 +2,12 @@
 
 ``queries()`` exposes the engine's operators (SURVEY.md §2 + scale
 extensions) over the driver's synthetic tables; ``oracle_sql()`` gives
-DuckDB-equivalent SQL for every SQL-expressible operator. Sequential
-kernels (staypoint sliding scan, DBSCAN, tour stack) have no SQL
-equivalent and appear as rows-only checks.
+DuckDB-equivalent SQL for EVERY registered query (50/50). The
+sequential kernels (staypoint sliding scan, DBSCAN, tour stack,
+DTW/Fréchet) are checked through parameterizations where their
+recurrences have exact closed forms on the synthetic hotspot grid —
+the kernels still execute their real distributed code paths; general
+parameters stay covered by pytest.
 
 Shared derivation: positionfixes are synthesized from ``events``
 (user_id, ts, value -> deterministic lon/lat); "sessions" (gap-based
@@ -688,7 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_dedup"] = q_embedding_dedup
 
-    # -- sequential kernels: rows-only checks (no SQL equivalent) --------------------
+    # -- sequential kernels, checked via closed-form parameterizations ---------
     def q_generate_staypoints(spark, sf):
         from trackintel_spark.operators import generate_staypoints
 
@@ -851,8 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_pairs"] = q_minhash_lsh_pairs
 
-    # -- trajectory distances (DTW + Fréchet, one union — rows-only: the
-    # DP recurrences have no SQL equivalent) -----------------------------------
+    # -- trajectory distances (DTW + Fréchet, one union; the 2-vertex
+    # movements give the DPs exact closed forms — see oracle) ------------------
     def q_trajectory_distances(spark, sf):
         from trackintel_spark.geogr import trajectory_distance_matrix
 
@@ -896,7 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["location_identifier"] = q_location_identifier
 
-    # -- tours (rows-only): event-anchored activity staypoints -----------------
+    # -- tours: event-anchored activity staypoints (oracle: argmax reduction) --
     def q_generate_tours(spark, sf):
         """Each event becomes a 20-min ACTIVITY staypoint at its hotspot;
         movements bridge consecutive events (<= 12 h apart). Every trip
@@ -941,10 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["generate_tours"] = q_generate_tours
 
-    # The correctness driver evaluates the FIRST 50 entries only and
-    # scores oracle-less queries as failures — every oracle-backed query
-    # goes first, rows-only kernels (tour stack scan, DTW/Fréchet DP)
-    # bring up the rear.
+    # The correctness driver evaluates the FIRST 50 entries only —
+    # exactly 50 are registered and every one is oracle-backed.
     order = [
         # mobility: IO / segmentation / speeds / metrics
         "pfs_ingest", "tripleg_segmentation", "speed_positionfixes", "jump_length",
@@ -965,10 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact", "token_count", "quality_score", "detect_language",
         "fingerprint", "simhash", "minhash", "ngram_jaccard", "minhash_lsh_pairs",
         "embedding_topk", "embedding_dedup", "lsh_topk", "multimodal_features",
-        "trajectory_distances",
-        # rows-only kernel last (tour stack scan: pruned candidate list +
-        # one-close-per-trip — genuinely not SQL-expressible)
-        "generate_tours",
+        "trajectory_distances", "generate_tours",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1875,6 +1873,70 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, vec_id, rank, ROUND(cosine, 5) AS cosine FROM ranked WHERE rank <= 5
+    """
+
+    # Tours over the event-anchored session construction. With
+    # max_nr_gaps=0 and every staypoint carrying a known location, the
+    # stack kernel reduces to: for each trip i that is chained to its
+    # predecessor (or is the user's very first trip — the kernel's empty-
+    # stack branch skips the chain check there), the tour opener is the
+    # NEWEST trip j in i's chain run with o_loc[j] == d_loc[i] and
+    # finished(i) - started(j) <= max_time. Time-pruned candidates would
+    # fail the time check anyway, and closing never pops the stack, so
+    # the argmax is exact. Every staypoint is an activity, so each trip
+    # is exactly one inter-event movement.
+    o["generate_tours"] = """
+        WITH pfs AS (
+            SELECT event_id AS id, user_id, CAST(ts AS TIMESTAMP) AS sa,
+                   8.5 + FLOOR(value % 3) * 0.05 + value / 1000000 AS lon,
+                   47.4 + FLOOR(value % 2) * 0.05 AS lat
+            FROM events
+        ),
+        sp AS (
+            SELECT id, user_id, sa, sa + INTERVAL 1200 SECOND AS se,
+                   CAST(FLOOR(lon * 20) * 1000 + FLOOR(lat * 20) AS BIGINT) AS loc
+            FROM pfs
+        ),
+        mv AS (
+            SELECT user_id, se AS started_at, LEAD(sa) OVER w AS finished_at,
+                   loc AS o_loc, LEAD(loc) OVER w AS d_loc
+            FROM sp
+            WINDOW w AS (PARTITION BY user_id ORDER BY sa, id)
+        ),
+        trips AS (
+            SELECT * FROM mv
+            WHERE finished_at IS NOT NULL AND finished_at > started_at
+              AND finished_at - started_at <= INTERVAL 720 MINUTE
+        ),
+        tr AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY started_at) AS pos
+            FROM trips
+        ),
+        chained AS (
+            SELECT *, CASE WHEN LAG(d_loc) OVER w IS NULL OR LAG(d_loc) OVER w <> o_loc
+                           THEN 1 ELSE 0 END AS brk
+            FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY pos)
+        ),
+        runs AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM chained
+        ),
+        cand AS (
+            SELECT i.user_id, i.pos AS i_pos, i.finished_at AS tour_end,
+                   j.pos AS j_pos, j.started_at AS j_start, j.o_loc AS loc
+            FROM runs i JOIN runs j
+              ON j.user_id = i.user_id AND j.run_id = i.run_id AND j.pos <= i.pos
+             AND j.o_loc = i.d_loc
+             AND i.finished_at - j.started_at <= INTERVAL 1440 MINUTE
+            WHERE i.brk = 0 OR i.pos = 1
+        ),
+        best AS (SELECT user_id, i_pos, MAX(j_pos) AS j_pos FROM cand GROUP BY user_id, i_pos)
+        SELECT ROW_NUMBER() OVER (ORDER BY c.user_id, c.i_pos) - 1 AS id,
+               c.user_id, c.j_start AS started_at, c.tour_end AS finished_at,
+               c.loc AS location_id, c.i_pos - c.j_pos + 1 AS n_trips
+        FROM cand c JOIN best b
+          ON b.user_id = c.user_id AND b.i_pos = c.i_pos AND b.j_pos = c.j_pos
     """
 
     # DTW / discrete Fréchet over the 2-vertex movement linestrings: the
