@@ -64,12 +64,21 @@ def _sliding_kernel(
     gap_threshold_s: float,
     include_last: bool,
     elevation_flag: bool,
+    tail_out: list | None = None,
 ) -> pd.DataFrame:
     """Exact port of the Li et al. scan (preprocessing/positionfixes.py:478-535),
-    one pandas group per (user[, session]) partition."""
+    one pandas group per (user[, session]) partition.
+
+    ``tail_out``: when a list is passed, the scan's final anchor index is
+    appended to it — the open candidate window ``[tail_start:]`` that a
+    longer input could still extend. The streaming operator
+    (streaming/staypoints_state.py) carries exactly that slice as state.
+    """
     pdf = pdf.sort_values(["tracked_at", "id"], kind="stable")
     n = len(pdf)
     if n == 0:
+        if tail_out is not None:
+            tail_out.append(0)
         return pd.DataFrame(columns=[f.name for f in _KERNEL_SCHEMA.fields])
 
     ts = pdf["tracked_at"].to_numpy()  # datetime64
@@ -121,6 +130,8 @@ def _sliding_kernel(
 
     if include_last and t[curr] - t[start] >= time_threshold_s:
         emit(start, curr, last_flag=True)
+    if tail_out is not None:
+        tail_out.append(start)
 
     return pd.DataFrame(
         {

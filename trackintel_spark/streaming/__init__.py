@@ -1,3 +1,4 @@
 from trackintel_spark.streaming.sessionize import sessionize_stream, staypoints_stream
+from trackintel_spark.streaming.staypoints_state import staypoints_stream_exact
 
-__all__ = ["sessionize_stream", "staypoints_stream"]
+__all__ = ["sessionize_stream", "staypoints_stream", "staypoints_stream_exact"]

@@ -1,0 +1,167 @@
+"""Exact ONLINE staypoint detection — applyInPandasWithState.
+
+``staypoints_stream_exact`` runs the same Li et al. sliding scan as the
+batch ``generate_staypoints`` (operators/staypoints.py) incrementally
+over a positionfix stream. Per user, the state is exactly the scan's
+open candidate window — the points from the current anchor onward that
+a future fix could still extend into a staypoint. Each micro-batch:
+
+1. prepend the retained window to the batch's fixes (event-time order);
+2. run the unchanged batch kernel; every staypoint whose CLOSING fix
+   has arrived is emitted — output rows are final, never updated
+   (append semantics);
+3. retain the kernel's final anchor window as the new state.
+
+Because a staypoint only ever closes when a later fix arrives (the
+batch semantics with ``include_last=False``), no timeout is needed for
+correctness: results are identical to running the batch operator over
+the full history, regardless of how the stream is chopped into
+micro-batches. State size is bounded by the densest dwell a user can
+record within one candidate window — fixes/minute x dwell duration.
+
+Out-of-order input: fixes older than the retained anchor cannot be
+replayed (the anchor may already have advanced past them) and are
+dropped — the streaming analog of a watermark, made explicit here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from trackintel_spark.operators.staypoints import _sliding_kernel
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("n_pfs", T.IntegerType()),
+    ]
+)
+
+# open candidate window, columnar: ids, epoch-us timestamps, coords
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("lons", T.ArrayType(T.DoubleType())),
+        T.StructField("lats", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def staypoints_stream_exact(
+    pfs: DataFrame,
+    dist_threshold: float = 100.0,
+    time_threshold: float = 5.0,
+    gap_threshold: float = 15.0,
+) -> DataFrame:
+    """Streaming-exact generate_staypoints over (id, user_id,
+    tracked_at, lon, lat) rows. Thresholds in the reference's units
+    (meters / minutes). Works on a streaming OR batch DataFrame — the
+    unified API keeps one code path testable both ways."""
+    time_s = time_threshold * 60.0
+    gap_s = gap_threshold * 60.0
+
+    def fn(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ids, ts_us, lons, lats = state.get
+        else:
+            ids, ts_us, lons, lats = [], [], [], []
+
+        frames = []
+        if ids:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        "tracked_at": pd.to_datetime(pd.Series(ts_us, dtype="int64"), unit="us"),
+                        "lon": pd.Series(lons, dtype="float64"),
+                        "lat": pd.Series(lats, dtype="float64"),
+                    }
+                )
+            )
+        for pdf in batches:
+            frames.append(pdf[["id", "tracked_at", "lon", "lat"]])
+        full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["id", "tracked_at", "lon", "lat"]
+        )
+        # drop late fixes that precede the retained anchor — they can no
+        # longer influence the scan (explicit watermark semantics)
+        if ts_us:
+            floor_ts = pd.Timestamp(ts_us[0], unit="us")
+            full = full[full["tracked_at"] >= floor_ts]
+        full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
+        full["user_id"] = user_id
+        full["elevation"] = None
+
+        tail: list[int] = []
+        out = _sliding_kernel(
+            full,
+            dist_threshold=dist_threshold,
+            time_threshold_s=time_s,
+            gap_threshold_s=gap_s,
+            include_last=False,
+            elevation_flag=False,
+            tail_out=tail,
+        )
+        keep = full.iloc[tail[0]:] if len(full) else full
+        state.update(
+            (
+                [int(v) for v in keep["id"]],
+                [int(v.value // 1000) for v in keep["tracked_at"]],
+                [float(v) for v in keep["lon"]],
+                [float(v) for v in keep["lat"]],
+            )
+        )
+        if len(out):
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "started_at": out["started_at"],
+                    "finished_at": out["finished_at"],
+                    "lon": out["lon"],
+                    "lat": out["lat"],
+                    "n_pfs": out["pfs_ids"].map(len).astype("int32"),
+                }
+            )
+
+    grouped = pfs.groupBy("user_id")
+    if pfs.isStreaming:
+        return grouped.applyInPandasWithState(
+            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+
+    # batch fallback: same function driven by a trivial in-memory state —
+    # pins the semantics without a streaming runtime
+    class _FakeState:
+        exists = False
+
+        def get(self):  # pragma: no cover - interface parity
+            raise ValueError
+
+        def update(self, v):
+            self._v = v
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _FakeState()
+        frames = list(fn((int(pdf["user_id"].iloc[0]),), iter([pdf]), st))
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
+        )
+
+    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
