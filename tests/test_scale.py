@@ -163,3 +163,44 @@ def test_multimodal_plumbing(spark):
     assert len(frames) > 2
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_video_frames(df, decode_stub=False).collect()
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import cosine_topk_bruteforce, ivf_topk
+    from trackintel_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    n_centers = emb.filter(F.col("vec_id") % 16 == 0).count()
+    exact = {(r.query_id, r.rank): r.vec_id for r in cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, queries, k=5, center_stride=16, n_probe=n_centers).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import cosine_topk_bruteforce, ivf_topk
+    from trackintel_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, center_stride=8, n_probe=3).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # the synthetic embeddings are structureless, so IVF recall is about
+    # n_probe / n_centers (~0.43 here); real clustered data does better
+    n_centers = emb.filter(F.col("vec_id") % 8 == 0).count()
+    assert recall >= 0.6 * (3 / n_centers)
+    # every returned hit must carry its true exact cosine (rescore is exact)
+    exact_cos = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.vec_id)]) < 1e-12

@@ -6,7 +6,7 @@ from trackintel_spark.scale.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from trackintel_spark.scale.similarity import cosine_topk_bruteforce, lsh_bucketed_topk
+from trackintel_spark.scale.similarity import cosine_topk_bruteforce, ivf_topk, lsh_bucketed_topk
 from trackintel_spark.scale.text import (
     detect_language,
     document_fingerprint,
@@ -23,6 +23,7 @@ __all__ = [
     "dedup_embedding_cosine",
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
+    "ivf_topk",
     "token_count",
     "quality_score",
     "detect_language",

@@ -127,3 +127,70 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    center_stride: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Coarse quantizer: every ``center_stride``-th corpus vector (by id) is
+    a center — a deterministic sampled quantizer, the zero-build-cost
+    baseline; at scale swap the center set for an offline k-means run,
+    the plan below is unchanged. Corpus vectors assign to their nearest
+    center with a map-side ``max_by`` aggregation (the broadcast join
+    explodes N x C rows but combines back to N before any shuffle);
+    queries probe their ``n_probe`` nearest centers and rescore exact
+    cosine inside the matched cells only.
+
+    With ``n_probe`` >= the center count this is EXACTLY brute force —
+    the recall/test anchor.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    centers = c.filter(F.col("vec_id") % center_stride == 0).select(
+        F.col("vec_id").alias("__cid"), F.col("__cv").alias("__center"), F.col("__cn").alias("__cnorm")
+    )
+
+    assigned = (
+        c.select(F.col("vec_id"), F.col("__cv").alias("__v"), F.col("__cn").alias("__n"))
+        .crossJoin(F.broadcast(centers))
+        .withColumn("__ccos", _dot(F.col("__v"), F.col("__center")) / (F.col("__n") * F.col("__cnorm")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("__cid", F.struct(F.col("__ccos"), -F.col("__cid"))).alias("__cid"),
+            F.first("__v").alias("__cv"),
+            F.first("__n").alias("__cn"),
+        )
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    q_scored = q.crossJoin(F.broadcast(centers)).withColumn(
+        "__ccos", _dot(F.col("__qv"), F.col("__center")) / (F.col("__qn") * F.col("__cnorm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__ccos").desc(), F.col("__cid").asc())
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "__qn", "__cid")
+    )
+
+    scored = assigned.join(F.broadcast(probes), on="__cid").withColumn(
+        "cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
