@@ -182,9 +182,12 @@ def generate_staypoints(
     if exclude_duplicate_pfs:
         # reference drop_duplicates ignores the index/id (preprocessing/
         # positionfixes.py:105-114): keep the smallest id per duplicate group.
+        # Hash aggregation instead of a sort window: the group keys are all
+        # non-id columns, so min(id) per group IS the deduped row set — with
+        # map-side partial combine, where a row_number window would shuffle
+        # and sort every full row.
         dedup_cols = [c for c in pfs.columns if c != "id"]
-        w = Window.partitionBy(*dedup_cols).orderBy("id")
-        pfs = pfs.withColumn("__dup_rn", F.row_number().over(w)).filter(F.col("__dup_rn") == 1).drop("__dup_rn")
+        pfs = pfs.groupBy(*dedup_cols).agg(F.min("id").alias("id")).select(*pfs.columns)
 
     elevation_flag = "elevation" in pfs.columns
 
