@@ -98,3 +98,17 @@ def test_unknown_crs_raises(spark):
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
         transform_points(df, 4326, 2056).collect()
+
+
+def test_distance_matrix_euclidean_on_projected(spark):
+    # project to UTM, then the planar distance matrix agrees with the
+    # haversine matrix computed in WGS84 (within series accuracy)
+    from trackintel_spark.geogr import calculate_distance_matrix
+
+    pts = _pts(spark, [(0, 8.5417, 47.3769), (1, 8.56, 47.39), (2, 8.60, 47.42)])
+    hav = {(r.i, r.j): r.dist_m for r in calculate_distance_matrix(pts).collect()}
+    utm = transform_points(pts, 4326, 32632)
+    eu = {(r.i, r.j): r.dist_m for r in calculate_distance_matrix(utm, metric="euclidean").collect()}
+    assert set(hav) == set(eu)
+    for k in hav:
+        assert abs(hav[k] - eu[k]) / hav[k] < 2e-3

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from trackintel_spark.functions.spatial import haversine_point, linestring_length_m
+from trackintel_spark.functions.spatial import euclidean_m, haversine_point, linestring_length_m
 from trackintel_spark.functions.temporal import duration_s
 from trackintel_spark.model.schemas import validate
 
@@ -66,27 +66,39 @@ def calculate_distance_matrix(
     X: DataFrame,
     Y: DataFrame | None = None,
     dist_threshold: float | None = None,
+    metric: str = "haversine",
 ) -> DataFrame:
-    """All-pairs great-circle distances in long form (i, j, dist_m).
+    """All-pairs distances in long form (i, j, dist_m).
 
     Reference: calculate_distance_matrix (geogr/distances.py:89-185)
     returns a dense n x n numpy matrix — unusable at scale. We emit the
     long form; for X==Y only the upper triangle (i < j), mirroring the
     reference's upper-triangle optimization (:173-179).
 
+    ``metric``: 'haversine' for WGS84 lon/lat, 'euclidean' for projected
+    (planar, meters) coordinates — the check_gdf_planar switch.
     ``dist_threshold`` adds a bounding-box band prefilter so Catalyst can
     turn the cross join into a pruned range join (the scalable variant).
     """
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"metric must be 'haversine' or 'euclidean', got {metric!r}")
     symmetric = Y is None
     a = X.select(F.col("id").alias("i"), F.col("geom").alias("__ga"))
     b = (X if symmetric else Y).select(F.col("id").alias("j"), F.col("geom").alias("__gb"))
     cond = [F.col("i") < F.col("j")] if symmetric else []
     if dist_threshold is not None:
-        # ~1 deg lat = 111.32 km; cheap band predicate before the acos
-        deg = dist_threshold / 111320.0
-        cond.append(F.abs(a["__ga"]["lat"] - b["__gb"]["lat"]) <= deg)
+        # band predicate before the trig: ~1 deg lat = 111.32 km for
+        # geographic data, meters directly for planar
+        band = dist_threshold / 111320.0 if metric == "haversine" else dist_threshold
+        cond.append(F.abs(a["__ga"]["lat"] - b["__gb"]["lat"]) <= band)
     joined = a.join(b, on=cond if cond else None, how="cross" if not cond else "inner")
-    out = joined.withColumn("dist_m", haversine_point(F.col("__ga"), F.col("__gb"))).select("i", "j", "dist_m")
+    if metric == "haversine":
+        d = haversine_point(F.col("__ga"), F.col("__gb"))
+    else:
+        d = euclidean_m(
+            F.col("__ga")["lon"], F.col("__ga")["lat"], F.col("__gb")["lon"], F.col("__gb")["lat"]
+        )
+    out = joined.withColumn("dist_m", d).select("i", "j", "dist_m")
     if dist_threshold is not None:
         out = out.filter(F.col("dist_m") <= dist_threshold)
     return out
