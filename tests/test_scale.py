@@ -204,3 +204,52 @@ def test_ivf_topk_partial_probe_recall(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.query_id, r.vec_id)]) < 1e-12
+
+
+def test_connected_components_basic(spark):
+    from trackintel_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "a long, b long"
+    )
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    # {1,2,3,8,9} merge through 9-1; {5,6} separate
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import dedup_clusters, minhash_lsh_candidates
+    from trackintel_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_lsh_candidates(docs, num_perm=16, bands=8, shingle_n=2)
+    out = dedup_clusters(docs, pairs, keep="min_id").persist()
+    assert out.count() == docs.count()  # every doc labeled
+    # exactly one canonical per cluster
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"), F.count(F.lit(1)).alias("n")
+    )
+    assert per.filter(F.col("n_canon") != 1).count() == 0
+    # min_id policy: canonical == cluster_id
+    assert out.filter(F.col("is_canonical") & (F.col("doc_id") != F.col("cluster_id"))).count() == 0
+    # clusters agree with the pair graph: paired docs share a cluster
+    lbl = {r.doc_id: r.cluster_id for r in out.collect()}
+    for r in pairs.collect():
+        assert lbl[r.id_a] == lbl[r.id_b]
+
+
+def test_dedup_clusters_longest_policy(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "aa", 2), (1, "aaaa", 4), (2, "a", 1), (7, "zz", 2)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    from trackintel_spark.scale import dedup_clusters
+
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(docs, pairs, keep="longest").collect()}
+    assert out[0] == (0, False) and out[1] == (0, True) and out[2] == (0, False)
+    assert out[7] == (7, True)  # singleton keeps itself

@@ -80,40 +80,15 @@ def dbscan_distributed(
         .select("a", "b")
     ).persist()
 
-    # iterative min-label propagation (connected components); each round
-    # localCheckpoints to truncate lineage — the classic iterative-
-    # algorithm trap is per-round plan growth
-    labels = core.select("pid", F.col("pid").alias("lbl")).localCheckpoint()
-    for _ in range(max_iterations):
-        prop = (
-            core_edges.join(labels.withColumnRenamed("pid", "b").withColumnRenamed("lbl", "lbl_b"), on="b")
-            .groupBy("a")
-            .agg(F.min("lbl_b").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(prop.withColumnRenamed("a", "pid"), on="pid", how="left")
-            .select("pid", F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"))
-        )
-        # pointer jumping (path halving): also adopt the label OF our
-        # label — convergence drops from O(diameter) to ~O(log diameter)
-        lbl_of_lbl = updated.select(F.col("pid").alias("lbl"), F.col("lbl").alias("lbl2"))
-        updated = (
-            updated.join(lbl_of_lbl, on="lbl", how="left")
-            .select("pid", F.least(F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))).alias("lbl"))
-            .localCheckpoint()
-        )
-        changed = (
-            updated.withColumnRenamed("lbl", "new")
-            .join(labels, on="pid")
-            .filter(F.col("new") != F.col("lbl"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+    # connected components over the core-core eps-graph (shared min-label
+    # propagation, plans/graph.py); isolated cores keep their own label
+    from trackintel_spark.plans.graph import connected_components
 
-    # border points: non-core points attach to their min-label core neighbor
-    core_labels = labels
+    cc = connected_components(core_edges, "a", "b", max_iterations=max_iterations)
+    core_labels = (
+        core.join(cc, core["pid"] == cc["vertex"], how="left")
+        .select("pid", F.coalesce("component", F.col("pid")).alias("lbl"))
+    )
     border = (
         pairs.join(core_labels.withColumnRenamed("pid", "b").withColumnRenamed("lbl", "lbl_b"), on="b")
         .join(core.withColumnRenamed("pid", "a"), on="a", how="left_anti")

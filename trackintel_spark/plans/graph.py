@@ -1,0 +1,65 @@
+"""Distributed connected components (min-label propagation).
+
+The shared iterative core behind dataset-level DBSCAN
+(operators/dbscan_distributed.py) and near-duplicate clustering
+(scale/dedup.py): given an undirected edge list, every vertex converges
+to the minimum vertex id of its component. Pointer jumping (path
+halving) brings convergence from O(component diameter) joins to
+~O(log diameter); each round ``localCheckpoint``s to truncate lineage —
+the classic iterative-algorithm trap is per-round plan growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label vertices of the undirected graph given by ``edges``.
+
+    Returns (vertex, component) where ``component`` is the minimum
+    vertex id in the vertex's connected component. Isolated vertices
+    (absent from edges) are simply absent from the result — union the
+    full vertex set afterwards if needed.
+    """
+    one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize with a map-side union; duplicate edges are harmless for
+    # the min() aggregation, so no distinct (that would be a shuffle)
+    sym = one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+
+    labels = sym.select(F.col("a").alias("vid")).distinct().withColumn("lbl", F.col("vid"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        prop = (
+            sym.join(labels.withColumnRenamed("vid", "b").withColumnRenamed("lbl", "lbl_b"), on="b")
+            .groupBy("a")
+            .agg(F.min("lbl_b").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(prop.withColumnRenamed("a", "vid"), on="vid", how="left")
+            .select("vid", F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"))
+        )
+        # pointer jumping: adopt the label OF our label
+        lbl_of_lbl = updated.select(F.col("vid").alias("lbl"), F.col("lbl").alias("lbl2"))
+        updated = (
+            updated.join(lbl_of_lbl, on="lbl", how="left")
+            .select("vid", F.least(F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            updated.withColumnRenamed("lbl", "new")
+            .join(labels, on="vid")
+            .filter(F.col("new") != F.col("lbl"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("vid").alias("vertex"), F.col("lbl").alias("component"))

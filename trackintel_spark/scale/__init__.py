@@ -1,4 +1,5 @@
 from trackintel_spark.scale.dedup import (
+    dedup_clusters,
     dedup_exact,
     dedup_embedding_cosine,
     minhash_lsh_candidates,
@@ -16,6 +17,7 @@ from trackintel_spark.scale.text import (
 
 __all__ = [
     "dedup_exact",
+    "dedup_clusters",
     "minhash_signature",
     "minhash_lsh_candidates",
     "simhash",

@@ -240,3 +240,49 @@ def dedup_embedding_cosine(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate GROUPS and pick
+    one canonical document per group — the step that turns
+    ``minhash_lsh_candidates`` / ``ngram_jaccard_pairs`` /
+    ``dedup_embedding_cosine`` output into an actual keep-list.
+
+    Connected components over the pair graph (min-label propagation,
+    plans/graph.py) give each document a ``cluster_id`` = the smallest
+    member id; singletons are their own cluster. ``keep`` picks the
+    canonical member: ``'min_id'`` (deterministic, cheap) or
+    ``'longest'`` (max ``length_col``, ties to the smaller id — the
+    usual "keep the longest variant" dedup policy).
+
+    Returns docs columns + (cluster_id, is_canonical); the keep-list is
+    ``filter("is_canonical")``.
+    """
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
+    from trackintel_spark.plans.graph import connected_components
+
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = (
+        docs.join(cc, docs[id_col] == cc["vertex"], how="left")
+        .drop("vertex")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    if keep == "min_id":
+        canon = F.col(id_col) == F.col("cluster_id")
+        return out.withColumn("is_canonical", canon)
+    pick = out.groupBy("cluster_id").agg(
+        F.max_by(id_col, F.struct(F.col(length_col), -F.col(id_col))).alias("__keep")
+    )
+    return (
+        out.join(pick, on="cluster_id", how="left")
+        .withColumn("is_canonical", F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
