@@ -253,3 +253,39 @@ def test_dedup_clusters_longest_policy(spark):
     out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(docs, pairs, keep="longest").collect()}
     assert out[0] == (0, False) and out[1] == (0, True) and out[2] == (0, False)
     assert out[7] == (7, True)  # singleton keeps itself
+
+
+def test_split_by_hash_deterministic_and_proportional(spark, docs):
+    from trackintel_spark.scale import split_by_hash
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_by_hash(docs, "doc_id", fr)
+    b = split_by_hash(docs, "doc_id", fr)
+    assert {(r.doc_id, r.split) for r in a.collect()} == {(r.doc_id, r.split) for r in b.collect()}
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert counts["train"] / n > 0.7 and counts["val"] / n < 0.2
+    # different salt re-deals
+    c = split_by_hash(docs, "doc_id", fr, salt="v2")
+    assert {(r.doc_id, r.split) for r in c.collect()} != {(r.doc_id, r.split) for r in a.collect()}
+
+
+def test_pack_sequences_respects_budget(spark, docs):
+    from trackintel_spark.scale import pack_sequences
+    from trackintel_spark.scale.text import token_count
+
+    d = docs.withColumn("n_tokens", token_count(F.col("text")))
+    out = pack_sequences(d, max_tokens=120, num_partitions=4).persist()
+    assert out.count() == d.count()  # every doc packed exactly once
+    per = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n"),
+        F.max("n_tokens").alias("mx"),
+    )
+    # budget holds unless a single oversize doc owns the bin
+    bad = per.filter((F.col("tok") > 120) & ~((F.col("n") == 1) & (F.col("mx") > 120)))
+    assert bad.count() == 0
+    # pack_pos is a clean 0..n-1 sequence per bin
+    pos_ok = out.groupBy("pack_id").agg(
+        (F.count(F.lit(1)) - 1 == F.max("pack_pos")).alias("ok"), F.min("pack_pos").alias("mn")
+    )
+    assert pos_ok.filter(~F.col("ok") | (F.col("mn") != 0)).count() == 0

@@ -7,6 +7,7 @@ from trackintel_spark.scale.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
 from trackintel_spark.scale.similarity import cosine_topk_bruteforce, ivf_topk, lsh_bucketed_topk
 from trackintel_spark.scale.text import (
     detect_language,
@@ -26,6 +27,8 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "split_by_hash",
+    "pack_sequences",
     "token_count",
     "quality_score",
     "detect_language",

@@ -1,0 +1,123 @@
+"""Dataset assembly utilities: deterministic splits and sequence packing.
+
+The last mile of a training-data pipeline after dedup/filtering:
+
+* ``split_by_hash`` — stable train/val/test assignment from a key hash.
+  Unlike ``randomSplit`` it is reproducible across runs, clusters, and
+  data re-orderings, and keeps all rows of a key together when the key
+  is a group id (e.g. domain or document cluster).
+* ``pack_sequences`` — greedy first-fit packing of documents into
+  fixed-token-budget bins, the standard pretraining sequence-packing
+  step. Packing runs independently per partition (embarrassingly
+  parallel, no shuffle beyond an optional repartition); bin ids embed
+  the partition id so they are globally unique without coordination.
+  Per-partition greedy is the scalable approximation — a global
+  first-fit-decreasing would serialize 100 TB through one node for a
+  ~1% packing-density win.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKETS = 1_000_000
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str | Column,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label with probability proportional to
+    ``fractions`` (must sum to ~1), deterministically from
+    ``xxhash64(key, salt)``. Changing ``salt`` re-deals the assignment."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket = F.pmod(F.xxhash64(key.cast("string"), F.lit(salt)), F.lit(_BUCKETS))
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float-rounding tail falls into the last split
+    last = list(fractions)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    max_tokens: int = 4096,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit bin packing per partition; returns
+    (id, n_tokens, pack_id, pack_pos).
+
+    Documents larger than ``max_tokens`` get a bin of their own (the
+    caller decides whether to chunk them upstream). ``pack_pos`` is the
+    document's position inside its bin, so downstream concatenation is
+    order-stable.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_pos", T.IntegerType()),
+        ]
+    )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(token_col).cast("long").alias("n_tokens"))
+    if num_partitions:
+        base = base.repartition(num_partitions, "id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # open bins: list of [remaining, pack_idx, next_pos]
+        bins: list[list[int]] = []
+        n_packs = 0
+        for pdf in batches:
+            # largest-first within the batch improves density (FFD-ish)
+            pdf = pdf.sort_values("n_tokens", ascending=False, kind="stable")
+            out_pack, out_pos = [], []
+            for tok in pdf["n_tokens"]:
+                placed = False
+                for b in bins:
+                    if b[0] >= tok:
+                        out_pack.append(b[1])
+                        out_pos.append(b[2])
+                        b[0] -= tok
+                        b[2] += 1
+                        placed = True
+                        break
+                if not placed:
+                    bins.append([max(0, max_tokens - tok), n_packs, 1])
+                    out_pack.append(n_packs)
+                    out_pos.append(0)
+                    n_packs += 1
+                if len(bins) > 256:  # bound open-bin scan cost
+                    bins = [b for b in bins if b[0] > 0][-128:]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "n_tokens": pdf["n_tokens"].values,
+                    # partition-prefixed ids: unique without coordination
+                    "pack_id": [pid * (1 << 40) + p for p in out_pack],
+                    "pack_pos": pd.Series(out_pos, dtype="int32").values,
+                }
+            )
+
+    return base.mapInPandas(kernel, schema=schema)
