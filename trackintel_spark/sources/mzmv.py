@@ -239,12 +239,15 @@ def read_mzmv(spark: SparkSession, mzmv_path: str) -> tuple[DataFrame, DataFrame
         ).drop(*keep)
 
     # ids: all start-staypoints (user, ETNR order) precede the trailing
-    # block, mirroring the reference's concat order (:652)
+    # block, mirroring the reference's concat order (:652). The Z-block
+    # offset (= S-block row count) stays in-plan as a broadcast 1-row
+    # aggregate — no driver action.
     sp = sp.persist()
-    n_start = sp.filter(F.col("__block") == 0).count()
     sp_s = dense_id_by_user(sp.filter(F.col("__block") == 0), order_by=["ETNR"], id_col="id")
+    n_start = sp_s.agg(F.count(F.lit(1)).alias("__n0"))
     sp_z = dense_id_by_user(sp.filter(F.col("__block") == 1), order_by=["ETNR"], id_col="id")
-    sp = sp_s.unionByName(sp_z.withColumn("id", F.col("id") + F.lit(n_start))).drop("__block")
+    sp_z = sp_z.crossJoin(F.broadcast(n_start)).withColumn("id", F.col("id") + F.col("__n0")).drop("__n0")
+    sp = sp_s.unionByName(sp_z).drop("__block")
 
     if "geom" not in sp.columns and "X" in sp.columns and "Y" in sp.columns:
         sp = sp.withColumn("geom", F.struct(F.col("X").cast("double").alias("lon"),
