@@ -289,3 +289,31 @@ def test_pack_sequences_respects_budget(spark, docs):
         (F.count(F.lit(1)) - 1 == F.max("pack_pos")).alias("ok"), F.min("pack_pos").alias("mn")
     )
     assert pos_ok.filter(~F.col("ok") | (F.col("mn") != 0)).count() == 0
+
+
+def test_redact_pii(spark):
+    from trackintel_spark.scale import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at jane.doe+x@example.co.uk or 555-123-4567 thanks"),
+            (1, "server 192.168.1.200 rejected ssn 123-45-6789"),
+            (2, "iban CH93 0076 2011 6238 5295 7 is not a phone"),
+            (3, "nothing sensitive here, just the year 2024"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_redactions) for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in out[0][0] and "jane" not in out[0][0]
+    assert "<PHONE>" in out[0][0] and out[0][1] == 2
+    assert "<IP>" in out[1][0] and "<SSN>" in out[1][0] and out[1][1] == 2
+    assert "<IBAN>" in out[2][0]
+    assert out[3][0].endswith("2024") and out[3][1] == 0
+
+
+def test_normalize_text(spark):
+    from trackintel_spark.scale import normalize_text
+
+    df = spark.createDataFrame([(0, "  Hello\t\tWorld\x00\x1f \n again  ")], "doc_id long, text string")
+    assert normalize_text(df).first().text == "Hello World again"
+    assert normalize_text(df, lowercase=True).first().text == "hello world again"

@@ -12,7 +12,9 @@ from trackintel_spark.scale.similarity import cosine_topk_bruteforce, ivf_topk, 
 from trackintel_spark.scale.text import (
     detect_language,
     document_fingerprint,
+    normalize_text,
     quality_score,
+    redact_pii,
     token_count,
 )
 
@@ -33,4 +35,6 @@ __all__ = [
     "quality_score",
     "detect_language",
     "document_fingerprint",
+    "redact_pii",
+    "normalize_text",
 ]

@@ -108,3 +108,61 @@ def document_fingerprint(df: DataFrame, text_col: str = "text", normalize: bool 
     if normalize:
         t = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(t))
+
+
+_PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (regex, replacement token). Order matters: emails before
+    # phone-ish digit runs so the user part is not half-eaten, and IBANs
+    # before phones so grouped digit runs are not misread as numbers.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "iban": (r"\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){3,7}\b", "<IBAN>"),
+    "phone": (r"(?<![\d.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d.])", "<PHONE>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "ssn", "iban", "phone"),
+    out_col: str | None = None,
+    count_col: str = "n_redactions",
+) -> DataFrame:
+    """Mask common PII shapes with typed placeholder tokens — the
+    standard pretraining-corpus scrubbing pass, as chained
+    ``regexp_replace`` expressions (whole-stage codegen, no UDF).
+
+    Heuristic by design (regex PII detection always is): emails, IPv4,
+    US-SSN-shaped ids, international-ish phone numbers, IBANs.
+    ``count_col`` records how many spans were masked per document so
+    downstream filters can drop PII-dense documents entirely.
+    """
+    unknown = set(kinds) - set(_PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds {sorted(unknown)}; available: {sorted(_PII_PATTERNS)}")
+    out = F.col(text_col)
+    for k in kinds:
+        pat, repl = _PII_PATTERNS[k]
+        out = F.regexp_replace(out, pat, repl)
+    n = sum(
+        (F.size(F.split(out, _PII_PATTERNS[k][1].replace("<", "\\<"), -1)) - 1) for k in kinds
+    )
+    return df.withColumn(out_col or text_col, out).withColumn(count_col, n.cast("int"))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize text for dedup/fingerprinting: strip control
+    characters, squeeze all whitespace runs to single spaces, trim, and
+    optionally lowercase. Pure expressions."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out_col or text_col, t)
