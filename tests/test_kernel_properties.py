@@ -188,3 +188,92 @@ def test_tours_kernel_matches_naive(steps, max_nr_gaps):
         assert row["started_at"] == pdf["started_at"].iloc[first]
         assert row["finished_at"] == pdf["finished_at"].iloc[last]
         assert row["trips"] == members
+
+
+# --- merge_staypoints: single-pass running sum == iterated fixpoint ----------
+
+def naive_merge_fixpoint(sps, tpl_starts, gap_s):
+    """Reference-style iterated merging (preprocessing/staypoints.py:
+    328-344): repeatedly merge any adjacent mergeable pair until nothing
+    changes. sps: [(id, started, finished, loc)] one user."""
+    cur = sorted([list(s) for s in sps], key=lambda s: (s[1], s[0]))
+    tpl_starts = sorted(tpl_starts)
+
+    def blocked(a, b):
+        # a tripleg starting in [a.started, b.started) sits between them
+        # in the (started_at, type) interleave (staypoint sorts first)
+        return any(a[1] <= t < b[1] for t in tpl_starts)
+
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(cur) - 1):
+            a, b = cur[i], cur[i + 1]
+            if (
+                a[3] is not None
+                and b[3] is not None
+                and a[3] == b[3]
+                and b[1] - a[2] <= gap_s
+                and not blocked(a, b)
+            ):
+                merged = [min(a[0], b[0]), a[1], max(a[2], b[2]), a[3]]
+                cur[i : i + 2] = [merged]
+                changed = True
+                break
+    return {(s[0], s[1], s[2], s[3]) for s in cur}
+
+
+def test_merge_staypoints_single_pass_equals_fixpoint(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.operators import merge_staypoints
+
+    rng = random.Random(20260813)
+    sp_rows, tpl_rows, expected = [], [], {}
+    sid = 0
+    for scenario in range(40):
+        user = scenario
+        t = 0
+        sps, tpls = [], []
+        for _ in range(rng.randint(2, 15)):
+            t += rng.randint(1, 25) * 60
+            dur = rng.randint(5, 30) * 60
+            loc = rng.choice([None, 1, 1, 1, 2])  # bias towards chains
+            sps.append((sid, t, t + dur, loc))
+            if rng.random() < 0.25:
+                tpls.append(t + dur + rng.randint(0, 10) * 60)
+            sid += 1
+            t += dur
+        expected[user] = naive_merge_fixpoint(sps, tpls, gap_s=600.0)
+        sp_rows += [(i, user, s, e, loc) for (i, s, e, loc) in sps]
+        tpl_rows += [(user, ts) for ts in tpls]
+
+    sp = spark.createDataFrame(
+        sp_rows, "id long, user_id long, s long, e long, location_id long"
+    ).select(
+        "id", "user_id",
+        F.timestamp_seconds(F.col("s") + 1700000000).alias("started_at"),
+        F.timestamp_seconds(F.col("e") + 1700000000).alias("finished_at"),
+        "location_id",
+        F.struct(F.lit(8.5).alias("lon"), F.lit(47.4).alias("lat")).alias("geom"),
+    )
+    tpl = spark.createDataFrame(tpl_rows or [(0, 0)], "user_id long, s long").select(
+        "user_id", F.timestamp_seconds(F.col("s") + 1700000000).alias("started_at")
+    )
+    if not tpl_rows:
+        tpl = tpl.filter(F.lit(False))
+
+    got_rows = merge_staypoints(sp, tpl, max_time_gap=10.0).collect()
+    got: dict[int, set] = {}
+    for r in got_rows:
+        got.setdefault(r.user_id, set()).add(
+            (
+                r.id,
+                int(r.started_at.timestamp()) - 1700000000,
+                int(r.finished_at.timestamp()) - 1700000000,
+                r.location_id,
+            )
+        )
+    assert got == expected
