@@ -217,3 +217,18 @@ def test_tracking_quality_bad_granularity(spark):
     sp = _mk_sp(spark, [(0, 1, 0, 30, 8.5, 47.4)])
     with pytest.raises(ValueError, match="granularity unknown"):
         temporal_tracking_quality(sp, "year")
+
+
+def test_predict_transport_mode_reference_fixture(spark):
+    """Reference tests/analysis/test_label.py expects slow/motorized/fast
+    for the first three rows of its checked-in fixture."""
+    from trackintel_spark.analysis import predict_transport_mode
+    from trackintel_spark.sources import read_triplegs_csv
+
+    tpls = read_triplegs_csv(
+        spark, "/root/reference/tests/data/triplegs_transport_mode_identification.csv", sep=";"
+    )
+    got = {r.id: r.mode for r in predict_transport_mode(tpls).collect()}
+    assert got[0] == "slow_mobility"
+    assert got[1] == "motorized_mobility"
+    assert got[2] == "fast_mobility"
