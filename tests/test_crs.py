@@ -112,3 +112,32 @@ def test_distance_matrix_euclidean_on_projected(spark):
     assert set(hav) == set(eu)
     for k in hav:
         assert abs(hav[k] - eu[k]) / hav[k] < 2e-3
+
+
+def test_spatial_filter_tsinghua_arcgis_golden(spark):
+    """Reference geogr/test_filter.py: 13 geolife staypoints fall within
+    the Tsinghua campus polygon (ArcGIS-verified). The polygon ships in
+    EPSG:32649 (UTM 49N) — reproject the staypoints with the engine's
+    UTM transform and filter in projected space, like the reference's
+    re_project=True path."""
+    import json
+
+    from trackintel_spark.geogr import spatial_filter
+    from trackintel_spark.sources import read_staypoints_csv
+
+    sp = read_staypoints_csv(
+        spark, "/root/reference/tests/data/geolife/geolife_staypoints.csv", sep=","
+    )
+    sp_utm = transform_points(sp, 4326, 32649)
+
+    ring = json.load(open("/root/reference/tests/data/area/tsinghua.geojson"))[
+        "features"
+    ][0]["geometry"]["coordinates"][0]
+    areas = spark.createDataFrame(
+        [(0, [(float(x), float(y)) for x, y in ring])],
+        "area_id long, polygon array<struct<lon double, lat double>>",
+    )
+    within = spatial_filter(sp_utm, areas, method="within")
+    assert within.count() == 13
+    intersects = spatial_filter(sp_utm, areas, method="intersects")
+    assert intersects.count() == 13  # points: within == intersects

@@ -26,8 +26,18 @@ def _rename(df: DataFrame, columns: dict[str, str] | None) -> DataFrame:
     return df
 
 
+_ID_COLS = ("id", "user_id", "staypoint_id", "tripleg_id", "trip_id", "location_id",
+            "prev_trip_id", "next_trip_id")
+
+
 def _read(spark: SparkSession, path: str, sep: str) -> DataFrame:
-    return spark.read.csv(path, header=True, sep=sep, inferSchema=True)
+    df = spark.read.csv(path, header=True, sep=sep, inferSchema=True)
+    # pandas-written CSVs render nullable int ids as floats ("0.0") — the
+    # reference readers tolerate that, so coerce numeric id columns back
+    for c in _ID_COLS:
+        if c in df.columns and dict(df.dtypes)[c] == "double":
+            df = df.withColumn(c, F.col(c).cast("long"))
+    return df
 
 
 def _ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
