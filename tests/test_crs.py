@@ -141,3 +141,28 @@ def test_spatial_filter_tsinghua_arcgis_golden(spark):
     assert within.count() == 13
     intersects = spatial_filter(sp_utm, areas, method="intersects")
     assert intersects.count() == 13  # points: within == intersects
+
+
+def test_spatial_filter_triplegs_arcgis_golden(spark):
+    """Reference geogr/test_filter.py tripleg goldens (ArcGIS-verified):
+    within=9, intersects=20, crosses=intersects-within=11 — exercising
+    linestring reprojection + the segment-crossing predicates."""
+    import json
+
+    from trackintel_spark.geogr import spatial_filter
+    from trackintel_spark.sources import read_triplegs_csv
+
+    tpls = read_triplegs_csv(
+        spark, "/root/reference/tests/data/geolife/geolife_triplegs.csv", sep=","
+    )
+    tpls_utm = transform_points(tpls, 4326, 32649)
+    ring = json.load(open("/root/reference/tests/data/area/tsinghua.geojson"))[
+        "features"
+    ][0]["geometry"]["coordinates"][0]
+    areas = spark.createDataFrame(
+        [(0, [(float(x), float(y)) for x, y in ring])],
+        "area_id long, polygon array<struct<lon double, lat double>>",
+    )
+    assert spatial_filter(tpls_utm, areas, method="within").count() == 9
+    assert spatial_filter(tpls_utm, areas, method="intersects").count() == 20
+    assert spatial_filter(tpls_utm, areas, method="crosses").count() == 11

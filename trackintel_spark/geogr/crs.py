@@ -231,8 +231,21 @@ def transform_points(
     for g in geom_cols:
         if g not in out.columns:
             continue
-        nx, ny = transform_xy(F.col(g)["lon"], F.col(g)["lat"], src_epsg, dst_epsg)
-        out = out.withColumn(g, F.struct(nx.alias("lon"), ny.alias("lat")))
+        if dict(out.dtypes)[g].startswith("array"):
+            # linestring: per-vertex transform inside the array
+            out = out.withColumn(
+                g,
+                F.transform(
+                    F.col(g),
+                    lambda p: F.struct(
+                        transform_xy(p["lon"], p["lat"], src_epsg, dst_epsg)[0].alias("lon"),
+                        transform_xy(p["lon"], p["lat"], src_epsg, dst_epsg)[1].alias("lat"),
+                    ),
+                ),
+            )
+        else:
+            nx, ny = transform_xy(F.col(g)["lon"], F.col(g)["lat"], src_epsg, dst_epsg)
+            out = out.withColumn(g, F.struct(nx.alias("lon"), ny.alias("lat")))
     return out
 
 
