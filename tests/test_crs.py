@@ -166,3 +166,34 @@ def test_spatial_filter_triplegs_arcgis_golden(spark):
     assert spatial_filter(tpls_utm, areas, method="within").count() == 9
     assert spatial_filter(tpls_utm, areas, method="intersects").count() == 20
     assert spatial_filter(tpls_utm, areas, method="crosses").count() == 11
+
+
+def test_spatial_filter_locations_arcgis_golden(spark):
+    """Reference chain: geolife staypoints -> generate_locations(eps=10,
+    num_samples=1, dataset-level) -> filter location centers by the
+    Tsinghua polygon. ArcGIS-verified: 12 within; intersects == within."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.geogr import spatial_filter
+    from trackintel_spark.operators import generate_locations
+    from trackintel_spark.sources import read_staypoints_csv
+
+    sp = read_staypoints_csv(
+        spark, "/root/reference/tests/data/geolife/geolife_staypoints.csv", sep=","
+    )
+    _, locs = generate_locations(
+        sp, method="dbscan", epsilon=10, num_samples=1, agg_level="dataset"
+    )
+    pts = locs.select("id", F.col("center").alias("geom"))
+    pts_utm = transform_points(pts, 4326, 32649)
+    ring = json.load(open("/root/reference/tests/data/area/tsinghua.geojson"))[
+        "features"
+    ][0]["geometry"]["coordinates"][0]
+    areas = spark.createDataFrame(
+        [(0, [(float(x), float(y)) for x, y in ring])],
+        "area_id long, polygon array<struct<lon double, lat double>>",
+    )
+    assert spatial_filter(pts_utm, areas, method="within").count() == 12
+    assert spatial_filter(pts_utm, areas, method="intersects").count() == 12

@@ -142,6 +142,8 @@ def generate_locations(
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster staypoints; returns (sp+location_id, locations)."""
     validate(sp, "staypoints")
+    if "location_id" in sp.columns:  # overwritten, like the reference (:199)
+        sp = sp.drop("location_id")
     if agg_level not in ("user", "dataset"):
         raise ValueError(f"agg_level '{agg_level}' is unknown. Supported values are ['user', 'dataset'].")
     if method != "dbscan":
