@@ -232,3 +232,41 @@ def test_predict_transport_mode_reference_fixture(spark):
     assert got[0] == "slow_mobility"
     assert got[1] == "motorized_mobility"
     assert got[2] == "fast_mobility"
+
+
+def test_radius_gyration_planar_reference_values(spark):
+    """Reference analysis/test_metrics.py closed-form expectations for
+    planar (projected) coordinates: user 0 -> sqrt(12), user 1 (with a
+    zero-duration staypoint) -> sqrt(2*(8+16)/3) count / 0 duration."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.analysis import radius_gyration
+    from trackintel_spark.analysis.metrics import jump_length
+
+    rows = [
+        (1, 0, 0, 1, 0.0, 9.0),
+        (2, 0, 1, 3, 3.0, 12.0),
+        (3, 0, 3, 4, 6.0, 15.0),
+        (4, 1, 0, 1, 0.0, 9.0),
+        (7, 1, 1, 2, 0.0, 9.0),
+        (8, 1, 2, 2, 6.0, 15.0),
+    ]
+    sp = spark.createDataFrame(rows, "id long, user_id long, s long, e long, lon double, lat double").select(
+        "id", "user_id",
+        F.timestamp_seconds(F.col("s") * 3600).alias("started_at"),
+        F.timestamp_seconds(F.col("e") * 3600).alias("finished_at"),
+        F.struct("lon", "lat").alias("geom"),
+    )
+    cnt = {r.user_id: r.radius_gyration for r in radius_gyration(sp, "count", metric="euclidean").collect()}
+    assert abs(cnt[0] - math.sqrt(4 * 9 / 3)) < 1e-9
+    assert abs(cnt[1] - math.sqrt(2 * (8 + 16) / 3)) < 1e-9
+    dur = {r.user_id: r.radius_gyration for r in radius_gyration(sp, "duration", metric="euclidean").collect()}
+    assert abs(dur[0] - math.sqrt(9)) < 1e-9
+    assert dur[1] == 0.0  # zero-duration staypoint carries no weight
+
+    jl = {r.id: r.jump_length for r in jump_length(sp, metric="euclidean").collect()}
+    assert abs(jl[1] - math.sqrt(18)) < 1e-9 and abs(jl[2] - math.sqrt(18)) < 1e-9
+    assert jl[3] is None
+    assert jl[4] == 0.0 and abs(jl[7] - math.sqrt(72)) < 1e-9 and jl[8] is None

@@ -8,11 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from trackintel_spark.functions.spatial import haversine_m, haversine_point
+from trackintel_spark.functions.spatial import euclidean_m, haversine_m, haversine_point
 from trackintel_spark.model.schemas import validate
 
 
-def radius_gyration(sp: DataFrame, method: str = "count") -> DataFrame:
+def radius_gyration(sp: DataFrame, method: str = "count", metric: str = "haversine") -> DataFrame:
     """Per-user radius of gyration (Gonzalez et al. 2008).
 
     Reference: analysis/metrics.py:8-79 — weighted (count|duration)
@@ -24,6 +24,8 @@ def radius_gyration(sp: DataFrame, method: str = "count") -> DataFrame:
     """
     if method not in ("count", "duration"):
         raise ValueError(f'Method unknown. Should be one of {{"count", "duration"}}. You passed "{method}"')
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"metric must be 'haversine' or 'euclidean', got {metric!r}")
     validate(sp, "staypoints")
 
     w = (
@@ -39,15 +41,25 @@ def radius_gyration(sp: DataFrame, method: str = "count") -> DataFrame:
         F.try_divide(F.sum(F.col("w") * F.col("y")), F.sum("w")).alias("__cy"),
     )
     joined = weighted.join(F.broadcast(centers), on="user_id")
-    sq = F.pow(haversine_m(F.col("x"), F.col("y"), F.col("__cx"), F.col("__cy")), 2)
+    dist_fn = haversine_m if metric == "haversine" else euclidean_m
+    sq = F.pow(dist_fn(F.col("x"), F.col("y"), F.col("__cx"), F.col("__cy")), 2)
     return joined.groupBy("user_id").agg(
         F.sqrt(F.try_divide(F.sum(sq * F.col("w")), F.sum("w"))).alias("radius_gyration")
     )
 
 
-def jump_length(sp: DataFrame) -> DataFrame:
+def jump_length(sp: DataFrame, metric: str = "haversine") -> DataFrame:
     """Distance to the user's next staypoint; the user's last staypoint
-    gets NULL (reference analysis/metrics.py:82-128)."""
+    gets NULL (reference analysis/metrics.py:82-128). ``metric``:
+    'haversine' for WGS84, 'euclidean' for projected coordinates (the
+    check_gdf_planar switch, like the reference's planar branch)."""
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"metric must be 'haversine' or 'euclidean', got {metric!r}")
     validate(sp, "staypoints")
     w = Window.partitionBy("user_id").orderBy("started_at", "id")
-    return sp.withColumn("jump_length", haversine_point(F.col("geom"), F.lead("geom").over(w)))
+    nxt = F.lead("geom").over(w)
+    if metric == "haversine":
+        d = haversine_point(F.col("geom"), nxt)
+    else:
+        d = euclidean_m(F.col("geom")["lon"], F.col("geom")["lat"], nxt["lon"], nxt["lat"])
+    return sp.withColumn("jump_length", d)
