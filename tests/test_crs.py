@@ -197,3 +197,14 @@ def test_spatial_filter_locations_arcgis_golden(spark):
     )
     assert spatial_filter(pts_utm, areas, method="within").count() == 12
     assert spatial_filter(pts_utm, areas, method="intersects").count() == 12
+
+
+def test_spatial_filter_points_never_cross(spark):
+    pts = _pts(spark, EUROPE)
+    areas = spark.createDataFrame(
+        [(0, [(0.0, 40.0), (20.0, 40.0), (20.0, 55.0), (0.0, 55.0)])],
+        "area_id long, polygon array<struct<lon double, lat double>>",
+    )
+    from trackintel_spark.geogr import spatial_filter
+
+    assert spatial_filter(pts, areas, method="crosses").count() == 0

@@ -115,9 +115,12 @@ def spatial_filter(
     ``areas``: DataFrame with column ``polygon: array<struct<lon,lat>>``.
     """
     is_line = dict(source.dtypes)[geom_col].startswith("array")
-    allowed = ("within", "intersects", "crosses") if is_line else ("within", "intersects")
-    if method not in allowed:
-        raise ValueError(f"method unknown, one of {allowed}, got {method!r}")
+    if method not in ("within", "intersects", "crosses"):
+        raise ValueError(f"method unknown, one of ('within','intersects','crosses'), got {method!r}")
+    if method == "crosses" and not is_line:
+        # a point never crosses a polygon (reference: shapely crosses on
+        # points yields an empty result, geogr/test_filter.py:45)
+        return source.filter(F.lit(False))
 
     g = F.col(geom_col)
     ar = areas.select(
