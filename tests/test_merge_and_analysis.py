@@ -270,3 +270,42 @@ def test_radius_gyration_planar_reference_values(spark):
     assert abs(jl[1] - math.sqrt(18)) < 1e-9 and abs(jl[2] - math.sqrt(18)) < 1e-9
     assert jl[3] is None
     assert jl[4] == 0.0 and abs(jl[7] - math.sqrt(72)) < 1e-9 and jl[8] is None
+
+
+def test_modal_split_daily_weekly_reference_expectations(spark):
+    """Reference analysis/test_modal_split.py daily + anchored-week
+    (W-MON) expectations: weekly bins label with the NEXT Monday."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.analysis import calculate_modal_split
+
+    rows = [
+        (0, 0, "1970-01-01 00:00:00", "car"),
+        (1, 0, "1970-01-01 02:00:00", "bike"),
+        (2, 0, "1970-01-02 02:00:00", "walk"),
+        (3, 0, "1970-01-08 02:00:00", "walk"),
+        (4, 1, "1970-01-01 03:00:00", "walk"),
+        (5, 1, "1970-01-01 05:00:00", "walk"),
+    ]
+    tpls = spark.createDataFrame(rows, "id long, user_id long, s string, mode string").select(
+        "id", "user_id", F.to_timestamp("s").alias("started_at"),
+        (F.to_timestamp("s") + F.expr("INTERVAL 30 MINUTE")).alias("finished_at"),
+        "mode",
+        F.array(F.struct(F.lit(8.5).alias("lon"), F.lit(47.4).alias("lat")),
+                F.struct(F.lit(8.6).alias("lon"), F.lit(47.5).alias("lat"))).alias("geom"),
+    )
+    daily = {(r.user_id, r.timestamp): r.asDict() for r in
+             calculate_modal_split(tpls, metric="count", freq="D", per_user=True).collect()}
+    d1, d2, d8 = datetime(1970, 1, 1), datetime(1970, 1, 2), datetime(1970, 1, 8)
+    assert daily[(0, d1)]["bike"] == 1 and daily[(0, d1)]["car"] == 1
+    assert daily[(0, d2)]["walk"] == 1 and daily[(0, d8)]["walk"] == 1
+    assert daily[(1, d1)]["walk"] == 2
+
+    weekly = {(r.user_id, r.timestamp): r.asDict() for r in
+              calculate_modal_split(tpls, metric="count", freq="W-MON", per_user=True).collect()}
+    w1, w2 = datetime(1970, 1, 5), datetime(1970, 1, 12)
+    assert weekly[(0, w1)]["bike"] == 1 and weekly[(0, w1)]["car"] == 1 and weekly[(0, w1)]["walk"] == 1
+    assert weekly[(0, w2)]["walk"] == 1
+    assert weekly[(1, w1)]["walk"] == 2
