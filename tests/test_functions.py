@@ -1,5 +1,6 @@
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from trackintel_spark.functions import (
@@ -73,3 +74,41 @@ def test_temp_overlap_ratio(spark):
         temp_overlap_ratio(F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2")).alias("r")
     ).collect()
     assert abs(got.r - 0.5) < 1e-12
+
+
+def test_get_speed_triplegs_pfs_mean_speed(spark):
+    """Reference geogr/distances.py:319-374: mean of member-pf speeds,
+    skipping each leg's first pf (its speed has no in-leg predecessor)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.geogr import get_speed_triplegs
+    from trackintel_spark.functions.spatial import haversine_m as _h
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    # leg 0: three pfs, 60 s apart, 0.001 deg lat steps
+    pfs_rows = [
+        (0, 1, t0, 8.5, 47.400, 0),
+        (1, 1, t0 + timedelta(seconds=60), 8.5, 47.401, 0),
+        (2, 1, t0 + timedelta(seconds=120), 8.5, 47.403, 0),
+        (3, 1, t0 + timedelta(seconds=300), 8.5, 47.500, None),  # not in a leg
+    ]
+    pfs = spark.createDataFrame(
+        [(i, u, ts, lon, lat, tl) for i, u, ts, lon, lat, tl in pfs_rows],
+        "id long, user_id long, tracked_at timestamp, lon double, lat double, tripleg_id long",
+    ).select("id", "user_id", "tracked_at", F.struct("lon", "lat").alias("geom"), "tripleg_id")
+    tpls = spark.createDataFrame(
+        [(0, 1, t0, t0 + timedelta(seconds=120), [(8.5, 47.400), (8.5, 47.401), (8.5, 47.403)])],
+        "id long, user_id long, started_at timestamp, finished_at timestamp, geom array<struct<lon double, lat double>>",
+    )
+    out = get_speed_triplegs(tpls, pfs, method="pfs_mean_speed").collect()
+    assert len(out) == 1
+    # expected: mean of the two successor-pf speeds (first pf skipped)
+    d1 = 0.001 * 111194.92664455873  # haversine over pure-lat 0.001 deg
+    d2 = 0.002 * 111194.92664455873
+    expected = (d1 / 60 + d2 / 60) / 2
+    assert abs(out[0].speed - expected) / expected < 1e-3
+
+    with pytest.raises(ValueError, match="requires positionfixes"):
+        get_speed_triplegs(tpls, method="pfs_mean_speed")
