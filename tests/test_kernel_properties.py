@@ -277,3 +277,83 @@ def test_merge_staypoints_single_pass_equals_fixpoint(spark):
             )
         )
     assert got == expected
+
+
+# --- tour scan, geometry (max_dist) mode --------------------------------------
+
+def naive_tours_geometry(trips, max_dist, max_time_s, max_nr_gaps):
+    """trips: (start_s, end_s, o_lon, o_lat, d_lon, d_lat); endpoints
+    chain/close when within max_dist meters (reference _check_max_dist)."""
+    GAP = -1
+    cand: list[int] = []
+    out = []
+    for i, t in enumerate(trips):
+        si, ei = t[0], t[1]
+        if cand:
+            p = trips[cand[-1]]
+            chained = _hav(p[4], p[5], t[2], t[3]) <= max_dist
+            if not chained:
+                if max_nr_gaps == 0:
+                    cand = [i]
+                    continue
+                cand.append(GAP)
+        cand.append(i)
+        new_start = 0
+        gaps = 0
+        for j, c in enumerate(reversed(cand)):
+            if c == GAP:
+                gaps += 1
+                if gaps > max_nr_gaps:
+                    new_start = j + 1
+                    break
+                continue
+            if ei - trips[c][0] > max_time_s:
+                new_start = len(cand) - j - 1
+                break
+            if _hav(trips[c][2], trips[c][3], t[4], t[5]) <= max_dist:
+                members = [m for m in cand[-j - 1:] if m != GAP]
+                out.append((members[0], members[-1], members))
+                break
+        cand = cand[new_start:]
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=120),  # gap to next (min)
+            st.integers(min_value=5, max_value=60),   # duration (min)
+            st.integers(0, 3), st.integers(0, 2),     # origin grid cell
+            st.integers(0, 3), st.integers(0, 2),     # dest grid cell
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=1),
+)
+def test_tours_kernel_geometry_mode_matches_naive(steps, max_nr_gaps):
+    t = 0
+    rows = []
+    for i, (gap, dur, ox, oy, dx, dy) in enumerate(steps):
+        start = t + gap * 60
+        end = start + dur * 60
+        t = end
+        rows.append((i, start, end, 8.0 + ox * 0.01, 47.0 + oy * 0.01, 8.0 + dx * 0.01, 47.0 + dy * 0.01))
+    pdf = pd.DataFrame(rows, columns=["id", "s", "e", "o_lon", "o_lat", "d_lon", "d_lat"])
+    pdf["user_id"] = 5
+    pdf["started_at"] = pd.to_datetime(pdf["s"], unit="s")
+    pdf["finished_at"] = pd.to_datetime(pdf["e"], unit="s")
+    pdf["origin_staypoint_id"] = pdf["id"] * 2
+    pdf["destination_staypoint_id"] = pdf["id"] * 2 + 1
+
+    got = _tours_kernel(
+        pdf, use_locations=False, max_dist=200.0, max_time_s=5 * 3600.0, max_nr_gaps=max_nr_gaps
+    )
+    trips = [(r.s, r.e, r.o_lon, r.o_lat, r.d_lon, r.d_lat) for r in pdf.itertuples()]
+    exp = naive_tours_geometry(trips, 200.0, 5 * 3600.0, max_nr_gaps)
+    assert len(got) == len(exp)
+    for (_, row), (first, last, members) in zip(got.iterrows(), exp):
+        assert row["started_at"] == pdf["started_at"].iloc[first]
+        assert row["finished_at"] == pdf["finished_at"].iloc[last]
+        assert row["trips"] == members
