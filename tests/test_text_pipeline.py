@@ -1,0 +1,137 @@
+"""Decontamination + Gopher-style repetition signals.
+
+Repetition thresholds follow Rae et al. 2021 (Gopher), appendix A1.1;
+decontamination follows the n-gram-overlap hygiene pass of GPT-3's
+appendix C. Both are verified against hand-computed expectations.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.scale import decontaminate, ngram_overlap, repetition_signals
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "completely novel content with no overlap whatsoever in any window"),
+            (2, "the quick brown fox appears here too but with different continuation"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    return spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over the fence")],
+        "doc_id long, text string",
+    )
+
+
+def test_ngram_overlap_counts(spark, corpus, bench_set):
+    # shared 4-grams with doc 0: "the quick brown fox",
+    # "quick brown fox jumps", "brown fox jumps over",
+    # "fox jumps over the"; doc 2 shares only the first; doc 1 none.
+    out = {r.doc_id: r for r in ngram_overlap(corpus, bench_set, n=4).collect()}
+    assert set(out) == {0, 2}
+    assert out[0].matched_shingles == 4
+    assert out[2].matched_shingles == 1
+    # doc 0 has 13 tokens -> 10 distinct 4-grams
+    assert out[0].n_shingles == 10
+    assert out[0].overlap_frac == pytest.approx(0.4)
+
+
+def test_decontaminate_drop_and_audit(spark, corpus, bench_set):
+    clean = decontaminate(corpus, bench_set, n=4)
+    assert [r.doc_id for r in clean.collect()] == [1]
+    assert clean.columns == corpus.columns  # original schema preserved
+
+    audit = decontaminate(corpus, bench_set, n=4, keep_contaminated=True)
+    rows = {r.doc_id: r for r in audit.collect()}
+    assert rows[1].contaminated is False and rows[1].matched_shingles == 0
+    assert rows[0].contaminated is True and rows[0].overlap_frac > 0
+
+    # higher threshold keeps the single-ngram doc
+    loose = decontaminate(corpus, bench_set, n=4, min_matches=2)
+    assert sorted(r.doc_id for r in loose.collect()) == [1, 2]
+
+
+def test_decontaminate_shared_ngram_repeated_in_doc(spark, bench_set):
+    # a corpus doc repeating one contaminated n-gram counts it once per
+    # DISTINCT shingle (shingles() dedups), not once per occurrence
+    corpus = spark.createDataFrame(
+        [(7, "the quick brown fox stop the quick brown fox stop")],
+        "doc_id long, text string",
+    )
+    out = ngram_overlap(corpus, bench_set, n=4).collect()
+    assert len(out) == 1
+    assert out[0].matched_shingles == 1
+
+
+def test_repetition_signals_clean_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta\nepsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    r = repetition_signals(df).collect()[0]
+    assert r.dup_line_frac == 0.0
+    assert r.dup_line_char_frac == 0.0
+    assert r.dup_para_frac == 0.0
+    assert r.top_2gram_char_frac > 0  # some 2-gram is "most frequent"
+    assert r.dup_5gram_char_frac == 0.0
+
+
+def test_repetition_signals_duplicate_lines(spark):
+    text = "spam line\nspam line\nspam line\nunique content here"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    # 4 lines, 2 distinct -> dup fraction (4-2)/4
+    assert r.dup_line_frac == pytest.approx(0.5)
+    # chars in duplicated lines: 3 * len("spam line") = 27 over total chars
+    assert r.dup_line_char_frac == pytest.approx(27 / len(text))
+
+
+def test_repetition_signals_duplicate_paragraphs(spark):
+    text = "para one body\n\npara one body\n\nfresh paragraph"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    assert r.dup_para_frac == pytest.approx(1 / 3)
+    assert r.dup_para_char_frac == pytest.approx(2 * 13 / len(text))
+
+
+def test_repetition_signals_top_ngram(spark):
+    # "ab cd" appears 3 times as a 2-gram; text length 17
+    text = "ab cd ab cd ab cd"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    # 2-grams: [ab cd, cd ab, ab cd, cd ab, ab cd] -> top run "ab cd" x3
+    assert r.top_2gram_char_frac == pytest.approx(3 * 5 / 17)
+    # every 5-gram is unique (only one 5-gram exists)
+    assert r.dup_5gram_char_frac == 0.0
+
+
+def test_repetition_signals_dup_ngrams(spark):
+    # the 5-gram "a b c d e" occurs twice (positions 0 and 5)
+    text = "a b c d e a b c d e"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    # 5-grams: positions 0..5 -> 6 grams; "a b c d e" twice (2*9 chars),
+    # the other four are distinct
+    assert r.dup_5gram_char_frac == pytest.approx(2 * 9 / 19)
+
+
+def test_repetition_signals_empty_and_null_safe(spark):
+    df = spark.createDataFrame([(0, ""), (1, "one")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    for c in ("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+              "dup_5gram_char_frac", "dup_10gram_char_frac"):
+        assert rows[0][c] == 0.0
+    assert rows[1].dup_line_frac == 0.0
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, corpus, bench_set):
+    plan = decontaminate(corpus, bench_set, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan

@@ -7,6 +7,7 @@ from trackintel_spark.scale.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from trackintel_spark.scale.decontaminate import decontaminate, ngram_overlap
 from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
 from trackintel_spark.scale.similarity import cosine_topk_bruteforce, ivf_topk, lsh_bucketed_topk
 from trackintel_spark.scale.text import (
@@ -15,6 +16,7 @@ from trackintel_spark.scale.text import (
     normalize_text,
     quality_score,
     redact_pii,
+    repetition_signals,
     token_count,
 )
 
@@ -37,4 +39,7 @@ __all__ = [
     "document_fingerprint",
     "redact_pii",
     "normalize_text",
+    "repetition_signals",
+    "decontaminate",
+    "ngram_overlap",
 ]

@@ -151,6 +151,134 @@ def redact_pii(
     return df.withColumn(out_col or text_col, out).withColumn(count_col, n.cast("int"))
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup.shingles, which
+    dedups) — built from n-1 shifted copies zipped with concat, so it
+    stays O(tokens) per document. concat yields NULL past the end;
+    trailing partials drop in the filter."""
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
+def _dup_char_frac(arr: Column, total_chars: Column) -> Column:
+    """Fraction of ``total_chars`` covered by elements of ``arr`` that
+    occur more than once. One sorted-array scan per row via
+    ``aggregate`` (run-length over equal neighbours) — no explode, no
+    shuffle, no UDF."""
+    s = F.array_sort(arr)
+    state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    closed = lambda acc: F.when(  # noqa: E731  chars of the run being closed
+        acc["run"] > 1, acc["run"] * F.length(acc["prev"])
+    ).otherwise(F.lit(0).cast("long"))
+    agg = F.aggregate(
+        s,
+        state,
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(acc["prev"].alias("prev"), (acc["run"] + 1).alias("run"), acc["dup"].alias("dup")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"), (acc["dup"] + closed(acc)).alias("dup"))
+        ),
+        lambda acc: acc["dup"] + closed(acc),
+    )
+    return F.when(total_chars > 0, agg.cast("double") / total_chars).otherwise(F.lit(0.0))
+
+
+def _top_run_char_frac(arr: Column, total_chars: Column) -> Column:
+    """Fraction of ``total_chars`` covered by the MOST FREQUENT element
+    of ``arr`` (count × its length). Same sorted-scan shape as
+    :func:`_dup_char_frac`."""
+    s = F.array_sort(arr)
+    state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"), F.lit(0).cast("long").alias("best_chars"),
+    )
+
+    def merge(acc, x):
+        extend = F.struct(
+            acc["prev"].alias("prev"), (acc["run"] + 1).alias("run"),
+            acc["best_run"].alias("best_run"), acc["best_chars"].alias("best_chars"),
+        )
+        better = acc["run"] > acc["best_run"]
+        reset = F.struct(
+            x.alias("prev"), F.lit(1).cast("long").alias("run"),
+            F.when(better, acc["run"]).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, acc["run"] * F.length(acc["prev"])).otherwise(acc["best_chars"]).alias("best_chars"),
+        )
+        return F.when(x == acc["prev"], extend).otherwise(reset)
+
+    agg = F.aggregate(
+        s,
+        state,
+        merge,
+        lambda acc: F.when(
+            acc["run"] > acc["best_run"], acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["best_chars"]),
+    )
+    return F.when(total_chars > 0, agg.cast("double") / total_chars).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ngram_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs occurring more than once;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      characters inside those duplicated lines / paragraphs;
+    - ``top_{n}gram_char_frac`` — characters covered by the single most
+      frequent word n-gram (n = 2..4 in the paper);
+    - ``dup_{n}gram_char_frac`` — characters covered by word n-grams
+      occurring more than once (n = 5..10 in the paper).
+
+    Every signal is one sorted-array scan inside a row — pure
+    expressions, no explode/shuffle/UDF — so the pass is a single
+    projection over the corpus scan at any scale. Denominator is the
+    (trimmed) document character count.
+    """
+    t = F.col(text_col)
+    total_chars = F.length(t)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), F.trim), lambda x: x != ""
+    )
+    paras = F.filter(
+        F.transform(F.split(t, r"\n{2,}"), F.trim), lambda x: x != ""
+    )
+    toks = tokens(t)
+
+    def dup_elem_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(arr))).cast("double") / n
+        ).otherwise(F.lit(0.0))
+
+    out = (
+        df.withColumn("dup_line_frac", dup_elem_frac(lines))
+        .withColumn("dup_line_char_frac", _dup_char_frac(lines, total_chars))
+        .withColumn("dup_para_frac", dup_elem_frac(paras))
+        .withColumn("dup_para_char_frac", _dup_char_frac(paras, total_chars))
+    )
+    for n in top_ngram_ns:
+        out = out.withColumn(
+            f"top_{n}gram_char_frac", _top_run_char_frac(_word_ngrams(toks, n), total_chars)
+        )
+    for n in dup_ngram_ns:
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac", _dup_char_frac(_word_ngrams(toks, n), total_chars)
+        )
+    return out
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",
