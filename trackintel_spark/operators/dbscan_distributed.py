@@ -1,21 +1,37 @@
 """Distributed dataset-level DBSCAN over point tables.
 
 SURVEY.md §4 item 3: the reference's ``agg_level='dataset'`` runs one
-global sklearn DBSCAN — centralized and O(n²). This is the scale path:
+global sklearn DBSCAN — centralized and O(n²). This is the scale path,
+a grid-contraction DBSCAN (the GriDBSCAN / MR-DBSCAN family):
 
-1. grid partition: each point hashes to an eps-sized cell; all
-   eps-neighbors of a point lie in its 3x3 cell neighborhood, so
-   neighbor search is an equi-join on cell ids (no cross join);
-2. core points: neighbor count >= min_samples (great-circle metric);
-3. cluster formation: connected components over the core-core
-   eps-graph via iterative min-label propagation (converges in
-   O(graph diameter) joins, each a shuffle on point id);
-4. border points: attach to the minimum-label core neighbor.
+1. grid partition with cells of size **eps/2**: any two points in the
+   same cell are within eps by construction (cell diagonal = eps/√2),
+   so same-cell neighbor counts come from the CELL SIZE — a dense blob
+   of n points in one cell costs n rows, never n² pairs;
+2. cross-cell neighbor candidates: each point probes the half of its
+   5×5 cell neighborhood that is lexicographically above its own cell
+   (12 offsets, found pairs are symmetrized — half the shuffle volume),
+   with a conservative per-axis distance prune before the shuffle;
+   exact great-circle check after the equi-join;
+3. core points: same-cell count + checked cross-cell matches
+   >= min_samples;
+4. cluster formation: all core points of one cell are mutually within
+   eps (a clique), so connectivity collapses to the **cell graph** —
+   one node per core-bearing cell, one edge per cell pair with a
+   core-core eps-match. Connected components (plans/graph.py, pointer
+   jumping) run on this contracted graph, which is orders of magnitude
+   smaller than the point eps-graph (a near-clique hotspot contributes
+   ONE node instead of n² edges);
+5. border points attach to the minimum-label core-bearing cell they
+   can reach (own cell, or a matched cross-cell core neighbor).
 
 Semantics match DBSCAN except cluster NUMBERING and the tie-break for
 border points reachable from multiple clusters (sklearn uses scan
 order; here the minimum label wins — deterministic, order-free).
-Labels are re-densified to 0..k-1 by (min member id) for stability.
+Labels are re-densified to 0..k-1 ordered by (min core member id) for
+stability. Cell indexing scales longitude by cos(lat); the factor-2
+margin of eps/2 cells absorbs the planar-vs-spherical distortion for
+any eps far below continental scale.
 """
 
 from __future__ import annotations
@@ -24,6 +40,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trackintel_spark.functions.spatial import haversine_m
+
+# the half neighborhood: offsets strictly above (0,0) in (dy, dx) order.
+# every unordered cross-cell pair within 2 cells is discovered exactly
+# once (Δ or -Δ lies in this half-space), then symmetrized.
+_HALF_OFFSETS = [
+    (dx, dy)
+    for dx in (-2, -1, 0, 1, 2)
+    for dy in (-2, -1, 0, 1, 2)
+    if (dy, dx) > (0, 0)
+]
 
 
 def dbscan_distributed(
@@ -36,70 +62,136 @@ def dbscan_distributed(
     max_iterations: int = 50,
 ) -> DataFrame:
     """Cluster (id, lon, lat) rows; returns (id, location_id) with NULL
-    for noise. Scales linearly with data volume for realistic densities
-    (cell occupancy bounded)."""
-    eps_lat_deg = epsilon_m / 111320.0
+    for noise. Linear in data volume: no step materializes point-pair
+    lists inside dense cells, and label propagation runs on the cell
+    graph, not the point graph."""
+    cell_deg = (epsilon_m / 2.0) / 111320.0  # eps/2 cells, see module doc
 
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.col(lon_col).cast("double").alias("lon"),
         F.col(lat_col).cast("double").alias("lat"),
     )
-    # eps-sized grid; lon cells scaled by cos(lat) so every eps-ball is
-    # covered by the 3x3 neighborhood
-    cell_lat = F.floor(F.col("lat") / eps_lat_deg)
-    cell_lon = F.floor(F.col("lon") * F.cos(F.radians(F.col("lat"))) / eps_lat_deg)
-    pts = pts.withColumn("cx", cell_lon.cast("long")).withColumn("cy", cell_lat.cast("long")).persist()
+    slon = F.col("lon") * F.cos(F.radians(F.col("lat")))  # scaled lon (degrees)
+    pts = (
+        pts.withColumn("__slon", slon)
+        .withColumn("cx", F.floor(F.col("__slon") / cell_deg).cast("long"))
+        .withColumn("cy", F.floor(F.col("lat") / cell_deg).cast("long"))
+        .persist()
+    )
 
-    # neighbor pairs: explode each point to its 9 candidate cells and
-    # equi-join on the cell — each true eps-pair appears exactly once
-    # per (probe cell == home cell of the other side)
+    # per-cell size and minimum pid: one row per occupied cell
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
+
+    # cross-cell candidates: probe the upper half neighborhood; prune a
+    # probe when a single axis already puts the probed cell out of reach
+    # (conservative: 1.05 margin over the planar axis distance, the
+    # exact haversine check decides after the join)
+    axis_m = 111320.0
+    reach = epsilon_m * 1.05
+    probes = []
+    for dx, dy in _HALF_OFFSETS:
+        tx, ty = F.col("cx") + dx, F.col("cy") + dy
+        # distance from the point to the probed cell's bounding box, per axis
+        ddx = F.greatest(tx * cell_deg - F.col("__slon"), F.col("__slon") - (tx + 1) * cell_deg, F.lit(0.0))
+        ddy = F.greatest(ty * cell_deg - F.col("lat"), F.col("lat") - (ty + 1) * cell_deg, F.lit(0.0))
+        keep = (ddx * axis_m <= reach) & (ddy * axis_m <= reach)
+        probes.append(F.when(keep, F.struct(tx.alias("cx"), ty.alias("cy"))))
     probe = pts.select(
         F.col("pid").alias("qid"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
-        F.explode(
-            F.array(*[F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
-                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-        ).alias("__c"),
-    ).select("qid", "qlon", "qlat", F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"))
+        F.col("cx").alias("qcx"),
+        F.col("cy").alias("qcy"),
+        F.explode(F.filter(F.array(*probes), lambda c: c.isNotNull())).alias("__c"),
+    ).select("qid", "qlon", "qlat", "qcx", "qcy", F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"))
 
-    pairs = probe.join(pts, on=["cx", "cy"], how="inner").filter(
+    half = probe.join(pts.drop("__slon"), on=["cx", "cy"], how="inner").filter(
         haversine_m(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")) <= epsilon_m
-    ).select(F.col("qid").alias("a"), F.col("pid").alias("b"))
-    pairs = pairs.persist()
-
-    counts = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("__n"))  # includes self
-    core = counts.filter(F.col("__n") >= min_samples).select(F.col("a").alias("pid"))
-    core = core.persist()
-
-    # core-core edges (symmetric)
-    core_edges = (
-        pairs.join(core.withColumnRenamed("pid", "a"), on="a")
-        .join(core.withColumnRenamed("pid", "b"), on="b")
-        .select("a", "b")
+    )
+    # symmetrize: (a, a_cell, b, b_cell) once per direction
+    cross = half.select(
+        F.col("qid").alias("a"), F.col("qcx").alias("acx"), F.col("qcy").alias("acy"),
+        F.col("pid").alias("b"), F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    ).unionByName(
+        half.select(
+            F.col("pid").alias("a"), F.col("cx").alias("acx"), F.col("cy").alias("acy"),
+            F.col("qid").alias("b"), F.col("qcx").alias("bcx"), F.col("qcy").alias("bcy"),
+        )
     ).persist()
 
-    # connected components over the core-core eps-graph (shared min-label
-    # propagation, plans/graph.py); isolated cores keep their own label
+    # neighbor count = own-cell size (incl. self) + checked cross
+    # matches. Joins on cell keys carry no broadcast hint: the cell
+    # table scales with the data, and AQE turns the join into a
+    # broadcast at runtime whenever it actually is small.
+    cross_n = cross.groupBy("a").agg(F.count(F.lit(1)).alias("__xn"))
+    flag = (
+        pts.join(cells, on=["cx", "cy"])
+        .join(cross_n.withColumnRenamed("a", "pid"), on="pid", how="left")
+        .select(
+            "pid", "cx", "cy",
+            ((F.col("__n") + F.coalesce("__xn", F.lit(0))) >= min_samples).alias("is_core"),
+        )
+        .persist()
+    )
+    core_pts = flag.filter(F.col("is_core"))
+
+    # cell graph: node = core-bearing cell, labeled by its min core pid
+    cell_node = core_pts.groupBy("cx", "cy").agg(F.min("pid").alias("node"))
+    crossf = (
+        cross.join(flag.select(F.col("pid").alias("a"), F.col("is_core").alias("a_core")), on="a")
+        .join(flag.select(F.col("pid").alias("b"), F.col("is_core").alias("b_core")), on="b")
+        .persist()
+    )
+    cc_edges = (
+        crossf.filter(F.col("a_core") & F.col("b_core"))
+        .groupBy("acx", "acy", "bcx", "bcy")
+        .agg(F.count(F.lit(1)).alias("__e"))
+        .join(
+            cell_node.select(F.col("cx").alias("acx"), F.col("cy").alias("acy"), F.col("node").alias("na")),
+            on=["acx", "acy"],
+        )
+        .join(
+            cell_node.select(F.col("cx").alias("bcx"), F.col("cy").alias("bcy"), F.col("node").alias("nb")),
+            on=["bcx", "bcy"],
+        )
+        .select("na", "nb")
+    )
+
     from trackintel_spark.plans.graph import connected_components
 
-    cc = connected_components(core_edges, "a", "b", max_iterations=max_iterations)
-    core_labels = (
-        core.join(cc, core["pid"] == cc["vertex"], how="left")
-        .select("pid", F.coalesce("component", F.col("pid")).alias("lbl"))
+    cc = connected_components(cc_edges, "na", "nb", max_iterations=max_iterations)
+    # component label per cell = min core pid of the component (the CC
+    # label already is the min node id = min per-cell min core pid)
+    cell_lbl = (
+        cell_node.join(cc, cell_node["node"] == cc["vertex"], how="left")
+        .select("cx", "cy", F.coalesce("component", F.col("node")).alias("lbl"))
     )
-    border = (
-        pairs.join(core_labels.withColumnRenamed("pid", "b").withColumnRenamed("lbl", "lbl_b"), on="b")
-        .join(core.withColumnRenamed("pid", "a"), on="a", how="left_anti")
-        .groupBy("a")
-        .agg(F.min("lbl_b").alias("lbl"))
-        .withColumnRenamed("a", "pid")
-    )
-    all_labels = core_labels.unionByName(border)
 
-    # densify labels 0..k-1 by min-member order; two-phase range-partitioned
-    # rank so a huge cluster count never funnels through one task
+    core_labeled = core_pts.join(cell_lbl, on=["cx", "cy"]).select("pid", "lbl")
+
+    # border points: not core, but within eps of a core — via their own
+    # cell (everything in a cell is within eps) or a matched cross pair
+    own_cell = (
+        flag.filter(~F.col("is_core"))
+        .join(cell_lbl, on=["cx", "cy"])  # inner: only core-bearing cells
+        .select("pid", "lbl")
+    )
+    via_cross = (
+        crossf.filter(~F.col("a_core") & F.col("b_core"))
+        .join(
+            cell_lbl.select(F.col("cx").alias("bcx"), F.col("cy").alias("bcy"), "lbl"),
+            on=["bcx", "bcy"],
+        )
+        .select(F.col("a").alias("pid"), "lbl")
+    )
+    border = own_cell.unionByName(via_cross).groupBy("pid").agg(F.min("lbl").alias("lbl"))
+
+    all_labels = core_labeled.unionByName(border)
+
+    # densify labels 0..k-1 by min-core-member order; two-phase
+    # range-partitioned rank so a huge cluster count never funnels
+    # through one task
     from trackintel_spark.plans.ids import dense_rank_ordered
 
     dense = dense_rank_ordered(all_labels.select("lbl"), "lbl", out_col="location_id")
