@@ -35,6 +35,12 @@ def connected_components(
 
     labels = sym.select(F.col("a").alias("vid")).distinct().withColumn("lbl", F.col("vid"))
     labels = labels.localCheckpoint()
+    # labels only ever decrease under min-propagation, so the label sum
+    # is strictly monotone: fixpoint iff the sum is unchanged. One agg
+    # action per round instead of a join + count. decimal(38) dodges
+    # overflow for any realistic (vid magnitude x vertex count).
+    _sum = lambda df: df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]  # noqa: E731
+    prev_sum = _sum(labels)
     for _ in range(max_iterations):
         prop = (
             sym.join(labels.withColumnRenamed("vid", "b").withColumnRenamed("lbl", "lbl_b"), on="b")
@@ -52,14 +58,10 @@ def connected_components(
             .select("vid", F.least(F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))).alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            updated.withColumnRenamed("lbl", "new")
-            .join(labels, on="vid")
-            .filter(F.col("new") != F.col("lbl"))
-            .count()
-        )
+        new_sum = _sum(updated)
         labels = updated
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select(F.col("vid").alias("vertex"), F.col("lbl").alias("component"))

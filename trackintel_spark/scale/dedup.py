@@ -189,20 +189,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity for document pairs.
 
-    Without ``candidates`` this self-joins all pairs (id_a < id_b) —
-    exact but quadratic; feed LSH candidates at scale.
+    With ``candidates`` (e.g. LSH output) only those pairs are scored.
+    Without, this is still NOT an all-pairs cross join: it runs the
+    standard exact set-similarity join — explode distinct shingles,
+    equi-join on the shingle (only pairs sharing at least one n-gram
+    survive, a lossless prefilter for any threshold > 0), count shared
+    shingles per pair, and derive Jaccard as inter/(|A|+|B|-inter)
+    with a |A|/|B| length-ratio prune inside the join (J >= t forces
+    min(|A|,|B|)/max(|A|,|B|) >= t). Hot shingles still fan out
+    (prefix filtering would bound that); pass LSH candidates when the
+    corpus has adversarial boilerplate.
+
+    ``threshold <= 0`` would require emitting disjoint pairs too and
+    falls back to the quadratic join — meaningless at scale on purpose.
     """
     sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
     if candidates is not None:
+        a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+        b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
         pairs = candidates.select("id_a", "id_b").join(a, on="id_a").join(b, on="id_b")
-    else:
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        union = F.size(F.array_union("__sa", "__sb"))
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+    if threshold <= 0:
+        a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+        b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("__sa", "__sb"))
-    union = F.size(F.array_union("__sa", "__sb"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        union = F.size(F.array_union("__sa", "__sb"))
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        return pairs.withColumn("jaccard", jac).select("id_a", "id_b", "jaccard")
+
+    sized = sh.withColumn("__n", F.size("__sh")).filter(F.col("__n") > 0)
+    ex = sized.select("__id", "__n", F.explode("__sh").alias("__s"))
+    ea = ex.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), F.col("__s"))
+    eb = ex.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), F.col("__s"))
+    joined = ea.join(eb, on="__s").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("__na").cast("double") >= threshold * F.col("__nb"))
+        & (F.col("__nb").cast("double") >= threshold * F.col("__na"))
+    )
+    counted = joined.groupBy("id_a", "id_b", "__na", "__nb").agg(F.count(F.lit(1)).alias("__i"))
+    jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return counted.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
 
