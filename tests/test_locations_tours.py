@@ -99,6 +99,36 @@ def test_dataset_agg_level_clusters_across_users(spark):
     assert locs_ds.count() == 2  # one (user, loc) row per user (:162-168)
 
 
+def test_dataset_distributed_matches_exact_partitions(spark):
+    # three users, two shared hotspots + one isolated noise-ish point;
+    # the distributed route must produce the same cluster PARTITIONS as
+    # the exact single-group kernel (numbering may differ)
+    rows, sid = [], 0
+    for u in (1, 2, 3):
+        for k in range(3):
+            rows.append((sid, u, sid * 40, sid * 40 + 10, 8.5 + k * 1e-5, 47.4)); sid += 1
+            rows.append((sid, u, sid * 40, sid * 40 + 10, 9.0 + k * 1e-5, 48.0)); sid += 1
+    rows.append((sid, 1, sid * 40, sid * 40 + 10, 12.0, 50.0)); sid += 1
+    sp = _mk_sp(spark, rows)
+
+    def partition(sp_o):
+        clusters = {}
+        for r in sp_o.collect():
+            if r.location_id is not None:
+                clusters.setdefault(r.location_id, set()).add(r.id)
+        return {frozenset(v) for v in clusters.values()}
+
+    exact_o, exact_locs = generate_locations(sp, epsilon=100, num_samples=2, agg_level="dataset")
+    dist_o, dist_locs = generate_locations(
+        sp, epsilon=100, num_samples=2, agg_level="dataset", distributed=True
+    )
+    assert partition(exact_o) == partition(dist_o)
+    # noise point is unclustered on both paths
+    noise_id = sid - 1
+    assert {r.id: r.location_id for r in dist_o.collect()}[noise_id] is None
+    assert dist_locs.count() == exact_locs.count()
+
+
 # -- tours --------------------------------------------------------------------
 
 

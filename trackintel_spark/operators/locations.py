@@ -139,8 +139,20 @@ def generate_locations(
     distance_metric: str = "haversine",
     agg_level: str = "user",
     activities_only: bool = False,
+    distributed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Cluster staypoints; returns (sp+location_id, locations)."""
+    """Cluster staypoints; returns (sp+location_id, locations).
+
+    ``distributed=True`` (dataset level only) routes the labeling
+    through :func:`dbscan_distributed` — the grid-contracted DBSCAN
+    that never centralizes a partition. Cluster PARTITIONS are
+    identical to the exact path; numbering and the multi-cluster
+    border tie-break follow dbscan_distributed's documented
+    deterministic rules (min member / min label) instead of the
+    reference's scan order. Use it when dataset-level clustering must
+    run at scale; the default single-group kernel is exact reference
+    parity for data sizes the reference itself can cluster.
+    """
     validate(sp, "staypoints")
     if "location_id" in sp.columns:  # overwritten, like the reference (:199)
         sp = sp.drop("location_id")
@@ -196,9 +208,22 @@ def generate_locations(
                 F.lit(None).cast("long")
             ),
         ).drop("__off")
+    elif distributed:
+        # dataset level at scale: grid-contracted distributed DBSCAN
+        # (operators/dbscan_distributed.py) — same cluster partitions,
+        # deterministic min-member numbering.
+        from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
+
+        lbl = dbscan_distributed(
+            pts_ordered.select("id", "lon", "lat"),
+            epsilon_m=epsilon,
+            min_samples=num_samples,
+        )
+        labeled = pts_ordered.select("id", "user_id").join(lbl, on="id", how="left")
     else:
         # dataset level: single-group kernel (exact parity; the reference
-        # is O(n^2) centralized here too). Scale path: generate_locations_grid.
+        # is O(n^2) centralized here too). Scale paths: distributed=True
+        # above, or generate_locations_grid.
         labeled = (
             pts_ordered.withColumn("__g", F.lit(1))
             .groupBy("__g")
