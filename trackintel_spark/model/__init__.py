@@ -1,3 +1,11 @@
+from trackintel_spark.model.accessors import (
+    Locations,
+    Positionfixes,
+    Staypoints,
+    Tours,
+    Triplegs,
+    Trips,
+)
 from trackintel_spark.model.schemas import (
     LINESTRING,
     POINT,
@@ -6,4 +14,16 @@ from trackintel_spark.model.schemas import (
     validate,
 )
 
-__all__ = ["POINT", "LINESTRING", "ENTITY_SCHEMAS", "entity_columns", "validate"]
+__all__ = [
+    "POINT",
+    "LINESTRING",
+    "ENTITY_SCHEMAS",
+    "entity_columns",
+    "validate",
+    "Positionfixes",
+    "Staypoints",
+    "Triplegs",
+    "Trips",
+    "Locations",
+    "Tours",
+]
