@@ -4,7 +4,9 @@ A from-scratch re-expression of the semantics of mie-lab/trackintel
 (eager pandas/GeoPandas mobility library) on idiomatic PySpark:
 
 * entities are plain Spark DataFrames validated against ``StructType``
-  schemas (``trackintel_spark.model``) — no subclasses, no accessors;
+  schemas (``trackintel_spark.model``); an optional fluent accessor
+  layer (``trackintel_spark.model.accessors``) mirrors the reference's
+  ``pfs.generate_staypoints(...)`` call sites over the functional core;
 * geometry is ``struct<lon,lat>`` / ``array<struct<lon,lat>>`` so the
   great-circle math stays inside whole-stage codegen;
 * every operator is a lazy ``DataFrame -> DataFrame`` transformation;
@@ -17,7 +19,24 @@ checkout (mie-lab/trackintel).
 """
 
 from trackintel_spark.session import get_spark
+from trackintel_spark.model.accessors import (
+    Locations,
+    Positionfixes,
+    Staypoints,
+    Tours,
+    Triplegs,
+    Trips,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = [
+    "get_spark",
+    "__version__",
+    "Positionfixes",
+    "Staypoints",
+    "Triplegs",
+    "Trips",
+    "Locations",
+    "Tours",
+]
