@@ -194,20 +194,45 @@ def test_read_gpx_reference_data(spark):
 
 
 def test_load_table_self_heals_bare_session(spark):
-    """The correctness driver hands us a session WITHOUT nanosAsLong set.
+    """The correctness driver hands us a session WITHOUT our confs set.
 
-    load_table must set it (runtime-settable) so events.parquet reads
-    instead of dying with PARQUET_TYPE_ILLEGAL (round-1 driver failure).
+    load_table must self-configure (all confs are runtime-settable) so
+    the driver parquet reads as plain `timestamp` whichever encoding the
+    files ship: nanos (PARQUET_TYPE_ILLEGAL without nanosAsLong — the
+    round-1 driver failure) or micros-without-timezone (TIMESTAMP_NTZ
+    under default NTZ inference — the round-2 regeneration).
     """
+    from pyspark.sql import functions as F
+
     from trackintel_spark.sources.testdata import load_table
 
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         df = load_table(spark, "/root/testdata/sf0.001", "events")
         assert df.limit(1).count() == 1
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # numeric casts on the timestamp must resolve (fails on NTZ)
+        df.select(F.col("ts").cast("double")).limit(1).collect()
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_load_table_ntz_cast_fallback(spark):
+    """If NTZ inference can't be disabled before the read, load_table's
+    dtype fixup must still deliver `timestamp` (cast path)."""
+    from trackintel_spark.sources.testdata import _TS_COLS
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(raw.dtypes)["ts"] != "timestamp_ntz":
+            return  # nanos-era files: fallback path not reachable
+        fixed = raw.withColumn("ts", raw["ts"].cast("timestamp"))
+        assert dict(fixed.dtypes)["ts"] == "timestamp"
+        assert "ts" in _TS_COLS["events"]
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
