@@ -27,6 +27,7 @@ from trackintel_spark.model.accessors import (
     Triplegs,
     Trips,
 )
+from trackintel_spark.visualization import plot, plot_modal_split
 
 __version__ = "0.1.0"
 
@@ -39,4 +40,6 @@ __all__ = [
     "Trips",
     "Locations",
     "Tours",
+    "plot",
+    "plot_modal_split",
 ]
