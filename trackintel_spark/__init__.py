@@ -27,19 +27,40 @@ from trackintel_spark.model.accessors import (
     Triplegs,
     Trips,
 )
+from trackintel_spark.sources import (
+    read_locations_csv,
+    read_positionfixes_csv,
+    read_staypoints_csv,
+    read_tours_csv,
+    read_triplegs_csv,
+    read_trips_csv,
+)
 from trackintel_spark.visualization import plot, plot_modal_split
 
 __version__ = "0.1.0"
 
+
+def print_version() -> None:
+    """Reference core.py:4-9."""
+    print(f"This is trackintel_spark v{__version__}")
+
+
 __all__ = [
     "get_spark",
     "__version__",
+    "print_version",
     "Positionfixes",
     "Staypoints",
     "Triplegs",
     "Trips",
     "Locations",
     "Tours",
+    "read_positionfixes_csv",
+    "read_staypoints_csv",
+    "read_triplegs_csv",
+    "read_trips_csv",
+    "read_locations_csv",
+    "read_tours_csv",
     "plot",
     "plot_modal_split",
 ]
