@@ -217,6 +217,32 @@ def test_connected_components_basic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_fast_path_equals_distributed(spark):
+    """The union-find fast path and the min-label loop must agree —
+    including chains (pointer jumping), self-loops, and singletons-via-
+    self-loop."""
+    import random
+
+    from trackintel_spark.plans.graph import connected_components
+
+    rng = random.Random(7)
+    # a long chain, a star, random merges, a self-loop vertex
+    pairs = [(i, i + 1) for i in range(40, 80)]  # chain
+    pairs += [(100, 100 + i) for i in range(1, 9)]  # star
+    pairs += [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(30)]
+    pairs += [(999, 999)]  # self-loop only
+    edges = spark.createDataFrame(pairs, "a long, b long")
+
+    fast = {r.vertex: r.component for r in connected_components(edges).collect()}
+    slow = {
+        r.vertex: r.component
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == slow
+    assert fast[999] == 999
+    assert all(fast[v] == 40 for v in range(40, 81))
+
+
 def test_dedup_clusters_end_to_end(spark):
     from pyspark.sql import functions as F
 

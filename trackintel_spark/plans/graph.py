@@ -15,11 +15,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_components(pairs) -> list[tuple[int, int]]:
+    """Driver-side union-find (path halving + union by root id) for the
+    small-graph fast path. Returns (vertex, min-member-of-component)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union toward the smaller id: the root IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(v, find(v)) for v in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iterations: int = 50,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label vertices of the undirected graph given by ``edges``.
 
@@ -27,8 +54,32 @@ def connected_components(
     vertex id in the vertex's connected component. Isolated vertices
     (absent from edges) are simply absent from the result — union the
     full vertex set afterwards if needed.
+
+    Two-level execution, like a broadcast join's size gate: callers
+    here always hand in CONTRACTED graphs (DBSCAN's core-cell graph,
+    dedup's candidate-pair graph) that are orders of magnitude smaller
+    than the data, so when the deduplicated edge list fits the
+    ``small_graph_edges`` budget it is solved in one collect with
+    union-find — no per-round shuffle latency. Larger graphs run the
+    distributed min-label + pointer-jumping loop unchanged; the size
+    probe costs one aggregation over a cache both paths reuse.
     """
     one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+
+    # fast path: distinct edges small enough for the driver (self-loops
+    # kept so isolated-with-self-loop vertices stay labeled)
+    uniq = one.distinct().persist()
+    if uniq.limit(small_graph_edges + 1).count() <= small_graph_edges:
+        rows = uniq.collect()
+        uniq.unpersist()
+        labels = _union_find_components([(r["a"], r["b"]) for r in rows])
+        spark = edges.sparkSession
+        vtype = edges.schema[src].dataType.simpleString()
+        if not labels:
+            return spark.createDataFrame([], f"vertex {vtype}, component {vtype}")
+        return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
+    uniq.unpersist()
+
     # symmetrize with a map-side union; duplicate edges are harmless for
     # the min() aggregation, so no distinct (that would be a shuffle)
     sym = one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
