@@ -286,8 +286,11 @@ def generate_locations_grid(
     cell_lat = F.floor(F.col("geom.lat") * lat0 / cell_size_m)
     cell_lon = F.floor(F.col("geom.lon") * lat0 * F.cos(F.radians(F.col("geom.lat"))) / cell_size_m)
     tagged = sp.withColumn("__cell", F.concat_ws("_", F.col("user_id"), cell_lon, cell_lat))
-    w = Window.orderBy("__cell")
-    cells = tagged.select("__cell").distinct().withColumn("location_id", F.dense_rank().over(w) - 1)
+    # cell count grows with the data: range-partitioned two-phase rank,
+    # not a single-task global window
+    from trackintel_spark.plans.ids import dense_rank_ordered
+
+    cells = dense_rank_ordered(tagged.select("__cell"), "__cell", out_col="location_id")
     sp_out = tagged.join(cells, on="__cell", how="left")
     locs = (
         sp_out.groupBy("location_id")
