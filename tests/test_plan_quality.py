@@ -109,3 +109,29 @@ def test_distance_matrix_band_prefilter_before_trig(spark):
     # all pairs
     join_lines = [l for l in plan.splitlines() if "Join" in l or "CartesianProduct" in l]
     assert any("abs(" in l for l in join_lines), join_lines
+
+
+def test_locations_grid_has_no_data_sized_global_window(spark):
+    """Grid-cell labeling must rank via the range-partitioned two-phase
+    scheme: the only SinglePartition exchange allowed is the per-range
+    offset table (one row per partition), never the cell table itself."""
+    from trackintel_spark.operators.locations import generate_locations_grid
+
+    ev = load_table(spark, SF, "events")
+    sp = ev.select(
+        F.col("event_id").alias("id"), "user_id",
+        F.col("ts").alias("started_at"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("finished_at"),
+        F.struct((8.5 + F.col("value") % 10 * 0.001).alias("lon"),
+                 (47.4 + F.col("value") % 7 * 0.001).alias("lat")).alias("geom"),
+    )
+    sp_out, _ = generate_locations_grid(sp, cell_size_m=100)
+    plan = _plan(sp_out.select("id", "location_id"))
+    # a global Window over the distinct cells would show as a Window node
+    # fed by Exchange SinglePartition over the cell scan; the two-phase
+    # scheme feeds windows from hashpartitioning(__p) instead
+    for i, line in enumerate(plan.splitlines()):
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            ctx = "\n".join(plan.splitlines()[i : i + 6])
+            assert "SinglePartition" not in ctx or "count(1)" in ctx, ctx
+    assert "rangepartitioning" in plan.replace(" ", "").lower(), plan[:1500]
