@@ -90,6 +90,12 @@ def main() -> None:
             df = fn()
             n = df.count()
             runs.append(round(time.time() - t0, 3))
+        if max(runs) > 1.5 * min(runs):
+            # the samples disagree: at least one sat in a steal wave —
+            # a third sample decides
+            t0 = time.time()
+            n = fn().count()
+            runs.append(round(time.time() - t0, 3))
         samples[name] = runs
         timings[name] = min(runs)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s {runs}", file=sys.stderr)
