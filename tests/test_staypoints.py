@@ -141,3 +141,28 @@ def test_session_salting_equivalence(spark):
     _, b = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=15, salt_sessions=False)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
     assert a.count() == 3
+
+
+def test_salting_gate_equivalence(spark, monkeypatch):
+    """The mega-user gate only changes the GROUPING, never the output:
+    forcing every user through per-session splitting must equal the
+    gated (single-group) path row for row."""
+    import trackintel_spark.operators.staypoints as S
+
+    rows = []
+    i = 0
+    for user in (1, 2):
+        for block in range(3):
+            for m in range(0, 11, 2):
+                rows.append((i, user, _ts(block * 60 + m), 8.5 + block * 0.2, 47.4))
+                i += 1
+    pfs = make_pfs(spark, rows)
+
+    _, gated = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=15)
+    monkeypatch.setattr(S, "_SALT_MIN_USER_ROWS", 0)  # every user splits
+    _, split = generate_staypoints(pfs, dist_threshold=100, time_threshold=5, gap_threshold=15)
+
+    cols = ["user_id", "started_at", "finished_at"]
+    assert sorted(map(tuple, gated.select(*cols).collect())) == sorted(
+        map(tuple, split.select(*cols).collect())
+    )

@@ -44,6 +44,11 @@ from pyspark.sql import types as T
 from trackintel_spark.model.schemas import validate
 from trackintel_spark.plans.ids import dense_id_by_user
 
+# users below this row count run the sliding kernel as ONE group; above
+# it, their stream splits at recording gaps so no single task serializes
+# a mega-user. 200k rows ≈ well under a second of kernel time per task.
+_SALT_MIN_USER_ROWS = 200_000
+
 _KERNEL_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -225,7 +230,25 @@ def generate_staypoints(
                 F.lit(True),
             ).cast("long"),
         )
-        kernel_in = kernel_in.withColumn("__session", F.sum("__gap_flag").over(wgap)).drop("__gap_flag")
+        # salting only pays off for mega-users: every applyInPandas
+        # group costs a fixed Arrow dispatch (~1 ms), so splitting
+        # ordinary users at their gaps multiplies overhead for zero
+        # parallelism gain. Gate on the per-user row count (an
+        # unordered window over the SAME exchange — no extra shuffle):
+        # small users run as one group, big users split per session.
+        # Results are identical either way — the kernel resets its
+        # anchor at gaps without emitting, so no state crosses one.
+        wuser = Window.partitionBy("user_id")
+        kernel_in = (
+            kernel_in.withColumn("__session", F.sum("__gap_flag").over(wgap))
+            .withColumn(
+                "__session",
+                F.when(
+                    F.count(F.lit(1)).over(wuser) > _SALT_MIN_USER_ROWS, F.col("__session")
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__gap_flag")
+        )
         group_cols = ["user_id", "__session"]
     else:
         group_cols = ["user_id"]
