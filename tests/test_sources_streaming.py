@@ -236,3 +236,35 @@ def test_load_table_ntz_cast_fallback(spark):
         assert "ts" in _TS_COLS["events"]
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_load_table_handles_every_epoch_unit(spark, tmp_path):
+    """Testdata regenerations have switched timestamp encodings between
+    rounds; integer epoch columns must convert by sampled magnitude —
+    seconds, millis, micros, nanos all land on the same instant."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.sources.testdata import load_table
+
+    base = int(
+        datetime.datetime(2024, 5, 1, 12, 0, 0, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    for unit, mult in [("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)]:
+        d = tmp_path / unit
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([base * mult], pa.int64()),
+                "user_id": pa.array([7], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        got = df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).first()[0]
+        assert got == "2024-05-01 12:00:00", (unit, got)

@@ -49,6 +49,23 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass  # conf locked down: fall through to the dtype fixups
 
 
+def _epoch_to_micros_expr(col: str, sample: int):
+    """Integer epoch columns have shipped in different units across
+    testdata regenerations. Decide by magnitude (a 2001-2200 timestamp
+    is ~1e9 s, ~1e12 ms, ~1e15 us, ~1e18 ns — three orders apart each,
+    so one sampled value suffices) and build the micros expression.
+    ns uses INTEGER division (ns > 2^53: double math loses precision),
+    truncating like DuckDB's ns->us so oracle hashes line up."""
+    v = abs(sample)
+    if v >= 10**17:  # nanoseconds
+        return F.expr(f"`{col}` div 1000")
+    if v >= 10**14:  # microseconds
+        return F.col(col)
+    if v >= 10**11:  # milliseconds
+        return F.col(col) * F.lit(1000)
+    return F.col(col) * F.lit(1_000_000)  # seconds
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -56,8 +73,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _TS_COLS.get(name, ()):
         if c not in dtypes:
             continue
-        if dtypes[c] == "bigint":  # nanos-era files under nanosAsLong
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes[c] == "bigint":  # integer epoch (nanos-era under nanosAsLong)
+            probe = df.select(c).filter(F.col(c).isNotNull()).limit(1).collect()
+            micros = (
+                _epoch_to_micros_expr(c, int(probe[0][0]))
+                if probe
+                else F.expr(f"`{c}` div 1000")
+            )
+            df = df.withColumn(c, F.timestamp_micros(micros))
         elif dtypes[c] == "timestamp_ntz":  # NTZ inference locked on
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
