@@ -7,9 +7,10 @@ from trackintel_spark.analysis.location_identification import (
 )
 from trackintel_spark.analysis.metrics import jump_length, radius_gyration
 from trackintel_spark.analysis.modal_split import calculate_modal_split
-from trackintel_spark.analysis.tracking_quality import temporal_tracking_quality
+from trackintel_spark.analysis.tracking_quality import split_overlaps, temporal_tracking_quality
 
 __all__ = [
+    "split_overlaps",
     "create_activity_flag",
     "predict_transport_mode",
     "radius_gyration",
