@@ -97,3 +97,61 @@ def test_partitioned_jdbc_read(spark, derby_url):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 100
+
+
+def test_per_entity_postgis_names_roundtrip(spark, derby_url):
+    """The reference's per-entity read/write_*_postgis names must bind
+    to the same JDBC+WKT machinery."""
+    from trackintel_spark.sources.postgis import (
+        read_positionfixes_postgis,
+        write_positionfixes_postgis,
+    )
+
+    pfs = spark.createDataFrame(
+        [(0, 1, "2024-01-01 08:00:00", 8.5, 47.4), (1, 2, "2024-01-01 09:00:00", 8.6, 47.5)],
+        "id long, user_id long, tracked_at string, lon double, lat double",
+    ).select(
+        "id", "user_id",
+        F.to_timestamp("tracked_at").alias("tracked_at"),
+        F.struct("lon", "lat").alias("geom"),
+    )
+    write_positionfixes_postgis(pfs, derby_url, "pfs_names", mode="overwrite", properties=DERBY)
+    back = read_positionfixes_postgis(spark, derby_url, "pfs_names", properties=DERBY)
+    a = sorted((r.asDict(recursive=True) for r in pfs.collect()), key=lambda d: d["id"])
+    b = sorted((r.asDict(recursive=True) for r in back.collect()), key=lambda d: d["id"])
+    assert a == b
+
+
+def test_read_gpd_from_pandas_lonlat_and_wkt(spark):
+    """read_*_gpd analogs: entity frames from driver pandas, geometry as
+    lon/lat columns (points) or WKT strings (linestrings), with the
+    reference's rename-keyword convention."""
+    import pandas as pd
+
+    from trackintel_spark.sources.postgis import read_positionfixes_gpd, read_triplegs_gpd
+
+    pdf = pd.DataFrame(
+        {
+            "id": [0, 1],
+            "user_id": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 08:00:00", "2024-01-01 08:05:00"]),
+            "lon": [8.5, 8.6],
+            "lat": [47.4, 47.5],
+        }
+    )
+    pfs = read_positionfixes_gpd(spark, pdf, tracked_at="ts")
+    assert dict(pfs.dtypes)["tracked_at"] == "timestamp"
+    assert pfs.select("geom.lon").rdd.map(lambda r: r[0]).collect() == [8.5, 8.6]
+
+    tdf = pd.DataFrame(
+        {
+            "id": [0],
+            "user_id": [1],
+            "started_at": pd.to_datetime(["2024-01-01 08:00:00"]),
+            "finished_at": pd.to_datetime(["2024-01-01 08:30:00"]),
+            "geom": ["LINESTRING (8.5 47.4, 8.6 47.5)"],
+        }
+    )
+    tpls = read_triplegs_gpd(spark, tdf)
+    row = tpls.select("geom").first()
+    assert [(p["lon"], p["lat"]) for p in row["geom"]] == [(8.5, 47.4), (8.6, 47.5)]
