@@ -12,7 +12,11 @@ from trackintel_spark.sources.csv import (
     write_triplegs_csv,
     write_trips_csv,
 )
-from trackintel_spark.sources.geolife import geolife_add_modes_to_triplegs, read_geolife
+from trackintel_spark.sources.geolife import (
+    geolife_add_modes_to_triplegs,
+    read_geolife,
+    read_geolife_labels,
+)
 from trackintel_spark.sources.postgis import *  # noqa: F401,F403 — per-entity read/write_*_postgis + read_*_gpd
 from trackintel_spark.sources.gpx import read_gpx
 from trackintel_spark.sources.jdbc import read_entity_jdbc, write_entity_jdbc
@@ -22,6 +26,7 @@ from trackintel_spark.sources.testdata import load_table
 __all__ = [
     "load_table",
     "read_geolife",
+    "read_geolife_labels",
     "read_gpx",
     "read_mzmv",
     "read_entity_jdbc",

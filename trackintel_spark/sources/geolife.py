@@ -110,3 +110,34 @@ def geolife_add_modes_to_triplegs(
         "mode", F.when(F.col("__ratio") >= ratio_threshold, F.col("__mode"))
     )
     return best.select(*tpls.columns, "mode").drop("__bin")
+
+
+def read_geolife_labels(spark: SparkSession, path: str) -> DataFrame:
+    """Read every ``<root>/<user>/labels.txt`` into one labels table.
+
+    Reference ``_get_labels`` (io/dataset_reader.py:124-158) loops the
+    user folders into a ``{user_id: DataFrame}`` dict; Spark-first this
+    is ONE distributed tab-CSV scan over the glob with the user id
+    regex-extracted from the file path — the natural join input for
+    :func:`geolife_add_modes_to_triplegs`. Users without a labels.txt
+    simply contribute no rows.
+
+    Output columns: user_id, started_at, finished_at, mode (timestamps
+    parsed as the reference does, ``%Y/%m/%d %H:%M:%S`` assumed UTC).
+    """
+    raw = (
+        spark.read.csv(
+            f"{path}/*/labels.txt",
+            sep="\t",
+            header=True,
+            schema="`Start Time` string, `End Time` string, `Transportation Mode` string",
+        )
+        .withColumn("__file", F.input_file_name())
+    )
+    fmt = "yyyy/MM/dd HH:mm:ss"
+    return raw.select(
+        F.regexp_extract(F.col("__file"), r"/(\d+)/labels\.txt", 1).cast("long").alias("user_id"),
+        F.to_timestamp(F.col("Start Time"), fmt).alias("started_at"),
+        F.to_timestamp(F.col("End Time"), fmt).alias("finished_at"),
+        F.col("Transportation Mode").alias("mode"),
+    )
