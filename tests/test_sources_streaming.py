@@ -268,3 +268,58 @@ def test_load_table_handles_every_epoch_unit(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", unit
         got = df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).first()[0]
         assert got == "2024-05-01 12:00:00", (unit, got)
+
+
+def test_reference_shipped_csv_fixtures_read(spark):
+    """Every CSV fixture the reference ships (tests/data/*.csv) must read
+    into a validated entity frame — including the *_mod_columns variants
+    through the reference's rename-kwarg convention (io/file.py:60-63)."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.sources import (
+        read_locations_csv,
+        read_positionfixes_csv,
+        read_staypoints_csv,
+        read_tours_csv,
+        read_triplegs_csv,
+        read_trips_csv,
+    )
+
+    D = "/root/reference/tests/data"
+
+    pfs = read_positionfixes_csv(spark, f"{D}/positionfixes.csv")
+    assert pfs.count() == 6 and dict(pfs.dtypes)["tracked_at"] == "timestamp"
+    pfs_mod = read_positionfixes_csv(
+        spark, f"{D}/positionfixes_mod_columns.csv",
+        columns={"time": "tracked_at", "lat": "latitude", "lon": "longitude"},
+    )
+    assert [r["geom"]["lat"] for r in pfs.collect()] == [r["geom"]["lat"] for r in pfs_mod.collect()]
+
+    sp = read_staypoints_csv(spark, f"{D}/staypoints.csv")
+    assert sp.count() == 2 and sp.first()["geom"]["lon"] == 8.528223
+    sp_mod = read_staypoints_csv(spark, f"{D}/staypoints_mod_columns.csv", columns={"User": "user_id"})
+    assert sp_mod.count() == 2
+
+    tpls = read_triplegs_csv(spark, f"{D}/triplegs.csv")
+    assert tpls.count() == 2 and len(tpls.first()["geom"]) == 3
+    tpls_mod = read_triplegs_csv(
+        spark, f"{D}/triplegs_mod_columns.csv",
+        columns={"start_time": "started_at", "end_time": "finished_at", "tripleg": "geom"},
+    )
+    assert tpls_mod.count() == 2
+
+    trips = read_trips_csv(spark, f"{D}/trips.csv")
+    assert trips.count() == 4
+    trips_mod = read_trips_csv(
+        spark, f"{D}/trips_mod_columns.csv",
+        columns={"orig_stp": "origin_staypoint_id", "dest_stp": "destination_staypoint_id"},
+    )
+    assert trips_mod.count() == 4 and trips_mod.first()["geom"] is not None
+
+    locs = read_locations_csv(spark, f"{D}/locations.csv")
+    assert locs.count() == 2 and locs.first()["extent"] is not None
+    locs_mod = read_locations_csv(spark, f"{D}/locations_mod_columns.csv", columns={"geom": "center"})
+    assert locs_mod.count() == 2
+
+    tours = read_tours_csv(spark, f"{D}/tours.csv")
+    assert tours.count() == 2 and dict(tours.dtypes)["started_at"] == "timestamp"
