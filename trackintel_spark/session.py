@@ -46,6 +46,10 @@ def get_spark(
         # driver testdata parquet carries TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert (sources/testdata.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # micros-NTZ testdata era: read as plain `timestamp` so numeric
+        # casts in the operators resolve (sources/testdata.py fixups
+        # cover sessions we didn't build).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # parquet scan defaults: 128 MiB splits keep partitions memory-safe
         # at high SF while still parallelizing small local files.
