@@ -12,7 +12,12 @@ a grid-contraction DBSCAN (the GriDBSCAN / MR-DBSCAN family):
    5×5 cell neighborhood that is lexicographically above its own cell
    (12 offsets, found pairs are symmetrized — half the shuffle volume),
    with a conservative per-axis distance prune before the shuffle;
-   exact great-circle check after the equi-join;
+   exact great-circle check after the equi-join. Probes whose target
+   cell sits ENTIRELY inside the prober's eps-disk are handled by the
+   fully-covered-cell rule (GriDBSCAN family): cell counts and
+   per-cell aggregates replace the pair join in both directions, so
+   two saturated adjacent cells — one dense blob straddling a cell
+   boundary — never materialize n·m pair rows;
 3. core points: same-cell count + checked cross-cell matches
    >= min_samples;
 4. cluster formation: all core points of one cell are mutually within
@@ -86,9 +91,17 @@ def dbscan_distributed(
     # cross-cell candidates: probe the upper half neighborhood; prune a
     # probe when a single axis already puts the probed cell out of reach
     # (conservative: 1.05 margin over the planar axis distance, the
-    # exact haversine check decides after the join)
+    # exact haversine check decides after the join). Probes whose target
+    # cell lies ENTIRELY within eps of the probing point (farthest-corner
+    # distance <= eps/1.05 — the margin errs toward exact checking) are
+    # classified "full": every point of that cell is a neighbor by
+    # construction, so the pair join is skipped and the CELL COUNT is
+    # used instead. This is what keeps two saturated adjacent cells —
+    # a railway-station blob straddling a boundary — from pair-listing
+    # n*m rows: the GriDBSCAN fully-covered-cell rule.
     axis_m = 111320.0
     reach = epsilon_m * 1.05
+    full_reach = epsilon_m / 1.05
     probes = []
     for dx, dy in _HALF_OFFSETS:
         tx, ty = F.col("cx") + dx, F.col("cy") + dy
@@ -96,7 +109,13 @@ def dbscan_distributed(
         ddx = F.greatest(tx * cell_deg - F.col("__slon"), F.col("__slon") - (tx + 1) * cell_deg, F.lit(0.0))
         ddy = F.greatest(ty * cell_deg - F.col("lat"), F.col("lat") - (ty + 1) * cell_deg, F.lit(0.0))
         keep = (ddx * axis_m <= reach) & (ddy * axis_m <= reach)
-        probes.append(F.when(keep, F.struct(tx.alias("cx"), ty.alias("cy"))))
+        # farthest corner of the probed box, per axis (always >= 0)
+        fdx = F.greatest(F.col("__slon") - tx * cell_deg, (tx + 1) * cell_deg - F.col("__slon"))
+        fdy = F.greatest(F.col("lat") - ty * cell_deg, (ty + 1) * cell_deg - F.col("lat"))
+        dmax_m = F.sqrt(F.pow(fdx * axis_m, F.lit(2.0)) + F.pow(fdy * axis_m, F.lit(2.0)))
+        probes.append(
+            F.when(keep, F.struct(tx.alias("cx"), ty.alias("cy"), (dmax_m <= full_reach).alias("full")))
+        )
     probe = pts.select(
         F.col("pid").alias("qid"),
         F.col("lon").alias("qlon"),
@@ -104,9 +123,16 @@ def dbscan_distributed(
         F.col("cx").alias("qcx"),
         F.col("cy").alias("qcy"),
         F.explode(F.filter(F.array(*probes), lambda c: c.isNotNull())).alias("__c"),
-    ).select("qid", "qlon", "qlat", "qcx", "qcy", F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"))
+    ).select(
+        "qid", "qlon", "qlat", "qcx", "qcy",
+        F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"), F.col("__c.full").alias("full"),
+    )
+    # full probes: (prober, target cell) — no pair rows ever materialize.
+    # probe is NOT persisted: both branches re-derive it with pure map
+    # work from pts' cache, cheaper than materializing 12x N probe rows.
+    pfull = probe.filter(F.col("full")).select("qid", "qcx", "qcy", "cx", "cy")
 
-    half = probe.join(pts.drop("__slon"), on=["cx", "cy"], how="inner").filter(
+    half = probe.filter(~F.col("full")).join(pts.drop("__slon"), on=["cx", "cy"], how="inner").filter(
         haversine_m(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")) <= epsilon_m
     )
     # symmetrize: (a, a_cell, b, b_cell) once per direction
@@ -121,16 +147,35 @@ def dbscan_distributed(
     ).persist()
 
     # neighbor count = own-cell size (incl. self) + checked cross
-    # matches. Joins on cell keys carry no broadcast hint: the cell
-    # table scales with the data, and AQE turns the join into a
-    # broadcast at runtime whenever it actually is small.
+    # matches + full-cell contributions, both directions: a prober gains
+    # the whole target cell's size; every target-cell member gains one
+    # neighbor per full prober of its cell. Joins on cell keys carry no
+    # broadcast hint: the cell table scales with the data, and AQE turns
+    # the join into a broadcast at runtime whenever it actually is small.
     cross_n = cross.groupBy("a").agg(F.count(F.lit(1)).alias("__xn"))
+    full_out = (
+        pfull.join(cells, on=["cx", "cy"])
+        .groupBy("qid")
+        .agg(F.sum("__n").alias("__fo"))
+        .withColumnRenamed("qid", "pid")
+    )
+    full_in = pfull.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__fi"))
     flag = (
         pts.join(cells, on=["cx", "cy"])
         .join(cross_n.withColumnRenamed("a", "pid"), on="pid", how="left")
+        .join(full_out, on="pid", how="left")
+        .join(full_in, on=["cx", "cy"], how="left")
         .select(
             "pid", "cx", "cy",
-            ((F.col("__n") + F.coalesce("__xn", F.lit(0))) >= min_samples).alias("is_core"),
+            (
+                (
+                    F.col("__n")
+                    + F.coalesce("__xn", F.lit(0))
+                    + F.coalesce("__fo", F.lit(0))
+                    + F.coalesce("__fi", F.lit(0))
+                )
+                >= min_samples
+            ).alias("is_core"),
         )
         .persist()
     )
@@ -143,10 +188,29 @@ def dbscan_distributed(
         .join(flag.select(F.col("pid").alias("b"), F.col("is_core").alias("b_core")), on="b")
         .persist()
     )
-    cc_edges = (
+    # full probes annotated with the prober's core flag; target cells
+    # with a core resolve through cell_node joins below. A core prober
+    # fully covering a core-bearing cell proves a core-core eps pair
+    # without materializing it.
+    pfullf = pfull.join(
+        flag.select(F.col("pid").alias("qid"), F.col("is_core").alias("q_core")), on="qid"
+    ).persist()
+    edges_part = (
         crossf.filter(F.col("a_core") & F.col("b_core"))
         .groupBy("acx", "acy", "bcx", "bcy")
         .agg(F.count(F.lit(1)).alias("__e"))
+        .select("acx", "acy", "bcx", "bcy")
+    )
+    edges_full = (
+        pfullf.filter(F.col("q_core"))
+        .select(
+            F.col("qcx").alias("acx"), F.col("qcy").alias("acy"),
+            F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        )
+        .distinct()
+    )
+    cc_edges = (
+        edges_part.unionByName(edges_full)
         .join(
             cell_node.select(F.col("cx").alias("acx"), F.col("cy").alias("acy"), F.col("node").alias("na")),
             on=["acx", "acy"],
@@ -185,7 +249,35 @@ def dbscan_distributed(
         )
         .select(F.col("a").alias("pid"), "lbl")
     )
-    border = own_cell.unionByName(via_cross).groupBy("pid").agg(F.min("lbl").alias("lbl"))
+    # full probes, prober side: a non-core prober fully covering a
+    # core-bearing cell is within eps of its cores
+    via_full_out = (
+        pfullf.filter(~F.col("q_core"))
+        .join(cell_lbl, on=["cx", "cy"])  # inner: target must bear a core
+        .select(F.col("qid").alias("pid"), "lbl")
+    )
+    # full probes, target side: members of a fully-covered cell are
+    # within eps of every CORE prober — attach to the min prober-cell
+    # label, resolved once per cell
+    prober_lbl = (
+        pfullf.filter(F.col("q_core"))
+        .join(
+            cell_lbl.select(F.col("cx").alias("qcx"), F.col("cy").alias("qcy"), "lbl"),
+            on=["qcx", "qcy"],
+        )
+        .groupBy("cx", "cy")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    via_full_in = (
+        flag.filter(~F.col("is_core")).join(prober_lbl, on=["cx", "cy"]).select("pid", "lbl")
+    )
+    border = (
+        own_cell.unionByName(via_cross)
+        .unionByName(via_full_out)
+        .unionByName(via_full_in)
+        .groupBy("pid")
+        .agg(F.min("lbl").alias("lbl"))
+    )
 
     all_labels = core_labeled.unionByName(border)
 
