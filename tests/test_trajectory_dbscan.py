@@ -94,3 +94,21 @@ def test_dbscan_distributed_partition_invariance(spark):
     a = {r.id: r.location_id for r in dbscan_distributed(df.repartition(1), epsilon_m=150, min_samples=1).collect()}
     b = {r.id: r.location_id for r in dbscan_distributed(df.repartition(13), epsilon_m=150, min_samples=1).collect()}
     assert a == b
+
+
+def test_dbscan_dense_blob_straddling_cells(spark):
+    """A single dense blob whose points straddle grid-cell boundaries
+    must cluster without pair-listing (fully-covered-cell rule): 50k
+    co-located points would otherwise join 2.5B candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
+
+    blob = spark.range(50_000).select(
+        "id",
+        (8.5 + (F.col("id") % 3) * 0.00001).alias("lon"),
+        (47.30002 + (F.col("id") % 5) * 0.00001).alias("lat"),
+    )
+    out = dbscan_distributed(blob, epsilon_m=100, min_samples=5)
+    got = out.groupBy("location_id").count().collect()
+    assert len(got) == 1 and got[0]["location_id"] == 0 and got[0]["count"] == 50_000
