@@ -152,30 +152,29 @@ def dbscan_distributed(
     # neighbor per full prober of its cell. Joins on cell keys carry no
     # broadcast hint: the cell table scales with the data, and AQE turns
     # the join into a broadcast at runtime whenever it actually is small.
-    cross_n = cross.groupBy("a").agg(F.count(F.lit(1)).alias("__xn"))
-    full_out = (
-        pfull.join(cells, on=["cx", "cy"])
-        .groupBy("qid")
-        .agg(F.sum("__n").alias("__fo"))
-        .withColumnRenamed("qid", "pid")
+    # one pid-keyed count (cross matches + full-cell sums unioned before
+    # a single aggregation) and one cell-keyed count folded into the
+    # cells table: the data-sized pts table is joined once per key type.
+    per_pid = (
+        cross.select(F.col("a").alias("pid"), F.lit(1).alias("__c"))
+        .unionByName(
+            pfull.join(cells, on=["cx", "cy"]).select(
+                F.col("qid").alias("pid"), F.col("__n").alias("__c")
+            )
+        )
+        .groupBy("pid")
+        .agg(F.sum("__c").alias("__xn"))
     )
     full_in = pfull.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__fi"))
+    cells_n = cells.join(full_in, on=["cx", "cy"], how="left").select(
+        "cx", "cy", (F.col("__n") + F.coalesce("__fi", F.lit(0))).alias("__cn")
+    )
     flag = (
-        pts.join(cells, on=["cx", "cy"])
-        .join(cross_n.withColumnRenamed("a", "pid"), on="pid", how="left")
-        .join(full_out, on="pid", how="left")
-        .join(full_in, on=["cx", "cy"], how="left")
+        pts.join(cells_n, on=["cx", "cy"])
+        .join(per_pid, on="pid", how="left")
         .select(
             "pid", "cx", "cy",
-            (
-                (
-                    F.col("__n")
-                    + F.coalesce("__xn", F.lit(0))
-                    + F.coalesce("__fo", F.lit(0))
-                    + F.coalesce("__fi", F.lit(0))
-                )
-                >= min_samples
-            ).alias("is_core"),
+            ((F.col("__cn") + F.coalesce("__xn", F.lit(0))) >= min_samples).alias("is_core"),
         )
         .persist()
     )
