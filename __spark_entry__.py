@@ -589,12 +589,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q5ish"] = q_tpch_q5ish
 
-    # -- events sessionization (streaming-shaped batch query) ------------------------
-    def q_event_sessions(spark, sf):
-        s = _sessions(spark, sf)
-        return s.select("id", "user_id", "started_at", "finished_at", "n_pfs")
+    # -- Gopher repetition signals (scale/text.py) — replaces the old
+    # event_sessions entry, which was a near-duplicate of session_window;
+    # this gives the repetition-filter path driver-oracle coverage.
+    def q_repetition_signals(spark, sf):
+        from trackintel_spark.scale.text import repetition_signals
 
-    q["event_sessions"] = q_event_sessions
+        docs = load_table(spark, sf, "documents")
+        return repetition_signals(docs).select(
+            "doc_id",
+            _r("dup_line_frac", 8).alias("dup_line_frac"),
+            _r("dup_para_frac", 8).alias("dup_para_frac"),
+        )
+
+    q["repetition_signals"] = q_repetition_signals
 
     # -- dedup / text over documents ---------------------------------------------------
     def q_dedup_exact(spark, sf):
@@ -959,7 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.2 generate-operators (all oracle-backed now)
         "generate_staypoints", "generate_triplegs", "generate_trips",
         "generate_locations", "dbscan_distributed",
-        "tripleg_length", "speed_triplegs", "session_window", "event_sessions",
+        "tripleg_length", "speed_triplegs", "session_window", "repetition_signals",
         # TPC-H
         "tpch_q1", "tpch_q3ish", "tpch_q5ish",
         # scale: text / dedup / similarity
@@ -1355,7 +1363,21 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY r_name
     """
 
-    o["event_sessions"] = f"SELECT id, user_id, started_at, finished_at, n_pfs FROM ({_sessions_sql()})"
+    # repetition_signals: trim-and-drop-empty line/para lists, dup frac =
+    # (len - distinct len) / len — mirrors scale/text.py's sorted-array
+    # scan semantics exactly (char-frac columns are pytest-covered; the
+    # two element fracs are the SQL-expressible subset).
+    o["repetition_signals"] = """
+        WITH t AS (
+            SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+                list_filter(list_transform(string_split_regex(text, '\\n{2,}'), x -> trim(x)), x -> x <> '') AS paras
+            FROM documents)
+        SELECT doc_id,
+            ROUND(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 8) AS dup_line_frac,
+            ROUND(CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) / CAST(len(paras) AS DOUBLE) ELSE 0.0 END, 8) AS dup_para_frac
+        FROM t
+    """
 
     o["dedup_exact"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

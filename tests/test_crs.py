@@ -208,3 +208,76 @@ def test_spatial_filter_points_never_cross(spark):
     from trackintel_spark.geogr import spatial_filter
 
     assert spatial_filter(pts, areas, method="crosses").count() == 0
+
+
+def test_distance_matrix_sklearn_metric_passthrough(spark):
+    """Planar metric passthrough parity (reference geogr/distances.py:
+    144-153 hands any metric string to sklearn.pairwise_distances):
+    cityblock/chebyshev/minkowski(p) checked against numpy closed forms
+    on projected coordinates."""
+    import numpy as np
+
+    from trackintel_spark.geogr import calculate_distance_matrix
+
+    rng = np.random.RandomState(11)
+    xy = rng.uniform(0, 1000, size=(8, 2))
+    pts = spark.createDataFrame(
+        [(i, {"lon": float(x), "lat": float(y)}) for i, (x, y) in enumerate(xy)],
+        "id long, geom struct<lon:double,lat:double>",
+    )
+
+    def expected(fn):
+        return {
+            (i, j): fn(xy[i], xy[j]) for i in range(len(xy)) for j in range(i + 1, len(xy))
+        }
+
+    cases = {
+        "cityblock": lambda a, b: float(np.abs(a - b).sum()),
+        "manhattan": lambda a, b: float(np.abs(a - b).sum()),
+        "chebyshev": lambda a, b: float(np.abs(a - b).max()),
+        "euclidean": lambda a, b: float(np.linalg.norm(a - b)),
+    }
+    for metric, fn in cases.items():
+        got = {(r.i, r.j): r.dist_m for r in calculate_distance_matrix(pts, metric=metric).collect()}
+        exp = expected(fn)
+        assert got.keys() == exp.keys()
+        assert all(abs(got[k] - exp[k]) < 1e-9 for k in exp), metric
+    for p in (1.0, 2.0, 3.5):
+        got = {(r.i, r.j): r.dist_m for r in calculate_distance_matrix(pts, metric="minkowski", p=p).collect()}
+        exp = expected(lambda a, b: float((np.abs(a - b) ** p).sum() ** (1.0 / p)))
+        assert all(abs(got[k] - exp[k]) < 1e-9 for k in exp), p
+
+
+def test_distance_matrix_metric_threshold_and_errors(spark):
+    import pytest as _pytest
+
+    from trackintel_spark.geogr import calculate_distance_matrix
+
+    pts = spark.createDataFrame(
+        [(0, {"lon": 0.0, "lat": 0.0}), (1, {"lon": 3.0, "lat": 4.0}), (2, {"lon": 100.0, "lat": 0.0})],
+        "id long, geom struct<lon:double,lat:double>",
+    )
+    got = {(r.i, r.j): r.dist_m for r in calculate_distance_matrix(pts, metric="chebyshev", dist_threshold=10.0).collect()}
+    assert got == {(0, 1): 4.0}
+    with _pytest.raises(ValueError, match="metric must be"):
+        calculate_distance_matrix(pts, metric="cosine")
+    with _pytest.raises(ValueError, match="minkowski order"):
+        calculate_distance_matrix(pts, metric="minkowski", p=0.5)
+
+
+def test_pyproj_hook_roundtrip_non_builtin_epsg(spark):
+    """Conditional: exercises the arbitrary-EPSG pyproj Arrow-UDF hook
+    (geogr/crs.py:_pyproj_transform) with a CRS none of the built-in
+    exact transforms cover (EPSG:27700, British National Grid), so the
+    hook can't rot unnoticed wherever pyproj IS installed."""
+    import pytest as _pytest
+
+    _pytest.importorskip("pyproj")
+    from trackintel_spark.geogr.crs import transform_xy
+
+    df = spark.createDataFrame([(0, -0.1276, 51.5072)], "id long, lon double, lat double")
+    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 27700)
+    bng = df.select("id", x.alias("e"), y.alias("n"))
+    lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 27700, 4326)
+    back = bng.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    assert abs(back.lon - -0.1276) < 1e-6 and abs(back.lat - 51.5072) < 1e-6

@@ -357,3 +357,61 @@ def test_tours_kernel_geometry_mode_matches_naive(steps, max_nr_gaps):
         assert row["started_at"] == pdf["started_at"].iloc[first]
         assert row["finished_at"] == pdf["finished_at"].iloc[last]
         assert row["trips"] == members
+
+
+# --- jitter-band staypoints: distances straddle dist_threshold ---------------
+#
+# The coarse-grid case above places points either ~0 m or >1 km apart,
+# far from the 500 m threshold, so threshold comparisons never decide a
+# case. Here the grid pitch is ~22-39 m and dist_threshold=100 m, so
+# the start-anchored sliding window constantly crosses the threshold in
+# both directions — the parameterization the closed-form driver oracles
+# cannot reach (VERDICT r2 follow-up).
+
+fine_trace = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=18),   # time delta (minutes)
+        st.integers(min_value=0, max_value=7),    # grid x (~30 m pitch)
+        st.integers(min_value=0, max_value=7),    # grid y (~39 m pitch)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(fine_trace, st.booleans())
+def test_sliding_kernel_matches_naive_near_threshold(steps, include_last):
+    t = 0
+    rows = []
+    for i, (dt, gx, gy) in enumerate(steps):
+        t += dt * 60
+        rows.append((i, t, 8.0 + gx * 0.0003, 47.0 + gy * 0.00035))
+    pdf = pd.DataFrame(rows, columns=["id", "sec", "lon", "lat"])
+    pdf["tracked_at"] = pd.to_datetime(pdf["sec"], unit="s")
+    pdf["user_id"] = 7
+    pdf["elevation"] = None
+
+    got = _sliding_kernel(
+        pdf,
+        dist_threshold=100.0,
+        time_threshold_s=10 * 60.0,
+        gap_threshold_s=45 * 60.0,
+        include_last=include_last,
+        elevation_flag=False,
+    )
+    exp = naive_staypoints(
+        pdf["sec"].to_numpy().astype(float),
+        pdf["lon"].to_numpy(),
+        pdf["lat"].to_numpy(),
+        100.0,
+        10 * 60.0,
+        45 * 60.0,
+        include_last,
+    )
+    assert len(got) == len(exp)
+    for (_, row), (s, e, closer) in zip(got.iterrows(), exp):
+        assert row["started_at"] == pdf["tracked_at"].iloc[s]
+        assert row["finished_at"] == pdf["tracked_at"].iloc[e]
+        stop = len(pdf) if closer is None else e
+        assert row["pfs_ids"] == list(range(s, stop))

@@ -323,3 +323,47 @@ def test_reference_shipped_csv_fixtures_read(spark):
 
     tours = read_tours_csv(spark, f"{D}/tours.csv")
     assert tours.count() == 2 and dict(tours.dtypes)["started_at"] == "timestamp"
+
+
+def test_load_table_reads_unit_from_parquet_footer_historic_ns(spark, tmp_path):
+    """Historic (pre-1973) ns epochs have magnitudes that the old
+    value-sniff classified as microseconds (off by 1000x). The footer
+    logical type disambiguates with zero Spark jobs."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trackintel_spark.sources import load_table
+
+    t = dt.datetime(1970, 2, 1, 12, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([t], pa.timestamp("ns")),
+            "value": pa.array([0.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    row = load_table(spark, str(tmp_path), "events").collect()[0]
+    assert row.ts == t
+
+
+def test_read_geolife_labels_empty_dir_returns_empty_frame(spark, tmp_path):
+    """No labels.txt anywhere -> empty frame with the right schema, not
+    AnalysisException; non-numeric user folders are filtered out."""
+    from trackintel_spark.sources.geolife import read_geolife_labels
+
+    (tmp_path / "000").mkdir()
+    out = read_geolife_labels(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["user_id", "started_at", "finished_at", "mode"]
+
+    bad = tmp_path / "not-a-user"
+    bad.mkdir()
+    (bad / "labels.txt").write_text(
+        "Start Time\tEnd Time\tTransportation Mode\n2008/01/01 00:00:00\t2008/01/01 01:00:00\twalk\n"
+    )
+    out2 = read_geolife_labels(spark, str(tmp_path))
+    assert out2.count() == 0

@@ -112,3 +112,77 @@ def test_dbscan_dense_blob_straddling_cells(spark):
     out = dbscan_distributed(blob, epsilon_m=100, min_samples=5)
     got = out.groupBy("location_id").count().collect()
     assert len(got) == 1 and got[0]["location_id"] == 0 and got[0]["count"] == 50_000
+
+
+def _dbscan_partition_check(spark, pts, eps_m, min_samples):
+    """Compare dbscan_distributed against the O(n^2) local reference as
+    label-free partitions (same helper logic as the matches_local test)."""
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {r.id: r.location_id for r in dbscan_distributed(df, epsilon_m=eps_m, min_samples=min_samples).collect()}
+    arr = np.array([(p[1], p[2]) for p in pts])
+    local = dbscan_haversine(arr[:, 0], arr[:, 1], eps_m / 6371000.0, min_samples)
+
+    def partition(labels):
+        clusters = {}
+        for i, l in enumerate(labels):
+            if l is None or (isinstance(l, (int, np.integer)) and l == -1):
+                continue
+            clusters.setdefault(l, set()).add(i)
+        return {frozenset(v) for v in clusters.values()}
+
+    assert partition([got[i] for i in range(len(pts))]) == partition(local)
+
+
+@pytest.mark.parametrize(
+    "lon0,lat0",
+    [
+        (116.40, 39.98),  # Beijing: lon*sin(lat)*pi/180 ~ 1.3 -> old scaled-lon warp ~ eps
+        (-149.9, 61.2),  # Anchorage: warp factor ~ 2.3
+        (8.5, 47.4),  # low-warp control
+    ],
+)
+def test_dbscan_distributed_high_longitude(spark, lon0, lat0):
+    """Regression for the scaled-longitude warp bug: at |lon| >> 0 the
+    old lon*cos(lat) grid mis-binned points whose lat differs by ~eps
+    (error lon*sin(lat)*dlat, ~1.3*eps at Beijing), producing false
+    'full' cells and missed neighbors. The banded grid is warp-free;
+    results must match the exact O(n^2) reference at any longitude."""
+    rng = np.random.RandomState(42)
+    deg = 100.0 / 111195.0  # ~eps in lat degrees
+    pts = []
+    pid = 0
+    # two diagonal chains of points ~90 m apart (both dlat and dlon
+    # components near eps/sqrt(2): maximal warp exposure), plus noise
+    for ox, oy in [(0.0, 0.0), (20 * deg, 0.0)]:
+        for k in range(12):
+            step = 0.9 * deg / math.sqrt(2)
+            lat = lat0 + oy + k * step
+            lon = lon0 + ox + k * step / math.cos(math.radians(lat))
+            pts.append((pid, lon + rng.uniform(-1e-6, 1e-6), lat + rng.uniform(-1e-6, 1e-6)))
+            pid += 1
+    for _ in range(8):
+        pts.append((pid, lon0 + rng.uniform(-40, 40) * deg, lat0 + rng.uniform(-40, 40) * deg))
+        pid += 1
+    _dbscan_partition_check(spark, pts, 100.0, 3)
+
+
+def test_dbscan_distributed_beijing_dense_cell_counts(spark):
+    """Dense blob straddling cell borders at Beijing longitude: the
+    fully-covered-cell rule must stay exact (4-corner haversine test),
+    and min_samples decisions must match the exact reference."""
+    rng = np.random.RandomState(3)
+    deg = 100.0 / 111195.0
+    pts = []
+    pid = 0
+    for _ in range(120):
+        pts.append((116.3 + rng.uniform(-0.7, 0.7) * deg / math.cos(math.radians(39.9)),))
+        pts[-1] = (pid, pts[-1][0], 39.9 + rng.uniform(-0.7, 0.7) * deg)
+        pid += 1
+    # a sparse satellite ring right at the eps boundary
+    for a in range(10):
+        ang = a / 10 * 2 * math.pi
+        lat = 39.9 + 0.98 * deg * math.sin(ang)
+        lon = 116.3 + 0.98 * deg * math.cos(ang) / math.cos(math.radians(lat))
+        pts.append((pid, lon, lat))
+        pid += 1
+    _dbscan_partition_check(spark, pts, 100.0, 5)

@@ -86,8 +86,8 @@ def pre_filter_locations(
     )
 
     out = (
-        sp.join(F.broadcast(users), on="user_id", how="left")
-        .join(F.broadcast(locs), on=loc_keys, how="left")
+        sp.join(users, on="user_id", how="left")
+        .join(locs, on=loc_keys, how="left")
         .withColumn("total_filter", F.col("user_filter") & F.coalesce(F.col("loc_filter"), F.lit(False)))
     )
     return out.select("id", "total_filter")

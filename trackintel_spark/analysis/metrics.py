@@ -40,7 +40,9 @@ def radius_gyration(sp: DataFrame, method: str = "count", metric: str = "haversi
         F.try_divide(F.sum(F.col("w") * F.col("x")), F.sum("w")).alias("__cx"),
         F.try_divide(F.sum(F.col("w") * F.col("y")), F.sum("w")).alias("__cy"),
     )
-    joined = weighted.join(F.broadcast(centers), on="user_id")
+    # no broadcast hint: centers has one row per user, which grows with
+    # the data; the user_id-keyed equi-join lets AQE pick the strategy
+    joined = weighted.join(centers, on="user_id")
     dist_fn = haversine_m if metric == "haversine" else euclidean_m
     sq = F.pow(dist_fn(F.col("x"), F.col("y"), F.col("__cx"), F.col("__cy")), 2)
     return joined.groupBy("user_id").agg(

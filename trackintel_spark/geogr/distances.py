@@ -62,11 +62,19 @@ def get_speed_triplegs(tpls: DataFrame, pfs: DataFrame | None = None, method: st
     raise ValueError(f"Method {method} not known for speed computation.")
 
 
+# planar metrics mirror sklearn's pairwise_distances passthrough in the
+# reference (geogr/distances.py:144-153): plain vector math on the raw
+# coordinate values, whatever their units (meters for projected CRS).
+# All are >= |Δlat| for p >= 1, so the band prefilter below stays valid.
+_PLANAR_METRICS = ("euclidean", "cityblock", "manhattan", "chebyshev", "minkowski")
+
+
 def calculate_distance_matrix(
     X: DataFrame,
     Y: DataFrame | None = None,
     dist_threshold: float | None = None,
     metric: str = "haversine",
+    p: float = 2.0,
 ) -> DataFrame:
     """All-pairs distances in long form (i, j, dist_m).
 
@@ -75,29 +83,45 @@ def calculate_distance_matrix(
     long form; for X==Y only the upper triangle (i < j), mirroring the
     reference's upper-triangle optimization (:173-179).
 
-    ``metric``: 'haversine' for WGS84 lon/lat, 'euclidean' for projected
-    (planar, meters) coordinates — the check_gdf_planar switch.
+    ``metric``: 'haversine' for WGS84 lon/lat; for projected (planar)
+    coordinates — the check_gdf_planar switch — any of 'euclidean',
+    'cityblock'/'manhattan', 'chebyshev', 'minkowski' (order ``p``),
+    matching the reference's sklearn metric passthrough (geogr/
+    distances.py:144-153) as pure Column expressions.
     ``dist_threshold`` adds a bounding-box band prefilter so Catalyst can
     turn the cross join into a pruned range join (the scalable variant).
     """
-    if metric not in ("haversine", "euclidean"):
-        raise ValueError(f"metric must be 'haversine' or 'euclidean', got {metric!r}")
+    if metric not in ("haversine",) + _PLANAR_METRICS:
+        raise ValueError(
+            f"metric must be 'haversine' or one of {_PLANAR_METRICS}, got {metric!r}"
+        )
+    if metric == "minkowski" and p < 1.0:
+        raise ValueError(f"minkowski order p must be >= 1, got {p!r}")
     symmetric = Y is None
     a = X.select(F.col("id").alias("i"), F.col("geom").alias("__ga"))
     b = (X if symmetric else Y).select(F.col("id").alias("j"), F.col("geom").alias("__gb"))
     cond = [F.col("i") < F.col("j")] if symmetric else []
     if dist_threshold is not None:
         # band predicate before the trig: ~1 deg lat = 111.32 km for
-        # geographic data, meters directly for planar
+        # geographic data, coordinate units directly for planar (every
+        # supported planar metric is >= the per-axis difference)
         band = dist_threshold / 111320.0 if metric == "haversine" else dist_threshold
         cond.append(F.abs(a["__ga"]["lat"] - b["__gb"]["lat"]) <= band)
     joined = a.join(b, on=cond if cond else None, how="cross" if not cond else "inner")
+    dx = F.abs(F.col("__ga")["lon"] - F.col("__gb")["lon"])
+    dy = F.abs(F.col("__ga")["lat"] - F.col("__gb")["lat"])
     if metric == "haversine":
         d = haversine_point(F.col("__ga"), F.col("__gb"))
-    else:
+    elif metric == "euclidean":
         d = euclidean_m(
             F.col("__ga")["lon"], F.col("__ga")["lat"], F.col("__gb")["lon"], F.col("__gb")["lat"]
         )
+    elif metric in ("cityblock", "manhattan"):
+        d = dx + dy
+    elif metric == "chebyshev":
+        d = F.greatest(dx, dy)
+    else:  # minkowski
+        d = F.pow(F.pow(dx, F.lit(p)) + F.pow(dy, F.lit(p)), F.lit(1.0 / p))
     out = joined.withColumn("dist_m", d).select("i", "j", "dist_m")
     if dist_threshold is not None:
         out = out.filter(F.col("dist_m") <= dist_threshold)

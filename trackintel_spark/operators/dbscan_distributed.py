@@ -4,20 +4,32 @@ SURVEY.md §4 item 3: the reference's ``agg_level='dataset'`` runs one
 global sklearn DBSCAN — centralized and O(n²). This is the scale path,
 a grid-contraction DBSCAN (the GriDBSCAN / MR-DBSCAN family):
 
-1. grid partition with cells of size **eps/2**: any two points in the
-   same cell are within eps by construction (cell diagonal = eps/√2),
-   so same-cell neighbor counts come from the CELL SIZE — a dense blob
-   of n points in one cell costs n rows, never n² pairs;
+1. grid partition with a LATITUDE-BANDED grid: rows of height eps/2
+   in latitude degrees; inside each row, cells of width
+   eps/2 / cos(band's equator-near edge) in raw longitude degrees, so
+   the physical E-W extent of every cell is <= eps/2 and any two
+   points in the same cell are within eps by construction (cell
+   diagonal <= eps/√2·(1+ε)). Same-cell neighbor counts come from the
+   CELL SIZE — a dense blob of n points in one cell costs n rows,
+   never n² pairs. Cells are exact lat/lon boxes, so all geometric
+   bounds below are warp-free (an earlier design indexed on the
+   per-point scaled longitude lon·cos(lat), whose error term
+   lon·sin(lat)·Δlat is unbounded in lon and broke both the same-cell
+   and fully-covered-cell guarantees at e.g. Beijing longitudes);
 2. cross-cell neighbor candidates: each point probes the half of its
-   5×5 cell neighborhood that is lexicographically above its own cell
-   (12 offsets, found pairs are symmetrized — half the shuffle volume),
-   with a conservative per-axis distance prune before the shuffle;
-   exact great-circle check after the equi-join. Probes whose target
-   cell sits ENTIRELY inside the prober's eps-disk are handled by the
-   fully-covered-cell rule (GriDBSCAN family): cell counts and
-   per-cell aggregates replace the pair join in both directions, so
-   two saturated adjacent cells — one dense blob straddling a cell
-   boundary — never materialize n·m pair rows;
+   cell neighborhood that is lexicographically above its own cell —
+   band offsets dy ∈ {0,1,2} with the in-band longitude-cell range
+   computed per target band (bands have different widths), found
+   pairs are symmetrized — half the shuffle volume; a conservative
+   per-axis distance prune runs before the shuffle and the exact
+   great-circle check after the equi-join. Probes whose target cell
+   sits ENTIRELY inside the prober's eps-disk are handled by the
+   fully-covered-cell rule (GriDBSCAN family), decided by an EXACT
+   haversine test of the target box's four corners (for eps-scale
+   boxes the farthest point of a lat/lon box is a corner): cell
+   counts and per-cell aggregates replace the pair join in both
+   directions, so two saturated adjacent cells — one dense blob
+   straddling a cell boundary — never materialize n·m pair rows;
 3. core points: same-cell count + checked cross-cell matches
    >= min_samples;
 4. cluster formation: all core points of one cell are mutually within
@@ -34,27 +46,40 @@ Semantics match DBSCAN except cluster NUMBERING and the tie-break for
 border points reachable from multiple clusters (sklearn uses scan
 order; here the minimum label wins — deterministic, order-free).
 Labels are re-densified to 0..k-1 ordered by (min core member id) for
-stability. Cell indexing scales longitude by cos(lat); the factor-2
-margin of eps/2 cells absorbs the planar-vs-spherical distortion for
-any eps far below continental scale.
+stability. Longitude wrap-around at ±180° is not handled (the
+reference's sklearn haversine path has the same blind spot for grid
+parity); latitudes within ±90 all work, the polar band degrades to a
+few very wide cells.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from trackintel_spark.functions.spatial import haversine_m
+from trackintel_spark.functions.spatial import EARTH_RADIUS_M, haversine_m
 
-# the half neighborhood: offsets strictly above (0,0) in (dy, dx) order.
-# every unordered cross-cell pair within 2 cells is discovered exactly
-# once (Δ or -Δ lies in this half-space), then symmetrized.
-_HALF_OFFSETS = [
-    (dx, dy)
-    for dx in (-2, -1, 0, 1, 2)
-    for dy in (-2, -1, 0, 1, 2)
-    if (dy, dx) > (0, 0)
-]
+# meters per degree of latitude under the haversine_m sphere — exact
+# for the meridional axis, and the per-degree-longitude factor is this
+# times cos(lat) to within O(Δλ²) for eps-scale separations.
+_DEG2M = math.pi / 180.0 * EARTH_RADIUS_M
+
+
+def _band_cos(band: Column, cell_deg: float) -> tuple[Column, Column]:
+    """(max cos, min cos) of latitude over band ``[band·cell, (band+1)·cell)``.
+
+    ``greatest(band, -band-1)`` is the band's equator-near edge in
+    cells (0 for the two bands touching the equator); +1 is the
+    pole-near edge. Both cosines are clamped away from 0 so polar
+    bands divide cleanly (their cells just get very wide).
+    """
+    eq_edge = F.greatest(band, -band - 1).cast("double") * cell_deg
+    pole_edge = F.least(eq_edge + cell_deg, F.lit(90.0))
+    cos_eq = F.greatest(F.cos(F.radians(eq_edge)), F.lit(1e-9))
+    cos_pole = F.greatest(F.cos(F.radians(pole_edge)), F.lit(1e-9))
+    return cos_eq, cos_pole
 
 
 def dbscan_distributed(
@@ -70,59 +95,91 @@ def dbscan_distributed(
     for noise. Linear in data volume: no step materializes point-pair
     lists inside dense cells, and label propagation runs on the cell
     graph, not the point graph."""
-    cell_deg = (epsilon_m / 2.0) / 111320.0  # eps/2 cells, see module doc
+    cell_deg = (epsilon_m / 2.0) / _DEG2M  # eps/2 band height, see module doc
 
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.col(lon_col).cast("double").alias("lon"),
         F.col(lat_col).cast("double").alias("lat"),
     )
-    slon = F.col("lon") * F.cos(F.radians(F.col("lat")))  # scaled lon (degrees)
+    cy = F.floor(F.col("lat") / cell_deg).cast("long")
+    own_cos_eq, _ = _band_cos(cy, cell_deg)
+    own_w = F.lit(cell_deg) / own_cos_eq  # own band's cell width (lon degrees)
     pts = (
-        pts.withColumn("__slon", slon)
-        .withColumn("cx", F.floor(F.col("__slon") / cell_deg).cast("long"))
-        .withColumn("cy", F.floor(F.col("lat") / cell_deg).cast("long"))
+        pts.withColumn("cy", cy)
+        .withColumn("cx", F.floor(F.col("lon") / own_w).cast("long"))
         .persist()
     )
 
     # per-cell size and minimum pid: one row per occupied cell
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
 
-    # cross-cell candidates: probe the upper half neighborhood; prune a
-    # probe when a single axis already puts the probed cell out of reach
-    # (conservative: 1.05 margin over the planar axis distance, the
-    # exact haversine check decides after the join). Probes whose target
-    # cell lies ENTIRELY within eps of the probing point (farthest-corner
-    # distance <= eps/1.05 — the margin errs toward exact checking) are
-    # classified "full": every point of that cell is a neighbor by
-    # construction, so the pair join is skipped and the CELL COUNT is
-    # used instead. This is what keeps two saturated adjacent cells —
-    # a railway-station blob straddling a boundary — from pair-listing
-    # n*m rows: the GriDBSCAN fully-covered-cell rule.
-    axis_m = 111320.0
+    # cross-cell candidates: probe the lexicographically-upper half of
+    # the neighborhood — bands dy ∈ {0,1,2} (eps reach = 2 bands), and
+    # within each target band the longitude-cell range that the
+    # eps·1.05 disk can touch, computed against that band's own cell
+    # width. A conservative per-axis prune (1.05 margin; longitude gap
+    # scaled by the SMALLEST cos among the prober's and the band's
+    # latitudes, so a true neighbor is never dropped) runs before the
+    # shuffle; the exact haversine check decides after the join.
+    # Probes whose target cell lies ENTIRELY within eps of the probing
+    # point are classified "full" by an EXACT haversine test of the
+    # box's four corners (the farthest point of an eps-scale lat/lon
+    # box from an outside point is a corner — the distance is monotone
+    # toward the far lon edge and has at most one interior lat
+    # critical point, a minimum): every point of that cell is then a
+    # neighbor with no margin argument, so the pair join is skipped
+    # and the CELL COUNT is used instead. This is what keeps two
+    # saturated adjacent cells — a railway-station blob straddling a
+    # boundary — from pair-listing n*m rows: the GriDBSCAN
+    # fully-covered-cell rule.
     reach = epsilon_m * 1.05
-    full_reach = epsilon_m / 1.05
-    probes = []
-    for dx, dy in _HALF_OFFSETS:
-        tx, ty = F.col("cx") + dx, F.col("cy") + dy
-        # distance from the point to the probed cell's bounding box, per axis
-        ddx = F.greatest(tx * cell_deg - F.col("__slon"), F.col("__slon") - (tx + 1) * cell_deg, F.lit(0.0))
-        ddy = F.greatest(ty * cell_deg - F.col("lat"), F.col("lat") - (ty + 1) * cell_deg, F.lit(0.0))
-        keep = (ddx * axis_m <= reach) & (ddy * axis_m <= reach)
-        # farthest corner of the probed box, per axis (always >= 0)
-        fdx = F.greatest(F.col("__slon") - tx * cell_deg, (tx + 1) * cell_deg - F.col("__slon"))
-        fdy = F.greatest(F.col("lat") - ty * cell_deg, (ty + 1) * cell_deg - F.col("lat"))
-        dmax_m = F.sqrt(F.pow(fdx * axis_m, F.lit(2.0)) + F.pow(fdy * axis_m, F.lit(2.0)))
-        probes.append(
-            F.when(keep, F.struct(tx.alias("cx"), ty.alias("cy"), (dmax_m <= full_reach).alias("full")))
-        )
+    lon_c, lat_c = F.col("lon"), F.col("lat")
+    probe_arrays = []
+    for dy in (0, 1, 2):
+        ty = F.col("cy") + dy
+        cos_eq_t, cos_pole_t = _band_cos(ty, cell_deg)
+        w_t = F.lit(cell_deg) / cos_eq_t
+        # max lon-degrees the eps·1.05 disk spans at any latitude of
+        # the target band; capped so the polar band can't explode the
+        # candidate sequence
+        r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_pole_t), F.lit(360.0))
+        tx_lo = F.floor((lon_c - r_deg) / w_t).cast("long")
+        tx_hi = F.floor((lon_c + r_deg) / w_t).cast("long")
+
+        def _mk_factory(ty, w_t, cos_pole_t, dy):
+            def _mk(tx):
+                lo_lon, hi_lon = tx.cast("double") * w_t, (tx + 1).cast("double") * w_t
+                lo_lat = ty.cast("double") * F.lit(cell_deg)
+                hi_lat = (ty + 1).cast("double") * F.lit(cell_deg)
+                # lower bounds on the point→box distance, per axis
+                g_lon = F.greatest(lo_lon - lon_c, lon_c - hi_lon, F.lit(0.0))
+                g_lat = F.greatest(lo_lat - lat_c, lat_c - hi_lat, F.lit(0.0))
+                cos_lb = F.least(F.cos(F.radians(lat_c)), cos_pole_t)
+                keep = (g_lon * _DEG2M * cos_lb <= reach) & (g_lat * _DEG2M <= reach)
+                if dy == 0:
+                    keep = keep & (tx > F.col("cx"))
+                # exact farthest-corner distance → rigorous "full" flag
+                dmax_m = F.greatest(
+                    haversine_m(lon_c, lat_c, lo_lon, lo_lat),
+                    haversine_m(lon_c, lat_c, hi_lon, lo_lat),
+                    haversine_m(lon_c, lat_c, lo_lon, hi_lat),
+                    haversine_m(lon_c, lat_c, hi_lon, hi_lat),
+                )
+                return F.when(
+                    keep, F.struct(tx.alias("cx"), ty.alias("cy"), (dmax_m <= epsilon_m).alias("full"))
+                )
+
+            return _mk
+
+        probe_arrays.append(F.transform(F.sequence(tx_lo, tx_hi), _mk_factory(ty, w_t, cos_pole_t, dy)))
     probe = pts.select(
         F.col("pid").alias("qid"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
         F.col("cx").alias("qcx"),
         F.col("cy").alias("qcy"),
-        F.explode(F.filter(F.array(*probes), lambda c: c.isNotNull())).alias("__c"),
+        F.explode(F.filter(F.concat(*probe_arrays), lambda c: c.isNotNull())).alias("__c"),
     ).select(
         "qid", "qlon", "qlat", "qcx", "qcy",
         F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"), F.col("__c.full").alias("full"),
@@ -132,7 +189,7 @@ def dbscan_distributed(
     # work from pts' cache, cheaper than materializing 12x N probe rows.
     pfull = probe.filter(F.col("full")).select("qid", "qcx", "qcy", "cx", "cy")
 
-    half = probe.filter(~F.col("full")).join(pts.drop("__slon"), on=["cx", "cy"], how="inner").filter(
+    half = probe.filter(~F.col("full")).join(pts, on=["cx", "cy"], how="inner").filter(
         haversine_m(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat")) <= epsilon_m
     )
     # symmetrize: (a, a_cell, b, b_cell) once per direction

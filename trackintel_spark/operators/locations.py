@@ -196,13 +196,17 @@ def generate_locations(
             .persist()
         )
         # per-user label offsetting (:119-137): base = running sum of
-        # (max label + 1) over users in user_id order; tiny table.
+        # (max label + 1) over users in user_id order. The offset table
+        # grows with user cardinality, so it is computed with the
+        # range-partitioned prefix sum and joined without a broadcast
+        # hint (AQE still broadcasts it whenever it is actually small).
+        from trackintel_spark.plans.ids import exclusive_prefix_sum
+
         maxes = labeled.filter(F.col("location_id") >= 0).groupBy("user_id").agg(
             (F.max("location_id") + 1).alias("__n")
         )
-        w_off = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = maxes.select("user_id", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"))
-        labeled = labeled.join(F.broadcast(offsets), on="user_id", how="left").withColumn(
+        offsets = exclusive_prefix_sum(maxes, "user_id", "__n").select("user_id", "__off")
+        labeled = labeled.join(offsets, on="user_id", how="left").withColumn(
             "location_id",
             F.when(F.col("location_id") >= 0, F.col("location_id") + F.coalesce("__off", F.lit(0))).otherwise(
                 F.lit(None).cast("long")

@@ -176,18 +176,38 @@ def generate_tours(
     trips_in = trips.drop(*[c for c in ("tour_id",) if c in trips.columns])
 
     if use_locations:
+        # resolve origin AND destination locations with ONE equi-join:
+        # melt each trip into (role, staypoint) rows, join the
+        # staypoint->location map once, pivot back by trip id. Joining
+        # twice would embed the staypoint lineage twice in the plan
+        # (chained operators then grow plans multiplicatively) and
+        # shuffle the trip table twice.
         sp_loc = staypoints.select(F.col("id").alias("__sp"), F.col("location_id").alias("__loc"))
+        melt = trips_in.select(
+            "id", "user_id", "started_at", "finished_at",
+            "origin_staypoint_id", "destination_staypoint_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("o").alias("r"), F.col("origin_staypoint_id").alias("__sp")),
+                    F.struct(F.lit("d").alias("r"), F.col("destination_staypoint_id").alias("__sp")),
+                )
+            ).alias("__m"),
+        ).select(
+            "id", "user_id", "started_at", "finished_at",
+            "origin_staypoint_id", "destination_staypoint_id",
+            F.col("__m.r").alias("__r"), F.col("__m.__sp").alias("__sp"),
+        )
         kin = (
-            trips_in.select("id", "user_id", "started_at", "finished_at", "origin_staypoint_id", "destination_staypoint_id")
-            .join(
-                F.broadcast(sp_loc).withColumnRenamed("__sp", "origin_staypoint_id").withColumnRenamed("__loc", "origin_loc"),
-                on="origin_staypoint_id",
-                how="left",
-            )
-            .join(
-                F.broadcast(sp_loc).withColumnRenamed("__sp", "destination_staypoint_id").withColumnRenamed("__loc", "dest_loc"),
-                on="destination_staypoint_id",
-                how="left",
+            melt.join(sp_loc, on="__sp", how="left")
+            .groupBy("id")
+            .agg(
+                F.first("user_id").alias("user_id"),
+                F.first("started_at").alias("started_at"),
+                F.first("finished_at").alias("finished_at"),
+                F.first("origin_staypoint_id").alias("origin_staypoint_id"),
+                F.first("destination_staypoint_id").alias("destination_staypoint_id"),
+                F.max(F.when(F.col("__r") == "o", F.col("__loc"))).alias("origin_loc"),
+                F.max(F.when(F.col("__r") == "d", F.col("__loc"))).alias("dest_loc"),
             )
         )
     else:

@@ -234,7 +234,7 @@ def _overlap_staypoints(pfs_between: DataFrame, staypoints: DataFrame) -> tuple[
     sp_geom = staypoints.select(F.col("id").alias("staypoint_id"), F.col("geom").alias("__sp_geom"))
     geoms = (
         x.filter(F.col("__tpl_geom").isNotNull())
-        .join(F.broadcast(sp_geom), on="staypoint_id", how="left")
+        .join(sp_geom, on="staypoint_id", how="left")
         .withColumn("__pt", F.when(is_sp, F.col("__sp_geom")).otherwise(F.col("geom")))
         .groupBy("__tpl_geom")
         .agg(

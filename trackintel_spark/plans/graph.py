@@ -46,7 +46,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iterations: int = 50,
-    small_graph_edges: int = 1_000_000,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Label vertices of the undirected graph given by ``edges``.
 
@@ -59,10 +59,16 @@ def connected_components(
     here always hand in CONTRACTED graphs (DBSCAN's core-cell graph,
     dedup's candidate-pair graph) that are orders of magnitude smaller
     than the data, so when the deduplicated edge list fits the
-    ``small_graph_edges`` budget it is solved in one collect with
+    ``small_graph_edges`` budget it is solved on the driver with
     union-find — no per-round shuffle latency. Larger graphs run the
     distributed min-label + pointer-jumping loop unchanged; the size
     probe costs one aggregation over a cache both paths reuse.
+
+    Driver memory: the fast path streams edges via ``toLocalIterator``
+    (no Row-object collect), holding ~3 Python ints per edge — roughly
+    25 MB at the default budget. Raise ``small_graph_edges`` only with
+    a matching driver-memory budget; the distributed path is always a
+    safe fallback.
     """
     one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
 
@@ -70,9 +76,9 @@ def connected_components(
     # kept so isolated-with-self-loop vertices stay labeled)
     uniq = one.distinct().persist()
     if uniq.limit(small_graph_edges + 1).count() <= small_graph_edges:
-        rows = uniq.collect()
+        pairs = ((r[0], r[1]) for r in uniq.toLocalIterator())
+        labels = _union_find_components(pairs)
         uniq.unpersist()
-        labels = _union_find_components([(r["a"], r["b"]) for r in rows])
         spark = edges.sparkSession
         vtype = edges.schema[src].dataType.simpleString()
         if not labels:

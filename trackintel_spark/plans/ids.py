@@ -3,20 +3,78 @@
 Every trackintel generate-operator assigns fresh int64 ids 0..n-1 in
 (user_id, time) order (e.g. preprocessing/positionfixes.py:162-164).
 A naive ``row_number() OVER (ORDER BY ...)`` funnels the whole table
-through ONE task — unacceptable at 100 TB. Instead we use the classic
-two-phase scheme:
+through ONE task — unacceptable at 100 TB. Instead both helpers use
+the ``zipWithIndex`` scheme: range-partition on the sort key,
+row-number within partitions, and add per-PARTITION base offsets
+(<= defaultParallelism longs) collected to the driver and folded back
+as a literal map lookup on ``spark_partition_id()``.
 
-1. per-user row_number (shuffle partitioned by user_id — parallel);
-2. per-user base offset = exclusive running sum of user counts,
-   computed on the tiny (n_users)-row aggregate and broadcast back.
-
-The result is identical to the global row_number but scales linearly.
+The driver collect is bounded by cluster parallelism, never data, and
+replaces joins/broadcasts of cardinality-growing offset tables — the
+100 TB driver-OOM trap — AND keeps the input lineage in the output
+plan exactly once: offset-table joins re-embed the input subtree, and
+chained generate-operators then grow the logical plan exponentially (a
+five-operator chain was literally un-plannable before this). Like
+``zipWithIndex``, the helpers trigger one counting job at call time
+and cache the shuffled input for the main query to reuse.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sum(
+    df: DataFrame, order_col: str, val_col: str, out_col: str = "__off"
+) -> DataFrame:
+    """Add ``out_col`` = exclusive running sum of ``val_col`` in
+    ``order_col`` order, without a single-task global window and
+    without re-embedding ``df``'s lineage.
+
+    Range-repartition by ``order_col`` (disjoint, ordered ranges),
+    prefix-sum within each partition with a window, then add the
+    per-partition base offsets. The bases are one long per PARTITION —
+    bounded by ``defaultParallelism`` — collected to the driver and
+    injected as a literal map lookup on ``spark_partition_id()``, the
+    ``zipWithIndex`` scheme. The sampled range boundaries only decide
+    which partition a row lands in, never its global position —
+    results are deterministic for distinct ``order_col`` values.
+
+    Triggers one aggregation job at call time; the repartitioned input
+    is cached so the main query reuses the shuffle.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(p, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__p", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["__p"]: r["__t"]
+        for r in d.groupBy("__p").agg(F.sum(val_col).alias("__t")).collect()
+    }
+    bases: list[Column] = []
+    acc = 0
+    for pid in sorted(totals):
+        bases.extend([F.lit(pid), F.lit(acc)])
+        acc += int(totals[pid] or 0)
+    base = (
+        F.coalesce(F.create_map(*bases)[F.col("__p")], F.lit(0))
+        if bases
+        else F.lit(0)
+    )
+    w_in = (
+        Window.partitionBy("__p").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            out_col,
+            (base + F.coalesce(F.sum(val_col).over(w_in), F.lit(0))).cast("long"),
+        )
+        .drop("__p")
+    )
 
 
 def dense_id_by_user(
@@ -28,50 +86,44 @@ def dense_id_by_user(
     """Add ``id_col`` = dense 0-based rank over (user_col, *order_by).
 
     Equivalent to ``row_number() over (order by user, *order_by) - 1``
-    but without a single-partition global sort.
+    but with the zipWithIndex scheme: ONE range shuffle on the sort
+    key, per-partition row_number, driver-collected per-partition
+    bases (<= defaultParallelism longs) added as a literal map lookup.
+    No global sort task, no join, and the input lineage appears in the
+    output plan exactly once — chains of generate-operators plan in
+    linear, not exponential, tree size. Range partitioning keeps equal
+    keys together, so ids are deterministic wherever the sort key is.
     """
-    w_user = Window.partitionBy(user_col).orderBy(*order_by)
-    with_rn = df.withColumn("__rn", F.row_number().over(w_user))
-
-    counts = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    # the per-user offset table has one row per user — a single-partition
-    # window here is fine and the join back is a broadcast.
-    w_off = Window.orderBy(user_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        user_col, F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    p = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in [user_col, *order_by]]
+    d = (
+        df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__p", F.spark_partition_id())
+        .persist()
     )
-
-    out = with_rn.join(F.broadcast(offsets), on=user_col, how="inner")
-    return out.withColumn(id_col, (F.col("__off") + F.col("__rn") - 1).cast("long")).drop(
-        "__rn", "__off"
-    )
+    counts = {r["__p"]: r["__n"] for r in d.groupBy("__p").agg(F.count(F.lit(1)).alias("__n")).collect()}
+    bases: list[Column] = []
+    acc = 0
+    for pid in sorted(counts):
+        bases.extend([F.lit(pid), F.lit(acc)])
+        acc += int(counts[pid])
+    base = F.coalesce(F.create_map(*bases)[F.col("__p")], F.lit(0)) if bases else F.lit(0)
+    w = Window.partitionBy("__p").orderBy(*cols)
+    return d.withColumn(id_col, (base + F.row_number().over(w) - 1).cast("long")).drop("__p")
 
 
 def dense_rank_ordered(df: DataFrame, order_col: str, out_col: str = "dense_id") -> DataFrame:
     """Global 0-based dense index over the DISTINCT values of ``order_col``
     without a single-task global window.
 
-    Range-repartition the distinct values (disjoint, ordered ranges), rank
-    within each partition, then add broadcast per-partition offsets. The
-    sampled range boundaries only decide which partition a value lands in,
-    never its global rank — results are deterministic. Use when the
-    distinct-value count can grow with the data (e.g. cluster labels);
-    for per-user ids use :func:`dense_id_by_user`.
+    The exclusive prefix count of ones over the distinct values IS the
+    dense rank. Use when the distinct-value count can grow with the
+    data (e.g. cluster labels); for per-user ids use
+    :func:`dense_id_by_user`.
     """
-    d = df.select(order_col).distinct()
-    p = d.sparkSession.sparkContext.defaultParallelism
-    d = (
-        d.repartitionByRange(p, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__p", F.spark_partition_id())
-    )
-    w_in = Window.partitionBy("__p").orderBy(order_col)
-    d = d.withColumn("__rn", F.row_number().over(w_in))
-    counts = d.groupBy("__p").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select("__p", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    d = df.select(order_col).distinct().withColumn("__one", F.lit(1))
     return (
-        d.join(F.broadcast(offsets), on="__p")
-        .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        exclusive_prefix_sum(d, order_col, "__one", out_col=out_col)
         .select(order_col, out_col)
     )

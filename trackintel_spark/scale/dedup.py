@@ -25,13 +25,22 @@ from trackintel_spark.scale.text import tokens
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (smallest id) per exact text; adds ``dup_count``."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
+    """Keep one row (smallest id) per exact text; adds ``dup_count``.
+
+    The exchange key is ``md5(text)``, not the text itself — multi-KB
+    documents would otherwise become the shuffle hash/sort key. The
+    explicit repartition on the digest satisfies the windows' clustered
+    distribution on (digest, text) (hashing a key subset co-locates
+    every group), so the full text only participates in the LOCAL sort
+    as the tie-break against md5 collisions — results are exact.
+    """
+    d = df.withColumn("__k", F.md5(F.col(text_col).cast("string"))).repartition(F.col("__k"))
+    w = Window.partitionBy("__k", text_col).orderBy(id_col)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy(text_col)))
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("__k", text_col)))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__k")
     )
 
 

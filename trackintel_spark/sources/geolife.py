@@ -87,8 +87,11 @@ def geolife_add_modes_to_triplegs(
         "__bin", F.explode(F.sequence(b(F.col("__ls")) - 1, b(F.col("__lf")) + 1))
     )
     t = tpls.withColumn("__bin", b(F.col("started_at")))
+    # no broadcast hint: label intervals grow with the tracking data
+    # (one row per labeled segment, exploded per time bin) — AQE still
+    # broadcasts when the corpus is actually small
     joined = t.join(
-        F.broadcast(lab),
+        lab,
         on=(
             (t["user_id"] == lab["__lu"])
             & (t["__bin"] == lab["__bin"])
@@ -125,6 +128,14 @@ def read_geolife_labels(spark: SparkSession, path: str) -> DataFrame:
     Output columns: user_id, started_at, finished_at, mode (timestamps
     parsed as the reference does, ``%Y/%m/%d %H:%M:%S`` assumed UTC).
     """
+    out_schema = "user_id long, started_at timestamp, finished_at timestamp, mode string"
+    # an empty glob would raise PATH_NOT_FOUND instead of yielding zero
+    # rows — guard with one driver-side local check (corpus roots are
+    # local directories, like the reference's os.listdir walk)
+    import glob as _glob
+
+    if not _glob.glob(f"{path}/*/labels.txt"):
+        return spark.createDataFrame([], out_schema)
     raw = (
         spark.read.csv(
             f"{path}/*/labels.txt",
@@ -135,9 +146,12 @@ def read_geolife_labels(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("__file", F.input_file_name())
     )
     fmt = "yyyy/MM/dd HH:mm:ss"
-    return raw.select(
-        F.regexp_extract(F.col("__file"), r"/(\d+)/labels\.txt", 1).cast("long").alias("user_id"),
+    out = raw.select(
+        F.regexp_extract(F.col("__file"), r"/(\d+)/labels\.txt", 1).try_cast("long").alias("user_id"),
         F.to_timestamp(F.col("Start Time"), fmt).alias("started_at"),
         F.to_timestamp(F.col("End Time"), fmt).alias("finished_at"),
         F.col("Transportation Mode").alias("mode"),
     )
+    # non-numeric user folder names regex-extract to NULL — drop them
+    # (the reference's int(folder) would have crashed instead)
+    return out.filter(F.col("user_id").isNotNull())

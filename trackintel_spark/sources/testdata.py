@@ -49,21 +49,63 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass  # conf locked down: fall through to the dtype fixups
 
 
-def _epoch_to_micros_expr(col: str, sample: int):
-    """Integer epoch columns have shipped in different units across
-    testdata regenerations. Decide by magnitude (a 2001-2200 timestamp
-    is ~1e9 s, ~1e12 ms, ~1e15 us, ~1e18 ns — three orders apart each,
-    so one sampled value suffices) and build the micros expression.
+def _unit_to_micros_expr(col: str, unit: str):
+    """Micros expression for an int64 epoch column of a KNOWN unit.
     ns uses INTEGER division (ns > 2^53: double math loses precision),
     truncating like DuckDB's ns->us so oracle hashes line up."""
-    v = abs(sample)
-    if v >= 10**17:  # nanoseconds
+    if unit == "ns":
         return F.expr(f"`{col}` div 1000")
-    if v >= 10**14:  # microseconds
+    if unit == "us":
         return F.col(col)
-    if v >= 10**11:  # milliseconds
+    if unit == "ms":
         return F.col(col) * F.lit(1000)
     return F.col(col) * F.lit(1_000_000)  # seconds
+
+
+def _parquet_ts_unit(path: str, col: str) -> str | None:
+    """Read the column's timestamp unit from the parquet footer (one
+    local metadata read, no Spark job). The int64 surface is an
+    artifact of ``nanosAsLong`` — the footer still records the true
+    logical type, so historic data (pre-1973 epochs whose magnitude
+    overlaps a coarser unit) can't be mis-classified. Returns None for
+    non-local/unreadable paths or non-timestamp columns."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            parts = sorted(glob.glob(os.path.join(p, "*.parquet"))) or sorted(
+                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            )
+            if not parts:
+                return None
+            p = parts[0]
+        sch = pq.read_schema(p)
+        if col not in sch.names:
+            return None
+        t = sch.field(col).type
+        return getattr(t, "unit", None)
+    except Exception:
+        return None
+
+
+def _epoch_to_micros_expr(col: str, sample: int):
+    """Magnitude-based fallback when no parquet footer is reachable
+    (remote filesystem). Only valid for the modern era: a 2001-2200
+    timestamp is ~1e9 s, ~1e12 ms, ~1e15 us, ~1e18 ns — three orders
+    apart each, so one sampled value suffices. Pre-1973 epochs are
+    ambiguous under this rule; those need the footer path."""
+    v = abs(sample)
+    if v >= 10**17:
+        return _unit_to_micros_expr(col, "ns")
+    if v >= 10**14:
+        return _unit_to_micros_expr(col, "us")
+    if v >= 10**11:
+        return _unit_to_micros_expr(col, "ms")
+    return _unit_to_micros_expr(col, "s")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,12 +116,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c not in dtypes:
             continue
         if dtypes[c] == "bigint":  # integer epoch (nanos-era under nanosAsLong)
-            probe = df.select(c).filter(F.col(c).isNotNull()).limit(1).collect()
-            micros = (
-                _epoch_to_micros_expr(c, int(probe[0][0]))
-                if probe
-                else F.expr(f"`{c}` div 1000")
-            )
+            unit = _parquet_ts_unit(f"{sf_dir}/{name}.parquet", c)
+            if unit in ("s", "ms", "us", "ns"):
+                micros = _unit_to_micros_expr(c, unit)
+            else:  # no footer reachable: modern-era magnitude sniff
+                probe = df.select(c).filter(F.col(c).isNotNull()).limit(1).collect()
+                micros = (
+                    _epoch_to_micros_expr(c, int(probe[0][0]))
+                    if probe
+                    else F.expr(f"`{c}` div 1000")
+                )
             df = df.withColumn(c, F.timestamp_micros(micros))
         elif dtypes[c] == "timestamp_ntz":  # NTZ inference locked on
             df = df.withColumn(c, F.col(c).cast("timestamp"))
