@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Kernel-family scale probe: wall-clock at multiple synthetic sizes.
+
+Generates inputs with ``spark.range`` (pure compute, no IO) and times
+
+* the full mobility chain: generate_staypoints -> generate_triplegs ->
+  generate_trips -> generate_tours;
+* distributed dataset DBSCAN on a 2000-hotspot point cloud.
+
+Usage::
+
+    python tools/scale_probe.py [chain_rows ...] [--dbscan rows ...]
+
+Defaults: chain at 1M and 10M positionfixes, DBSCAN at 1M and 4M
+points. Results go to SCALE.md's measured-scaling rows.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def mobility_input(spark, n: int, pfs_per_user: int = 2000):
+    """Dwelling users: 6 spots ~1.1 km apart, 20-minute dwells (40 pfs
+    at 30 s), so every threshold family (staypoint, tripleg, trip,
+    tour) gets real work."""
+    ids = spark.range(n)
+    u = (F.col("id") / pfs_per_user).cast("long")
+    i = F.col("id") % pfs_per_user
+    phase = (i / 40).cast("long") % 6
+    return ids.select(
+        F.col("id"),
+        u.alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + i * 30).alias("tracked_at"),
+        F.struct(
+            (8.0 + (u % 100) * 0.2 + phase * 0.01 + F.sin(F.col("id")) * 1e-5).alias("lon"),
+            (47.0 + (u % 7) * 0.2 + (phase % 2) * 0.01 + F.cos(F.col("id")) * 1e-5).alias("lat"),
+        ).alias("geom"),
+    )
+
+
+def dbscan_input(spark, n: int, hotspots: int = 2000):
+    """2000 hotspot blobs (~20 m jitter) on a 50-wide grid + 1% noise."""
+    ids = spark.range(n)
+    h = F.col("id") % hotspots
+    noise = (F.col("id") % 100) == 0
+    lon = (h % 50) * 0.01 + F.sin(F.col("id")) * 2e-4
+    lat = (h / 50).cast("long") * 0.01 + F.cos(F.col("id")) * 2e-4
+    return ids.select(
+        "id",
+        F.when(noise, (F.col("id") % 997) * 0.004 + 3.0).otherwise(8.0 + lon).alias("lon"),
+        F.when(noise, (F.col("id") % 991) * 0.003 + 20.0).otherwise(40.0 + lat).alias("lat"),
+    )
+
+
+def run_chain(spark, n: int) -> dict:
+    from trackintel_spark.operators import generate_staypoints, generate_triplegs
+    from trackintel_spark.operators.tours import generate_tours
+    from trackintel_spark.operators.trips import generate_trips
+
+    pfs = mobility_input(spark, n).persist()
+    pfs.count()
+    t0 = time.time()
+    pfs_sp, sp = generate_staypoints(
+        pfs, dist_threshold=100, time_threshold=5, gap_threshold=120
+    )
+    dur = F.col("finished_at").cast("double") - F.col("started_at").cast("double")
+    sp = sp.withColumn("is_activity", dur >= 15 * 60)
+    pfs_t, tpls = generate_triplegs(pfs_sp, sp)
+    sp2, tpls2, trips = generate_trips(sp, tpls, gap_threshold=60)
+    _, tours = generate_tours(trips, sp2.withColumn("location_id", F.col("id") % 500))
+    n_tours = tours.count()
+    wall = time.time() - t0
+    out = {"rows": n, "wall_s": round(wall, 1), "rows_per_s": int(n / wall), "tours": n_tours}
+    pfs.unpersist()
+    return out
+
+
+def run_dbscan(spark, n: int) -> dict:
+    from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
+
+    pts = dbscan_input(spark, n).persist()
+    pts.count()
+    t0 = time.time()
+    out = dbscan_distributed(pts, epsilon_m=100, min_samples=5)
+    n_clusters = out.filter(F.col("location_id").isNotNull()).select("location_id").distinct().count()
+    wall = time.time() - t0
+    res = {"rows": n, "wall_s": round(wall, 1), "rows_per_s": int(n / wall), "clusters": n_clusters}
+    pts.unpersist()
+    return res
+
+
+def main():
+    from trackintel_spark import get_spark
+
+    args = sys.argv[1:]
+    if "--dbscan" in args:
+        k = args.index("--dbscan")
+        chain_ns = [int(x) for x in args[:k]] or [1_000_000, 10_000_000]
+        db_ns = [int(x) for x in args[k + 1 :]] or [1_000_000, 4_000_000]
+    else:
+        chain_ns = [int(x) for x in args] or [1_000_000, 10_000_000]
+        db_ns = [1_000_000, 4_000_000]
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in chain_ns:
+        print("chain", run_chain(spark, n), flush=True)
+    for n in db_ns:
+        print("dbscan", run_dbscan(spark, n), flush=True)
+
+
+if __name__ == "__main__":
+    main()

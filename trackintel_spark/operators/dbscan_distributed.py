@@ -23,13 +23,15 @@ a grid-contraction DBSCAN (the GriDBSCAN / MR-DBSCAN family):
    pairs are symmetrized — half the shuffle volume; a conservative
    per-axis distance prune runs before the shuffle and the exact
    great-circle check after the equi-join. Probes whose target cell
-   sits ENTIRELY inside the prober's eps-disk are handled by the
-   fully-covered-cell rule (GriDBSCAN family), decided by an EXACT
-   haversine test of the target box's four corners (for eps-scale
-   boxes the farthest point of a lat/lon box is a corner): cell
-   counts and per-cell aggregates replace the pair join in both
-   directions, so two saturated adjacent cells — one dense blob
-   straddling a cell boundary — never materialize n·m pair rows;
+   is CERTAINLY entirely inside the prober's eps-disk (a rigorous
+   planar upper bound on the farthest-corner distance, longitude
+   scaled by the largest cosine over the involved latitudes, +1%
+   slack) are handled by the fully-covered-cell rule (GriDBSCAN
+   family): cell counts and per-cell aggregates replace the pair join
+   in both directions, so two saturated adjacent cells — one dense
+   blob straddling a cell boundary — never materialize n·m pair rows.
+   Cells inside the 1% ambiguity band fall back to the exact pair
+   join, so the flag is an optimization, never a correctness input;
 3. core points: same-cell count + checked cross-cell matches
    >= min_samples;
 4. cluster formation: all core points of one cell are mutually within
@@ -118,21 +120,18 @@ def dbscan_distributed(
     # the neighborhood — bands dy ∈ {0,1,2} (eps reach = 2 bands), and
     # within each target band the longitude-cell range that the
     # eps·1.05 disk can touch, computed against that band's own cell
-    # width. A conservative per-axis prune (1.05 margin; longitude gap
-    # scaled by the SMALLEST cos among the prober's and the band's
-    # latitudes, so a true neighbor is never dropped) runs before the
-    # shuffle; the exact haversine check decides after the join.
-    # Probes whose target cell lies ENTIRELY within eps of the probing
-    # point are classified "full" by an EXACT haversine test of the
-    # box's four corners (the farthest point of an eps-scale lat/lon
-    # box from an outside point is a corner — the distance is monotone
-    # toward the far lon edge and has at most one interior lat
-    # critical point, a minimum): every point of that cell is then a
-    # neighbor with no margin argument, so the pair join is skipped
-    # and the CELL COUNT is used instead. This is what keeps two
-    # saturated adjacent cells — a railway-station blob straddling a
-    # boundary — from pair-listing n*m rows: the GriDBSCAN
-    # fully-covered-cell rule.
+    # width (longitude degrees per eps scaled by the band's SMALLEST
+    # cos, so a true neighbor is never dropped — the generated range
+    # IS the pre-shuffle prune); the exact haversine check decides
+    # after the join.
+    # Probes whose target cell CERTAINLY lies entirely within eps of
+    # the probing point (rigorous planar upper bound on the
+    # farthest-corner distance — see inside _mk) are classified
+    # "full": every point of that cell is then a neighbor, so the pair
+    # join is skipped and the CELL COUNT is used instead. This is what
+    # keeps two saturated adjacent cells — a railway-station blob
+    # straddling a boundary — from pair-listing n*m rows: the
+    # GriDBSCAN fully-covered-cell rule.
     reach = epsilon_m * 1.05
     lon_c, lat_c = F.col("lon"), F.col("lat")
     probe_arrays = []
@@ -146,40 +145,60 @@ def dbscan_distributed(
         r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_pole_t), F.lit(360.0))
         tx_lo = F.floor((lon_c - r_deg) / w_t).cast("long")
         tx_hi = F.floor((lon_c + r_deg) / w_t).cast("long")
+        if dy == 0:
+            # half-space: only cells strictly east of the own cell
+            # in-band; clamp hi >= lo so sequence() never descends
+            # (worst case one spurious adjacent candidate, which the
+            # join's exact check discards)
+            tx_lo = F.greatest(tx_lo, F.col("cx") + 1)
+            tx_hi = F.greatest(tx_hi, tx_lo)
 
-        def _mk_factory(ty, w_t, cos_pole_t, dy):
+        def _mk_factory(ty, w_t, cos_eq_t, cos_pole_t):
             def _mk(tx):
                 lo_lon, hi_lon = tx.cast("double") * w_t, (tx + 1).cast("double") * w_t
                 lo_lat = ty.cast("double") * F.lit(cell_deg)
                 hi_lat = (ty + 1).cast("double") * F.lit(cell_deg)
-                # lower bounds on the point→box distance, per axis
-                g_lon = F.greatest(lo_lon - lon_c, lon_c - hi_lon, F.lit(0.0))
-                g_lat = F.greatest(lo_lat - lat_c, lat_c - hi_lat, F.lit(0.0))
-                cos_lb = F.least(F.cos(F.radians(lat_c)), cos_pole_t)
-                keep = (g_lon * _DEG2M * cos_lb <= reach) & (g_lat * _DEG2M <= reach)
-                if dy == 0:
-                    keep = keep & (tx > F.col("cx"))
-                # exact farthest-corner distance → rigorous "full" flag
-                dmax_m = F.greatest(
-                    haversine_m(lon_c, lat_c, lo_lon, lo_lat),
-                    haversine_m(lon_c, lat_c, hi_lon, lo_lat),
-                    haversine_m(lon_c, lat_c, lo_lon, hi_lat),
-                    haversine_m(lon_c, lat_c, hi_lon, hi_lat),
-                )
-                return F.when(
-                    keep, F.struct(tx.alias("cx"), ty.alias("cy"), (dmax_m <= epsilon_m).alias("full"))
-                )
+                # no per-candidate distance prune: the tx sequence range
+                # IS the longitude prune (cells outside lon±r_deg are
+                # never generated), and within ±2 bands the latitude gap
+                # can't exceed 2 cells = eps < reach — a per-axis `keep`
+                # test here is provably always true, and every deleted
+                # expression node pays off across the ~40 downstream
+                # plan re-analyses (see the "full" note below).
+                cos_q = F.cos(F.radians(lat_c))
+                # farthest corner, per axis (>= 0 by construction)
+                fdx = F.greatest(lon_c - lo_lon, hi_lon - lon_c)
+                fdy = F.greatest(lat_c - lo_lat, hi_lat - lat_c)
+                # "full" = a CERTAIN upper bound on the farthest-corner
+                # distance is within eps. For eps-scale boxes haversine
+                # ≈ R·√(Δφ² + cos²(φ)Δλ²) with φ between the endpoint
+                # lats; scaling Δλ by the LARGEST cos over the involved
+                # lat range and inflating 1% makes the planar form a
+                # rigorous upper bound. Conservative misses (a truly
+                # full cell in the 1% margin) just take the pair join's
+                # exact check — correctness never rides on this flag.
+                # (An exact 4-corner haversine variant was reverted:
+                # the expression tree tripled and every downstream
+                # DataFrame call re-analyzes it — plan-build time, not
+                # execution, dominated.)
+                cos_ub = F.greatest(cos_q, cos_eq_t)
+                ub_m = F.sqrt(
+                    F.pow(fdx * _DEG2M * cos_ub, F.lit(2.0)) + F.pow(fdy * _DEG2M, F.lit(2.0))
+                ) * 1.01
+                return F.struct(tx.alias("cx"), ty.alias("cy"), (ub_m <= epsilon_m).alias("full"))
 
             return _mk
 
-        probe_arrays.append(F.transform(F.sequence(tx_lo, tx_hi), _mk_factory(ty, w_t, cos_pole_t, dy)))
+        probe_arrays.append(
+            F.transform(F.sequence(tx_lo, tx_hi), _mk_factory(ty, w_t, cos_eq_t, cos_pole_t))
+        )
     probe = pts.select(
         F.col("pid").alias("qid"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
         F.col("cx").alias("qcx"),
         F.col("cy").alias("qcy"),
-        F.explode(F.filter(F.concat(*probe_arrays), lambda c: c.isNotNull())).alias("__c"),
+        F.explode(F.concat(*probe_arrays)).alias("__c"),
     ).select(
         "qid", "qlon", "qlat", "qcx", "qcy",
         F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"), F.col("__c.full").alias("full"),
@@ -335,7 +354,10 @@ def dbscan_distributed(
         .agg(F.min("lbl").alias("lbl"))
     )
 
-    all_labels = core_labeled.unionByName(border)
+    # persisted: the label densification's counting job and the final
+    # join both consume it — without the cache the whole labeling DAG
+    # would run twice
+    all_labels = core_labeled.unionByName(border).persist()
 
     # densify labels 0..k-1 by min-core-member order; two-phase
     # range-partitioned rank so a huge cluster count never funnels

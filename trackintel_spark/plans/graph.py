@@ -64,11 +64,14 @@ def connected_components(
     distributed min-label + pointer-jumping loop unchanged; the size
     probe costs one aggregation over a cache both paths reuse.
 
-    Driver memory: the fast path streams edges via ``toLocalIterator``
-    (no Row-object collect), holding ~3 Python ints per edge — roughly
-    25 MB at the default budget. Raise ``small_graph_edges`` only with
-    a matching driver-memory budget; the distributed path is always a
-    safe fallback.
+    Driver memory: the fast path collects a 2-column projection of at
+    most ``small_graph_edges`` rows — roughly 100 MB of Row objects at
+    the default 200k budget, freed after the union-find. Raise
+    ``small_graph_edges`` only with a matching driver-memory budget;
+    the distributed path is always a safe fallback. (A
+    ``toLocalIterator`` variant was tried and reverted: it launches
+    one sequential job per partition, adding seconds of latency per
+    component call.)
     """
     one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
 
@@ -76,8 +79,7 @@ def connected_components(
     # kept so isolated-with-self-loop vertices stay labeled)
     uniq = one.distinct().persist()
     if uniq.limit(small_graph_edges + 1).count() <= small_graph_edges:
-        pairs = ((r[0], r[1]) for r in uniq.toLocalIterator())
-        labels = _union_find_components(pairs)
+        labels = _union_find_components((r[0], r[1]) for r in uniq.collect())
         uniq.unpersist()
         spark = edges.sparkSession
         vtype = edges.schema[src].dataType.simpleString()

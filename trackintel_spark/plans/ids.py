@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 
 def exclusive_prefix_sum(
-    df: DataFrame, order_col: str, val_col: str, out_col: str = "__off"
+    df: DataFrame, order_col: str, val_col: str, out_col: str = "__off", lazy: bool = False
 ) -> DataFrame:
     """Add ``out_col`` = exclusive running sum of ``val_col`` in
     ``order_col`` order, without a single-task global window and
@@ -34,23 +34,48 @@ def exclusive_prefix_sum(
 
     Range-repartition by ``order_col`` (disjoint, ordered ranges),
     prefix-sum within each partition with a window, then add the
-    per-partition base offsets. The bases are one long per PARTITION —
-    bounded by ``defaultParallelism`` — collected to the driver and
-    injected as a literal map lookup on ``spark_partition_id()``, the
-    ``zipWithIndex`` scheme. The sampled range boundaries only decide
-    which partition a row lands in, never its global position —
-    results are deterministic for distinct ``order_col`` values.
+    per-partition base offsets — one long per PARTITION, bounded by
+    ``defaultParallelism``, never data. Two delivery modes for the
+    bases:
 
-    Triggers one aggregation job at call time; the repartitioned input
-    is cached so the main query reuses the shuffle.
+    * eager (default): collected to the driver and injected as a
+      literal map lookup on ``spark_partition_id()`` — the
+      ``zipWithIndex`` scheme. Triggers one aggregation job at call
+      time (the repartitioned input is cached for reuse), and the
+      output plan embeds ``df`` exactly once — use this inside
+      chained operators, where a second embedding multiplies subtree
+      copies multiplicatively down the chain.
+    * ``lazy=True``: the bases join back via a broadcast of the
+      p-row totals table (a justified broadcast: bounded by cluster
+      parallelism). No job at call time, but the plan embeds the
+      repartitioned input twice — use at pipeline tails.
+
+    The sampled range boundaries only decide which partition a row
+    lands in, never its global position — results are deterministic
+    for distinct ``order_col`` values.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     d = (
         df.repartitionByRange(p, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__p", F.spark_partition_id())
-        .persist()
     )
+    w_in = (
+        Window.partitionBy("__p").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+    if lazy:
+        totals_df = d.groupBy("__p").agg(F.sum(val_col).alias("__tot"))
+        w_base = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+        bases_df = totals_df.select(
+            "__p", F.coalesce(F.sum("__tot").over(w_base), F.lit(0)).alias("__base")
+        )
+        return (
+            d.join(F.broadcast(bases_df), on="__p")
+            .withColumn(out_col, (F.col("__base") + run).cast("long"))
+            .drop("__p", "__base")
+        )
+    d = d.persist()
     totals = {
         r["__p"]: r["__t"]
         for r in d.groupBy("__p").agg(F.sum(val_col).alias("__t")).collect()
@@ -65,16 +90,7 @@ def exclusive_prefix_sum(
         if bases
         else F.lit(0)
     )
-    w_in = (
-        Window.partitionBy("__p").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        d.withColumn(
-            out_col,
-            (base + F.coalesce(F.sum(val_col).over(w_in), F.lit(0))).cast("long"),
-        )
-        .drop("__p")
-    )
+    return d.withColumn(out_col, (base + run).cast("long")).drop("__p")
 
 
 def dense_id_by_user(
@@ -120,10 +136,13 @@ def dense_rank_ordered(df: DataFrame, order_col: str, out_col: str = "dense_id")
     The exclusive prefix count of ones over the distinct values IS the
     dense rank. Use when the distinct-value count can grow with the
     data (e.g. cluster labels); for per-user ids use
-    :func:`dense_id_by_user`.
+    :func:`dense_id_by_user`. Runs in the lazy mode (broadcast of the
+    bounded p-row bases): densification sits at pipeline tails, where
+    the double lineage embedding doesn't compound and skipping the
+    eager counting job saves an action.
     """
     d = df.select(order_col).distinct().withColumn("__one", F.lit(1))
     return (
-        exclusive_prefix_sum(d, order_col, "__one", out_col=out_col)
+        exclusive_prefix_sum(d, order_col, "__one", out_col=out_col, lazy=True)
         .select(order_col, out_col)
     )
