@@ -161,6 +161,43 @@ def test_mzmv_vp_linestrings(mzmv):
     assert len(g2) == 2 and g2[0]["lon"] == 8.51 and g2[-1]["lon"] == 8.55
 
 
+def test_mzmv_routed_geometry(spark, mzmv_zip, tmp_path):
+    """Survey-folder layout with a 5_Routen shapefile: routed linestrings
+    left-join onto triplegs as `geometry` (reference :434-436), NULL for
+    legs without a route and for invalid (<2 vertex) routes (:448)."""
+    import shutil
+
+    from _shp_writer import _point, _polyline, write_shapefile
+
+    root = tmp_path / "survey"
+    (root / "4_DB_csv").mkdir(parents=True)
+    shutil.copy(mzmv_zip, root / "4_DB_csv" / "CH_CSV.zip")
+    rdir = root / "5_Routen(Geometriefiles)"
+    rdir.mkdir()
+    base = str(tmp_path / "CH_routen")
+    shapes = [
+        _polyline([[(8.50, 47.40), (8.505, 47.404), (8.51, 47.41)]]),  # (1,1)
+        _point(9.0, 46.9),  # (2,1): a degenerate "route" -> invalid -> NULL
+    ]
+    write_shapefile(base, shapes, 3,
+                    [("HHNR", "N", 8, 0), ("ETNR", "N", 4, 0)],
+                    [(1, 1), (2, 1)])
+    with zipfile.ZipFile(rdir / "CH_routen.zip", "w") as zf:
+        for ext in (".shp", ".shx", ".dbf"):
+            zf.write(base + ext, "CH_routen" + ext)
+
+    _, _, tpls = read_mzmv(spark, str(root))
+    legs = {(r["user_id"], r["ETNR"]): r.asDict(recursive=True) for r in tpls.collect()}
+    g = legs[(1, 1)]["geometry"]
+    assert [(p["lon"], p["lat"]) for p in g] == [
+        (8.50, 47.40), (8.505, 47.404), (8.51, 47.41)
+    ]
+    assert legs[(1, 2)]["geometry"] is None  # no route shipped
+    assert legs[(2, 1)]["geometry"] is None  # invalid route nulled
+    # VP_XY-style fallback still present everywhere (reference note :386)
+    assert all(d["geom"] for d in legs.values())
+
+
 def test_mzmv_staypoint_id_blocks(mzmv):
     trips, sp, tpls = mzmv
     # start-staypoints take ids 0..n-1 (user, ETNR order), trailing block after

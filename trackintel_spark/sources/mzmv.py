@@ -20,11 +20,13 @@ Spark-first re-expression:
   (user_id, WEGNR) order, staypoints dense with all tripleg-start
   staypoints (in (user_id, ETNR) order) before the per-user trailing
   staypoints, matching the reference's concat order (:652);
-* differences (documented, not silent): the routed tripleg shapefile
-  (``5_Routen``) needs a shapefile+CRS stack that is out of scope —
-  like the reference notes (:386-389), ``VP_XY`` verification-point
-  linestrings are the geometry that is always available, so ``geom``
-  is built from them.
+* the routed tripleg shapefile (``5_Routen/CH_routen.zip``, reference
+  :395,:434-436) is read with the distributed pure-Python shapefile
+  reader (``sources/shapefile.py``) when present and left-joined onto
+  triplegs as ``geometry`` (NULL where no route / invalid, reference
+  :448); like the reference notes (:386-389), ``VP_XY``
+  verification-point linestrings are the geometry that is always
+  available, so ``geom`` is still built from them.
 """
 
 from __future__ import annotations
@@ -151,12 +153,33 @@ def _vp_linestrings(vp: DataFrame, tpls: DataFrame, num_points: int = 6) -> Data
     )
 
 
-def read_mzmv(spark: SparkSession, mzmv_path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _routes_path(mzmv_path: str, routes: str | None) -> str | None:
+    """Resolve the routed-geometry shapefile: an explicit ``routes``
+    argument wins; otherwise look for the survey's standard
+    ``5_Routen(Geometriefiles)/CH_routen.zip`` next to the CSVs
+    (reference io/dataset_reader.py:395)."""
+    if routes is not None:
+        return routes
+    if not os.path.isdir(mzmv_path):
+        return None
+    for sub in ("5_Routen(Geometriefiles)", "5_Routen"):
+        for name in ("CH_routen.zip", "CH_routen.shp"):
+            p = os.path.join(mzmv_path, sub, name)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def read_mzmv(
+    spark: SparkSession, mzmv_path: str, routes: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Read MZMV; returns (trips, staypoints, triplegs).
 
     ``mzmv_path``: the unzipped survey folder (containing
     ``4_DB_csv/CH_CSV.zip``), the zip itself, or a directory with the
-    plain member CSVs.
+    plain member CSVs. ``routes``: optional path to the routed-tripleg
+    shapefile (``CH_routen.zip`` / ``.shp``); auto-discovered under the
+    survey folder when not given.
     """
     paths = _member_paths(mzmv_path)
 
@@ -257,6 +280,27 @@ def read_mzmv(spark: SparkSession, mzmv_path: str) -> tuple[DataFrame, DataFrame
     if "verifikationspunkte.csv" in paths:
         vp = _read_csv(spark, paths["verifikationspunkte.csv"]).withColumnRenamed("HHNR", "user_id")
         tpls = tpls.join(_vp_linestrings(vp, tpls), on=["user_id", "ETNR"], how="left")
+
+    # -- routed geometry from the 5_Routen shapefile (reference :434-436) -
+    shp = _routes_path(mzmv_path, routes)
+    if shp is not None:
+        from trackintel_spark.sources import wkt as _wkt
+        from trackintel_spark.sources.shapefile import read_shapefile
+
+        geo = read_shapefile(spark, shp, columns=["HHNR", "ETNR"]).select(
+            F.col("HHNR").alias("user_id"),
+            F.col("ETNR"),
+            _wkt.parse_wkt_linestring(F.col("geometry")).alias("geometry"),
+        )
+        # invalid routes (reference sets ~is_valid to None, :448): a
+        # linestring needs >= 2 vertices
+        geo = geo.withColumn(
+            "geometry",
+            F.when(F.size("geometry") >= 2, F.col("geometry")),
+        )
+        # routes and triplegs are the same cardinality — a plain
+        # shuffle join on the composite key, never a forced broadcast
+        tpls = tpls.join(geo, on=["user_id", "ETNR"], how="left")
     tpls = dense_id_by_user(tpls, order_by=["ETNR"], id_col="id")
 
     # -- trip <-> staypoint linkage (reference :448-455) -------------------

@@ -1,0 +1,331 @@
+"""Distributed ESRI Shapefile reader (pure Python, no GDAL).
+
+Reference: trackintel reads the MZMV routed-tripleg shapefile with
+``gpd.read_file`` (io/dataset_reader.py:434) — a single-threaded
+driver-side parse. Spark-first re-expression: a shapefile is in fact a
+*splittable* format once you use its sidecars —
+
+* ``.shx`` is a fixed-8-byte-per-record index giving every ``.shp``
+  record's byte offset, and
+* ``.dbf`` (dBase III) stores attributes as fixed-length records,
+
+so the driver reads only the two tiny headers, slices the record space
+into contiguous ranges, and each Spark task seeks directly to its range
+in both files and parses it with numpy — ``mapInPandas`` over a spec
+frame of ranges. No data-sized bytes ever pass through the driver, and
+a multi-GB shapefile parses with full cluster parallelism.
+
+The binary layouts implemented here follow the public specs: the ESRI
+Shapefile Technical Description (July 1998) and the dBase III/IV .dbf
+layout. Geometry is emitted as WKT (Point/MultiPoint/LineString/
+MultiLineString/Polygon/MultiPolygon); Z/M variants parse their XY part.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+import tempfile
+import zipfile
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_shapefile"]
+
+# shape-type code -> base geometry (Z/M variants collapse onto the base)
+_TYPE_BASE = {
+    0: "null", 1: "point", 3: "polyline", 5: "polygon", 8: "multipoint",
+    11: "point", 13: "polyline", 15: "polygon", 18: "multipoint",
+    21: "point", 23: "polyline", 25: "polygon", 28: "multipoint",
+}
+
+
+# --------------------------------------------------------------------------
+# driver-side: resolve paths, read the two headers
+# --------------------------------------------------------------------------
+
+def _resolve(path: str) -> tuple[str, str | None, str | None]:
+    """Return local paths (shp, shx, dbf); shx/dbf may be absent.
+
+    Accepts a ``.shp`` path, a directory containing one ``.shp``, or a
+    ``.zip`` holding the trio (extracted once to a scratch dir — zip is
+    not splittable; the *parse* still distributes).
+    """
+    if path.lower().endswith(".zip"):
+        scratch = tempfile.mkdtemp(prefix="shp_")
+        with zipfile.ZipFile(path) as zf:
+            for m in zf.namelist():
+                if m.lower().endswith((".shp", ".shx", ".dbf")):
+                    zf.extract(m, scratch)
+        hits = glob.glob(os.path.join(scratch, "**", "*.shp"), recursive=True) + glob.glob(
+            os.path.join(scratch, "**", "*.SHP"), recursive=True
+        )
+        if not hits:
+            raise FileNotFoundError(f"no .shp member inside {path!r}")
+        path = hits[0]
+    elif os.path.isdir(path):
+        hits = sorted(glob.glob(os.path.join(path, "*.shp")) + glob.glob(os.path.join(path, "*.SHP")))
+        if not hits:
+            raise FileNotFoundError(f"no .shp file under {path!r}")
+        path = hits[0]
+
+    base = path[:-4]
+    shx = next((base + e for e in (".shx", ".SHX") if os.path.exists(base + e)), None)
+    dbf = next((base + e for e in (".dbf", ".DBF") if os.path.exists(base + e)), None)
+    return path, shx, dbf
+
+
+def _read_shx(shx_path: str) -> np.ndarray:
+    """(n, 2) int64 array of [byte_offset, content_bytes] per record."""
+    with open(shx_path, "rb") as f:
+        raw = f.read()
+    body = np.frombuffer(raw[100:], dtype=">i4").astype(np.int64).reshape(-1, 2)
+    return body * 2  # 16-bit words -> bytes
+
+
+def _scan_shp_offsets(shp_path: str) -> np.ndarray:
+    """Fallback when .shx is missing: walk record headers sequentially
+    (driver reads 8 bytes per record — still no geometry bytes)."""
+    offs = []
+    size = os.path.getsize(shp_path)
+    with open(shp_path, "rb") as f:
+        pos = 100
+        while pos + 8 <= size:
+            f.seek(pos)
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            content = struct.unpack(">i", hdr[4:8])[0] * 2
+            offs.append((pos, content))
+            pos += 8 + content
+    return np.asarray(offs, dtype=np.int64).reshape(-1, 2)
+
+
+def _read_dbf_header(dbf_path: str) -> tuple[int, int, int, list[tuple[str, str, int, int]]]:
+    """-> (n_records, header_size, record_size, fields[name, type, len, dec])."""
+    with open(dbf_path, "rb") as f:
+        head = f.read(32)
+        n_rec = struct.unpack("<i", head[4:8])[0]
+        header_size = struct.unpack("<H", head[8:10])[0]
+        record_size = struct.unpack("<H", head[10:12])[0]
+        fields = []
+        while True:
+            fd = f.read(32)
+            if not fd or fd[0] == 0x0D:
+                break
+            name = fd[:11].split(b"\x00")[0].decode("ascii", "replace")
+            ftype = chr(fd[11])
+            flen = fd[16]
+            fdec = fd[17]
+            fields.append((name, ftype, flen, fdec))
+            if f.tell() >= header_size:
+                break
+    return n_rec, header_size, record_size, fields
+
+
+# --------------------------------------------------------------------------
+# executor-side: parse a contiguous record range
+# --------------------------------------------------------------------------
+
+def _wkt_coords(xy: np.ndarray) -> str:
+    return ", ".join(f"{x:.10g} {y:.10g}" for x, y in xy)
+
+
+def _parse_shape(buf: bytes) -> str | None:
+    """One .shp record's *content* (after the 8-byte record header) -> WKT."""
+    stype = struct.unpack("<i", buf[:4])[0]
+    base = _TYPE_BASE.get(stype)
+    if base is None or base == "null":
+        return None
+    if base == "point":
+        x, y = struct.unpack("<2d", buf[4:20])
+        return f"POINT ({x:.10g} {y:.10g})"
+    if base == "multipoint":
+        n = struct.unpack("<i", buf[36:40])[0]
+        xy = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=40).reshape(-1, 2)
+        return "MULTIPOINT (" + ", ".join(f"({x:.10g} {y:.10g})" for x, y in xy) + ")"
+    # polyline / polygon: bbox(32) numparts numpoints parts[] points[]
+    n_parts, n_pts = struct.unpack("<2i", buf[36:44])
+    parts = np.frombuffer(buf, dtype="<i4", count=n_parts, offset=44)
+    pts_off = 44 + 4 * n_parts
+    xy = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=pts_off).reshape(-1, 2)
+    bounds = list(parts.astype(int)) + [n_pts]
+    rings = [xy[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
+    rings = [r for r in rings if len(r) > 0]
+    if not rings:
+        return None
+    if base == "polyline":
+        if len(rings) == 1:
+            return f"LINESTRING ({_wkt_coords(rings[0])})"
+        return "MULTILINESTRING (" + ", ".join(f"({_wkt_coords(r)})" for r in rings) + ")"
+    # polygon: rings are clockwise=outer, ccw=hole (signed area test);
+    # attach each hole to the most recent outer ring (ESRI ring order).
+    def _signed_area(r: np.ndarray) -> float:
+        x, y = r[:, 0], r[:, 1]
+        return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2.0
+
+    polys: list[list[np.ndarray]] = []
+    for r in rings:
+        if _signed_area(r) < 0 or not polys:  # CW (ESRI outer) or first ring
+            polys.append([r])
+        else:
+            polys[-1].append(r)
+    if len(polys) == 1:
+        return "POLYGON (" + ", ".join(f"({_wkt_coords(r)})" for r in polys[0]) + ")"
+    return "MULTIPOLYGON (" + ", ".join(
+        "(" + ", ".join(f"({_wkt_coords(r)})" for r in p) + ")" for p in polys
+    ) + ")"
+
+
+def _decode_dbf_range(dbf_path: str, header_size: int, record_size: int,
+                      fields: list, start: int, n: int) -> dict[str, list]:
+    with open(dbf_path, "rb") as f:
+        f.seek(header_size + start * record_size)
+        raw = f.read(n * record_size)
+    cols: dict[str, list] = {name: [] for name, *_ in fields}
+    for i in range(n):
+        rec = raw[i * record_size:(i + 1) * record_size]
+        pos = 1  # deletion flag byte
+        for name, ftype, flen, fdec in fields:
+            cell = rec[pos:pos + flen]
+            pos += flen
+            txt = cell.decode("latin1").strip()
+            if ftype in ("N", "F"):
+                if not txt or txt in ("*" * len(txt),):
+                    cols[name].append(None)
+                elif fdec or ftype == "F" or "." in txt or "e" in txt.lower():
+                    try:
+                        cols[name].append(float(txt))
+                    except ValueError:
+                        cols[name].append(None)
+                else:
+                    try:
+                        cols[name].append(int(txt))
+                    except ValueError:
+                        cols[name].append(None)
+            elif ftype == "L":
+                cols[name].append(txt.upper() in ("T", "Y") if txt else None)
+            else:  # C, D and anything else -> string
+                cols[name].append(txt or None)
+    return cols
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def read_shapefile(
+    spark: SparkSession,
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    target_records_per_task: int | None = None,
+) -> DataFrame:
+    """Read an ESRI shapefile into a DataFrame, distributed.
+
+    Output: one row per shapefile record — the .dbf attribute columns
+    (N -> long/double by field decimals, L -> boolean, C/D -> string),
+    plus ``shape_id`` (0-based record number, = geopandas' index) and
+    ``geometry`` (WKT string; NULL for null shapes).
+
+    ``columns`` prunes attribute decoding to the named .dbf fields —
+    the executor never decodes the others (column pruning by hand,
+    since the dbf "scan" lives inside mapInPandas).
+
+    The driver touches only the .shx index and .dbf header; every task
+    seeks straight to its record range in the .shp/.dbf pair.
+    """
+    shp_path, shx_path, dbf_path = _resolve(path)
+    offsets = _read_shx(shx_path) if shx_path else _scan_shp_offsets(shp_path)
+    n = len(offsets)
+
+    fields: list[tuple[str, str, int, int]] = []
+    header_size = record_size = 0
+    if dbf_path:
+        n_dbf, header_size, record_size, fields = _read_dbf_header(dbf_path)
+        if n_dbf != n:
+            n = min(n, n_dbf)
+    if columns is not None:
+        missing = [c for c in columns if c not in {f[0] for f in fields}]
+        if missing:
+            raise ValueError(f"columns not in dbf: {missing}; available: {[f[0] for f in fields]}")
+        fields = [f for f in fields if f[0] in set(columns)]
+
+    # contiguous ranges sized for parallelism (and bounded task memory)
+    if target_records_per_task is None:
+        par = spark.sparkContext.defaultParallelism
+        target_records_per_task = max(1, min(250_000, (n + par - 1) // max(par, 1)))
+    ranges = [
+        (int(s), int(min(s + target_records_per_task, n)))
+        for s in range(0, n, target_records_per_task)
+    ] or [(0, 0)]
+
+    # schema: typed attribute columns + shape_id + WKT geometry
+    def _sql_type(ftype: str, fdec: int) -> str:
+        if ftype in ("N", "F"):
+            return "double" if (fdec or ftype == "F") else "bigint"
+        if ftype == "L":
+            return "boolean"
+        return "string"
+
+    attr_schema = ", ".join(f"`{name}` {_sql_type(ftype, fdec)}" for name, ftype, _l, fdec in fields)
+    out_schema = (attr_schema + ", " if attr_schema else "") + "shape_id bigint, geometry string"
+
+    spec = spark.createDataFrame(
+        [(s, e) for s, e in ranges], "start long, end long"
+    ).repartition(max(len(ranges), 1))
+
+    field_spec = list(fields)
+    shp_p, dbf_p, hdr_sz, rec_sz = shp_path, dbf_path, header_size, record_size
+    # Each task re-reads its OWN 8-byte-per-record .shx slice (seek
+    # 100 + 8*start) — no driver broadcast of the full index, so the
+    # plan is flat in record count. Only the shx-less fallback (driver
+    # already had to walk the file) ships its scanned offsets.
+    shx_p = shx_path
+    fallback_bc = (
+        None if shx_path else spark.sparkContext.broadcast(offsets[:n])
+    )
+
+    def _parse(batches) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                s, e = int(row["start"]), int(row["end"])
+                if e <= s:
+                    continue
+                if shx_p:
+                    with open(shx_p, "rb") as f:
+                        f.seek(100 + 8 * s)
+                        offs = (
+                            np.frombuffer(f.read(8 * (e - s)), dtype=">i4")
+                            .astype(np.int64)
+                            .reshape(-1, 2)
+                            * 2
+                        )
+                else:
+                    offs = fallback_bc.value[s:e]
+                first_off = offs[0][0]
+                last_end = offs[-1][0] + 8 + offs[-1][1]
+                with open(shp_p, "rb") as f:
+                    f.seek(first_off)
+                    blob = f.read(last_end - first_off)
+                geoms = []
+                for i in range(e - s):
+                    rec_off = offs[i][0] - first_off + 8  # skip record header
+                    geoms.append(_parse_shape(blob[rec_off:rec_off + offs[i][1]]))
+                data: dict[str, list] = {}
+                if dbf_p and field_spec:
+                    data.update(
+                        _decode_dbf_range(dbf_p, hdr_sz, rec_sz, field_spec, s, e - s)
+                    )
+                data["shape_id"] = list(range(s, e))
+                data["geometry"] = geoms
+                yield pd.DataFrame(data)
+
+    return spec.mapInPandas(_parse, schema=out_schema)
