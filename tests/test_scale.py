@@ -73,6 +73,52 @@ def test_ngram_jaccard(spark):
     assert out[0].jaccard == 1.0
 
 
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
+    """The PPJoin-style prefix filter is lossless: its output must equal
+    the brute-force all-pairs Jaccard at every threshold — including on
+    a corpus where one boilerplate shingle appears in EVERY document
+    (the hot-token case the prefix order exists to neutralize)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        words = rng.sample(vocab, rng.randint(6, 12))
+        # shared boilerplate prefix on every doc -> hot shingles
+        docs.append((i, "footer legal text " + " ".join(words)))
+    # plus three exact/near duplicates
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(n, t):
+        import re
+
+        def sh(s):
+            toks = re.findall(r"\S+", s.lower())
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+        sets = {i: sh(s) for i, s in docs}
+        out = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                out.add((a, b, round(j, 9)))
+        return out
+
+    for n, t in [(2, 0.5), (3, 0.8), (2, 0.95), (1, 0.3)]:
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(df, n=n, threshold=t).collect()
+        }
+        assert got == brute(n, t), (n, t)
+
+
 def test_simhash_similar_docs_close(spark):
     base = "the quick brown fox jumps over the lazy dog again and again every day"
     df = spark.createDataFrame(

@@ -199,15 +199,19 @@ def ngram_jaccard_pairs(
     """Exact n-gram-set Jaccard similarity for document pairs.
 
     With ``candidates`` (e.g. LSH output) only those pairs are scored.
-    Without, this is still NOT an all-pairs cross join: it runs the
-    standard exact set-similarity join — explode distinct shingles,
-    equi-join on the shingle (only pairs sharing at least one n-gram
-    survive, a lossless prefilter for any threshold > 0), count shared
-    shingles per pair, and derive Jaccard as inter/(|A|+|B|-inter)
-    with a |A|/|B| length-ratio prune inside the join (J >= t forces
-    min(|A|,|B|)/max(|A|,|B|) >= t). Hot shingles still fan out
-    (prefix filtering would bound that); pass LSH candidates when the
-    corpus has adversarial boilerplate.
+    Without, it runs the exact set-similarity join with PREFIX
+    FILTERING (the PPJoin family, Xiao et al. WWW'08): shingles get a
+    canonical global order by ascending document frequency, and a pair
+    with J >= t must share a token within the first
+    |S| - ceil(t*|S|) + 1 tokens of BOTH ordered sets — so only those
+    prefix tokens (the rarest in each doc) are exploded into the
+    equi-join. A boilerplate n-gram appearing in every document sorts
+    to the END of the order and never enters the join, which bounds
+    the hot-shingle fan-out that a plain shingle equi-join suffers on
+    adversarial corpora. A |A|/|B| length-ratio prune (J >= t forces
+    min/max >= t) runs inside the join, and exact Jaccard over the
+    full shingle sets verifies every candidate — the filter is
+    lossless, so the output matches the unfiltered join exactly.
 
     ``threshold <= 0`` would require emitting disjoint pairs too and
     falls back to the quadratic join — meaningless at scale on purpose.
@@ -234,16 +238,39 @@ def ngram_jaccard_pairs(
 
     sized = sh.withColumn("__n", F.size("__sh")).filter(F.col("__n") > 0)
     ex = sized.select("__id", "__n", F.explode("__sh").alias("__s"))
-    ea = ex.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), F.col("__s"))
-    eb = ex.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), F.col("__s"))
-    joined = ea.join(eb, on="__s").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("__na").cast("double") >= threshold * F.col("__nb"))
-        & (F.col("__nb").cast("double") >= threshold * F.col("__na"))
+
+    # canonical order = (document frequency asc, shingle): one agg over
+    # the exploded shingles, joined back so each occurrence knows its
+    # rarity; no rank assignment needed — the (df, s) struct IS the key
+    tok_df = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        ex.join(tok_df, on="__s")
+        .groupBy("__id", "__n")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__sorted"))
     )
-    counted = joined.groupBy("id_a", "id_b", "__na", "__nb").agg(F.count(F.lit(1)).alias("__i"))
-    jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i"))
-    return counted.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+    # prefix length |S| - ceil(t*|S|) + 1; only these rarest tokens join
+    pref = ordered.withColumn(
+        "__p", (F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1).cast("int")
+    ).select("__id", "__n", F.explode(F.expr("slice(__sorted, 1, __p)")).alias("__t"))
+    pa = pref.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__t")
+    pb = pref.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__t")
+    cand = (
+        pa.join(pb, on="__t")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na").cast("double") >= threshold * F.col("__nb"))
+            & (F.col("__nb").cast("double") >= threshold * F.col("__na"))
+        )
+        .select("id_a", "id_b", "__na", "__nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification over the full ordered shingle sets
+    fa = ordered.select(F.col("__id").alias("id_a"), F.col("__sorted").alias("__sa"))
+    fb = ordered.select(F.col("__id").alias("id_b"), F.col("__sorted").alias("__sb"))
+    verified = cand.join(fa, on="id_a").join(fb, on="id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter.cast("double") / (F.col("__na") + F.col("__nb") - inter)
+    return verified.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
 
