@@ -389,3 +389,49 @@ def test_normalize_text(spark):
     df = spark.createDataFrame([(0, "  Hello\t\tWorld\x00\x1f \n again  ")], "doc_id long, text string")
     assert normalize_text(df).first().text == "Hello World again"
     assert normalize_text(df, lowercase=True).first().text == "hello world again"
+
+
+def test_kmeans_ivf(spark):
+    """kmeans_centers: trained quantizer plugs into ivf_topk; full probe
+    stays exactly brute force; on clustered data partial probe with
+    trained centers recovers the true neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import cosine_topk_bruteforce, ivf_topk
+    from trackintel_spark.scale.similarity import kmeans_centers
+
+    # 4 tight clusters in 8-d
+    rng = np.random.RandomState(3)
+    protos = rng.standard_normal((4, 8))
+    rows = []
+    for i in range(400):
+        v = protos[i % 4] + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    centers = kmeans_centers(emb, n_centers=4, iters=4, seed=1)
+    assert len(centers) == 4 and all(len(c) == 8 for c in centers)
+    # spherical: unit-norm centers
+    assert all(abs(float(np.linalg.norm(c)) - 1.0) < 1e-9 for c in centers)
+    # each center should sit on one distinct prototype direction
+    sims = [
+        max(
+            float(np.dot(c, p) / (np.linalg.norm(c) * np.linalg.norm(p)))
+            for p in protos
+        )
+        for c in centers
+    ]
+    assert min(sims) > 0.98
+
+    queries = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.rank): r.vec_id for r in cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    # full probe == brute force, with the trained quantizer
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, queries, k=5, n_probe=4, centers=centers).collect()
+    }
+    assert full == exact
+    # single-probe with trained centers: perfect recall on clustered data
+    one = {(r.query_id, r.vec_id) for r in ivf_topk(emb, queries, k=5, n_probe=1, centers=centers).collect()}
+    assert one == {(q, v) for (q, _), v in exact.items()}

@@ -9,7 +9,12 @@ from trackintel_spark.scale.dedup import (
 )
 from trackintel_spark.scale.decontaminate import decontaminate, ngram_overlap
 from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
-from trackintel_spark.scale.similarity import cosine_topk_bruteforce, ivf_topk, lsh_bucketed_topk
+from trackintel_spark.scale.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+    kmeans_centers,
+    lsh_bucketed_topk,
+)
 from trackintel_spark.scale.text import (
     detect_language,
     document_fingerprint,
@@ -31,6 +36,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "kmeans_centers",
     "split_by_hash",
     "pack_sequences",
     "token_count",

@@ -129,6 +129,99 @@ def lsh_bucketed_topk(
     )
 
 
+def kmeans_centers(
+    corpus: DataFrame,
+    n_centers: int = 32,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse quantizer.
+
+    Per iteration, ONE corpus scan and one k*dim-sized shuffle:
+
+    * assignment is a pure map-side ``array_max`` over the k literal
+      centers (centers are bounded driver state, k*dim doubles — the
+      legitimate broadcast case), so no N-row shuffle ever happens;
+    * the center update posexplodes assigned vectors to (center, dim)
+      cells and averages — hash aggregation with map-side combine, so
+      the shuffle carries ~k*dim rows per partition, not N*dim.
+
+    Empty clusters keep their previous center. Means are L2-normalized
+    each round (spherical k-means — the right objective under cosine).
+    Init is k-means++ (greedy D^2 seeding) over a bounded deterministic
+    sample: the ``50*k`` vectors with smallest ``xxhash64(id, seed)``
+    (TakeOrdered — per-partition heaps, no full sort) come to the
+    driver and numpy picks spread-out seeds; naive uniform seeding
+    routinely drops a true cluster (two seeds in one blob) and Lloyd
+    cannot recover from that.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", _norm(F.col("__v"))).filter(F.col("__n") > 0)
+
+    sample = (
+        c.select("__id", "__v")
+        .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)))
+        .limit(max(50 * n_centers, n_centers))
+        .collect()
+    )
+    if not sample:
+        raise ValueError("empty corpus")
+    pts = np.asarray([r["__v"] for r in sample], dtype=float)
+    pts_unit = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    first = int(rng.randint(len(pts)))
+    chosen = [first]
+    # cosine distance d = 1 - cos; greedy D^2 re-weighting per pick
+    d2 = (1.0 - pts_unit @ pts_unit[first]) ** 2
+    for _ in range(1, min(n_centers, len(pts))):
+        tot = float(d2.sum())
+        if tot <= 0:
+            remaining = [i for i in range(len(pts)) if i not in set(chosen)]
+            if not remaining:
+                break
+            nxt = remaining[0]
+        else:
+            nxt = int(np.searchsorted(np.cumsum(d2 / tot), rng.random_sample()))
+            nxt = min(nxt, len(pts) - 1)
+        chosen.append(nxt)
+        d2 = np.minimum(d2, (1.0 - pts_unit @ pts_unit[nxt]) ** 2)
+    centers = [pts[i].tolist() for i in chosen]
+
+    for _ in range(max(iters, 0)):
+        norms = [float(np.linalg.norm(ctr)) or 1.0 for ctr in centers]
+        lits = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
+        best = F.array_max(
+            F.array(*[
+                F.struct(
+                    (_dot(F.col("__v"), lits[i]) / (F.col("__n") * F.lit(norms[i]))).alias("c"),
+                    F.lit(-i).alias("negi"),
+                )
+                for i in range(len(centers))
+            ])
+        )["negi"]
+        cell = (
+            c.withColumn("__cid", -best)
+            .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+        )
+        rows = cell.collect()  # k*dim cells — bounded driver state
+        new = [None] * len(centers)
+        dim = len(centers[0])
+        for r in rows:
+            if new[r["__cid"]] is None:
+                new[r["__cid"]] = [0.0] * dim
+            new[r["__cid"]][r["__pos"]] = r["__m"]
+        centers = [
+            (np.asarray(m) / (np.linalg.norm(m) or 1.0)).tolist() if m is not None else old
+            for m, old in zip(new, centers)
+        ]
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,17 +231,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
-    Coarse quantizer: every ``center_stride``-th corpus vector (by id) is
-    a center — a deterministic sampled quantizer, the zero-build-cost
-    baseline; at scale swap the center set for an offline k-means run,
-    the plan below is unchanged. Corpus vectors assign to their nearest
-    center with a map-side ``max_by`` aggregation (the broadcast join
-    explodes N x C rows but combines back to N before any shuffle);
-    queries probe their ``n_probe`` nearest centers and rescore exact
-    cosine inside the matched cells only.
+    Coarse quantizer: pass ``centers`` (e.g. from :func:`kmeans_centers`)
+    for a trained quantizer; without it, every ``center_stride``-th
+    corpus vector (by id) is a center — the zero-build-cost baseline.
+    Either way the query plan is identical. Corpus vectors assign to
+    their nearest center with a map-side ``max_by`` aggregation (the
+    broadcast join explodes N x C rows but combines back to N before
+    any shuffle); queries probe their ``n_probe`` nearest centers and
+    rescore exact cosine inside the matched cells only.
 
     With ``n_probe`` >= the center count this is EXACTLY brute force —
     the recall/test anchor.
@@ -156,13 +250,20 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
-    centers = c.filter(F.col("vec_id") % center_stride == 0).select(
-        F.col("vec_id").alias("__cid"), F.col("__cv").alias("__center"), F.col("__cn").alias("__cnorm")
-    )
+    if centers is not None:
+        spark = corpus.sparkSession
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+            "__cid long, __center array<double>",
+        ).withColumn("__cnorm", _norm(F.col("__center")))
+    else:
+        centers_df = c.filter(F.col("vec_id") % center_stride == 0).select(
+            F.col("vec_id").alias("__cid"), F.col("__cv").alias("__center"), F.col("__cn").alias("__cnorm")
+        )
 
     assigned = (
         c.select(F.col("vec_id"), F.col("__cv").alias("__v"), F.col("__cn").alias("__n"))
-        .crossJoin(F.broadcast(centers))
+        .crossJoin(F.broadcast(centers_df))
         .withColumn("__ccos", _dot(F.col("__v"), F.col("__center")) / (F.col("__n") * F.col("__cnorm")))
         .groupBy("vec_id")
         .agg(
@@ -175,7 +276,7 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    q_scored = q.crossJoin(F.broadcast(centers)).withColumn(
+    q_scored = q.crossJoin(F.broadcast(centers_df)).withColumn(
         "__ccos", _dot(F.col("__qv"), F.col("__center")) / (F.col("__qn") * F.col("__cnorm"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("__ccos").desc(), F.col("__cid").asc())
