@@ -25,9 +25,10 @@ def test_check_planar():
     assert check_planar(None, 3857)
     assert check_planar(None, 32632)
     assert check_planar(None, 21781)
+    assert check_planar(None, 2056)
 
 
-@pytest.mark.parametrize("epsg", [3857, 32632, 32732, 21781])
+@pytest.mark.parametrize("epsg", [3857, 32632, 32732, 21781, 2056])
 def test_roundtrip_wgs84(spark, epsg):
     pts = _pts(spark, EUROPE)
     if epsg in (32632, 32732):
@@ -37,7 +38,7 @@ def test_roundtrip_wgs84(spark, epsg):
                            (2, 9.19, 45.4642), (3, 11.5820, 48.1351)])
     if epsg == 32732:
         pts = _pts(spark, [(0, 8.5, -33.9189), (1, 9.6, -34.2)])
-    if epsg == 21781:
+    if epsg in (21781, 2056):
         # the swisstopo polynomials are only valid inside Switzerland:
         # Zurich, Bern, Geneva, Lugano
         pts = _pts(spark, [(0, 8.5417, 47.3769), (1, 7.4474, 46.9480),
@@ -48,7 +49,7 @@ def test_roundtrip_wgs84(spark, epsg):
         F.abs(F.col("a.geom.lon") - F.col("b.geom.lon")).alias("dlon"),
         F.abs(F.col("a.geom.lat") - F.col("b.geom.lat")).alias("dlat"),
     ).agg(F.max("dlon").alias("mlon"), F.max("dlat").alias("mlat")).first()
-    tol = 1e-4 if epsg == 21781 else 1e-8  # LV03 formulas are approximate
+    tol = 1e-4 if epsg in (21781, 2056) else 1e-8  # LV03/LV95 formulas are approximate
     assert joined.mlon < tol and joined.mlat < tol
 
 
@@ -79,6 +80,24 @@ def test_ch1903_bern_fixture(spark):
     assert abs(g["lat"] - 46.951082) < 1e-4
 
 
+def test_lv95_bern_fixture(spark):
+    # LV95 = LV03 + (2'000'000, 1'000'000): the Bern reference point is
+    # E 2600000, N 1200000 (swisstopo)
+    df = spark.createDataFrame([(0, 2600000.0, 1200000.0)], "id long, e double, n double").select(
+        "id", F.struct(F.col("e").alias("lon"), F.col("n").alias("lat")).alias("geom")
+    )
+    g = transform_points(df, 2056, 4326).first().geom
+    assert abs(g["lon"] - 7.438632) < 1e-4
+    assert abs(g["lat"] - 46.951082) < 1e-4
+    # LV03 <-> LV95 round-trip via WGS84 shifts by the false-origin
+    # offset, within the ~1 m accuracy of the approximate polynomials
+    lv03 = spark.createDataFrame([(0, 600000.0, 200000.0)], "id long, e double, n double").select(
+        "id", F.struct(F.col("e").alias("lon"), F.col("n").alias("lat")).alias("geom")
+    )
+    lv95 = transform_points(lv03, 21781, 2056).first().geom
+    assert abs(lv95["lon"] - 2600000.0) < 1.5 and abs(lv95["lat"] - 1200000.0) < 1.5
+
+
 def test_projected_distance_matches_haversine(spark):
     # two points ~1.2 km apart near Zurich: UTM planar distance should
     # match the great-circle distance within ~0.1%
@@ -97,7 +116,7 @@ def test_projected_distance_matches_haversine(spark):
 def test_unknown_crs_raises(spark):
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
-        transform_points(df, 4326, 2056).collect()
+        transform_points(df, 4326, 27700).collect()
 
 
 def test_distance_matrix_euclidean_on_projected(spark):

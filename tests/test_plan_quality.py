@@ -45,6 +45,19 @@ def test_minhash_lsh_join_is_equi_not_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ngram_jaccard_prefix_join_is_equi_not_cartesian(spark):
+    """The no-candidates set-similarity join must stay an equi-join on
+    the prefix token — never a cross join — and the exploded join input
+    must be the PREFIX slice, not the full shingle set."""
+    from trackintel_spark.scale import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(ngram_jaccard_pairs(docs, n=3, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "slice(" in plan  # prefix slice feeds the explode
+
+
 def test_lsh_topk_bucket_join_broadcasts_queries(spark):
     from trackintel_spark.scale import lsh_bucketed_topk
 

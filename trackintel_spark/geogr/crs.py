@@ -10,7 +10,10 @@ common projections are implemented as closed-form column expressions
 * EPSG:326xx / 327xx (WGS84 UTM north/south) — transverse Mercator via
   the USGS/Snyder series (Map Projections: A Working Manual, 1987,
   pp. 60-64; public knowledge), centimeter-level accuracy;
-* EPSG:21781 (Swiss CH1903/LV03) — the swisstopo approximate formulas
+* EPSG:21781 (Swiss CH1903/LV03) and EPSG:2056 (CH1903+/LV95, the
+  same projection with the false origin moved by +2'000'000/+1'000'000
+  — the current official Swiss frame) — the swisstopo approximate
+  formulas
   (public), meter-level accuracy (matches the published accuracy of the
   approximation itself).
 
@@ -29,6 +32,7 @@ from pyspark.sql import functions as F
 WGS84 = 4326
 WEB_MERCATOR = 3857
 CH1903 = 21781
+CH1903_PLUS = 2056  # LV95: LV03 false origin shifted to (2_600_000, 1_200_000)
 
 # WGS84 ellipsoid
 _A = 6378137.0
@@ -181,6 +185,8 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
         return web_mercator_to_wgs84(x, y)
     if epsg == CH1903:
         return ch1903_to_wgs84(x, y)
+    if epsg == CH1903_PLUS:
+        return ch1903_to_wgs84(x - 2000000.0, y - 1000000.0)
     z = _utm_zone(epsg)
     if z is not None:
         zone, north = z
@@ -197,6 +203,9 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
         return wgs84_to_web_mercator(lon, lat)
     if epsg == CH1903:
         return wgs84_to_ch1903(lon, lat)
+    if epsg == CH1903_PLUS:
+        e, n = wgs84_to_ch1903(lon, lat)
+        return e + 2000000.0, n + 1000000.0
     z = _utm_zone(epsg)
     if z is not None:
         zone, north = z
