@@ -1,0 +1,99 @@
+"""End-to-end LLM training-data pipeline example.
+
+Drives the scale stack the way a data-curation job would, on the
+driver's synthetic documents/embeddings parquet:
+
+    quality + language filtering
+    -> exact dedup
+    -> MinHash LSH near-dup candidates -> Jaccard verify -> clusters
+    -> benchmark decontamination
+    -> embedding ANN sanity probe (IVF with a k-means quantizer)
+    -> deterministic train/val/test split -> sequence packing
+
+Every stage is a lazy DataFrame transformation; the only actions are
+the stage-count prints. Run:
+
+    python examples/llm_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from trackintel_spark import get_spark
+from trackintel_spark.scale import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+    kmeans_centers,
+)
+from trackintel_spark.scale.decontaminate import decontaminate
+from trackintel_spark.scale.dedup import (
+    dedup_clusters,
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
+from trackintel_spark.scale.text import detect_language, quality_score, token_count
+from trackintel_spark.sources import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="llm_data_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"documents: {docs.count()}")
+
+    # 1. quality + language gate (pure column expressions)
+    scored = quality_score(detect_language(docs)).withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.3) & (F.col("n_tok") >= 5) & F.col("lang_pred").isNotNull()
+    )
+    print(f"after quality/lang gate: {kept.count()}")
+
+    # 2. exact dedup (hash aggregation, md5 shuffle key)
+    uniq = dedup_exact(kept)
+    print(f"after exact dedup: {uniq.count()}")
+
+    # 3. near-dup: LSH candidates -> exact Jaccard verify -> clusters
+    cands = minhash_lsh_candidates(uniq, num_perm=64, bands=16)
+    pairs = ngram_jaccard_pairs(uniq, n=3, threshold=0.7, candidates=cands)
+    keep_list = dedup_clusters(uniq, pairs)
+    survivors = uniq.join(keep_list.filter(F.col("is_canonical")).select("doc_id"), on="doc_id")
+    print(f"after near-dedup: {survivors.count()}")
+
+    # 4. decontaminate against a (mock) benchmark set
+    bench = docs.limit(20).select(F.col("doc_id").alias("bench_id"), "text")
+    clean = decontaminate(survivors, bench)
+    print(f"after decontamination: {clean.count()}")
+
+    # 5. embedding sanity probe: trained IVF vs brute force on 5 queries
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    centers = kmeans_centers(emb, n_centers=8, iters=3)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=5, n_probe=3, centers=centers).collect()
+    }
+    print(f"IVF recall@5 (3/8 probes): {len(exact & approx) / len(exact):.2f}")
+
+    # 6. deterministic split + sequence packing
+    split = split_by_hash(clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = split.filter(F.col("split") == "train").withColumn("n_tokens", F.col("n_tok"))
+    packed = pack_sequences(train, max_tokens=2048)
+    counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    print(f"splits: {counts}; packed train sequences: {packed.count()}")
+
+
+if __name__ == "__main__":
+    main()

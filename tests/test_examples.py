@@ -16,3 +16,15 @@ def test_preprocess_trajectories_example():
         capture_output=True, text=True, timeout=300, check=True,
     )
     assert "trips:" in out.stdout and "plot layers:" in out.stdout, out.stdout[-2000:]
+
+
+def test_llm_data_pipeline_example():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "llm_data_pipeline.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300, check=True,
+    )
+    assert "after near-dedup:" in out.stdout and "packed train sequences:" in out.stdout, (
+        out.stdout[-2000:]
+    )

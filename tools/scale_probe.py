@@ -24,20 +24,36 @@ from pyspark.sql import functions as F
 
 
 def mobility_input(spark, n: int, pfs_per_user: int = 2000):
-    """Dwelling users: 6 spots ~1.1 km apart, 20-minute dwells (40 pfs
-    at 30 s), so every threshold family (staypoint, tripleg, trip,
-    tour) gets real work."""
+    """Dwelling-and-commuting users: 6 spots ~1.1 km apart. Each
+    40-pfs block (30 s cadence) is a 17-minute dwell followed by 6
+    travel pfs interpolating toward the next spot (~6 m/s), so every
+    threshold family — staypoint, tripleg, trip, AND closed tour (the
+    cycle returns to spot 0) — gets real work. Without the travel
+    points consecutive dwells touch, each user degenerates to one
+    tripleg/trip, and generate_tours has nothing to close."""
     ids = spark.range(n)
     u = (F.col("id") / pfs_per_user).cast("long")
     i = F.col("id") % pfs_per_user
     phase = (i / 40).cast("long") % 6
+    nxt = (phase + 1) % 6
+    k = i % 40
+    frac = F.when(k < 34, F.lit(0.0)).otherwise((k - 33).cast("double") / 7.0)
+
+    def spot_lon(p):
+        return p * 0.01
+
+    def spot_lat(p):
+        return (p % 2) * 0.01
+
+    lon = spot_lon(phase) + (spot_lon(nxt) - spot_lon(phase)) * frac
+    lat = spot_lat(phase) + (spot_lat(nxt) - spot_lat(phase)) * frac
     return ids.select(
         F.col("id"),
         u.alias("user_id"),
         F.timestamp_seconds(F.lit(1700000000) + i * 30).alias("tracked_at"),
         F.struct(
-            (8.0 + (u % 100) * 0.2 + phase * 0.01 + F.sin(F.col("id")) * 1e-5).alias("lon"),
-            (47.0 + (u % 7) * 0.2 + (phase % 2) * 0.01 + F.cos(F.col("id")) * 1e-5).alias("lat"),
+            (8.0 + (u % 100) * 0.2 + lon + F.sin(F.col("id")) * 1e-5).alias("lon"),
+            (47.0 + (u % 7) * 0.2 + lat + F.cos(F.col("id")) * 1e-5).alias("lat"),
         ).alias("geom"),
     )
 
@@ -71,7 +87,13 @@ def run_chain(spark, n: int) -> dict:
     sp = sp.withColumn("is_activity", dur >= 15 * 60)
     pfs_t, tpls = generate_triplegs(pfs_sp, sp)
     sp2, tpls2, trips = generate_trips(sp, tpls, gap_threshold=60)
-    _, tours = generate_tours(trips, sp2.withColumn("location_id", F.col("id") % 500))
+    # location = 100 m grid cell of the staypoint: users cycle through 6
+    # spots, so every cycle closes tours (id%k never revisits -> 0 tours)
+    loc = F.hash(
+        F.round(F.col("geom.lon") * 1000).cast("long"),
+        F.round(F.col("geom.lat") * 1000).cast("long"),
+    ).cast("long")
+    _, tours = generate_tours(trips, sp2.withColumn("location_id", loc))
     n_tours = tours.count()
     wall = time.time() - t0
     out = {"rows": n, "wall_s": round(wall, 1), "rows_per_s": int(n / wall), "tours": n_tours}
