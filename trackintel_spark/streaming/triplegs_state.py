@@ -1,0 +1,224 @@
+"""Exact ONLINE tripleg emission — applyInPandasWithState.
+
+``triplegs_stream_exact`` complements ``staypoints_stream_exact``
+(streaming/staypoints_state.py): it runs the same Li et al. sliding
+scan over a positionfix stream and emits the TRAVEL segments between
+staypoints. The reference has no streaming surface at all (batch
+``generate_triplegs``, preprocessing/triplegs.py); this operator gives
+the mobility pipeline a streaming front end with a precise contract:
+
+* a tripleg is a maximal run of positionfixes that belong to no
+  staypoint, split additionally at tracking gaps (> ``gap_threshold``);
+* a tripleg is EMITTED (append semantics, rows never update) once it
+  is closed — by the staypoint that follows it, by a gap, or by the
+  scan anchor having advanced past it with a closed staypoint behind
+  it; until then its fixes wait in state;
+* results are invariant to how the stream is chopped into
+  micro-batches, and equal to running the same definition over the
+  full history in one batch (pinned by tests/test_streaming_triplegs).
+
+Per user the state is (a) the open candidate window of the staypoint
+scan — exactly as in staypoints_stream_exact — and (b) the travel
+buffer: fixes after the last emitted boundary that already can't join
+a staypoint but whose tripleg is still open. Both are bounded by dwell
+density x window duration, the same bound as the staypoint state.
+
+Out-of-order input: fixes older than the retained window floor are
+dropped (explicit watermark semantics, same rule as the staypoint op).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from trackintel_spark.operators.staypoints import _sliding_kernel
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+        T.StructField("n_pfs", T.IntegerType()),
+        T.StructField("geom_wkt", T.StringType()),
+    ]
+)
+
+# (travel buffer ++ candidate window), columnar + the split index
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("lons", T.ArrayType(T.DoubleType())),
+        T.StructField("lats", T.ArrayType(T.DoubleType())),
+        T.StructField("n_travel", T.IntegerType()),  # buffer rows before the window
+    ]
+)
+
+
+def _wkt_line(lons, lats) -> str | None:
+    if len(lons) < 2:
+        return None
+    return "LINESTRING (" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in zip(lons, lats)) + ")"
+
+
+def triplegs_stream_exact(
+    pfs: DataFrame,
+    dist_threshold: float = 100.0,
+    time_threshold: float = 5.0,
+    gap_threshold: float = 15.0,
+) -> DataFrame:
+    """Streaming tripleg extraction over (id, user_id, tracked_at, lon,
+    lat) rows; thresholds in the reference's units (meters / minutes).
+    Works on a streaming OR batch DataFrame (unified API)."""
+    time_s = time_threshold * 60.0
+    gap_s = gap_threshold * 60.0
+
+    def fn(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ids, ts_us, lons, lats, n_travel = state.get
+        else:
+            ids, ts_us, lons, lats, n_travel = [], [], [], [], 0
+
+        frames = []
+        if ids:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        "tracked_at": pd.to_datetime(pd.Series(ts_us, dtype="int64"), unit="us"),
+                        "lon": pd.Series(lons, dtype="float64"),
+                        "lat": pd.Series(lats, dtype="float64"),
+                    }
+                )
+            )
+        for pdf in batches:
+            frames.append(pdf[["id", "tracked_at", "lon", "lat"]])
+        full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["id", "tracked_at", "lon", "lat"]
+        )
+        # watermark: late fixes before the state floor can't be replayed
+        if ts_us:
+            floor_ts = pd.Timestamp(ts_us[0], unit="us")
+            full = full[full["tracked_at"] >= floor_ts]
+        full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
+        full["user_id"] = user_id
+        full["elevation"] = None
+
+        # the staypoint scan must not see the travel buffer (its fixes
+        # already failed to open a staypoint at the current anchor) —
+        # but the tripleg segmentation below runs over BOTH.
+        scan = full.iloc[n_travel:].reset_index(drop=True)
+        tail: list[int] = []
+        sps = _sliding_kernel(
+            scan,
+            dist_threshold=dist_threshold,
+            time_threshold_s=time_s,
+            gap_threshold_s=gap_s,
+            include_last=False,
+            elevation_flag=False,
+            tail_out=tail,
+        )
+        anchor = n_travel + (tail[0] if tail else 0)
+
+        # rows before the anchor are SETTLED: their staypoint membership
+        # can no longer change. Segment them into triplegs.
+        sp_ids: set[int] = set()
+        for _, sp in sps.iterrows():
+            for v in sp["pfs_ids"]:
+                sp_ids.add(int(v))
+        settled = full.iloc[:anchor]
+        out_rows = []
+        seg_idx: list[int] = []
+
+        def flush():
+            nonlocal seg_idx
+            if seg_idx:
+                seg = full.iloc[seg_idx]
+                out_rows.append(
+                    (
+                        user_id,
+                        seg["tracked_at"].iloc[0],
+                        seg["tracked_at"].iloc[-1],
+                        len(seg),
+                        _wkt_line(seg["lon"].tolist(), seg["lat"].tolist()),
+                    )
+                )
+                seg_idx = []
+
+        prev_ts = None
+        for i in range(len(settled)):
+            row_id = int(settled["id"].iloc[i])
+            ts = settled["tracked_at"].iloc[i]
+            if row_id in sp_ids:
+                # a staypoint fix closes the open travel segment
+                flush()
+                prev_ts = ts
+                continue
+            if prev_ts is not None and (ts - prev_ts).total_seconds() > gap_s:
+                flush()
+            seg_idx.append(i)
+            prev_ts = ts
+        # a gap between the last settled fix and the (unsettled) anchor
+        # fix is already known evidence — it closes the open segment now
+        # rather than one staypoint later
+        if (
+            seg_idx
+            and anchor < len(full)
+            and prev_ts is not None
+            and (full["tracked_at"].iloc[anchor] - prev_ts).total_seconds() > gap_s
+        ):
+            flush()
+        # the trailing segment (between the last closure and the anchor)
+        # stays OPEN: carry it as the travel buffer
+        travel_idx = list(seg_idx)
+
+        keep = pd.concat([full.iloc[travel_idx], full.iloc[anchor:]], ignore_index=True)
+        state.update(
+            (
+                [int(v) for v in keep["id"]],
+                [int(v.value // 1000) for v in keep["tracked_at"]],
+                [float(v) for v in keep["lon"]],
+                [float(v) for v in keep["lat"]],
+                len(travel_idx),
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "started_at", "finished_at", "n_pfs", "geom_wkt"]
+            )
+
+    grouped = pfs.groupBy("user_id")
+    if pfs.isStreaming:
+        return grouped.applyInPandasWithState(
+            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+
+    class _FakeState:
+        exists = False
+
+        def get(self):  # pragma: no cover - interface parity
+            raise ValueError
+
+        def update(self, v):
+            self._v = v
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _FakeState()
+        frames = list(fn((int(pdf["user_id"].iloc[0]),), iter([pdf]), st))
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
+        )
+
+    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
