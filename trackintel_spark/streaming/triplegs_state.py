@@ -131,19 +131,52 @@ def triplegs_stream_exact(
         anchor = n_travel + (tail[0] if tail else 0)
 
         # rows before the anchor are SETTLED: their staypoint membership
-        # can no longer change. Segment them into triplegs.
+        # can no longer change. Segment them into triplegs — vectorized:
+        # a break between consecutive TRAVEL fixes exists where a
+        # staypoint fix lies between them or their time gap exceeds the
+        # threshold; the final run is closed only if settled evidence
+        # (a trailing staypoint fix, or a known gap to the anchor fix)
+        # follows it.
+        import numpy as np
+
         sp_ids: set[int] = set()
         for _, sp in sps.iterrows():
             for v in sp["pfs_ids"]:
                 sp_ids.add(int(v))
-        settled = full.iloc[:anchor]
+        n_settled = anchor
+        ids_arr = full["id"].to_numpy()[:n_settled]
+        ts_arr = full["tracked_at"].to_numpy()[:n_settled].astype("int64") / 1e9
+        sp_mask = (
+            np.isin(ids_arr, np.fromiter(sp_ids, dtype="int64"))
+            if sp_ids
+            else np.zeros(n_settled, dtype=bool)
+        )
+        travel_pos = np.flatnonzero(~sp_mask)
         out_rows = []
-        seg_idx: list[int] = []
-
-        def flush():
-            nonlocal seg_idx
-            if seg_idx:
-                seg = full.iloc[seg_idx]
+        travel_idx: list[int] = []
+        if len(travel_pos):
+            sp_before = np.cumsum(sp_mask)  # sp fixes at or before each row
+            tp, tt = travel_pos, ts_arr[travel_pos]
+            brk = np.zeros(len(tp), dtype=bool)  # break BEFORE travel row k
+            if len(tp) > 1:
+                brk[1:] = (sp_before[tp[1:]] != sp_before[tp[:-1]]) | (
+                    tt[1:] - tt[:-1] > gap_s
+                )
+            starts = np.flatnonzero(np.concatenate(([True], brk[1:])))
+            ends = np.append(starts[1:], len(tp))
+            # is the LAST run closed by settled evidence?
+            last_closed = bool(sp_mask[tp[-1] + 1:].any()) or (
+                anchor < len(full)
+                and (full["tracked_at"].to_numpy()[anchor].astype("int64") / 1e9 - tt[-1])
+                > gap_s
+            )
+            n_runs = len(starts)
+            for r in range(n_runs):
+                run = tp[starts[r]:ends[r]]
+                if r == n_runs - 1 and not last_closed:
+                    travel_idx = [int(v) for v in run]  # stays open
+                    break
+                seg = full.iloc[run]
                 out_rows.append(
                     (
                         user_id,
@@ -153,34 +186,6 @@ def triplegs_stream_exact(
                         _wkt_line(seg["lon"].tolist(), seg["lat"].tolist()),
                     )
                 )
-                seg_idx = []
-
-        prev_ts = None
-        for i in range(len(settled)):
-            row_id = int(settled["id"].iloc[i])
-            ts = settled["tracked_at"].iloc[i]
-            if row_id in sp_ids:
-                # a staypoint fix closes the open travel segment
-                flush()
-                prev_ts = ts
-                continue
-            if prev_ts is not None and (ts - prev_ts).total_seconds() > gap_s:
-                flush()
-            seg_idx.append(i)
-            prev_ts = ts
-        # a gap between the last settled fix and the (unsettled) anchor
-        # fix is already known evidence — it closes the open segment now
-        # rather than one staypoint later
-        if (
-            seg_idx
-            and anchor < len(full)
-            and prev_ts is not None
-            and (full["tracked_at"].iloc[anchor] - prev_ts).total_seconds() > gap_s
-        ):
-            flush()
-        # the trailing segment (between the last closure and the anchor)
-        # stays OPEN: carry it as the travel buffer
-        travel_idx = list(seg_idx)
 
         keep = pd.concat([full.iloc[travel_idx], full.iloc[anchor:]], ignore_index=True)
         state.update(
