@@ -106,3 +106,44 @@ def test_missing_shx_fallback(spark, tmp_path):
     assert [r["geometry"] for r in df.orderBy("shape_id").collect()] == [
         "POINT (1 2)", "POINT (3 4)"
     ]
+
+
+def test_hypothesis_polyline_roundtrip(spark, tmp_path):
+    """Fuzz the binary parser: random multi-part polylines + dbf rows
+    written by the spec-writer must round-trip exactly."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        shapes, rows, expect = [], [], []
+        for i in range(rng.randint(1, 40)):
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                pts = [
+                    (round(rng.uniform(-179, 179), 6), round(rng.uniform(-89, 89), 6))
+                    for _ in range(rng.randint(2, 12))
+                ]
+                parts.append(pts)
+            shapes.append(_polyline(parts))
+            rows.append((i, rng.randint(-9999999, 9999999)))
+            expect.append(parts)
+        base = str(tmp_path / f"fuzz{trial}")
+        write_shapefile(base, shapes, 3, [("ID", "N", 4, 0), ("V", "N", 10, 0)], rows)
+        got = read_shapefile(spark, base + ".shp", target_records_per_task=7)
+        recs = {r["shape_id"]: r for r in got.collect()}
+        assert len(recs) == len(shapes)
+        for i, parts in enumerate(expect):
+            wkt = recs[i]["geometry"]
+            n_pts = sum(len(p) for p in parts)
+            assert wkt.count(",") == n_pts - 1
+            if len(parts) == 1:
+                assert wkt.startswith("LINESTRING (")
+            else:
+                assert wkt.startswith("MULTILINESTRING (")
+                assert wkt.count("(") == len(parts) + 1
+            # first vertex survives byte-exact through the float repr
+            x0, y0 = parts[0][0]
+            assert wkt.split("(")[-1 if len(parts) == 1 else 2].startswith(
+                f"{x0:.10g} {y0:.10g}"
+            ) or f"{x0:.10g} {y0:.10g}" in wkt
+            assert recs[i]["V"] == rows[i][1]
