@@ -435,3 +435,22 @@ def test_kmeans_ivf(spark):
     # single-probe with trained centers: perfect recall on clustered data
     one = {(r.query_id, r.vec_id) for r in ivf_topk(emb, queries, k=5, n_probe=1, centers=centers).collect()}
     assert one == {(q, v) for (q, _), v in exact.items()}
+
+
+def test_kmeans_udf_assignment_path_matches_codegen(spark):
+    """Large k*dim switches assignment to the Arrow/BLAS pandas UDF;
+    both shapes must produce identical centers."""
+    import numpy as np
+
+    from trackintel_spark.scale.similarity import kmeans_centers
+
+    rng = np.random.RandomState(5)
+    protos = rng.standard_normal((3, 6))
+    rows = [
+        (i, [float(x) for x in protos[i % 3] + 0.03 * rng.standard_normal(6)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_centers(emb, n_centers=3, iters=3, seed=2)  # codegen path
+    b = kmeans_centers(emb, n_centers=3, iters=3, seed=2, codegen_max_terms=1)  # UDF path
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)

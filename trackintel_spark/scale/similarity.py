@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -136,14 +137,18 @@ def kmeans_centers(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codegen_max_terms: int = 20_000,
 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd) for the IVF coarse quantizer.
 
     Per iteration, ONE corpus scan and one k*dim-sized shuffle:
 
-    * assignment is a pure map-side ``array_max`` over the k literal
-      centers (centers are bounded driver state, k*dim doubles — the
-      legitimate broadcast case), so no N-row shuffle ever happens;
+    * assignment is map-side and shuffle-free in both shapes: literal
+      ``array_max`` expressions inside whole-stage codegen while
+      k*dim <= ``codegen_max_terms`` (bigger literal trees balloon
+      Catalyst analysis), else an Arrow-batched pandas UDF doing one
+      BLAS matmul + argmax per batch against a broadcast numpy center
+      matrix (k*dim doubles — the legitimate broadcast case);
     * the center update posexplodes assigned vectors to (center, dim)
       cells and averages — hash aggregation with map-side combine, so
       the shuffle carries ~k*dim rows per partition, not N*dim.
@@ -190,20 +195,55 @@ def kmeans_centers(
         d2 = np.minimum(d2, (1.0 - pts_unit @ pts_unit[nxt]) ** 2)
     centers = [pts[i].tolist() for i in chosen]
 
-    for _ in range(max(iters, 0)):
+    spark = corpus.sparkSession
+
+    def _assign_expr(centers: list[list[float]]):
+        """Nearest-center id as a Column — two shapes, both shuffle-free:
+
+        * small k*dim: an ``array_max`` over literal center arrays,
+          fully inside whole-stage codegen;
+        * large k*dim (> ~20k literal nodes would balloon Catalyst
+          analysis): an Arrow-batched pandas UDF doing one BLAS
+          matmul + argmax per batch against a broadcast numpy matrix —
+          the center set never becomes part of the plan.
+        """
+        k, dim = len(centers), len(centers[0])
         norms = [float(np.linalg.norm(ctr)) or 1.0 for ctr in centers]
-        lits = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
-        best = F.array_max(
-            F.array(*[
-                F.struct(
-                    (_dot(F.col("__v"), lits[i]) / (F.col("__n") * F.lit(norms[i]))).alias("c"),
-                    F.lit(-i).alias("negi"),
-                )
-                for i in range(len(centers))
-            ])
-        )["negi"]
+        if k * dim <= codegen_max_terms:
+            lits = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
+            best = F.array_max(
+                F.array(*[
+                    F.struct(
+                        (_dot(F.col("__v"), lits[i]) / (F.col("__n") * F.lit(norms[i]))).alias("c"),
+                        F.lit(-i).alias("negi"),
+                    )
+                    for i in range(k)
+                ])
+            )["negi"]
+            return -best
+
+        from pyspark.sql.functions import pandas_udf
+
+        mat_bc = spark.sparkContext.broadcast(
+            (np.asarray(centers, dtype=np.float64) / np.asarray(norms)[:, None]).T.copy()
+        )
+
+        @pandas_udf("long")
+        def _nearest(vs: pd.Series) -> pd.Series:
+            import numpy as _np
+            import pandas as _pd
+
+            m = _np.stack(vs.to_numpy())  # (batch, dim)
+            nm = _np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            sims = (m / nm[:, None]) @ mat_bc.value  # (batch, k)
+            return _pd.Series(_np.argmax(sims, axis=1).astype("int64"))
+
+        return _nearest(F.col("__v"))
+
+    for _ in range(max(iters, 0)):
         cell = (
-            c.withColumn("__cid", -best)
+            c.withColumn("__cid", _assign_expr(centers))
             .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("__cid", "__pos")
             .agg(F.avg("__x").alias("__m"))
