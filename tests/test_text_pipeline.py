@@ -135,3 +135,31 @@ def test_repetition_signals_empty_and_null_safe(spark):
 def test_decontaminate_plan_broadcasts_benchmark(spark, corpus, bench_set):
     plan = decontaminate(corpus, bench_set, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_filters(spark):
+    from trackintel_spark.scale import c4_filters
+
+    docs = spark.createDataFrame(
+        [
+            (0, "This is a good sentence.\nAnother fine line here!\nShort.\nno terminal punct\nAnd a third proper sentence?"),
+            (1, "Lorem ipsum dolor sit amet. This has placeholder text. More words here."),
+            (2, "function f() { return 1; } This is code. More prose here. And more."),
+            (3, "One good sentence only remains here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_filters(docs).collect()}
+    # doc 0: "Short." dropped (<3 words), "no terminal punct" dropped
+    assert out[0].clean_text.split("\n") == [
+        "This is a good sentence.",
+        "Another fine line here!",
+        "And a third proper sentence?",
+    ]
+    assert out[0].c4_keep and out[0].n_sentences == 3
+    assert out[1].has_lorem and not out[1].c4_keep
+    assert out[2].has_brace and not out[2].c4_keep
+    assert not out[3].c4_keep  # one sentence < min_sentences
+    kept = c4_filters(docs, drop=True).collect()
+    assert [r.doc_id for r in kept] == [0]
+    assert kept[0].text.startswith("This is a good sentence.")

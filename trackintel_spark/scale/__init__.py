@@ -21,6 +21,7 @@ from trackintel_spark.scale.text import (
     normalize_text,
     quality_score,
     redact_pii,
+    c4_filters,
     repetition_signals,
     token_count,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "document_fingerprint",
     "redact_pii",
     "normalize_text",
+    "c4_filters",
     "repetition_signals",
     "decontaminate",
     "ngram_overlap",

@@ -294,3 +294,53 @@ def normalize_text(
     if lowercase:
         t = F.lower(t)
     return df.withColumn(out_col or text_col, t)
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+    drop: bool = False,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, "Colossal Clean Crawled
+    Corpus" heuristics) as pure array expressions — no Python in the
+    data path:
+
+    line level (rebuilt into ``clean_text``): keep only lines that end
+    in terminal punctuation (. ! ? ") and have >= ``min_line_words``
+    words; document level (flag columns): ``has_lorem`` (placeholder
+    text), ``has_brace`` ('{' — code, not prose), ``n_sentences`` of
+    the cleaned text and ``c4_keep`` = no flags and >=
+    ``min_sentences`` sentences. ``drop=True`` filters to the keep set
+    and swaps ``clean_text`` in for ``text_col``.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) >= min_line_words),
+    )
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    lower = F.lower(t)
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_sent = F.size(F.filter(F.split(clean, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0))
+    out = (
+        df.withColumn("clean_text", clean)
+        .withColumn("has_lorem", has_lorem)
+        .withColumn("has_brace", has_brace)
+        .withColumn("n_sentences", n_sent)
+        .withColumn(
+            "c4_keep",
+            ~has_lorem & ~has_brace & (n_sent >= min_sentences) & (F.length(clean) > 0),
+        )
+    )
+    if drop:
+        out = (
+            out.filter(F.col("c4_keep"))
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "has_lorem", "has_brace", "c4_keep")
+        )
+    return out
