@@ -163,3 +163,23 @@ def test_c4_filters(spark):
     kept = c4_filters(docs, drop=True).collect()
     assert [r.doc_id for r in kept] == [0]
     assert kept[0].text.startswith("This is a good sentence.")
+
+
+def test_detect_language_wide(spark):
+    from trackintel_spark.scale import detect_language
+
+    samples = {
+        "it": "il problema che non posso risolvere per sono una persona",
+        "pt": "o sistema de dados que não funciona uma vez para com eles",
+        "nl": "de computer is het beste een van niet dat zijn ook hier",
+        "pl": "nie wiem czy to jest tak ale jak może być inaczej",
+        "sv": "och jag tror att det som är inte så bra med detta",
+        "tr": "bir sorun var bu sistemde ve bunun için değil gibi daha çok",
+        "id": "sistem yang baru dan cepat di sini itu dengan untuk tidak adalah",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(samples.values())], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    for i, lang in enumerate(samples):
+        assert got[i] == lang, (lang, got[i])

@@ -12,10 +12,19 @@ from pyspark.sql import functions as F
 # A small multilingual stopword sample per language for the n-gram/
 # stopword-ratio language heuristic. Public knowledge (common words).
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # common function words, mutually disambiguating (shared forms like
+    # es/pt "que" appear for both and wash out; unique ones decide)
     "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
     "fr": ("le", "la", "les", "et", "est", "une", "que", "pas"),
     "es": ("el", "la", "los", "y", "es", "una", "que", "no"),
+    "it": ("il", "che", "di", "non", "per", "sono", "una", "gli"),
+    "pt": ("o", "de", "que", "não", "uma", "para", "com", "são"),
+    "nl": ("de", "het", "een", "van", "niet", "dat", "zijn", "ook"),
+    "pl": ("nie", "się", "jest", "czy", "tak", "ale", "jak", "być"),
+    "sv": ("och", "att", "det", "som", "är", "inte", "jag", "med"),
+    "tr": ("bir", "bu", "ve", "için", "değil", "gibi", "daha", "çok"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "adalah"),
 }
 
 _EN_STOPWORDS = _LANG_MARKERS["en"] + ("a", "an", "for", "on", "with", "as", "at", "by")
