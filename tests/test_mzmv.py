@@ -178,10 +178,12 @@ def test_mzmv_routed_geometry(spark, mzmv_zip, tmp_path):
     shapes = [
         _polyline([[(8.50, 47.40), (8.505, 47.404), (8.51, 47.41)]]),  # (1,1)
         _point(9.0, 46.9),  # (2,1): a degenerate "route" -> invalid -> NULL
+        # (1,2): MULTI-part route -> parts flatten into one sequence
+        _polyline([[(8.51, 47.41), (8.52, 47.42)], [(8.53, 47.43), (8.55, 47.45)]]),
     ]
     write_shapefile(base, shapes, 3,
                     [("HHNR", "N", 8, 0), ("ETNR", "N", 4, 0)],
-                    [(1, 1), (2, 1)])
+                    [(1, 1), (2, 1), (1, 2)])
     with zipfile.ZipFile(rdir / "CH_routen.zip", "w") as zf:
         for ext in (".shp", ".shx", ".dbf"):
             zf.write(base + ext, "CH_routen" + ext)
@@ -192,7 +194,10 @@ def test_mzmv_routed_geometry(spark, mzmv_zip, tmp_path):
     assert [(p["lon"], p["lat"]) for p in g] == [
         (8.50, 47.40), (8.505, 47.404), (8.51, 47.41)
     ]
-    assert legs[(1, 2)]["geometry"] is None  # no route shipped
+    g2 = legs[(1, 2)]["geometry"]  # multi-part: flattened, 4 vertices
+    assert [(p["lon"], p["lat"]) for p in g2] == [
+        (8.51, 47.41), (8.52, 47.42), (8.53, 47.43), (8.55, 47.45)
+    ]
     assert legs[(2, 1)]["geometry"] is None  # invalid route nulled
     # VP_XY-style fallback still present everywhere (reference note :386)
     assert all(d["geom"] for d in legs.values())

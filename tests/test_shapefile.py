@@ -82,6 +82,13 @@ def test_zip_and_column_pruning(spark, tmp_path, polyline_shp):
     assert df.count() == 3
     with pytest.raises(ValueError, match="not in dbf"):
         read_shapefile(spark, zpath, columns=["NOPE"])
+    # NON-PREFIX pruning: skipped fields before the selected ones must
+    # not shift byte offsets — values still read from true positions
+    part = {r["shape_id"]: r for r in
+            read_shapefile(spark, zpath, columns=["ETNR", "WT"]).collect()}
+    assert [part[i]["ETNR"] for i in range(3)] == [1, 2, 3]
+    assert part[0]["WT"] == pytest.approx(1.5) and part[1]["WT"] == pytest.approx(2.25)
+    assert part[2]["WT"] is None
 
 
 def test_many_records_partitioned(spark, tmp_path):

@@ -152,3 +152,18 @@ def test_geometry_is_settled_linestring(spark):
             assert r.geom_wkt.count(",") == r.n_pfs - 1
         else:
             assert r.geom_wkt is None
+
+
+def test_late_fix_inside_buffer_range_is_dropped(spark, tmp_path):
+    """A late fix older than the candidate-window floor (even if inside
+    the open travel-buffer's time range) is dropped — the documented
+    watermark. Output must equal the model run WITHOUT the late fix
+    (before the fix, the late row silently displaced buffer rows into
+    the staypoint scan and broke chunk invariance)."""
+    rows = _mk_rows(n_users=1, per_user=120)
+    # file 1: first 70 fixes; file 2: the rest plus one late travel-era
+    # fix whose ts falls well before file 1's end
+    late = (99999, 0, rows[40][2] + 1, 8.5123, 47.4567)
+    chunks = [rows[:70], rows[70:] + [late]]
+    got = _stream_result(spark, tmp_path, chunks, max_files=1)
+    assert got == _model_expected(spark, rows)  # late fix contributed nothing

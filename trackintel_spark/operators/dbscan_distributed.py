@@ -139,10 +139,15 @@ def dbscan_distributed(
         ty = F.col("cy") + dy
         cos_eq_t, cos_pole_t = _band_cos(ty, cell_deg)
         w_t = F.lit(cell_deg) / cos_eq_t
-        # max lon-degrees the eps·1.05 disk spans at any latitude of
-        # the target band; capped so the polar band can't explode the
-        # candidate sequence
-        r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_pole_t), F.lit(360.0))
+        # max lon-degrees the eps·1.05 disk spans at any latitude it
+        # touches: the great-circle's lon extent is governed by the
+        # SMALLEST cosine along the path, which can be the prober's own
+        # latitude when the target band is equator-ward (southern
+        # hemisphere dy>0) — within ~2 km of a pole the band-only bound
+        # undershot and dropped true neighbors. Capped so the polar
+        # band can't explode the candidate sequence.
+        cos_min = F.least(cos_pole_t, F.greatest(F.cos(F.radians(lat_c)), F.lit(1e-9)))
+        r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_min), F.lit(360.0))
         tx_lo = F.floor((lon_c - r_deg) / w_t).cast("long")
         tx_hi = F.floor((lon_c + r_deg) / w_t).cast("long")
         if dy == 0:

@@ -17,12 +17,38 @@ chained generate-operators then grow the logical plan exponentially (a
 five-operator chain was literally un-plannable before this). Like
 ``zipWithIndex``, the helpers trigger one counting job at call time
 and cache the shuffled input for the main query to reuse.
+
+The cache is LOAD-BEARING: the collected bases describe the cached
+partitioning, so the eager helpers must not unpersist under their own
+output. Long sessions chaining many operators accumulate one cached
+copy per call — call :func:`release_id_caches` after the consuming
+action (write/collect) to free them all.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_ID_CACHES: list[DataFrame] = []
+
+
+def release_id_caches() -> int:
+    """Unpersist every cache the eager id helpers created this session.
+
+    Safe once the ids have been materialized (written/collected):
+    recomputation after release would re-sample range boundaries, so
+    only call between pipelines, not under a pending lazy plan. Returns
+    the number of caches released.
+    """
+    n = 0
+    while _ID_CACHES:
+        try:
+            _ID_CACHES.pop().unpersist()
+            n += 1
+        except Exception:  # session torn down — nothing to free
+            pass
+    return n
 
 
 def exclusive_prefix_sum(
@@ -76,6 +102,7 @@ def exclusive_prefix_sum(
             .drop("__p", "__base")
         )
     d = d.persist()
+    _ID_CACHES.append(d)
     totals = {
         r["__p"]: r["__t"]
         for r in d.groupBy("__p").agg(F.sum(val_col).alias("__t")).collect()
@@ -118,6 +145,7 @@ def dense_id_by_user(
         .withColumn("__p", F.spark_partition_id())
         .persist()
     )
+    _ID_CACHES.append(d)
     counts = {r["__p"]: r["__n"] for r in d.groupBy("__p").agg(F.count(F.lit(1)).alias("__n")).collect()}
     bases: list[Column] = []
     acc = 0

@@ -227,6 +227,7 @@ def kmeans_centers(
         mat_bc = spark.sparkContext.broadcast(
             (np.asarray(centers, dtype=np.float64) / np.asarray(norms)[:, None]).T.copy()
         )
+        cleanups.append(mat_bc)
 
         @pandas_udf("long")
         def _nearest(vs: pd.Series) -> pd.Series:
@@ -242,6 +243,7 @@ def kmeans_centers(
         return _nearest(F.col("__v"))
 
     for _ in range(max(iters, 0)):
+        cleanups: list = []  # per-iteration broadcasts (large-k path)
         cell = (
             c.withColumn("__cid", _assign_expr(centers))
             .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
@@ -249,6 +251,8 @@ def kmeans_centers(
             .agg(F.avg("__x").alias("__m"))
         )
         rows = cell.collect()  # k*dim cells — bounded driver state
+        for bc in cleanups:  # the assignment job is done; release now
+            bc.destroy()
         new = [None] * len(centers)
         dim = len(centers[0])
         for r in rows:

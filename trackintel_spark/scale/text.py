@@ -350,6 +350,6 @@ def c4_filters(
         out = (
             out.filter(F.col("c4_keep"))
             .withColumn(text_col, F.col("clean_text"))
-            .drop("clean_text", "has_lorem", "has_brace", "c4_keep")
+            .drop("clean_text", "has_lorem", "has_brace", "c4_keep", "n_sentences")
         )
     return out

@@ -130,21 +130,29 @@ def read_geolife_labels(spark: SparkSession, path: str) -> DataFrame:
     """
     out_schema = "user_id long, started_at timestamp, finished_at timestamp, mode string"
     # an empty glob would raise PATH_NOT_FOUND instead of yielding zero
-    # rows — guard with one driver-side local check (corpus roots are
-    # local directories, like the reference's os.listdir walk)
+    # rows. For plain local paths one driver-side glob decides (like the
+    # reference's os.listdir walk); for remote schemes (hdfs://, s3a://,
+    # where glob.glob can't list) let Spark resolve and map the
+    # no-files error to the documented empty frame.
     import glob as _glob
 
-    if not _glob.glob(f"{path}/*/labels.txt"):
+    scheme_local = "://" not in path or path.startswith("file:")
+    if scheme_local and not _glob.glob(f"{path.removeprefix('file:')}/*/labels.txt"):
         return spark.createDataFrame([], out_schema)
-    raw = (
-        spark.read.csv(
-            f"{path}/*/labels.txt",
-            sep="\t",
-            header=True,
-            schema="`Start Time` string, `End Time` string, `Transportation Mode` string",
+    try:
+        raw = (
+            spark.read.csv(
+                f"{path}/*/labels.txt",
+                sep="\t",
+                header=True,
+                schema="`Start Time` string, `End Time` string, `Transportation Mode` string",
+            )
+            .withColumn("__file", F.input_file_name())
         )
-        .withColumn("__file", F.input_file_name())
-    )
+    except Exception as e:  # AnalysisException PATH_NOT_FOUND on remote FS
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], out_schema)
+        raise
     fmt = "yyyy/MM/dd HH:mm:ss"
     out = raw.select(
         F.regexp_extract(F.col("__file"), r"/(\d+)/labels\.txt", 1).try_cast("long").alias("user_id"),

@@ -290,7 +290,10 @@ def read_mzmv(
         geo = read_shapefile(spark, shp, columns=["HHNR", "ETNR"]).select(
             F.col("HHNR").alias("user_id"),
             F.col("ETNR"),
-            _wkt.parse_wkt_linestring(F.col("geometry")).alias("geometry"),
+            # multi-part routes flatten to one vertex sequence (an
+            # anchored LINESTRING-only parse would null them; the
+            # unanchored one would silently corrupt them)
+            _wkt.parse_wkt_line_flat(F.col("geometry")).alias("geometry"),
         )
         # invalid routes (reference sets ~is_valid to None, :448): a
         # linestring needs >= 2 vertices

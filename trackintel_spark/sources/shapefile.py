@@ -49,26 +49,36 @@ _TYPE_BASE = {
 # driver-side: resolve paths, read the two headers
 # --------------------------------------------------------------------------
 
-def _resolve(path: str) -> tuple[str, str | None, str | None]:
-    """Return local paths (shp, shx, dbf); shx/dbf may be absent.
+def _resolve(path: str) -> tuple[str, str | None, str | None, bool]:
+    """Return local paths (shp, shx, dbf, extracted); shx/dbf may be
+    absent. ``extracted`` marks driver-local scratch files that must be
+    shipped to executors via ``sc.addFile``.
 
     Accepts a ``.shp`` path, a directory containing one ``.shp``, or a
     ``.zip`` holding the trio (extracted once to a scratch dir — zip is
-    not splittable; the *parse* still distributes).
+    not splittable; the *parse* still distributes). Extracted members
+    get a scratch-unique basename so concurrent reads of different zips
+    with identical inner names can't collide in SparkFiles.
     """
     if path.lower().endswith(".zip"):
         scratch = tempfile.mkdtemp(prefix="shp_")
+        uniq = os.path.basename(scratch)
         with zipfile.ZipFile(path) as zf:
             for m in zf.namelist():
-                if m.lower().endswith((".shp", ".shx", ".dbf")):
-                    zf.extract(m, scratch)
-        hits = glob.glob(os.path.join(scratch, "**", "*.shp"), recursive=True) + glob.glob(
-            os.path.join(scratch, "**", "*.SHP"), recursive=True
-        )
+                low = m.lower()
+                if low.endswith((".shp", ".shx", ".dbf")):
+                    target = os.path.join(scratch, uniq + "_" + os.path.basename(m))
+                    with zf.open(m) as src, open(target, "wb") as dst:
+                        dst.write(src.read())
+        hits = sorted(glob.glob(os.path.join(scratch, "*.shp")) + glob.glob(os.path.join(scratch, "*.SHP")))
         if not hits:
             raise FileNotFoundError(f"no .shp member inside {path!r}")
-        path = hits[0]
-    elif os.path.isdir(path):
+        p = hits[0]
+        base = p[:-4]
+        shx = next((base + e for e in (".shx", ".SHX") if os.path.exists(base + e)), None)
+        dbf = next((base + e for e in (".dbf", ".DBF") if os.path.exists(base + e)), None)
+        return p, shx, dbf, True
+    if os.path.isdir(path):
         hits = sorted(glob.glob(os.path.join(path, "*.shp")) + glob.glob(os.path.join(path, "*.SHP")))
         if not hits:
             raise FileNotFoundError(f"no .shp file under {path!r}")
@@ -77,7 +87,7 @@ def _resolve(path: str) -> tuple[str, str | None, str | None]:
     base = path[:-4]
     shx = next((base + e for e in (".shx", ".SHX") if os.path.exists(base + e)), None)
     dbf = next((base + e for e in (".dbf", ".DBF") if os.path.exists(base + e)), None)
-    return path, shx, dbf
+    return path, shx, dbf, False
 
 
 def _read_shx(shx_path: str) -> np.ndarray:
@@ -184,16 +194,17 @@ def _parse_shape(buf: bytes) -> str | None:
 
 def _decode_dbf_range(dbf_path: str, header_size: int, record_size: int,
                       fields: list, start: int, n: int) -> dict[str, list]:
+    """``fields`` entries are (name, type, len, dec, BYTE OFFSET within
+    the record) — offsets are precomputed over the FULL field list, so
+    a pruned selection still reads every field from its true position."""
     with open(dbf_path, "rb") as f:
         f.seek(header_size + start * record_size)
         raw = f.read(n * record_size)
     cols: dict[str, list] = {name: [] for name, *_ in fields}
     for i in range(n):
         rec = raw[i * record_size:(i + 1) * record_size]
-        pos = 1  # deletion flag byte
-        for name, ftype, flen, fdec in fields:
-            cell = rec[pos:pos + flen]
-            pos += flen
+        for name, ftype, flen, fdec, off in fields:
+            cell = rec[off:off + flen]
             txt = cell.decode("latin1").strip()
             if ftype in ("N", "F"):
                 if not txt or txt in ("*" * len(txt),):
@@ -240,16 +251,30 @@ def read_shapefile(
     The driver touches only the .shx index and .dbf header; every task
     seeks straight to its record range in the .shp/.dbf pair.
     """
-    shp_path, shx_path, dbf_path = _resolve(path)
+    shp_path, shx_path, dbf_path, extracted = _resolve(path)
+    if extracted:
+        # zip members were extracted to driver-local scratch: ship them
+        # to every executor (works on a real cluster, not just local[N])
+        for p in (shp_path, shx_path, dbf_path):
+            if p:
+                spark.sparkContext.addFile(p)
     offsets = _read_shx(shx_path) if shx_path else _scan_shp_offsets(shp_path)
     n = len(offsets)
 
-    fields: list[tuple[str, str, int, int]] = []
+    raw_fields: list[tuple[str, str, int, int]] = []
     header_size = record_size = 0
     if dbf_path:
-        n_dbf, header_size, record_size, fields = _read_dbf_header(dbf_path)
+        n_dbf, header_size, record_size, raw_fields = _read_dbf_header(dbf_path)
         if n_dbf != n:
             n = min(n, n_dbf)
+    # byte offset of every field within a record, computed over the FULL
+    # list BEFORE pruning — a pruned read must still seek to the true
+    # positions of the surviving fields
+    fields: list[tuple[str, str, int, int, int]] = []
+    off = 1  # deletion-flag byte
+    for name, ftype, flen, fdec in raw_fields:
+        fields.append((name, ftype, flen, fdec, off))
+        off += flen
     if columns is not None:
         missing = [c for c in columns if c not in {f[0] for f in fields}]
         if missing:
@@ -273,7 +298,7 @@ def read_shapefile(
             return "boolean"
         return "string"
 
-    attr_schema = ", ".join(f"`{name}` {_sql_type(ftype, fdec)}" for name, ftype, _l, fdec in fields)
+    attr_schema = ", ".join(f"`{name}` {_sql_type(ftype, fdec)}" for name, ftype, _l, fdec, _o in fields)
     out_schema = (attr_schema + ", " if attr_schema else "") + "shape_id bigint, geometry string"
 
     spec = spark.createDataFrame(
@@ -282,6 +307,7 @@ def read_shapefile(
 
     field_spec = list(fields)
     shp_p, dbf_p, hdr_sz, rec_sz = shp_path, dbf_path, header_size, record_size
+    use_sparkfiles = extracted
     # Each task re-reads its OWN 8-byte-per-record .shx slice (seek
     # 100 + 8*start) — no driver broadcast of the full index, so the
     # plan is flat in record count. Only the shx-less fallback (driver
@@ -292,15 +318,27 @@ def read_shapefile(
     )
 
     def _parse(batches) -> Iterator["pd.DataFrame"]:
+        import os as _os
+
         import pandas as pd
+
+        if use_sparkfiles:
+            from pyspark import SparkFiles
+
+            def _local(p):
+                return SparkFiles.get(_os.path.basename(p)) if p else p
+        else:
+            def _local(p):
+                return p
+        shp_l, dbf_l, shx_l = _local(shp_p), _local(dbf_p), _local(shx_p)
 
         for pdf in batches:
             for _, row in pdf.iterrows():
                 s, e = int(row["start"]), int(row["end"])
                 if e <= s:
                     continue
-                if shx_p:
-                    with open(shx_p, "rb") as f:
+                if shx_l:
+                    with open(shx_l, "rb") as f:
                         f.seek(100 + 8 * s)
                         offs = (
                             np.frombuffer(f.read(8 * (e - s)), dtype=">i4")
@@ -312,7 +350,7 @@ def read_shapefile(
                     offs = fallback_bc.value[s:e]
                 first_off = offs[0][0]
                 last_end = offs[-1][0] + 8 + offs[-1][1]
-                with open(shp_p, "rb") as f:
+                with open(shp_l, "rb") as f:
                     f.seek(first_off)
                     blob = f.read(last_end - first_off)
                 geoms = []
@@ -320,9 +358,9 @@ def read_shapefile(
                     rec_off = offs[i][0] - first_off + 8  # skip record header
                     geoms.append(_parse_shape(blob[rec_off:rec_off + offs[i][1]]))
                 data: dict[str, list] = {}
-                if dbf_p and field_spec:
+                if dbf_l and field_spec:
                     data.update(
-                        _decode_dbf_range(dbf_p, hdr_sz, rec_sz, field_spec, s, e - s)
+                        _decode_dbf_range(dbf_l, hdr_sz, rec_sz, field_spec, s, e - s)
                     )
                 data["shape_id"] = list(range(s, e))
                 data["geometry"] = geoms

@@ -38,8 +38,26 @@ def _coord_seq(body: Column) -> Column:
 
 
 def parse_wkt_linestring(col: Column) -> Column:
-    """'LINESTRING (x1 y1, x2 y2, ...)' -> array<struct<lon,lat>>."""
-    body = F.regexp_extract(col, r"LINESTRING\s*\((.*)\)", 1)
+    """'LINESTRING (x1 y1, x2 y2, ...)' -> array<struct<lon,lat>>.
+
+    Anchored: a MULTILINESTRING yields NULL, never a corrupt array
+    (its inner parens would land in the split tokens and cast to NULL
+    doubles) — use :func:`parse_wkt_line_flat` to accept both.
+    """
+    body = F.regexp_extract(col, r"^\s*LINESTRING\s*\((.*)\)\s*$", 1)
+    return F.when(body != "", _coord_seq(body))
+
+
+def parse_wkt_line_flat(col: Column) -> Column:
+    """LINESTRING or MULTILINESTRING -> one array<struct<lon,lat>>.
+
+    Multi-part geometry is FLATTENED: the parts' coordinate sequences
+    concatenate in order (part boundaries are lost — callers that need
+    them should keep the WKT column too)."""
+    ml = F.regexp_extract(col, r"^\s*MULTILINESTRING\s*\((.*)\)\s*$", 1)
+    ml_flat = F.regexp_replace(F.regexp_replace(ml, r"\)\s*,\s*\(", ", "), r"[()]", "")
+    ls = F.regexp_extract(col, r"^\s*LINESTRING\s*\((.*)\)\s*$", 1)
+    body = F.when(ml != "", ml_flat).otherwise(ls)
     return F.when(body != "", _coord_seq(body))
 
 

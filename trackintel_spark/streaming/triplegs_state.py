@@ -101,15 +101,26 @@ def triplegs_stream_exact(
                     }
                 )
             )
+        # watermark: NEW fixes older than the candidate-window floor are
+        # dropped. The floor is the first WINDOW fix (ts_us[n_travel]),
+        # not the travel-buffer start: a late fix sorted into the buffer
+        # range would silently displace buffer rows into the scan (the
+        # scan skips exactly n_travel rows) and break the
+        # micro-batch-invariance contract. State rows themselves are
+        # kept wholesale.
+        floor_ts = None
+        if len(ts_us) > n_travel:
+            floor_ts = pd.Timestamp(ts_us[n_travel], unit="us")
+        elif ts_us:
+            floor_ts = pd.Timestamp(ts_us[-1], unit="us")
         for pdf in batches:
-            frames.append(pdf[["id", "tracked_at", "lon", "lat"]])
+            part = pdf[["id", "tracked_at", "lon", "lat"]]
+            if floor_ts is not None:
+                part = part[part["tracked_at"] >= floor_ts]
+            frames.append(part)
         full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["id", "tracked_at", "lon", "lat"]
         )
-        # watermark: late fixes before the state floor can't be replayed
-        if ts_us:
-            floor_ts = pd.Timestamp(ts_us[0], unit="us")
-            full = full[full["tracked_at"] >= floor_ts]
         full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
         full["user_id"] = user_id
         full["elevation"] = None
