@@ -454,3 +454,22 @@ def test_kmeans_udf_assignment_path_matches_codegen(spark):
     a = kmeans_centers(emb, n_centers=3, iters=3, seed=2)  # codegen path
     b = kmeans_centers(emb, n_centers=3, iters=3, seed=2, codegen_max_terms=1)  # UDF path
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_sample_by_weight(spark):
+    from trackintel_spark.scale import sample_by_weight
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    # constant weight ~ keeps that fraction, deterministically
+    kept = sample_by_weight(df, "doc_id", 0.3)
+    n = kept.count()
+    assert abs(n / 20_000 - 0.3) < 0.02
+    assert kept.count() == n  # stable across evaluations
+    # different salt re-deals; same salt reproduces
+    n2 = sample_by_weight(df, "doc_id", 0.3, salt="x").count()
+    assert n2 != n and abs(n2 / 20_000 - 0.3) < 0.02
+    # row-dependent weight: ids < 10k get w=1 (all kept), rest w=0
+    w = F.when(F.col("doc_id") < 10_000, F.lit(1.0)).otherwise(F.lit(0.0))
+    sel = sample_by_weight(df, "doc_id", w)
+    assert sel.count() == 10_000
+    assert sel.agg(F.max("doc_id")).first()[0] < 10_000

@@ -8,7 +8,7 @@ from trackintel_spark.scale.dedup import (
     simhash,
 )
 from trackintel_spark.scale.decontaminate import decontaminate, ngram_overlap
-from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
+from trackintel_spark.scale.sampling import sample_by_weight, pack_sequences, split_by_hash
 from trackintel_spark.scale.similarity import (
     cosine_topk_bruteforce,
     ivf_topk,
@@ -48,6 +48,7 @@ __all__ = [
     "normalize_text",
     "c4_filters",
     "repetition_signals",
+    "sample_by_weight",
     "decontaminate",
     "ngram_overlap",
 ]

@@ -121,3 +121,29 @@ def pack_sequences(
             )
 
     return base.mapInPandas(kernel, schema=schema)
+
+
+def sample_by_weight(
+    df: DataFrame,
+    key_col: str | Column,
+    weight: Column | float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with row-dependent
+    acceptance probability — the quality-weighted downsampling /
+    temperature-resampling step of data-mixing pipelines.
+
+    A row survives iff ``uniform(xxhash64(key, salt)) < weight``, where
+    ``weight`` may be any Column in [0, 1] (e.g. a quality score, or
+    ``pow(score, 1/T)`` for temperature T). Purely map-side, no
+    shuffle; reproducible across runs and partitionings (unlike
+    ``df.sample``); re-deal with a different ``salt``. Weights >= 1
+    always keep the row, <= 0 always drop.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = F.lit(float(weight)) if isinstance(weight, (int, float)) else weight
+    u = (
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(salt)), F.lit(_BUCKETS)).cast("double")
+        / _BUCKETS
+    )
+    return df.filter(u < w)
