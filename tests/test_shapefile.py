@@ -154,3 +154,28 @@ def test_hypothesis_polyline_roundtrip(spark, tmp_path):
                 f"{x0:.10g} {y0:.10g}"
             ) or f"{x0:.10g} {y0:.10g}" in wkt
             assert recs[i]["V"] == rows[i][1]
+
+
+def test_shapefile_polygons_drive_spatial_filter(spark, tmp_path):
+    """End-to-end synergy: polygon areas read from a shapefile feed
+    spatial_filter — the workflow a reference user runs with
+    gpd.read_file + within()."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.geogr.filter import spatial_filter
+    from trackintel_spark.sources import wkt
+
+    base = str(tmp_path / "areas")
+    # CW outer ring around (8.50-8.52, 47.39-47.41)
+    ring = [(8.50, 47.39), (8.50, 47.41), (8.52, 47.41), (8.52, 47.39), (8.50, 47.39)]
+    write_shapefile(base, [_polygon([ring])], 5, [("NAME", "C", 8, 0)], [("zone1",)])
+
+    areas = read_shapefile(spark, base + ".shp").select(
+        wkt.parse_wkt_polygon(F.col("geometry")).alias("polygon")
+    )
+    pts = spark.createDataFrame(
+        [(0, 8.51, 47.40), (1, 8.60, 47.40), (2, 8.505, 47.395)],
+        "id long, lon double, lat double",
+    ).select("id", F.struct("lon", "lat").alias("geom"))
+    got = sorted(r.id for r in spatial_filter(pts, areas, method="within").collect())
+    assert got == [0, 2]
