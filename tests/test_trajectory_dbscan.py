@@ -186,3 +186,20 @@ def test_dbscan_distributed_beijing_dense_cell_counts(spark):
         pts.append((pid, lon, lat))
         pid += 1
     _dbscan_partition_check(spark, pts, 100.0, 5)
+
+
+def test_dbscan_distributed_near_pole(spark):
+    """Regression for the polar candidate prune: within ~2 km of a pole
+    the prober's own latitude governs the longitude reach, not the
+    target band's — tight blobs at lat +-89.99 must cluster with zero
+    noise (the band-only bound silently dropped true neighbors)."""
+    from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
+
+    pts = spark.createDataFrame(
+        [(i, 100.0 + i * 1e-6, 89.99 + (i % 3) * 1e-7) for i in range(20)]
+        + [(100 + i, -120.0, -89.99 - (i % 3) * 1e-7) for i in range(20)],
+        "id long, lon double, lat double",
+    )
+    out = dbscan_distributed(pts, epsilon_m=100, min_samples=3).collect()
+    assert all(r.location_id is not None for r in out)
+    assert len({r.location_id for r in out}) == 2
