@@ -473,3 +473,21 @@ def test_sample_by_weight(spark):
     sel = sample_by_weight(df, "doc_id", w)
     assert sel.count() == 10_000
     assert sel.agg(F.max("doc_id")).first()[0] < 10_000
+
+
+def test_sample_by_weight_replicate(spark):
+    from trackintel_spark.scale import sample_by_weight
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    # weight 2.3 -> 2 or 3 copies, expectation 2.3
+    up = sample_by_weight(df, "doc_id", 2.3, replicate=True)
+    n = up.count()
+    assert abs(n / 10_000 - 2.3) < 0.05
+    copies = up.groupBy("doc_id").count()
+    cnts = {r["count"] for r in copies.collect()}
+    assert cnts == {2, 3}
+    assert copies.count() == 10_000  # every row kept at least twice
+    # fractional-only weight behaves like Bernoulli with a __copy column
+    down = sample_by_weight(df, "doc_id", 0.4, replicate=True)
+    assert abs(down.count() / 10_000 - 0.4) < 0.03
+    assert down.select(F.max("__copy")).first()[0] == 1

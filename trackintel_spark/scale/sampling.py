@@ -128,17 +128,26 @@ def sample_by_weight(
     key_col: str | Column,
     weight: Column | float,
     salt: str = "",
+    replicate: bool = False,
 ) -> DataFrame:
-    """Deterministic per-row Bernoulli sampling with row-dependent
-    acceptance probability — the quality-weighted downsampling /
-    temperature-resampling step of data-mixing pipelines.
+    """Deterministic per-row sampling with row-dependent expected copy
+    count — the quality-weighted downsampling / temperature-resampling
+    step of data-mixing pipelines.
 
-    A row survives iff ``uniform(xxhash64(key, salt)) < weight``, where
-    ``weight`` may be any Column in [0, 1] (e.g. a quality score, or
-    ``pow(score, 1/T)`` for temperature T). Purely map-side, no
-    shuffle; reproducible across runs and partitionings (unlike
-    ``df.sample``); re-deal with a different ``salt``. Weights >= 1
-    always keep the row, <= 0 always drop.
+    Default (``replicate=False``): Bernoulli — a row survives iff
+    ``uniform(xxhash64(key, salt)) < weight`` for ``weight`` in [0, 1]
+    (e.g. a quality score, or ``pow(score, 1/T)`` for temperature T);
+    weights >= 1 always keep, <= 0 always drop.
+
+    ``replicate=True`` also UPSAMPLES: a row yields
+    ``floor(weight) + Bernoulli(frac(weight))`` copies (``__copy``
+    numbers them), so weight 2.3 means 2 or 3 copies with expectation
+    2.3 — the oversampling half of epoch-mixing recipes. Implemented
+    as one ``explode(sequence(...))``, still map-side.
+
+    Purely map-side either way, no shuffle; reproducible across runs
+    and partitionings (unlike ``df.sample``); re-deal with a different
+    ``salt``.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     w = F.lit(float(weight)) if isinstance(weight, (int, float)) else weight
@@ -146,4 +155,12 @@ def sample_by_weight(
         F.pmod(F.xxhash64(key.cast("string"), F.lit(salt)), F.lit(_BUCKETS)).cast("double")
         / _BUCKETS
     )
-    return df.filter(u < w)
+    if not replicate:
+        return df.filter(u < w)
+    n_copies = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n", F.greatest(n_copies, F.lit(0)))
+        .filter(F.col("__n") > 0)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
