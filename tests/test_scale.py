@@ -491,3 +491,131 @@ def test_sample_by_weight_replicate(spark):
     down = sample_by_weight(df, "doc_id", 0.4, replicate=True)
     assert abs(down.count() / 10_000 - 0.4) < 0.03
     assert down.select(F.max("__copy")).first()[0] == 1
+
+
+def _semdedup_reference(rows, centers, threshold):
+    """Driver-side reimplementation of the SemDeDup triangular rule."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=float)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    out = {}
+    clusters = {}
+    for vid, vec in rows:
+        v = np.asarray(vec, dtype=float)
+        n = np.linalg.norm(v)
+        if n == 0:
+            out[vid] = (None, None, True)
+            continue
+        sims = C @ (v / n)
+        cid = int(np.argmax(sims))
+        clusters.setdefault(cid, []).append((float(sims[cid]), vid, v / n))
+    for cid, members in clusters.items():
+        members.sort(key=lambda t: (t[0], t[1]))  # (centroid_cos asc, id asc)
+        for i, (ccos, vid, u) in enumerate(members):
+            dup = any(
+                float(u @ members[j][2]) >= threshold for j in range(i)
+            )
+            out[vid] = (cid, ccos, not dup)
+    return out
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Three near-identical vectors in one cluster: only the one
+    FARTHEST from the centroid survives; distinct vectors all survive;
+    zero vectors pass through kept with NULL cluster."""
+    from trackintel_spark.scale import semantic_dedup
+
+    # two orthogonal prototype directions as fixed centers
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        # cluster 0: a tight duplicate triple (mutual cos > 0.999)
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [1.0, 0.011, 0.0, 0.0]),
+        (3, [1.0, 0.02, 0.003, 0.0]),
+        # cluster 0: far from the triple (cos ~ 0.71 to them)
+        (4, [1.0, 1.0, 0.0, 0.0]),
+        # cluster 1: two singletons, not duplicates of each other
+        (5, [0.0, 1.0, 0.5, 0.0]),
+        (6, [0.0, 1.0, -0.5, 0.0]),
+        # unplaceable
+        (7, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.95, centers=[e1, e2]).collect()
+    }
+    assert len(got) == 7
+    ref = _semdedup_reference(rows, [e1, e2], 0.95)
+    for vid, (cid, ccos, kept) in ref.items():
+        assert got[vid]["cluster_id"] == cid, vid
+        assert got[vid]["is_kept"] == kept, vid
+        if ccos is not None:
+            assert abs(got[vid]["centroid_cosine"] - ccos) < 1e-9
+    # the triple: exactly one survivor, and it is the one with the
+    # LOWEST centroid cosine (vec 3 leans farthest off e1)
+    triple = [got[i]["is_kept"] for i in (1, 2, 3)]
+    assert triple == [False, False, True]
+    assert got[4]["is_kept"] and got[5]["is_kept"] and got[6]["is_kept"]
+    assert got[7]["cluster_id"] is None and got[7]["is_kept"]
+
+
+def test_semantic_dedup_matches_reference_randomized(spark):
+    """Random corpus with planted duplicate groups: Spark output equals
+    the driver-side triangular-rule reimplementation exactly, and is
+    invariant to input partitioning."""
+    import numpy as np
+
+    from trackintel_spark.scale import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    dim, n_base = 6, 40
+    base = rng.standard_normal((n_base, dim))
+    rows = []
+    vid = 0
+    for i in range(n_base):
+        rows.append((vid, base[i].tolist()))
+        vid += 1
+        if i % 5 == 0:  # plant 2 near-duplicates of every 5th vector
+            for _ in range(2):
+                rows.append((vid, (base[i] + 0.001 * rng.standard_normal(dim)).tolist()))
+                vid += 1
+    centers = rng.standard_normal((4, dim)).tolist()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = _semdedup_reference(rows, centers, 0.98)
+
+    for df in (emb, emb.repartition(13)):
+        got = {
+            r["vec_id"]: r for r in semantic_dedup(df, threshold=0.98, centers=centers).collect()
+        }
+        assert {v: got[v]["is_kept"] for v in got} == {v: k for v, (_, _, k) in ref.items()}
+        assert {v: got[v]["cluster_id"] for v in got} == {v: c for v, (c, _, _) in ref.items()}
+    # every planted group lost at least its two clones
+    n_kept = sum(1 for r in got.values() if r["is_kept"])
+    assert n_kept <= n_base
+
+
+def test_semantic_dedup_trains_centers_inline(spark):
+    """Without precomputed centers the inline k-means path runs and the
+    keep-list still drops planted exact clones."""
+    import numpy as np
+
+    from trackintel_spark.scale import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    protos = np.eye(5) * 10
+    rows = []
+    vid = 0
+    for p in protos:
+        for _ in range(6):
+            rows.append((vid, (p + 0.01 * rng.standard_normal(5)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.999, n_centers=5, iters=3, seed=3).collect()
+    assert len(out) == 30
+    kept = [r for r in out if r["is_kept"]]
+    # 5 blobs of 6 mutual near-clones -> one survivor each
+    assert len(kept) == 5
+    assert len({r["cluster_id"] for r in kept}) == 5

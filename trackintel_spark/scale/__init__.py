@@ -5,12 +5,14 @@ from trackintel_spark.scale.dedup import (
     minhash_lsh_candidates,
     minhash_signature,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash,
 )
 from trackintel_spark.scale.decontaminate import decontaminate, ngram_overlap
 from trackintel_spark.scale.sampling import sample_by_weight, pack_sequences, split_by_hash
 from trackintel_spark.scale.similarity import (
     cosine_topk_bruteforce,
+    nearest_center_expr,
     ivf_topk,
     kmeans_centers,
     lsh_bucketed_topk,
@@ -34,10 +36,12 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
+    "semantic_dedup",
     "cosine_topk_bruteforce",
     "lsh_bucketed_topk",
     "ivf_topk",
     "kmeans_centers",
+    "nearest_center_expr",
     "split_by_hash",
     "pack_sequences",
     "token_count",

@@ -354,3 +354,107 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col(id_col) == F.col("__keep"))
         .drop("__keep")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centers: int = 32,
+    centers: list[list[float]] | None = None,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codegen_max_terms: int = 20_000,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space with spherical k-means, then prune within-cluster semantic
+    duplicates, keeping per duplicate set the member FARTHEST from its
+    cluster centroid (low centroid-cosine examples are the less
+    prototypical, more informative ones — the paper's keep rule).
+
+    The drop rule is the paper's triangular-matrix semantics: rank each
+    cluster's members by (centroid_cosine asc, id asc); a member is
+    dropped iff some EARLIER-ranked member of the same cluster has
+    cosine >= ``threshold`` with it (whether or not that member was
+    itself dropped). No transitive closure / connected components —
+    one ranked self-join decides everything.
+
+    Scale shape: assignment is map-side (codegen literal argmax, or one
+    BLAS matmul per Arrow batch past ``codegen_max_terms`` — see
+    :func:`trackintel_spark.scale.similarity.nearest_center_expr`); the
+    only shuffles are the per-cluster rank window and the within-cluster
+    equi-join on ``cluster_id``. The quadratic term is bounded by the
+    largest cluster, so ``n_centers`` must grow with the corpus (the
+    paper runs ~11k clusters on 440M examples); pass precomputed
+    ``centers`` (e.g. from :func:`kmeans_centers` on a sample) to skip
+    the in-line Lloyd iterations.
+
+    Returns one row per input row: (id_col, cluster_id,
+    centroid_cosine, is_kept). Zero-norm vectors can't be placed on the
+    sphere: they come back with NULL cluster_id/centroid_cosine and
+    ``is_kept=True``. The keep-list is ``filter("is_kept")``.
+    """
+    from trackintel_spark.scale.similarity import kmeans_centers, nearest_center_expr
+
+    v = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
+    placeable = v.filter(F.col("__n") > 0)
+
+    if centers is None:
+        centers = kmeans_centers(
+            placeable,
+            n_centers=n_centers,
+            iters=iters,
+            seed=seed,
+            id_col="__id",
+            vec_col="__v",
+            codegen_max_terms=codegen_max_terms,
+        )
+
+    assigned = placeable.withColumn(
+        "__a",
+        nearest_center_expr(F.col("__v"), F.col("__n"), centers, codegen_max_terms),
+    ).select(
+        "__id", "__v", "__n",
+        F.col("__a.cid").alias("cluster_id"),
+        F.col("__a.ccos").alias("centroid_cosine"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("centroid_cosine").asc(), F.col("__id").asc()
+    )
+    ranked = assigned.withColumn("__r", F.row_number().over(w))
+
+    later = ranked.select(
+        "cluster_id", F.col("__id").alias("__li"), F.col("__v").alias("__lv"),
+        F.col("__n").alias("__ln"), F.col("__r").alias("__lr"),
+    )
+    earlier = ranked.select(
+        "cluster_id", F.col("__v").alias("__ev"), F.col("__n").alias("__en"),
+        F.col("__r").alias("__er"),
+    )
+    dot = F.aggregate(F.zip_with("__lv", "__ev", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    dropped = (
+        later.join(earlier, on="cluster_id")
+        .filter(F.col("__er") < F.col("__lr"))
+        .filter(dot / (F.col("__ln") * F.col("__en")) >= threshold)
+        .select(F.col("__li").alias("__id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    placed_out = (
+        ranked.join(dropped, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col), "cluster_id", "centroid_cosine",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+    zero_out = v.filter(~(F.col("__n") > 0)).select(
+        F.col("__id").alias(id_col),
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("double").alias("centroid_cosine"),
+        F.lit(True).alias("is_kept"),
+    )
+    return placed_out.unionByName(zero_out)

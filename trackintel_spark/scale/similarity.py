@@ -130,6 +130,74 @@ def lsh_bucketed_topk(
     )
 
 
+def nearest_center_expr(
+    vec: "F.Column",
+    norm: "F.Column",
+    centers: list[list[float]],
+    codegen_max_terms: int = 20_000,
+    cleanups: list | None = None,
+):
+    """Column ``struct(cid long, ccos double)``: the cosine-nearest
+    center of ``vec`` and the cosine achieved — map-side and
+    shuffle-free in both shapes (shared by :func:`kmeans_centers`,
+    :func:`trackintel_spark.scale.dedup.semantic_dedup`):
+
+    * small ``k*dim``: an ``array_max`` over literal center arrays,
+      fully inside whole-stage codegen;
+    * large ``k*dim`` (> ``codegen_max_terms`` literal nodes would
+      balloon Catalyst analysis): an Arrow-batched pandas UDF doing one
+      BLAS matmul + argmax per batch against a broadcast numpy matrix —
+      the center set never becomes part of the plan. The broadcast
+      handle is appended to ``cleanups`` (if given) so the caller can
+      ``destroy()`` it once the job ran.
+
+    Ties break to the smallest center id in both shapes.
+    """
+    k = len(centers)
+    norms = [float(np.linalg.norm(ctr)) or 1.0 for ctr in centers]
+    dim = len(centers[0])
+    if k * dim <= codegen_max_terms:
+        lits = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
+        best = F.array_max(
+            F.array(*[
+                F.struct(
+                    (_dot(vec, lits[i]) / (norm * F.lit(norms[i]))).alias("c"),
+                    F.lit(-i).alias("negi"),
+                )
+                for i in range(k)
+            ])
+        )
+        return F.struct(
+            (-best["negi"]).cast("long").alias("cid"), best["c"].alias("ccos")
+        )
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    mat_bc = spark.sparkContext.broadcast(
+        (np.asarray(centers, dtype=np.float64) / np.asarray(norms)[:, None]).T.copy()
+    )
+    if cleanups is not None:
+        cleanups.append(mat_bc)
+
+    @pandas_udf("cid long, ccos double")
+    def _nearest(vs: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        m = _np.stack(vs.to_numpy())  # (batch, dim)
+        nm = _np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        sims = (m / nm[:, None]) @ mat_bc.value  # (batch, k)
+        # argmax takes the FIRST maximum — the min-id tie-break
+        return _pd.DataFrame(
+            {"cid": _np.argmax(sims, axis=1).astype("int64"), "ccos": _np.max(sims, axis=1)}
+        )
+
+    return _nearest(vec)
+
+
 def kmeans_centers(
     corpus: DataFrame,
     n_centers: int = 32,
@@ -195,57 +263,13 @@ def kmeans_centers(
         d2 = np.minimum(d2, (1.0 - pts_unit @ pts_unit[nxt]) ** 2)
     centers = [pts[i].tolist() for i in chosen]
 
-    spark = corpus.sparkSession
-
-    def _assign_expr(centers: list[list[float]]):
-        """Nearest-center id as a Column — two shapes, both shuffle-free:
-
-        * small k*dim: an ``array_max`` over literal center arrays,
-          fully inside whole-stage codegen;
-        * large k*dim (> ~20k literal nodes would balloon Catalyst
-          analysis): an Arrow-batched pandas UDF doing one BLAS
-          matmul + argmax per batch against a broadcast numpy matrix —
-          the center set never becomes part of the plan.
-        """
-        k, dim = len(centers), len(centers[0])
-        norms = [float(np.linalg.norm(ctr)) or 1.0 for ctr in centers]
-        if k * dim <= codegen_max_terms:
-            lits = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
-            best = F.array_max(
-                F.array(*[
-                    F.struct(
-                        (_dot(F.col("__v"), lits[i]) / (F.col("__n") * F.lit(norms[i]))).alias("c"),
-                        F.lit(-i).alias("negi"),
-                    )
-                    for i in range(k)
-                ])
-            )["negi"]
-            return -best
-
-        from pyspark.sql.functions import pandas_udf
-
-        mat_bc = spark.sparkContext.broadcast(
-            (np.asarray(centers, dtype=np.float64) / np.asarray(norms)[:, None]).T.copy()
-        )
-        cleanups.append(mat_bc)
-
-        @pandas_udf("long")
-        def _nearest(vs: pd.Series) -> pd.Series:
-            import numpy as _np
-            import pandas as _pd
-
-            m = _np.stack(vs.to_numpy())  # (batch, dim)
-            nm = _np.linalg.norm(m, axis=1)
-            nm[nm == 0] = 1.0
-            sims = (m / nm[:, None]) @ mat_bc.value  # (batch, k)
-            return _pd.Series(_np.argmax(sims, axis=1).astype("int64"))
-
-        return _nearest(F.col("__v"))
-
     for _ in range(max(iters, 0)):
         cleanups: list = []  # per-iteration broadcasts (large-k path)
+        assign = nearest_center_expr(
+            F.col("__v"), F.col("__n"), centers, codegen_max_terms, cleanups
+        )["cid"]
         cell = (
-            c.withColumn("__cid", _assign_expr(centers))
+            c.withColumn("__cid", assign)
             .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("__cid", "__pos")
             .agg(F.avg("__x").alias("__m"))
