@@ -9,6 +9,12 @@ from trackintel_spark.scale.dedup import (
     simhash,
 )
 from trackintel_spark.scale.decontaminate import decontaminate, ngram_overlap
+from trackintel_spark.scale.mixing import (
+    dsir_log_weights,
+    dsir_select,
+    fit_ngram_model,
+    hashed_ngram_buckets,
+)
 from trackintel_spark.scale.sampling import sample_by_weight, pack_sequences, split_by_hash
 from trackintel_spark.scale.similarity import (
     cosine_topk_bruteforce,
@@ -53,6 +59,10 @@ __all__ = [
     "c4_filters",
     "repetition_signals",
     "sample_by_weight",
+    "hashed_ngram_buckets",
+    "fit_ngram_model",
+    "dsir_log_weights",
+    "dsir_select",
     "decontaminate",
     "ngram_overlap",
 ]
