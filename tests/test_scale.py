@@ -619,3 +619,64 @@ def test_semantic_dedup_trains_centers_inline(spark):
     # 5 blobs of 6 mutual near-clones -> one survivor each
     assert len(kept) == 5
     assert len({r["cluster_id"] for r in kept}) == 5
+
+
+def test_line_dedup_first_and_none_policies(spark):
+    """Corpus-wide boilerplate lines are stripped (kept once under
+    'first', everywhere under 'none'); short lines and unique lines
+    survive; in-document line order is preserved."""
+    from trackintel_spark.scale import line_dedup
+
+    banner = "subscribe to our newsletter today!"  # > 10 chars, in all docs
+    rows = [
+        (1, f"{banner}\nalpha unique content line one\nok"),
+        (2, f"beta unique content line two\n{banner}\nok"),
+        (3, f"{banner}\ngamma unique content line three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    first = {r["doc_id"]: r for r in line_dedup(docs, keep="first").collect()}
+    assert first[1]["text"] == f"{banner}\nalpha unique content line one\nok"
+    assert first[2]["text"] == "beta unique content line two\nok"
+    assert first[3]["text"] == "gamma unique content line three"
+    assert [first[i]["n_lines_removed"] for i in (1, 2, 3)] == [0, 1, 1]
+    assert first[2]["n_lines"] == 3
+    # 'ok' is under min_chars -> exempt even though it repeats
+
+    none = {r["doc_id"]: r for r in line_dedup(docs, keep="none").collect()}
+    assert none[1]["text"] == "alpha unique content line one\nok"
+    assert [none[i]["n_lines_removed"] for i in (1, 2, 3)] == [1, 1, 1]
+
+
+def test_line_dedup_intra_doc_repeats_dont_trigger(spark):
+    """A line repeated only WITHIN one document is not corpus
+    boilerplate (distinct-doc count stays 1)."""
+    from trackintel_spark.scale import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "repeated inside this doc\nrepeated inside this doc"),
+            (2, "something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert out[1] == "repeated inside this doc\nrepeated inside this doc"
+    assert out[2] == "something else entirely here"
+
+
+def test_line_dedup_min_count_and_partition_invariance(spark):
+    from trackintel_spark.scale import line_dedup
+
+    shared = "this exact sentence appears in several documents"
+    rows = [(i, f"{shared}\nunique filler number {i} with words") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold above the occurrence count -> nothing removed
+    hi = line_dedup(docs, min_count=7).collect()
+    assert all(r["n_lines_removed"] == 0 for r in hi)
+    # at the threshold -> removed everywhere but doc 0
+    lo = {r["doc_id"]: r for r in line_dedup(docs, min_count=6).collect()}
+    assert lo[0]["n_lines_removed"] == 0 and all(lo[i]["n_lines_removed"] == 1 for i in range(1, 6))
+    # partition invariance
+    lo13 = {r["doc_id"]: r["text"] for r in line_dedup(docs.repartition(13), min_count=6).collect()}
+    assert lo13 == {k: v["text"] for k, v in lo.items()}

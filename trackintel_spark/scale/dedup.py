@@ -458,3 +458,87 @@ def semantic_dedup(
         F.lit(True).alias("is_kept"),
     )
     return placed_out.unionByName(zero_out)
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    min_chars: int = 10,
+    keep: str = "first",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Cross-corpus exact LINE deduplication — the boilerplate-removal
+    step of C4 / RefinedWeb-style web pipelines (intra-document
+    repetition is :func:`trackintel_spark.scale.text.repetition_signals`;
+    this removes lines that recur ACROSS documents: nav bars, cookie
+    banners, footers).
+
+    A line is *duplicated* when its exact trimmed text occurs in >=
+    ``min_count`` distinct documents. ``keep='first'`` retains the
+    occurrence in the smallest ``id_col`` document and strips the rest
+    (the C4 convention); ``keep='none'`` strips every occurrence
+    (RefinedWeb). Lines shorter than ``min_chars`` characters after
+    trimming are exempt — short lines ("", "Introduction", "1.")
+    collide by accident, not by provenance.
+
+    Scale shape: ``posexplode`` lines, key the shuffle on
+    ``md5(line)`` (never multi-KB raw lines), ONE window pass per line
+    group computes both the distinct-doc count and the first-occurrence
+    rank, then one ``groupBy(doc)`` rebuilds ``text_col`` with
+    ``sort_array`` on the original line index — order within a
+    document is preserved exactly. Two shuffles total (line hash, doc
+    id), both hash-keyed; nothing collects.
+
+    Returns one row per input document: all original columns with
+    ``text_col`` rewritten, plus ``n_lines`` (original) and
+    ``n_lines_removed``. Documents whose every line is stripped come
+    back with an empty string.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    lines = (
+        docs.select(
+            F.col(id_col).alias("__did"),
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias("__pos", "__line"),
+        )
+        .withColumn("__t", F.trim(F.col("__line")))
+        .withColumn("__k", F.md5(F.col("__t")))
+        .withColumn("__long", F.length("__t") >= min_chars)
+    )
+    wg = Window.partitionBy("__k", "__t")
+    wr = wg.orderBy("__did", "__pos")
+    flagged = (
+        lines.withColumn("__docs", F.size(F.collect_set("__did").over(wg)))
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn(
+            "__drop",
+            F.col("__long")
+            & (F.col("__docs") >= min_count)
+            & (F.lit(keep == "none") | (F.col("__rn") > 1)),
+        )
+    )
+    rebuilt = flagged.groupBy("__did").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct(F.col("__pos"), F.col("__line").alias("l")),
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            delimiter,
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__drop").cast("int")).alias("n_lines_removed"),
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["__did"], how="left")
+        .withColumn(text_col, F.coalesce("__new_text", F.col(text_col)))
+        .drop("__did", "__new_text")
+    )
