@@ -1,3 +1,4 @@
+from trackintel_spark.operators.asof import asof_join
 from trackintel_spark.operators.dbscan_distributed import dbscan_distributed
 from trackintel_spark.operators.locations import generate_locations, generate_locations_grid
 from trackintel_spark.operators.merge import merge_staypoints
@@ -7,6 +8,7 @@ from trackintel_spark.operators.triplegs import generate_triplegs
 from trackintel_spark.operators.trips import generate_trips
 
 __all__ = [
+    "asof_join",
     "generate_staypoints",
     "generate_triplegs",
     "generate_trips",

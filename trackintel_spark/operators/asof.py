@@ -1,0 +1,179 @@
+"""As-of (point-in-time) join — the temporal operator Spark's DataFrame
+API lacks natively.
+
+For every left row, attach the single right row with the greatest
+``right_on <= on`` (direction='backward'; 'forward' and 'nearest'
+symmetric) within the same ``by`` key, optionally within ``tolerance``
+— ``pandas.merge_asof`` semantics, which the test suite uses as the
+oracle on randomized inputs.
+
+Scale design — merge-scan, not a join
+-------------------------------------
+The naive formulations are a banded range join (duplicates every left
+row per candidate band) or a windowed self-join (shuffles the right
+table once per left reference). This implementation is the merge-scan:
+
+1. tag and UNION the two inputs — left rows carry their payload, right
+   rows carry theirs packed into one struct;
+2. ONE shuffle on the ``by`` key, ONE in-partition sort on
+   ``(event time, side tag, arrival rank)``;
+3. ``last(right_struct, ignoreNulls=True)`` over the running window
+   carries the most recent right payload forward onto each left row
+   (for 'forward', the scan runs time-descending — a forward match is
+   a backward match under reversed time).
+
+Cost is a single hash exchange + sort of |L| + |R| rows — the same
+shape as any window aggregation, linear in data, no row multiplication.
+Ties at equal timestamps resolve like pandas: the LAST right row in
+right-input order wins (deterministic here via an arrival rank);
+``allow_exact_matches=False`` hides equal-time right rows by flipping
+the side tag's sort position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE_L, _SIDE_R = 0, 1
+
+
+def _asof_one(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by_cols: list[str],
+    right_on: str,
+    direction: str,
+    tolerance: float | None,
+    allow_exact_matches: bool,
+    suffix: str,
+) -> tuple[DataFrame, list[str]]:
+    """Single-direction merge-scan. Returns (frame, payload_out_names);
+    the frame has left's columns + renamed right payload + ``__asof_dt``
+    (|Δt| seconds/units to the match, NULL when unmatched)."""
+    t_l, t_r = F.col(on), F.col(right_on)
+    r_payload_cols = [c for c in right.columns if c not in by_cols and c != right_on]
+    out_names = {c: c + suffix if c in left.columns else c for c in r_payload_cols}
+
+    # arrival rank, used ONLY to order right rows that share (key,
+    # timestamp): pandas resolves duplicate-timestamp matches by input
+    # position (backward takes the last such row, forward the first).
+    # Partitioning the rank window by the timestamp itself keeps it a
+    # small per-group sort — never a global single-task window.
+    wr = Window.partitionBy(*by_cols, t_r).orderBy("__in")
+    r = right.withColumn("__in", F.monotonically_increasing_id()).withColumn(
+        "__rk", F.row_number().over(wr)
+    ).select(
+        *by_cols,
+        t_r.alias("__t"),
+        "__rk",
+        F.struct(
+            t_r.cast("double").alias("__rt"),
+            *[F.col(c).alias(out_names[c]) for c in r_payload_cols],
+        ).alias("__r"),
+        F.lit(_SIDE_R).alias("__side"),
+    )
+    l_ = left.select(
+        *by_cols,
+        t_l.alias("__t"),
+        F.lit(0).alias("__rk"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.lit(_SIDE_L).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+    )
+    u = r.withColumn("__l", F.lit(None).cast(l_.schema["__l"].dataType)).unionByName(l_)
+
+    # Within equal __t the right row must sort BEFORE the left row to be
+    # visible to it (exact matches allowed) and AFTER it otherwise. The
+    # scan direction flips for 'forward'; __rk keeps last-in-input-order
+    # the winner under both.
+    side_first_r = F.col("__side").desc() if allow_exact_matches else F.col("__side").asc()
+    if direction == "forward":
+        order = [F.col("__t").desc(), side_first_r, F.col("__rk").desc()]
+    else:
+        order = [F.col("__t").asc(), side_first_r, F.col("__rk").asc()]
+    w = (
+        Window.partitionBy(*(by_cols or [F.lit(1)]))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__side") == _SIDE_L
+    )
+    dt = F.abs(F.col("__t").cast("double") - F.col("__m.__rt"))
+    keep = F.col("__m").isNotNull() & (
+        F.lit(tolerance is None) | (dt <= F.lit(tolerance or 0.0))
+    )
+    matched = matched.withColumn("__m", F.when(keep, F.col("__m")))
+    out = matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{out_names[c]}").alias(out_names[c]) for c in r_payload_cols],
+        F.when(F.col("__m").isNotNull(), dt).alias("__asof_dt"),
+    )
+    return out, [out_names[c] for c in r_payload_cols]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    right_on: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """``pandas.merge_asof`` for DataFrames at cluster scale.
+
+    Parameters mirror pandas: ``on`` (left event-time column; timestamp
+    or numeric), ``right_on`` (defaults to ``on``), ``by`` (equi-key
+    column(s); None = global as-of), ``direction`` in {'backward',
+    'forward', 'nearest'}, ``tolerance`` (max Δ in units of ``on`` —
+    seconds for timestamps), ``allow_exact_matches``.
+
+    Returns every left row with the matched right payload columns
+    appended (renamed with ``suffix`` on collision); unmatched left
+    rows keep NULLs. Right's ``by``/``right_on`` columns are not
+    duplicated. 'nearest' runs both scans and keeps the closer match
+    per row (ties to the backward side, like pandas).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    right_on = right_on or on
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    for c in by_cols + [right_on]:
+        if c not in right.columns:
+            raise ValueError(f"right is missing column {c!r}")
+
+    if direction != "nearest":
+        out, _ = _asof_one(
+            left, right, on, by_cols, right_on, direction, tolerance, allow_exact_matches, suffix
+        )
+        return out.drop("__asof_dt")
+
+    # nearest: tag left rows once, run both scans, pick the closer match
+    lid = left.withColumn("__asof_id", F.monotonically_increasing_id())
+    back, payload = _asof_one(
+        lid, right, on, by_cols, right_on, "backward", tolerance, allow_exact_matches, suffix
+    )
+    fwd, _ = _asof_one(
+        lid, right, on, by_cols, right_on, "forward", tolerance, allow_exact_matches, suffix
+    )
+    b = back.select(
+        *[F.col(c) for c in lid.columns],
+        F.struct(*payload, F.col("__asof_dt")).alias("__b"),
+    )
+    f = fwd.select("__asof_id", F.struct(*payload, F.col("__asof_dt")).alias("__f"))
+    bt, ft = F.col("__b.__asof_dt"), F.col("__f.__asof_dt")
+    pick_b = F.when(ft.isNull(), F.lit(True)).when(bt.isNull(), F.lit(False)).otherwise(bt <= ft)
+    best = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    return (
+        b.join(f, on="__asof_id")
+        .withColumn("__best", best)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__best.{c}").alias(c) for c in payload],
+        )
+    )
