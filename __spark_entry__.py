@@ -821,25 +821,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tracking_quality_week"] = q_tracking_quality_week
 
-    def q_tracking_quality_weekday(spark, sf):
-        from trackintel_spark.analysis import temporal_tracking_quality
+    # -- as-of (point-in-time) join -------------------------------------------
+    def q_asof_join(spark, sf):
+        """Merge-scan as-of join (operators/asof.py): every event picks
+        up the most recent 'label' row (every 10th event) at or before
+        its timestamp, per user. Oracle: DuckDB's native ASOF LEFT
+        JOIN — an independent implementation of the same semantics."""
+        from trackintel_spark.operators import asof_join
 
-        sp = _sessions(spark, sf)
-        return temporal_tracking_quality(sp, "weekday").select(
-            "user_id", "weekday", _r("quality", 8).alias("quality")
+        ev = load_table(spark, sf, "events")
+        left = ev.select("event_id", "user_id", "ts")
+        right = (
+            ev.filter(F.col("event_id") % 10 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("label"))
         )
+        out = asof_join(left, right, on="ts", by="user_id", direction="backward")
+        return out.select("event_id", "user_id", _r("label", 6).alias("label"))
 
-    q["tracking_quality_weekday"] = q_tracking_quality_weekday
+    q["asof_join"] = q_asof_join
 
-    def q_tracking_quality_hour(spark, sf):
-        from trackintel_spark.analysis import temporal_tracking_quality
+    # -- corpus profiling: exact heavy hitters --------------------------------
+    def q_top_tokens(spark, sf):
+        from trackintel_spark.scale import top_tokens
 
-        sp = _sessions(spark, sf)
-        return temporal_tracking_quality(sp, "hour").select(
-            "user_id", "hour", _r("quality", 8).alias("quality")
-        )
+        docs = load_table(spark, sf, "documents")
+        return top_tokens(docs, k=50)
 
-    q["tracking_quality_hour"] = q_tracking_quality_hour
+    q["top_tokens"] = q_top_tokens
 
     # -- streaming sessionization (batch-mode semantics) -----------------------
     def q_session_window(spark, sf):
@@ -959,7 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pfs_ingest", "tripleg_segmentation", "speed_positionfixes", "jump_length",
         "activity_flag", "radius_gyration", "radius_gyration_duration",
         "tracking_quality_all", "tracking_quality_day", "tracking_quality_week",
-        "tracking_quality_weekday", "tracking_quality_hour",
+        "asof_join", "top_tokens",
         "predict_transport_mode", "modal_split", "merge_staypoints",
         "distance_matrix", "spatial_filter",
         "freq_method", "osna_method", "pre_filter_locations", "location_identifier",
@@ -1559,52 +1568,23 @@ def oracle_sql() -> dict[str, str]:
         FROM pieces GROUP BY 1, 2
     """
 
-    o["tracking_quality_weekday"] = f"""
-        {_day_split},
-        st AS (SELECT date_trunc('day', MIN(s)) AS start FROM pieces),
-        spans AS (
-            SELECT user_id, s, e,
-                   (dayofweek(s) + 6) % 7 AS weekday,
-                   FLOOR(FLOOR(EPOCH(s - st.start) / 86400.0) / 7) AS week
-            FROM pieces, st
+    o["asof_join"] = """
+        WITH labels AS (
+            SELECT user_id, ts, MAX(value) AS label
+            FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
         )
-        SELECT user_id, weekday,
-               ROUND(SUM(EPOCH(e) - EPOCH(s)) / (86400.0 * (MAX(week) - MIN(week) + 1)), 8) AS quality
-        FROM spans GROUP BY user_id, weekday
+        SELECT e.event_id, e.user_id, ROUND(l.label, 6) AS label
+        FROM events e ASOF LEFT JOIN labels l
+          ON e.user_id = l.user_id AND e.ts >= l.ts
     """
 
-    _hour_split = f"""
-        WITH sessions AS ({_sessions_sql()}),
-        pos AS (SELECT user_id, started_at, finished_at FROM sessions
-                WHERE EPOCH(finished_at) - EPOCH(started_at) > 0),
-        cuts AS (
-            SELECT user_id, started_at, finished_at,
-                   list_sort(list_distinct(
-                     [started_at]
-                     || CASE WHEN date_trunc('hour', started_at) + INTERVAL 1 HOUR <= finished_at
-                             THEN generate_series(date_trunc('hour', started_at) + INTERVAL 1 HOUR,
-                                                  finished_at, INTERVAL 1 HOUR)
-                             ELSE [] END
-                     || [finished_at])) AS cut
-            FROM pos
-        ),
-        pieces AS (
-            SELECT user_id, cut[i] AS s, cut[i+1] AS e
-            FROM cuts, UNNEST(generate_series(1, len(cut) - 1)) AS t(i)
-        )
-    """
-
-    o["tracking_quality_hour"] = f"""
-        {_hour_split},
-        st AS (SELECT date_trunc('day', MIN(s)) AS start FROM pieces),
-        spans AS (
-            SELECT user_id, s, e, hour(s) AS hour,
-                   FLOOR(EPOCH(s - st.start) / 86400.0) AS day
-            FROM pieces, st
-        )
-        SELECT user_id, hour,
-               ROUND(SUM(EPOCH(e) - EPOCH(s)) / (3600.0 * (MAX(day) - MIN(day) + 1)), 8) AS quality
-        FROM spans GROUP BY user_id, hour
+    o["top_tokens"] = """
+        SELECT token, COUNT(*) AS count
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY count DESC, token ASC
+        LIMIT 50
     """
 
     # session_window semantics: window end = last event + gap
