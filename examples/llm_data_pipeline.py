@@ -3,10 +3,14 @@
 Drives the scale stack the way a data-curation job would, on the
 driver's synthetic documents/embeddings parquet:
 
-    quality + language filtering
+    corpus profile (sketches)
+    -> quality + language filtering
+    -> cross-corpus boilerplate line dedup
     -> exact dedup
     -> MinHash LSH near-dup candidates -> Jaccard verify -> clusters
+    -> SemDeDup semantic dedup over embeddings
     -> benchmark decontamination
+    -> DSIR importance weighting toward a target corpus
     -> embedding ANN sanity probe (IVF with a k-means quantizer)
     -> deterministic train/val/test split -> sequence packing
 
@@ -35,9 +39,13 @@ from trackintel_spark.scale.decontaminate import decontaminate
 from trackintel_spark.scale.dedup import (
     dedup_clusters,
     dedup_exact,
+    line_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    semantic_dedup,
 )
+from trackintel_spark.scale.mixing import dsir_log_weights, dsir_select, fit_ngram_model
+from trackintel_spark.scale.profile import corpus_profile
 from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
 from trackintel_spark.scale.text import detect_language, quality_score, token_count
 from trackintel_spark.sources import load_table
@@ -51,6 +59,14 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     print(f"documents: {docs.count()}")
 
+    # 0. one-pass corpus profile (quantile + HLL sketches)
+    prof = corpus_profile(docs, group_by="lang").collect()
+    for r in sorted(prof, key=lambda r: r["lang"]):
+        print(
+            f"  lang={r['lang']}: {r['n_docs']} docs, {r['total_tokens']} tokens, "
+            f"~{int(r['vocab_size_approx'])} vocab"
+        )
+
     # 1. quality + language gate (pure column expressions)
     scored = quality_score(detect_language(docs)).withColumn(
         "n_tok", token_count(F.col("text"))
@@ -60,8 +76,12 @@ def main() -> None:
     )
     print(f"after quality/lang gate: {kept.count()}")
 
-    # 2. exact dedup (hash aggregation, md5 shuffle key)
-    uniq = dedup_exact(kept)
+    # 2a. strip corpus-wide boilerplate lines (C4/RefinedWeb style)
+    kept = line_dedup(kept, min_count=3, keep="none")
+    print(f"boilerplate lines removed: {kept.agg(F.sum('n_lines_removed')).collect()[0][0]}")
+
+    # 2b. exact dedup (hash aggregation, md5 shuffle key)
+    uniq = dedup_exact(kept.drop("n_lines", "n_lines_removed"))
     print(f"after exact dedup: {uniq.count()}")
 
     # 3. near-dup: LSH candidates -> exact Jaccard verify -> clusters
@@ -71,13 +91,25 @@ def main() -> None:
     survivors = uniq.join(keep_list.filter(F.col("is_canonical")).select("doc_id"), on="doc_id")
     print(f"after near-dedup: {survivors.count()}")
 
+    # 3b. semantic near-dup over embeddings (SemDeDup)
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(emb0, threshold=0.98, n_centers=8, iters=2)
+    print(f"semantic dedup keeps: {sem.filter('is_kept').count()} / {sem.count()} vectors")
+
     # 4. decontaminate against a (mock) benchmark set
     bench = docs.limit(20).select(F.col("doc_id").alias("bench_id"), "text")
     clean = decontaminate(survivors, bench)
     print(f"after decontamination: {clean.count()}")
 
+    # 4b. DSIR: weight the pool toward a (mock) high-quality target
+    target = clean.orderBy(F.col("quality").desc()).limit(50)
+    t_lp = fit_ngram_model(target, buckets=4096)
+    weighted = dsir_log_weights(clean, t_lp)
+    picked = dsir_select(weighted, 100, salt="round3")
+    print(f"DSIR-selected: {picked.count()} docs")
+
     # 5. embedding sanity probe: trained IVF vs brute force on 5 queries
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb0
     queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     centers = kmeans_centers(emb, n_centers=8, iters=3)
     exact = {(r.query_id, r.vec_id) for r in cosine_topk_bruteforce(emb, queries, k=5).collect()}

@@ -1,0 +1,68 @@
+"""BM25 keyword search (scale/search.py) vs a driver-side reference."""
+
+import math
+import re
+
+import pytest
+
+from trackintel_spark.scale import bm25_search, corpus_stats
+
+
+def _bm25_reference(texts, query, k1=1.2, b=0.75):
+    """Plain-python BM25 over {doc_id: text}."""
+    toks = {d: [t for t in re.split(r"\s+", s.lower()) if t] for d, s in texts.items()}
+    q = sorted(set(t for t in re.split(r"\s+", query.lower()) if t))
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in q:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+CORPUS = {
+    0: "spark shuffles data between executors during wide transformations",
+    1: "the catalyst optimizer rewrites logical plans into physical plans",
+    2: "spark spark spark tuning spark partitions",
+    3: "gardening tips for growing tomatoes in small spaces",
+    4: "broadcast joins avoid shuffles when one side is small",
+    5: "a very long document about nothing in particular that mentions spark once "
+       + "padding " * 40,
+}
+
+
+@pytest.mark.parametrize("query", ["spark shuffles", "plans", "spark", "tomatoes small"])
+def test_bm25_matches_reference(spark, query):
+    docs = spark.createDataFrame(list(CORPUS.items()), "doc_id long, text string")
+    got = bm25_search(docs, query, k=10).collect()
+    ref = _bm25_reference(CORPUS, query)
+    ref_rank = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["doc_id"] for r in got] == [d for d, _ in ref_rank]
+    for r in got:
+        assert r["score"] == pytest.approx(ref[r["doc_id"]], rel=1e-9)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_bm25_k_cutoff_and_stats_reuse(spark):
+    docs = spark.createDataFrame(list(CORPUS.items()), "doc_id long, text string")
+    st = corpus_stats(docs)
+    top1 = bm25_search(docs, "spark", k=1, stats=st).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 2  # tf saturation winner
+    with pytest.raises(ValueError):
+        bm25_search(docs, "   ")
+
+
+def test_bm25_length_normalization_prefers_short_docs(spark):
+    """Same tf: the 'padding' doc scores below a concise doc."""
+    docs = spark.createDataFrame(list(CORPUS.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_search(docs, "spark", k=10).collect()}
+    assert got[0] > got[5]

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""LLM-pipeline operator scale probe: wall-clock at multiple synthetic
+sizes, pure compute (spark.range inputs, no IO). Times
+
+* line_dedup on corpora where every doc shares boilerplate lines;
+* semantic_dedup on blob-structured embeddings (fixed centers, so the
+  number is the dedup scan, not Lloyd iterations);
+* asof_join left/right merge-scan;
+* DSIR fit + weight (hashed-ngram model, map-side scoring).
+
+Usage:  python tools/scale_probe_llm.py [--docs N ...] [--vecs N ...]
+        [--asof N ...]
+Defaults: docs 1M/4M, vecs 500k/2M, asof 10M.
+Results go to SCALE.md's measured-scaling rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def docs_input(spark, n: int):
+    """Docs with 6 lines each: 2 corpus-wide boilerplate lines, 3
+    semi-shared lines (1000-way duplicated), 1 unique line."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter for updates"),
+            F.concat(F.lit("shared block number "), (F.col("id") % 1000).cast("string"), F.lit(" lorem ipsum dolor sit amet")),
+            F.concat(F.lit("unique content line for document "), F.col("id").cast("string"), F.lit(" with several words of payload")),
+            F.concat(F.lit("another shared fragment "), (F.col("id") % 1000).cast("string"), F.lit(" consectetur adipiscing elit")),
+            F.lit("copyright footer all rights reserved"),
+            F.concat(F.lit("trailing unique token "), F.xxhash64("id").cast("string")),
+        ).alias("text"),
+    )
+
+
+def blob_centers(blobs: int, dim: int = 32):
+    import numpy as np
+
+    return (np.random.RandomState(0).standard_normal((blobs, dim)) * 3.0).tolist()
+
+
+def vecs_input(spark, n: int, centers):
+    """Blob-structured vectors built by joining a broadcast center table
+    and adding hash noise; every 3rd id is a near-clone of its
+    predecessor (clone groups share the noise keyed on ``base``)."""
+    blobs = len(centers)
+    spark_ = spark
+    centers_df = spark_.createDataFrame(
+        [(b, centers[b]) for b in range(blobs)], "b long, c array<double>"
+    )
+    base = (F.col("id") / 3).cast("long")
+    return (
+        spark_.range(n)
+        .withColumn("b", base % blobs)
+        .join(F.broadcast(centers_df), on="b")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                "c",
+                lambda x, i: x
+                + F.pmod(F.xxhash64((F.col("id") / 3).cast("long"), i), F.lit(1000)).cast(
+                    "double"
+                )
+                / 2000.0
+                + F.pmod(F.xxhash64("id", i, F.lit(7)), F.lit(100)).cast("double") / 50000.0,
+            ).alias("embedding"),
+        )
+    )
+
+
+def run_line_dedup(spark, n: int) -> dict:
+    from trackintel_spark.scale import line_dedup
+
+    t0 = time.time()
+    out = line_dedup(docs_input(spark, n), min_count=2)
+    removed = out.agg(F.sum("n_lines_removed")).collect()[0][0]
+    w = time.time() - t0
+    return {"op": "line_dedup", "rows": n, "wall_s": round(w, 1), "removed": int(removed), "rows_per_s": int(n / w)}
+
+
+def run_semantic_dedup(spark, n: int) -> dict:
+    """SemDeDup contract: cluster count grows with the corpus (~n/500
+    here, the paper's cluster-size regime), so the per-cluster
+    quadratic term stays bounded; at these k*dim the BLAS pandas-UDF
+    assignment path (past codegen_max_terms) is what runs."""
+    from trackintel_spark.scale import semantic_dedup
+
+    centers = blob_centers(max(64, n // 500))
+    t0 = time.time()
+    out = semantic_dedup(vecs_input(spark, n, centers), threshold=0.995, centers=centers)
+    kept = out.filter("is_kept").count()
+    w = time.time() - t0
+    return {"op": "semantic_dedup", "rows": n, "wall_s": round(w, 1), "kept": kept, "rows_per_s": int(n / w)}
+
+
+def run_asof(spark, n: int) -> dict:
+    from trackintel_spark.operators import asof_join
+
+    left = spark.range(n).select(
+        F.col("id").alias("lid"), (F.col("id") % 100_000).alias("k"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000_000)).cast("double")).alias("t"),
+    )
+    right = spark.range(n // 10).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000_000)).cast("double")).alias("t"),
+        F.col("id").alias("rv"),
+    )
+    t0 = time.time()
+    out = asof_join(left, right, on="t", by="k")
+    matched = out.filter("rv is not null").count()
+    w = time.time() - t0
+    return {"op": "asof_join", "rows": n, "wall_s": round(w, 1), "matched": matched, "rows_per_s": int(n / w)}
+
+
+def run_dsir(spark, n: int) -> dict:
+    from trackintel_spark.scale import dsir_log_weights, fit_ngram_model
+
+    docs = docs_input(spark, n)
+    target = docs_input(spark, 10_000)
+    t0 = time.time()
+    t_lp = fit_ngram_model(target, buckets=10_000)
+    w_df = dsir_log_weights(docs, t_lp)
+    cnt = w_df.agg(F.avg("log_weight")).collect()[0][0]
+    w = time.time() - t0
+    return {"op": "dsir_fit+weight", "rows": n, "wall_s": round(w, 1), "avg_w": round(float(cnt), 3), "rows_per_s": int(n / w)}
+
+
+def main():
+    from trackintel_spark import get_spark
+
+    args = sys.argv[1:]
+
+    def take(flag, default):
+        if flag in args:
+            i = args.index(flag)
+            vals = []
+            for a in args[i + 1 :]:
+                if a.startswith("--"):
+                    break
+                vals.append(int(float(a)))
+            return vals or default
+        return default
+
+    docs_ns = take("--docs", [1_000_000, 4_000_000])
+    vec_ns = take("--vecs", [500_000, 2_000_000])
+    asof_ns = take("--asof", [10_000_000])
+
+    spark = get_spark(app_name="scale_probe_llm")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in docs_ns:
+        if n:
+            print(run_line_dedup(spark, n), flush=True)
+    for n in docs_ns:
+        if n:
+            print(run_dsir(spark, n), flush=True)
+    for n in vec_ns:
+        if n:
+            print(run_semantic_dedup(spark, n), flush=True)
+    for n in asof_ns:
+        if n:
+            print(run_asof(spark, n), flush=True)
+
+
+if __name__ == "__main__":
+    main()

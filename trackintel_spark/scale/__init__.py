@@ -22,6 +22,7 @@ from trackintel_spark.scale.profile import (
     union_vocab_sketches,
     vocab_sketch,
 )
+from trackintel_spark.scale.search import bm25_search, corpus_stats
 from trackintel_spark.scale.sampling import sample_by_weight, pack_sequences, split_by_hash
 from trackintel_spark.scale.similarity import (
     cosine_topk_bruteforce,
@@ -75,6 +76,8 @@ __all__ = [
     "vocab_sketch",
     "union_vocab_sketches",
     "top_tokens",
+    "bm25_search",
+    "corpus_stats",
     "decontaminate",
     "ngram_overlap",
 ]

@@ -483,13 +483,31 @@ def line_dedup(
     trimming are exempt — short lines ("", "Introduction", "1.")
     collide by accident, not by provenance.
 
-    Scale shape: ``posexplode`` lines, key the shuffle on
-    ``md5(line)`` (never multi-KB raw lines), ONE window pass per line
-    group computes both the distinct-doc count and the first-occurrence
-    rank, then one ``groupBy(doc)`` rebuilds ``text_col`` with
-    ``sort_array`` on the original line index — order within a
-    document is preserved exactly. Two shuffles total (line hash, doc
-    id), both hash-keyed; nothing collects.
+    Scale shape — skew-proof by construction. The killer case is a
+    line present in EVERY document (a newsletter banner in 10⁹ docs):
+    any window partitioned by the line would funnel those rows through
+    one task, and AQE cannot split window skew. So no windows touch
+    line groups; everything is aggregation + join, both AQE-splittable:
+
+    1. ``posexplode`` lines, identity = ``md5(trimmed line)`` (128-bit;
+       the shuffle never carries multi-KB raw lines — see collision
+       note below);
+    2. two-LEVEL distinct-doc count: ``groupBy(line, doc)`` first — the
+       hot line's rows spread over the full cluster because the doc id
+       is in the key — then ``groupBy(line)`` with map-side combine, so
+       the hot reducer sees one row per upstream partition, not one per
+       document. The same pass yields the first occurrence as
+       ``min(struct(doc, pos))``;
+    3. join the per-line verdict back (AQE skew-join splits the hot
+       line's partition; the verdict side is one row per line), then
+       one ``groupBy(doc)`` rebuilds ``text_col`` with ``sort_array``
+       on the original line index — document order preserved exactly.
+
+    Line identity is the md5 digest alone (unlike :func:`dedup_exact`,
+    which tie-breaks on the full text): a 128-bit collision is ~10⁻²⁰
+    even at 10¹⁵ distinct lines, and this operator is a heuristic
+    cleaner — carrying full line text through two extra shuffles to
+    chase that is the wrong trade.
 
     Returns one row per input document: all original columns with
     ``text_col`` rewritten, plus ``n_lines`` (original) and
@@ -506,18 +524,28 @@ def line_dedup(
         .withColumn("__t", F.trim(F.col("__line")))
         .withColumn("__k", F.md5(F.col("__t")))
         .withColumn("__long", F.length("__t") >= min_chars)
+        .drop("__t")
     )
-    wg = Window.partitionBy("__k", "__t")
-    wr = wg.orderBy("__did", "__pos")
-    flagged = (
-        lines.withColumn("__docs", F.size(F.collect_set("__did").over(wg)))
-        .withColumn("__rn", F.row_number().over(wr))
-        .withColumn(
-            "__drop",
-            F.col("__long")
-            & (F.col("__docs") >= min_count)
-            & (F.lit(keep == "none") | (F.col("__rn") > 1)),
-        )
+    per_doc = (
+        lines.filter(F.col("__long"))
+        .groupBy("__k", "__did")
+        .agg(F.min("__pos").alias("__mp"))
+    )
+    verdict = per_doc.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.min(F.struct(F.col("__did"), F.col("__mp"))).alias("__first"),
+    )
+    flagged = lines.join(verdict, on="__k", how="left").withColumn(
+        "__drop",
+        F.col("__long")
+        & (F.coalesce("__docs", F.lit(0)) >= min_count)
+        & (
+            F.lit(keep == "none")
+            | ~(
+                (F.col("__did") == F.col("__first.__did"))
+                & (F.col("__pos") == F.col("__first.__mp"))
+            )
+        ),
     )
     rebuilt = flagged.groupBy("__did").agg(
         F.array_join(
