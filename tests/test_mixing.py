@@ -126,3 +126,32 @@ def test_dsir_end_to_end_prefers_target_like_docs(spark):
     ids = [r["doc_id"] for r in picked.collect()]
     assert len(ids) == 10
     assert sum(1 for i in ids if i < 100) >= 9  # on-theme dominates
+
+
+def test_lm_cross_entropy_orders_quality(spark):
+    """Docs drawn from the target distribution score lower (more
+    likely) than off-distribution docs; value matches numpy exactly."""
+    from trackintel_spark.scale import fit_ngram_model, lm_cross_entropy
+    from trackintel_spark.scale.mixing import hashed_ngram_buckets
+
+    target = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",)], "text string"
+    )
+    B = 512
+    lp = fit_ngram_model(target, buckets=B, max_n=2)
+    raw = spark.createDataFrame(
+        [(0, "the cat sat on the rug"), (1, "zxqv wvut kjih gfed"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(raw, lp).collect()}
+    assert got[0] < got[1]  # target-like -> lower cross-entropy
+    assert got[2] is None  # empty doc
+    bags = {
+        r["doc_id"]: list(r["b"])
+        for r in raw.select(
+            "doc_id", hashed_ngram_buckets(F.col("text"), B, 2).alias("b")
+        ).collect()
+    }
+    for did in (0, 1):
+        expect = -float(np.asarray(lp)[np.asarray(bags[did], dtype=int)].mean())
+        assert got[did] == pytest.approx(expect, abs=1e-12)

@@ -680,3 +680,44 @@ def test_line_dedup_min_count_and_partition_invariance(spark):
     # partition invariance
     lo13 = {r["doc_id"]: r["text"] for r in line_dedup(docs.repartition(13), min_count=6).collect()}
     assert lo13 == {k: v["text"] for k, v in lo.items()}
+
+
+def test_chunk_dedup_fraction(spark):
+    """Planted verbatim 20-token overlap is detected; unique docs get
+    0.0; short docs get NULL; values are exact and partition-invariant."""
+    from trackintel_spark.scale import chunk_dedup_fraction
+
+    shared = " ".join(f"s{i}" for i in range(20))  # exactly one window
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(20))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(20))),
+        (3, " ".join(f"c{i}" for i in range(40))),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for d in (docs, docs.repartition(7)):
+        got = {
+            r["doc_id"]: r
+            for r in chunk_dedup_fraction(d, window=20, stride=10).collect()
+        }
+        # docs 1/2: 40 tokens -> starts 0,10,20 -> 3 chunks; only the
+        # start-0 chunk (the shared block) recurs across docs
+        assert got[1]["n_chunks"] == 3 and got[2]["n_chunks"] == 3
+        assert got[1]["dup_chunk_fraction"] == pytest.approx(1 / 3)
+        assert got[2]["dup_chunk_fraction"] == pytest.approx(1 / 3)
+        assert got[3]["dup_chunk_fraction"] == 0.0
+        assert got[4]["n_chunks"] == 0 and got[4]["dup_chunk_fraction"] is None
+
+
+def test_chunk_dedup_fraction_intra_doc_repeat(spark):
+    """A chunk repeated only inside one doc does not count as
+    corpus-duplicated (distinct-doc census)."""
+    from trackintel_spark.scale import chunk_dedup_fraction
+
+    block = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, block + " " + block), (2, " ".join(f"z{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup_fraction(docs, window=20, stride=20).collect()}
+    assert got[1]["dup_chunk_fraction"] == 0.0

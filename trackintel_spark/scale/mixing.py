@@ -194,3 +194,40 @@ def dsir_select(
         .limit(k)
         .drop("__gk")
     )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    logprobs: np.ndarray,
+    text_col: str = "text",
+    max_n: int = 2,
+    out_col: str = "cross_entropy",
+) -> DataFrame:
+    """Per-document cross-entropy (nats/feature) under a hashed-ngram
+    bucket model from :func:`fit_ngram_model` — the CCNet-style
+    "perplexity against a quality corpus" filter (Wenzek et al. 2020
+    use a 5-gram KenLM; a hashed bucket model is the engine-native
+    stand-in): fit on a high-quality target, score the crawl, keep the
+    low-perplexity head/middle.
+
+    ``out_col`` = −(Σ log p[b]) / n_features; empty docs get NULL.
+    Map-side only (broadcast log-prob vector + Arrow batches), like
+    :func:`dsir_log_weights`. Lower = more target-like.
+    """
+    buckets = len(logprobs)
+    lp = np.asarray(logprobs, dtype=np.float64)
+    spark = docs.sparkSession
+    lp_bc = spark.sparkContext.broadcast(lp)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _xent(bucket_arrays: pd.Series) -> pd.Series:
+        v = lp_bc.value
+        return bucket_arrays.map(
+            lambda bs: -float(v[np.asarray(bs, dtype=np.int64)].mean()) if len(bs) else None
+        )
+
+    return docs.withColumn(
+        out_col, _xent(hashed_ngram_buckets(F.col(text_col), buckets, max_n))
+    )
