@@ -132,3 +132,37 @@ def test_asof_partition_invariance(spark):
         ["k", "t", "lv", "rv"],
     )
     assert a == b
+
+
+def test_asof_multiple_by_columns(spark):
+    """Composite equi-keys behave like pandas with by=[k1, k2]."""
+    left_pd = pd.DataFrame(
+        {
+            "k1": ["a", "a", "b", "b"],
+            "k2": [1, 2, 1, 2],
+            "t": [10.0, 10.0, 10.0, 10.0],
+            "lv": [0, 1, 2, 3],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k1": ["a", "a", "b"],
+            "k2": [1, 2, 1],
+            "t": [5.0, 7.0, 9.0],
+            "rv": [100, 200, 300],
+        }
+    )
+    expect = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("t"), on="t", by=["k1", "k2"]
+    )
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    got = asof_join(l_df, r_df, on="t", by=["k1", "k2"]).toPandas()
+    cols = ["k1", "k2", "t", "lv", "rv"]
+    assert _sorted_records(got, cols) == _sorted_records(expect, cols)
+
+
+def test_asof_missing_right_column_raises(spark):
+    l_df = spark.createDataFrame([(1, 1.0)], "k long, t double")
+    r_df = spark.createDataFrame([(1, 1.0)], "k long, other double")
+    with pytest.raises(ValueError, match="missing column"):
+        asof_join(l_df, r_df, on="t", by="k")
