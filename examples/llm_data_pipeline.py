@@ -53,7 +53,9 @@ from trackintel_spark.sources import load_table
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="llm_data_pipeline")
+    # demo-sized inputs: few shuffle partitions (stage latency, not data,
+    # dominates at 500 docs; on a cluster drop this override)
+    spark = get_spark(app_name="llm_data_pipeline", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")
@@ -77,11 +79,11 @@ def main() -> None:
     print(f"after quality/lang gate: {kept.count()}")
 
     # 2a. strip corpus-wide boilerplate lines (C4/RefinedWeb style)
-    kept = line_dedup(kept, min_count=3, keep="none")
+    kept = line_dedup(kept, min_count=3, keep="none").persist()
     print(f"boilerplate lines removed: {kept.agg(F.sum('n_lines_removed')).collect()[0][0]}")
 
     # 2b. exact dedup (hash aggregation, md5 shuffle key)
-    uniq = dedup_exact(kept.drop("n_lines", "n_lines_removed"))
+    uniq = dedup_exact(kept.drop("n_lines", "n_lines_removed")).persist()
     print(f"after exact dedup: {uniq.count()}")
 
     # 3. near-dup: LSH candidates -> exact Jaccard verify -> clusters
@@ -98,7 +100,7 @@ def main() -> None:
 
     # 4. decontaminate against a (mock) benchmark set
     bench = docs.limit(20).select(F.col("doc_id").alias("bench_id"), "text")
-    clean = decontaminate(survivors, bench)
+    clean = decontaminate(survivors, bench).persist()
     print(f"after decontamination: {clean.count()}")
 
     # 4b. DSIR: weight the pool toward a (mock) high-quality target
