@@ -306,11 +306,13 @@ def ivf_topk(
     Coarse quantizer: pass ``centers`` (e.g. from :func:`kmeans_centers`)
     for a trained quantizer; without it, every ``center_stride``-th
     corpus vector (by id) is a center — the zero-build-cost baseline.
-    Either way the query plan is identical. Corpus vectors assign to
-    their nearest center with a map-side ``max_by`` aggregation (the
-    broadcast join explodes N x C rows but combines back to N before
-    any shuffle); queries probe their ``n_probe`` nearest centers and
-    rescore exact cosine inside the matched cells only.
+    Corpus assignment is map-side either way: with a ``centers`` list,
+    :func:`nearest_center_expr` (codegen argmax, or one BLAS matmul per
+    Arrow batch past ``codegen_max_terms``) — no N x C intermediate at
+    all; with stride-derived centers (a DataFrame, unknown at plan
+    time), a broadcast join + ``max_by`` aggregation that combines back
+    to N rows map-side. Queries probe their ``n_probe`` nearest centers
+    and rescore exact cosine inside the matched cells only.
 
     With ``n_probe`` >= the center count this is EXACTLY brute force —
     the recall/test anchor.
@@ -329,17 +331,25 @@ def ivf_topk(
             F.col("vec_id").alias("__cid"), F.col("__cv").alias("__center"), F.col("__cn").alias("__cnorm")
         )
 
-    assigned = (
-        c.select(F.col("vec_id"), F.col("__cv").alias("__v"), F.col("__cn").alias("__n"))
-        .crossJoin(F.broadcast(centers_df))
-        .withColumn("__ccos", _dot(F.col("__v"), F.col("__center")) / (F.col("__n") * F.col("__cnorm")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("__cid", F.struct(F.col("__ccos"), -F.col("__cid"))).alias("__cid"),
-            F.first("__v").alias("__cv"),
-            F.first("__n").alias("__cn"),
+    if centers is not None:
+        # known center list: pure map-side assignment, no N x C rows,
+        # no shuffle (codegen argmax or BLAS batch past the term cap)
+        assigned = c.filter(F.col("__cn") > 0).withColumn(
+            "__cid",
+            nearest_center_expr(F.col("__cv"), F.col("__cn"), [list(map(float, ctr)) for ctr in centers])["cid"],
         )
-    )
+    else:
+        assigned = (
+            c.select(F.col("vec_id"), F.col("__cv").alias("__v"), F.col("__cn").alias("__n"))
+            .crossJoin(F.broadcast(centers_df))
+            .withColumn("__ccos", _dot(F.col("__v"), F.col("__center")) / (F.col("__n") * F.col("__cnorm")))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("__cid", F.struct(F.col("__ccos"), -F.col("__cid"))).alias("__cid"),
+                F.first("__v").alias("__cv"),
+                F.first("__n").alias("__cn"),
+            )
+        )
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
