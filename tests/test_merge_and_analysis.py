@@ -309,3 +309,53 @@ def test_modal_split_daily_weekly_reference_expectations(spark):
     assert weekly[(0, w1)]["bike"] == 1 and weekly[(0, w1)]["car"] == 1 and weekly[(0, w1)]["walk"] == 1
     assert weekly[(0, w2)]["walk"] == 1
     assert weekly[(1, w1)]["walk"] == 2
+
+
+def test_origin_destination_matrix(spark):
+    from trackintel_spark.analysis import origin_destination_matrix
+
+    trips = spark.createDataFrame(
+        [
+            # user 1: A->B twice, B->A once, gap-start (NULL origin)
+            (1, 10, 11), (1, 12, 13), (1, 11, 10), (1, None, 10),
+            # user 2: A->A self loop
+            (2, 20, 21),
+        ],
+        "user_id long, origin_staypoint_id long, destination_staypoint_id long",
+    )
+    sp = spark.createDataFrame(
+        [(10, 100), (11, 200), (12, 100), (13, 200), (20, 300), (21, 300)],
+        "id long, location_id long",
+    )
+    od = {
+        (r["origin"], r["destination"]): r
+        for r in origin_destination_matrix(trips, sp).collect()
+    }
+    assert od[(100, 200)]["n_trips"] == 2
+    assert od[(200, 100)]["n_trips"] == 1
+    assert od[(300, 300)]["n_trips"] == 1
+    assert od[(None, 100)]["n_trips"] == 1
+    assert sum(r["n_trips"] for r in od.values()) == 5
+    assert abs(sum(r["flow_share"] for r in od.values()) - 1.0) < 1e-12
+    assert od[(100, 200)]["flow_share"] == 2 / 5
+
+    # self loops dropped (NULL-endpoint rows retained)
+    no_loop = {
+        (r["origin"], r["destination"])
+        for r in origin_destination_matrix(trips, sp, drop_self_loops=True).collect()
+    }
+    assert (300, 300) not in no_loop and (None, 100) in no_loop
+
+    # per-user shares normalize within the user
+    per_u = {
+        (r["user_id"], r["origin"], r["destination"]): r["flow_share"]
+        for r in origin_destination_matrix(trips, sp, per_user=True).collect()
+    }
+    assert per_u[(1, 100, 200)] == 2 / 4 and per_u[(2, 300, 300)] == 1.0
+
+    # raw staypoint granularity without a zone table
+    raw = {
+        (r["origin"], r["destination"]): r["n_trips"]
+        for r in origin_destination_matrix(trips).collect()
+    }
+    assert raw[(10, 11)] == 1 and raw[(12, 13)] == 1

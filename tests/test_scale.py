@@ -721,3 +721,53 @@ def test_chunk_dedup_fraction_intra_doc_repeat(spark):
     )
     got = {r["doc_id"]: r for r in chunk_dedup_fraction(docs, window=20, stride=20).collect()}
     assert got[1]["dup_chunk_fraction"] == 0.0
+
+
+def test_chunk_documents_shapes_and_overlap(spark):
+    from trackintel_spark.scale import chunk_documents
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text10, "a"), (2, "only three tokens", "b"), (3, "", "c")],
+        "doc_id long, text string, meta string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["text"], r["n_chunks"], r["chunk_n_tokens"], r["meta"])
+         for r in out.collect())
+    )
+    # doc 1: starts 0,2,4,6 -> 4 chunks of 4 tokens sharing 2
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert d1[0][2] == "t0 t1 t2 t3" and d1[1][2] == "t2 t3 t4 t5"
+    assert d1[3][2] == "t6 t7 t8 t9"
+    assert all(r[3] == 4 and r[4] == 4 and r[5] == "a" for r in d1)
+    # doc 2: one short chunk
+    d2 = [r for r in rows if r[0] == 2]
+    assert len(d2) == 1 and d2[0][2] == "only three tokens" and d2[0][4] == 3
+    # doc 3: preserved as one empty chunk
+    d3 = [r for r in rows if r[0] == 3]
+    assert len(d3) == 1 and d3[0][2] == "" and d3[0][4] == 0
+
+
+def test_chunk_documents_no_overlap_reconstructs(spark):
+    """overlap=0: concatenating chunks in chunk_id order rebuilds the
+    (whitespace-normalized) document."""
+    from trackintel_spark.scale import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=5, overlap=0).orderBy("chunk_id").collect()
+    assert len(out) == 5  # ceil(23/5)
+    assert " ".join(r["text"] for r in out) == text
+    assert [r["chunk_n_tokens"] for r in out] == [5, 5, 5, 5, 3]
+
+
+def test_chunk_documents_validation(spark):
+    from trackintel_spark.scale import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)

@@ -1,3 +1,4 @@
+from trackintel_spark.analysis.flows import origin_destination_matrix
 from trackintel_spark.analysis.labelling import create_activity_flag, predict_transport_mode
 from trackintel_spark.analysis.location_identification import (
     freq_method,
@@ -15,6 +16,7 @@ __all__ = [
     "predict_transport_mode",
     "radius_gyration",
     "jump_length",
+    "origin_destination_matrix",
     "calculate_modal_split",
     "temporal_tracking_quality",
     "location_identifier",

@@ -164,3 +164,66 @@ def sample_by_weight(
         .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-budget chunks with optional overlap —
+    the "chunk long documents upstream" step :func:`pack_sequences`
+    defers to its caller (and the unit RAG/embedding pipelines index).
+
+    Each chunk holds ``max_tokens`` whitespace tokens; consecutive
+    chunks share ``overlap`` tokens (stride = max_tokens - overlap).
+    Whitespace-token boundaries only — this pairs with the engine's
+    whitespace ``token_count``; re-chunk downstream if a real BPE
+    tokenizer's budget must be exact.
+
+    Returns one row per chunk: all input columns with ``text_col``
+    replaced by the chunk text, plus ``chunk_id`` (0-based, in order),
+    ``n_chunks`` and ``chunk_n_tokens``. Documents with no tokens yield
+    one empty chunk (row preserved). Pure expressions — a ``sequence``
+    of chunk starts, ``slice`` + ``array_join`` per chunk, one
+    ``posexplode`` — no shuffle at all.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    # split but KEEP original whitespace semantics for reconstruction:
+    # chunks rejoin with single spaces (normalizing intra-chunk runs)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_ = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (at least
+    # one chunk even when empty); last chunk may be short
+    last_start = F.greatest(
+        (F.ceil((n_ - F.lit(max_tokens)).cast("double") / stride)).cast("long") * stride,
+        F.lit(0),
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride).cast("long"))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, max_tokens), " ")
+    )
+    ex = df.withColumn("__toks_n", n_).select(
+        "*", F.posexplode(chunks).alias("chunk_id", "__chunk")
+    )
+    n_chunks = F.greatest(
+        F.ceil(
+            F.greatest(F.col("__toks_n") - F.lit(overlap), F.lit(1)).cast("double") / stride
+        ).cast("int"),
+        F.lit(1),
+    )
+    return (
+        ex.withColumn(text_col, F.col("__chunk"))
+        .withColumn("n_chunks", n_chunks)
+        .withColumn(
+            "chunk_n_tokens",
+            F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")),
+        )
+        .drop("__chunk", "__toks_n")
+    )
