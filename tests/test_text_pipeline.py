@@ -183,3 +183,39 @@ def test_detect_language_wide(spark):
     got = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
     for i, lang in enumerate(samples):
         assert got[i] == lang, (lang, got[i])
+
+
+def test_decontaminate_map_side_matches_batch(spark):
+    """Zero-shuffle variant flags EXACTLY what the batch explode+join
+    path flags, including overlap fractions."""
+    from trackintel_spark.scale import (
+        collect_benchmark_shingles,
+        decontaminate,
+        decontaminate_map_side,
+    )
+
+    bench_text = " ".join(f"q{i}" for i in range(15))
+    rows = [
+        (1, bench_text + " trailing extra words here"),      # contaminated
+        (2, " ".join(f"q{i}" for i in range(5)) + " clean"), # shares <13-gram only
+        (3, " ".join(f"c{i}" for i in range(20))),           # clean
+        (4, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, bench_text)], "bench_id long, text string")
+
+    batch = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=13, keep_contaminated=True).collect()
+    }
+    sh = collect_benchmark_shingles(bench, n=13)
+    mapside = {
+        r["doc_id"]: r
+        for r in decontaminate_map_side(docs, sh, n=13, keep_contaminated=True).collect()
+    }
+    assert set(batch) == set(mapside)
+    for did in batch:
+        assert batch[did]["contaminated"] == mapside[did]["contaminated"], did
+        assert batch[did]["matched_shingles"] == mapside[did]["matched_shingles"], did
+        assert abs(batch[did]["overlap_frac"] - mapside[did]["overlap_frac"]) < 1e-12, did
+    assert mapside[1]["contaminated"] and not mapside[3]["contaminated"]

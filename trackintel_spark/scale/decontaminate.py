@@ -22,6 +22,7 @@ No sort, no corpus-sized shuffle, no UDF.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +93,76 @@ def decontaminate(
     ).withColumn(
         "overlap_frac", F.coalesce("overlap_frac", F.lit(0.0))
     ).withColumn("contaminated", F.col("matched_shingles") >= min_matches)
+    if keep_contaminated:
+        return out
+    return out.filter(~F.col("contaminated")).select(*corpus.columns)
+
+
+def collect_benchmark_shingles(
+    benchmark: DataFrame, n: int = 13, text_col: str = "text"
+) -> list[str]:
+    """Distinct benchmark shingles as a driver-side list — the bounded
+    artifact :func:`decontaminate_map_side` broadcasts. Same
+    justification as the broadcast in :func:`ngram_overlap`: benchmark
+    sets are small by definition; persist the list once and reuse it
+    across batch jobs AND streams."""
+    return [
+        r["shingle"]
+        for r in benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
+def decontaminate_map_side(
+    corpus: DataFrame,
+    bench_shingles: list[str],
+    n: int = 13,
+    min_matches: int = 1,
+    text_col: str = "text",
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """:func:`decontaminate` with ZERO shuffle — and therefore
+    streaming-composable: the batch version's explode → join →
+    groupBy(doc) is a streaming aggregation (append mode rejects it),
+    while this variant broadcasts the benchmark shingle SET and counts
+    matches per document inside an Arrow batch. Use it as the
+    ingest-time filter on a live crawl (`readStream` → this →
+    `writeStream`), or in batch when the corpus-side shuffle of matched
+    rows is worth avoiding.
+
+    Flags match :func:`decontaminate` exactly (same shingle semantics,
+    pinned by a parity test); ``overlap_frac`` denominators too.
+    """
+    spark = corpus.sparkSession
+    bench_bc = spark.sparkContext.broadcast(frozenset(bench_shingles))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("matched_shingles int, n_shingles int")
+    def _match(texts: pd.Series) -> pd.DataFrame:
+        bset = bench_bc.value
+        matched, total = [], []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split() if w]
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            total.append(len(sh))
+            matched.append(len(sh & bset) if sh else 0)
+        return pd.DataFrame({"matched_shingles": matched, "n_shingles": total})
+
+    out = (
+        corpus.withColumn("__m", _match(F.col(text_col)))
+        .withColumn("matched_shingles", F.col("__m.matched_shingles"))
+        .withColumn(
+            "overlap_frac",
+            F.col("__m.matched_shingles").cast("double")
+            / F.greatest(F.col("__m.n_shingles"), F.lit(1)),
+        )
+        .withColumn("contaminated", F.col("matched_shingles") >= min_matches)
+        .drop("__m")
+    )
     if keep_contaminated:
         return out
     return out.filter(~F.col("contaminated")).select(*corpus.columns)
