@@ -34,7 +34,7 @@ AUDIT = [
     "pfs_ingest", "generate_staypoints", "generate_triplegs", "generate_trips",
     "generate_locations", "generate_tours", "dbscan_distributed", "merge_staypoints",
     "tpch_q1", "tpch_q3ish", "minhash_lsh_pairs", "embedding_topk", "lsh_topk",
-    "spatial_filter", "trajectory_distances",
+    "spatial_filter", "trajectory_distances", "asof_join", "top_tokens",
 ]
 
 
