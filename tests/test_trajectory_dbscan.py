@@ -203,3 +203,75 @@ def test_dbscan_distributed_near_pole(spark):
     out = dbscan_distributed(pts, epsilon_m=100, min_samples=3).collect()
     assert all(r.location_id is not None for r in out)
     assert len({r.location_id for r in out}) == 2
+
+
+def _random_trajs(n, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        m = rng.randint(2, 8)
+        base_lon, base_lat = float(rng.uniform(8, 9)), float(rng.uniform(47, 48))
+        pts = [
+            {"lon": base_lon + float(rng.uniform(-0.01, 0.01)),
+             "lat": base_lat + float(rng.uniform(-0.01, 0.01))}
+            for _ in range(m)
+        ]
+        rows.append((i, pts))
+    return rows
+
+
+@pytest.mark.parametrize("metric", ["frechet", "dtw"])
+def test_trajectory_topk_matches_bruteforce(spark, metric):
+    """Two-phase filter-and-refine returns EXACTLY the brute-force
+    top-k (the endpoint lower bound is valid, so pruning loses
+    nothing)."""
+    import numpy as np
+
+    from trackintel_spark.geogr import trajectory_topk
+    from trackintel_spark.geogr.trajectory_distance import dtw_distance, frechet_distance
+
+    rows = _random_trajs(40, seed=5)
+    tpls = spark.createDataFrame(
+        rows, "id long, geom array<struct<lon double, lat double>>"
+    )
+    query = [(8.5, 47.5), (8.51, 47.51), (8.52, 47.5)]
+    fn = {"dtw": dtw_distance, "frechet": frechet_distance}[metric]
+    q = np.asarray(query, dtype=float)
+    brute = sorted(
+        (
+            (fn(q, np.asarray([[p["lon"], p["lat"]] for p in pts], dtype=float)), i)
+            for i, pts in rows
+        )
+    )[:7]
+    got = trajectory_topk(tpls, query, k=7, metric=metric).collect()
+    assert [r["id"] for r in got] == [i for _, i in brute]
+    for r, (d, _) in zip(got, brute):
+        assert r["dist_m"] == pytest.approx(d, rel=1e-12)
+    assert [r["rank"] for r in got] == list(range(1, 8))
+
+
+def test_trajectory_topk_endpoint_bound_is_valid(spark):
+    """LB(endpoints) <= exact distance for both metrics on random
+    pairs — the invariant exactness rides on."""
+    import numpy as np
+
+    from trackintel_spark.functions.spatial import EARTH_RADIUS_M
+    from trackintel_spark.geogr.trajectory_distance import (
+        _pair_cost,
+        dtw_distance,
+        frechet_distance,
+    )
+
+    rng = np.random.RandomState(9)
+    for _ in range(30):
+        a = np.column_stack(
+            (rng.uniform(8, 9, rng.randint(2, 6)),)
+        )
+        a = np.column_stack((rng.uniform(8, 9, len(a)), rng.uniform(47, 48, len(a))))
+        b = np.column_stack((rng.uniform(8, 9, 4), rng.uniform(47, 48, 4)))
+        d_ss = _pair_cost(a[:1], b[:1])[0, 0]
+        d_ee = _pair_cost(a[-1:], b[-1:])[0, 0]
+        assert max(d_ss, d_ee) <= frechet_distance(a, b) + 1e-9
+        assert d_ss + d_ee <= dtw_distance(a, b) + 1e-9

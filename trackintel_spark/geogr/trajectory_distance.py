@@ -105,3 +105,111 @@ def trajectory_distance_matrix(
         return pd.DataFrame(out, columns=["i", "j", "dist_m"])
 
     return pairs.groupBy("i").applyInPandas(lambda pdf: kernel(pdf), schema=_PAIR_SCHEMA)
+
+
+def trajectory_topk(
+    tpls: DataFrame,
+    query: list[tuple[float, float]],
+    k: int = 10,
+    metric: str = "frechet",
+    id_col: str = "id",
+    geom_col: str = "geom",
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """EXACT top-``k`` most-similar trajectories to ``query`` (a list of
+    (lon, lat) vertices) — the distributed top-k trajectory similarity
+    search problem (REPOSE, ICDE 2021, attacks the same query with
+    reference-point tries; here the Spark-shaped two-phase
+    filter-and-refine):
+
+    1. a cheap map-side LOWER BOUND from the matched endpoints — both
+       DTW and discrete Fréchet alignments always couple start with
+       start and end with end, so ``dF >= max(d(s,s), d(e,e))`` and
+       ``DTW >= d(s,s) + d(e,e)`` — ranks every trajectory without any
+       DP work;
+    2. the ``candidate_factor * k`` best by lower bound get exact DP
+       distances; the k-th exact value becomes the pruning radius τ
+       (one small driver collect, like a quantizer fit);
+    3. every trajectory whose lower bound <= τ is refined exactly (the
+       DP kernel in Arrow batches); TakeOrdered returns the top k.
+
+    Exactness: any trajectory outside phase 3 has LB > τ >= true k-th
+    distance, so it cannot belong to the answer. The prune is the
+    scale lever: the full DP runs only on the LB <= τ survivors.
+    """
+    fn = {"dtw": dtw_distance, "frechet": frechet_distance}.get(metric)
+    if fn is None:
+        raise ValueError(f"metric unknown, one of ('dtw', 'frechet'), got {metric!r}")
+    if len(query) < 1:
+        raise ValueError("query trajectory needs at least one vertex")
+
+    from trackintel_spark.functions.spatial import haversine_m
+
+    q = np.asarray([[float(lo), float(la)] for lo, la in query], dtype=float)
+    q_slon, q_slat = float(q[0, 0]), float(q[0, 1])
+    q_elon, q_elat = float(q[-1, 0]), float(q[-1, 1])
+
+    flat = tpls.select(
+        F.col(id_col).alias("__tid"),
+        F.transform(geom_col, lambda p: p["lon"]).alias("__lons"),
+        F.transform(geom_col, lambda p: p["lat"]).alias("__lats"),
+    ).filter(F.size("__lons") > 0)
+    d_ss = haversine_m(
+        F.lit(q_slon), F.lit(q_slat), F.element_at("__lons", 1), F.element_at("__lats", 1)
+    )
+    d_ee = haversine_m(
+        F.lit(q_elon), F.lit(q_elat), F.element_at("__lons", -1), F.element_at("__lats", -1)
+    )
+    lb = F.greatest(d_ss, d_ee) if metric == "frechet" else (d_ss + d_ee)
+    flat = flat.withColumn("__lb", lb).persist()
+
+    def exact(df: DataFrame) -> DataFrame:
+        # itertuples renames underscore-prefixed fields -> plain aliases
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t = np.column_stack((row.lons, row.lats))
+                out.append((row.tid, fn(q, t)))
+            return pd.DataFrame(out, columns=["tid", "dist_m"])
+
+        schema = T.StructType(
+            [T.StructField("tid", T.LongType()), T.StructField("dist_m", T.DoubleType())]
+        )
+        from trackintel_spark.plans.partitioning import kernel_partitions
+
+        return (
+            df.select(
+                F.col("__tid").alias("tid"),
+                F.col("__lons").alias("lons"),
+                F.col("__lats").alias("lats"),
+            )
+            .repartition(kernel_partitions(df))
+            .mapInPandas(lambda it: (kernel(pdf) for pdf in it), schema=schema)
+        )
+
+    # phase 1+2: exact distances of the LB-best seeds -> pruning radius
+    seeds = flat.orderBy(F.col("__lb").asc(), F.col("__tid").asc()).limit(
+        max(k * candidate_factor, k)
+    )
+    seed_d = sorted(r["dist_m"] for r in exact(seeds).collect())
+    if not seed_d:
+        return tpls.sparkSession.createDataFrame(
+            [], f"{id_col} long, dist_m double, rank int"
+        )
+    tau = seed_d[min(k, len(seed_d)) - 1]
+
+    # phase 3: refine every possible contender
+    survivors = flat.filter(F.col("__lb") <= tau)
+    refined = exact(survivors)
+    from pyspark.sql import Window
+
+    topk = (
+        refined.orderBy(F.col("dist_m").asc(), F.col("tid").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("dist_m").asc(), F.col("tid").asc())),
+        )
+        .select(F.col("tid").alias(id_col), "dist_m", "rank")
+    )
+    return topk
