@@ -373,3 +373,52 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def random_project(
+    emb: DataFrame,
+    out_dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column to
+    ``out_dim`` — the standard compression step before storing or
+    indexing billions of vectors (JL: random Gaussian projections
+    preserve pairwise geometry within ~sqrt(ln n / d) distortion; with
+    ``normalize`` the projected vectors are re-unit-normalized so
+    downstream cosine math is unchanged).
+
+    Map-side only: the d_in x d_out Gaussian matrix (scaled by
+    1/sqrt(out_dim)) derives from ``seed``, rides one executor
+    broadcast, and each Arrow batch projects with a single BLAS matmul
+    — no shuffle, deterministic across runs and partitionings.
+    Composes with :func:`cosine_topk_bruteforce` / :func:`ivf_topk` /
+    :func:`lsh_bucketed_topk` on the projected column.
+    """
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("empty input")
+    d_in = first["d"]
+    rng = np.random.RandomState(seed)
+    mat = (rng.standard_normal((d_in, out_dim)) / np.sqrt(out_dim)).astype(np.float64)
+    spark = emb.sparkSession
+    mat_bc = spark.sparkContext.broadcast(mat)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        m = mat_bc.value
+        x = np.stack(vs.to_numpy()).astype(np.float64)  # (batch, d_in)
+        y = x @ m  # (batch, out_dim)
+        if normalize:
+            nrm = np.linalg.norm(y, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            y = y / nrm
+        return pd.Series(list(y))
+
+    return emb.withColumn(out_col or vec_col, _proj(F.col(vec_col).cast("array<double>")))
