@@ -219,3 +219,59 @@ def test_decontaminate_map_side_matches_batch(spark):
         assert batch[did]["matched_shingles"] == mapside[did]["matched_shingles"], did
         assert abs(batch[did]["overlap_frac"] - mapside[did]["overlap_frac"]) < 1e-12, did
     assert mapside[1]["contaminated"] and not mapside[3]["contaminated"]
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from trackintel_spark.scale import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, "The committee reviewed seventeen distinct proposals during its "
+                "quarterly session, weighing infrastructure costs against the "
+                "projected enrollment growth across rural districts. Several "
+                "members questioned whether the revised funding formula would "
+                "disadvantage smaller municipalities with aging facilities."),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(docs).collect()}
+    assert got[1] < 0.05          # pure repetition compresses away
+    assert 0.2 < got[2] < 0.9     # prose doesn't
+    assert got[3] is None and got[4] is None
+
+
+def test_jsonl_roundtrip_and_corrupt_records(spark, tmp_path):
+    import json
+    import os
+
+    from trackintel_spark.sources import read_documents_jsonl, write_documents_jsonl
+
+    src = os.path.join(str(tmp_path), "in.jsonl")
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "meta": {"k": "v"}},
+        {"doc_id": 2, "text": "bonjour", "unknown_key": 42},
+    ]
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{this is not json\n")
+
+    df = read_documents_jsonl(spark, src)
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["meta"] == {"k": "v"} and got[1]["lang"] == "en"
+    assert got[2]["lang"] is None  # missing -> NULL; unknown key ignored
+    # Spark disallows querying ONLY the corrupt column from a raw scan;
+    # persist first (documented in read_documents_jsonl)
+    audit = read_documents_jsonl(spark, src, keep_corrupt=True).persist()
+    assert audit.filter("_corrupt_record is not null").count() == 1
+    audit.unpersist()
+
+    out_dir = os.path.join(str(tmp_path), "out")
+    write_documents_jsonl(df, out_dir, num_shards=2, compression=None)
+    back = read_documents_jsonl(spark, out_dir)
+    assert back.count() == 2
+    assert {r["doc_id"] for r in back.collect()} == {1, 2}

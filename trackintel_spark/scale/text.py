@@ -6,6 +6,7 @@ All pure Column expressions (JVM-side, codegen) — designed to sweep
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -353,3 +354,30 @@ def c4_filters(
             .drop("clean_text", "has_lorem", "has_brace", "c4_keep", "n_sentences")
         )
     return out
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio") -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic machine-repetitiveness signal (highly compressible text is
+    boilerplate/template/spam; natural prose lands ~0.3-0.6). Used as a
+    filter axis alongside :func:`repetition_signals` (which measures
+    specific Gopher A1 fractions; this is the holistic one-number
+    variant).
+
+    One Arrow-batched UDF (zlib is C-speed); empty docs get NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8", errors="replace")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
