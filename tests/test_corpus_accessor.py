@@ -1,0 +1,55 @@
+"""Fluent Corpus accessor (model/corpus.py): thin veneer, results
+identical to the functional core."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.model import Corpus
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "completely different content about database query optimization and joins"),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_chain_matches_functional_core(spark, docs):
+    from trackintel_spark.scale.dedup import dedup_exact
+    from trackintel_spark.scale.text import detect_language, quality_score
+
+    chained = Corpus(docs).quality().language().dedup_exact()
+    direct = dedup_exact(quality_score(detect_language(docs)))
+    assert sorted(r["doc_id"] for r in chained.collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )
+    assert set(chained.df.columns) == set(direct.columns)
+
+
+def test_corpus_near_dedup_and_search(spark, docs):
+    kept = Corpus(docs).near_dedup(threshold=0.6)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 2 not in ids  # exact clone collapsed
+    assert set(kept.df.columns) == {"doc_id", "text"}
+
+    hits = Corpus(docs).search("query optimization", k=2)
+    assert hits.collect()[0]["doc_id"] == 3
+
+
+def test_corpus_chunk_split_profile(spark, docs):
+    c = Corpus(docs).chunk(max_tokens=5).split({"train": 0.5, "val": 0.5})
+    out = c.collect()
+    assert all(r["split"] in ("train", "val") for r in out)
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 4}
+    prof = Corpus(docs).profile().collect()[0]
+    assert prof["n_docs"] == 4
+
+
+def test_corpus_validates_columns(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="missing column"):
+        Corpus(df)

@@ -15,6 +15,7 @@ from trackintel_spark.model.schemas import (
 )
 
 __all__ = [
+    "Corpus",
     "POINT",
     "LINESTRING",
     "ENTITY_SCHEMAS",
@@ -27,3 +28,4 @@ __all__ = [
     "Locations",
     "Tours",
 ]
+from trackintel_spark.model.corpus import Corpus  # noqa: E402
