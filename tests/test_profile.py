@@ -61,3 +61,45 @@ def test_top_tokens_exact(spark, corpus):
     # next-most-frequent: w0 appears in docs with (i%17)>=1 -> about 188
     nxt = top_tokens(corpus, k=4).collect()[3]
     assert nxt["token"] == "w0"
+
+
+def test_host_stats_and_filter(spark):
+    from trackintel_spark.scale import filter_hosts, host_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/page1", "aaaa"),
+            (2, "https://spam.example.com/page2", "bb"),
+            (3, "http://good.org/article", "ccc"),
+            (4, "good.org/plain-schemeless", "dd"),
+            (5, None, "ee"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    hs = {r["host"]: r for r in host_stats(docs).collect()}
+    assert hs["spam.example.com"]["n_docs"] == 2
+    assert hs["spam.example.com"]["total_chars"] == 6
+    assert hs["good.org"]["n_docs"] == 2  # schemeless fallback folds in
+    assert None in hs and hs[None]["n_docs"] == 1
+
+    kept = sorted(r["doc_id"] for r in filter_hosts(docs, ["SPAM.example.com"]).collect())
+    assert kept == [3, 4, 5]  # blocked host gone; NULL url survives drop-mode
+    only = sorted(r["doc_id"] for r in filter_hosts(docs, ["good.org"], keep=True).collect())
+    assert only == [3, 4]
+
+
+def test_mix_corpora_deterministic_weights(spark):
+    from trackintel_spark.scale import mix_corpora
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(2000)], "doc_id long, text string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(500)], "doc_id long, text string")
+    mixed = mix_corpora({"web": (a, 0.25), "books": (b, 2.0)}, salt="s")
+    counts = {r["mix_source"]: r["count"] for r in mixed.groupBy("mix_source").count().collect()}
+    assert abs(counts["web"] - 500) < 100       # ~0.25 * 2000
+    assert abs(counts["books"] - 1000) < 120    # ~2.0 * 500 (upsampled copies)
+    # deterministic across partitionings
+    again = mix_corpora({"web": (a.repartition(7), 0.25), "books": (b, 2.0)}, salt="s")
+    assert again.count() == mixed.count()
+    ids1 = sorted((r["mix_source"], r["doc_id"]) for r in mixed.collect())
+    ids2 = sorted((r["mix_source"], r["doc_id"]) for r in again.collect())
+    assert ids1 == ids2

@@ -121,3 +121,53 @@ def top_tokens(
         .orderBy(F.col("count").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def host_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-host corpus statistics — the domain-level curation view
+    (RefinedWeb-style pipelines block/keep whole hosts before touching
+    documents): (host, n_docs, total_chars[, avg_quality]).
+
+    Host extraction is ``parse_url(.., 'HOST')`` (JVM expression);
+    scheme-less values fall back to the first path segment. One hash
+    aggregation; host cardinality bounds the result.
+    """
+    host = F.lower(
+        F.coalesce(
+            F.parse_url(F.col(url_col), F.lit("HOST")),
+            F.regexp_extract(F.col(url_col), r"^(?:www\.)?([^/\s:]+)", 1),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+    ]
+    if quality_col:
+        aggs.append(F.avg(quality_col).alias("avg_quality"))
+    return docs.withColumn("host", host).groupBy("host").agg(*aggs)
+
+
+def filter_hosts(
+    docs: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+    keep: bool = False,
+) -> DataFrame:
+    """Drop (or with ``keep=True`` retain only) documents whose URL
+    host is in ``blocklist`` — exact, case-insensitive host match. The
+    list rides the plan as a literal ``isin`` (blocklists are bounded);
+    pass a DataFrame-join for multi-million-entry lists instead.
+    """
+    host = F.lower(
+        F.coalesce(
+            F.parse_url(F.col(url_col), F.lit("HOST")),
+            F.regexp_extract(F.col(url_col), r"^(?:www\.)?([^/\s:]+)", 1),
+        )
+    )
+    members = host.isin(*[h.lower() for h in blocklist]) if blocklist else F.lit(False)
+    return docs.filter(members if keep else ~F.coalesce(members, F.lit(False)))

@@ -227,3 +227,35 @@ def chunk_documents(
         )
         .drop("__chunk", "__toks_n")
     )
+
+
+def mix_corpora(
+    corpora: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "",
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Deterministic dataset mixing: union several corpora, each
+    independently down/up-sampled by its weight (expected-copies
+    semantics of :func:`sample_by_weight`, so weight 0.3 keeps ~30%
+    and weight 2.5 yields ~2.5 copies) — the epoch-mixture step of
+    training-data recipes, reproducible across runs and partitionings.
+
+    All frames must share a schema (missing columns NULL via
+    ``unionByName(allowMissingColumns=True)``); rows are tagged with
+    ``source_col``. Weights are exact in expectation, not row-exact —
+    use :func:`trackintel_spark.scale.mixing.dsir_select` for exact-k
+    selection.
+    """
+    if not corpora:
+        raise ValueError("no corpora given")
+    parts = []
+    for name, (df, w) in corpora.items():
+        sampled = sample_by_weight(
+            df, id_col, float(w), salt=f"{salt}|{name}", replicate=True
+        )
+        parts.append(sampled.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
