@@ -271,7 +271,8 @@ def test_jsonl_roundtrip_and_corrupt_records(spark, tmp_path):
     audit.unpersist()
 
     out_dir = os.path.join(str(tmp_path), "out")
-    write_documents_jsonl(df, out_dir, num_shards=2, compression=None)
+    write_documents_jsonl(df, out_dir, num_shards=2)  # default gzip shards
+    assert any(f.endswith(".gz") for f in os.listdir(out_dir))
     back = read_documents_jsonl(spark, out_dir)
     assert back.count() == 2
     assert {r["doc_id"] for r in back.collect()} == {1, 2}
