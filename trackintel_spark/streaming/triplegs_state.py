@@ -66,6 +66,122 @@ def _wkt_line(lons, lats) -> str | None:
     return "LINESTRING (" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in zip(lons, lats)) + ")"
 
 
+def _ingest_and_settle(
+    user_id,
+    scan_state: tuple | None,
+    batches,
+    dist_threshold: float,
+    time_s: float,
+    gap_s: float,
+):
+    """Shared settlement step for the stateful tripleg AND trip
+    operators: merge state rows with new fixes (watermark floor = the
+    candidate-window start), run the staypoint scan, split the settled
+    prefix into closed staypoints / closed travel runs / the trailing
+    open travel run.
+
+    Returns ``(full, sps, closed_runs, open_run, new_scan_state)``:
+    ``full`` the sorted per-user frame, ``sps`` the kernel's CLOSED
+    staypoints, ``closed_runs``/``open_run`` position arrays into
+    ``full``, and the scan-state tuple to persist
+    (ids, ts_us, lons, lats, n_travel).
+    """
+    import numpy as np
+
+    if scan_state is not None:
+        ids, ts_us, lons, lats, n_travel = scan_state
+    else:
+        ids, ts_us, lons, lats, n_travel = [], [], [], [], 0
+
+    frames = []
+    if ids:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "tracked_at": pd.to_datetime(pd.Series(ts_us, dtype="int64"), unit="us"),
+                    "lon": pd.Series(lons, dtype="float64"),
+                    "lat": pd.Series(lats, dtype="float64"),
+                }
+            )
+        )
+    floor_ts = None
+    if len(ts_us) > n_travel:
+        floor_ts = pd.Timestamp(ts_us[n_travel], unit="us")
+    elif ts_us:
+        floor_ts = pd.Timestamp(ts_us[-1], unit="us")
+    for pdf in batches:
+        part = pdf[["id", "tracked_at", "lon", "lat"]]
+        if floor_ts is not None:
+            part = part[part["tracked_at"] >= floor_ts]
+        frames.append(part)
+    full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["id", "tracked_at", "lon", "lat"]
+    )
+    full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
+    full["user_id"] = user_id
+    full["elevation"] = None
+
+    scan = full.iloc[n_travel:].reset_index(drop=True)
+    tail: list[int] = []
+    sps = _sliding_kernel(
+        scan,
+        dist_threshold=dist_threshold,
+        time_threshold_s=time_s,
+        gap_threshold_s=gap_s,
+        include_last=False,
+        elevation_flag=False,
+        tail_out=tail,
+    )
+    anchor = n_travel + (tail[0] if tail else 0)
+
+    sp_ids: set[int] = set()
+    for _, sp in sps.iterrows():
+        for v in sp["pfs_ids"]:
+            sp_ids.add(int(v))
+    n_settled = anchor
+    ids_arr = full["id"].to_numpy()[:n_settled]
+    ts_arr = full["tracked_at"].to_numpy()[:n_settled].astype("int64") / 1e9
+    sp_mask = (
+        np.isin(ids_arr, np.fromiter(sp_ids, dtype="int64"))
+        if sp_ids
+        else np.zeros(n_settled, dtype=bool)
+    )
+    travel_pos = np.flatnonzero(~sp_mask)
+    closed_runs: list[np.ndarray] = []
+    open_run = np.empty(0, dtype="int64")
+    if len(travel_pos):
+        sp_before = np.cumsum(sp_mask)
+        tp, tt = travel_pos, ts_arr[travel_pos]
+        brk = np.zeros(len(tp), dtype=bool)
+        if len(tp) > 1:
+            brk[1:] = (sp_before[tp[1:]] != sp_before[tp[:-1]]) | (tt[1:] - tt[:-1] > gap_s)
+        starts = np.flatnonzero(np.concatenate(([True], brk[1:])))
+        ends = np.append(starts[1:], len(tp))
+        last_closed = bool(sp_mask[tp[-1] + 1:].any()) or (
+            anchor < len(full)
+            and (full["tracked_at"].to_numpy()[anchor].astype("int64") / 1e9 - tt[-1]) > gap_s
+        )
+        n_runs = len(starts)
+        for r in range(n_runs):
+            run = tp[starts[r]:ends[r]]
+            if r == n_runs - 1 and not last_closed:
+                open_run = run
+            else:
+                closed_runs.append(run)
+
+    travel_idx = [int(v) for v in open_run]
+    keep = pd.concat([full.iloc[travel_idx], full.iloc[anchor:]], ignore_index=True)
+    new_scan_state = (
+        [int(v) for v in keep["id"]],
+        [int(v.value // 1000) for v in keep["tracked_at"]],
+        [float(v) for v in keep["lon"]],
+        [float(v) for v in keep["lat"]],
+        len(travel_idx),
+    )
+    return full, sps, closed_runs, open_run, new_scan_state
+
+
 def triplegs_stream_exact(
     pfs: DataFrame,
     dist_threshold: float = 100.0,
@@ -84,130 +200,31 @@ def triplegs_stream_exact(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            ids, ts_us, lons, lats, n_travel = state.get
-        else:
-            ids, ts_us, lons, lats, n_travel = [], [], [], [], 0
-
-        frames = []
-        if ids:
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id": pd.Series(ids, dtype="int64"),
-                        "tracked_at": pd.to_datetime(pd.Series(ts_us, dtype="int64"), unit="us"),
-                        "lon": pd.Series(lons, dtype="float64"),
-                        "lat": pd.Series(lats, dtype="float64"),
-                    }
-                )
-            )
-        # watermark: NEW fixes older than the candidate-window floor are
-        # dropped. The floor is the first WINDOW fix (ts_us[n_travel]),
-        # not the travel-buffer start: a late fix sorted into the buffer
-        # range would silently displace buffer rows into the scan (the
-        # scan skips exactly n_travel rows) and break the
-        # micro-batch-invariance contract. State rows themselves are
-        # kept wholesale.
-        floor_ts = None
-        if len(ts_us) > n_travel:
-            floor_ts = pd.Timestamp(ts_us[n_travel], unit="us")
-        elif ts_us:
-            floor_ts = pd.Timestamp(ts_us[-1], unit="us")
-        for pdf in batches:
-            part = pdf[["id", "tracked_at", "lon", "lat"]]
-            if floor_ts is not None:
-                part = part[part["tracked_at"] >= floor_ts]
-            frames.append(part)
-        full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            columns=["id", "tracked_at", "lon", "lat"]
+        # _ingest_and_settle: watermark-filter new fixes against the
+        # candidate-window floor, run the staypoint scan (which never
+        # sees the travel buffer), split the settled prefix into closed
+        # staypoints / closed travel runs / the trailing open run
+        full, _sps, closed_runs, _open_run, new_scan_state = _ingest_and_settle(
+            user_id,
+            state.get if state.exists else None,
+            batches,
+            dist_threshold,
+            time_s,
+            gap_s,
         )
-        full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
-        full["user_id"] = user_id
-        full["elevation"] = None
-
-        # the staypoint scan must not see the travel buffer (its fixes
-        # already failed to open a staypoint at the current anchor) —
-        # but the tripleg segmentation below runs over BOTH.
-        scan = full.iloc[n_travel:].reset_index(drop=True)
-        tail: list[int] = []
-        sps = _sliding_kernel(
-            scan,
-            dist_threshold=dist_threshold,
-            time_threshold_s=time_s,
-            gap_threshold_s=gap_s,
-            include_last=False,
-            elevation_flag=False,
-            tail_out=tail,
-        )
-        anchor = n_travel + (tail[0] if tail else 0)
-
-        # rows before the anchor are SETTLED: their staypoint membership
-        # can no longer change. Segment them into triplegs — vectorized:
-        # a break between consecutive TRAVEL fixes exists where a
-        # staypoint fix lies between them or their time gap exceeds the
-        # threshold; the final run is closed only if settled evidence
-        # (a trailing staypoint fix, or a known gap to the anchor fix)
-        # follows it.
-        import numpy as np
-
-        sp_ids: set[int] = set()
-        for _, sp in sps.iterrows():
-            for v in sp["pfs_ids"]:
-                sp_ids.add(int(v))
-        n_settled = anchor
-        ids_arr = full["id"].to_numpy()[:n_settled]
-        ts_arr = full["tracked_at"].to_numpy()[:n_settled].astype("int64") / 1e9
-        sp_mask = (
-            np.isin(ids_arr, np.fromiter(sp_ids, dtype="int64"))
-            if sp_ids
-            else np.zeros(n_settled, dtype=bool)
-        )
-        travel_pos = np.flatnonzero(~sp_mask)
         out_rows = []
-        travel_idx: list[int] = []
-        if len(travel_pos):
-            sp_before = np.cumsum(sp_mask)  # sp fixes at or before each row
-            tp, tt = travel_pos, ts_arr[travel_pos]
-            brk = np.zeros(len(tp), dtype=bool)  # break BEFORE travel row k
-            if len(tp) > 1:
-                brk[1:] = (sp_before[tp[1:]] != sp_before[tp[:-1]]) | (
-                    tt[1:] - tt[:-1] > gap_s
+        for run in closed_runs:
+            seg = full.iloc[run]
+            out_rows.append(
+                (
+                    user_id,
+                    seg["tracked_at"].iloc[0],
+                    seg["tracked_at"].iloc[-1],
+                    len(seg),
+                    _wkt_line(seg["lon"].tolist(), seg["lat"].tolist()),
                 )
-            starts = np.flatnonzero(np.concatenate(([True], brk[1:])))
-            ends = np.append(starts[1:], len(tp))
-            # is the LAST run closed by settled evidence?
-            last_closed = bool(sp_mask[tp[-1] + 1:].any()) or (
-                anchor < len(full)
-                and (full["tracked_at"].to_numpy()[anchor].astype("int64") / 1e9 - tt[-1])
-                > gap_s
             )
-            n_runs = len(starts)
-            for r in range(n_runs):
-                run = tp[starts[r]:ends[r]]
-                if r == n_runs - 1 and not last_closed:
-                    travel_idx = [int(v) for v in run]  # stays open
-                    break
-                seg = full.iloc[run]
-                out_rows.append(
-                    (
-                        user_id,
-                        seg["tracked_at"].iloc[0],
-                        seg["tracked_at"].iloc[-1],
-                        len(seg),
-                        _wkt_line(seg["lon"].tolist(), seg["lat"].tolist()),
-                    )
-                )
-
-        keep = pd.concat([full.iloc[travel_idx], full.iloc[anchor:]], ignore_index=True)
-        state.update(
-            (
-                [int(v) for v in keep["id"]],
-                [int(v.value // 1000) for v in keep["tracked_at"]],
-                [float(v) for v in keep["lon"]],
-                [float(v) for v in keep["lat"]],
-                len(travel_idx),
-            )
-        )
+        state.update(new_scan_state)
         if out_rows:
             yield pd.DataFrame(
                 out_rows, columns=["user_id", "started_at", "finished_at", "n_pfs", "geom_wkt"]
