@@ -110,9 +110,18 @@ def trips_stream_exact(
             u_kind, u_start, u_end = [], [], []
             origin_start, origin_end, wm_us = -1, -1, -1
 
+        # The scan's own floor (candidate-window start) already protects
+        # settled history whenever scan state exists — and it is LOOSER
+        # than the last unit's end (a staypoint's finished_at is the
+        # first fix OUTSIDE it, i.e. inside the next window), so
+        # filtering against wm_us there would drop fixes the batch run
+        # accepts. wm_us only guards the one unprotected case: scan
+        # state fully consumed (empty) while trip state still pends.
+        scan_empty = scan_state is None or not scan_state[1]
+
         def _wm_filter(it):
             for pdf in it:
-                if wm_us >= 0:
+                if scan_empty and wm_us >= 0:
                     floor = pd.Timestamp(wm_us, unit="us")
                     pdf = pdf[pdf["tracked_at"] >= floor]
                 yield pdf
