@@ -28,3 +28,14 @@ def test_llm_data_pipeline_example():
     assert "after near-dedup:" in out.stdout and "packed train sequences:" in out.stdout, (
         out.stdout[-2000:]
     )
+
+
+def test_streaming_mobility_example():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "streaming_mobility.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=420, check=True,
+    )
+    assert "streaming staypoints emitted:" in out.stdout
+    assert "streaming trips emitted:" in out.stdout, out.stdout[-2000:]

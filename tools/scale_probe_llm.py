@@ -10,7 +10,7 @@ sizes, pure compute (spark.range inputs, no IO). Times
 
 Usage:  python tools/scale_probe_llm.py [--docs N ...] [--vecs N ...]
         [--asof N ...]
-Defaults: docs 1M/4M, vecs 500k/2M, asof 10M.
+Defaults: docs 1M/4M, vecs 100k/400k, asof 10M/40M, bm25 1M/4M.
 Results go to SCALE.md's measured-scaling rows.
 """
 
@@ -134,6 +134,19 @@ def run_dsir(spark, n: int) -> dict:
     return {"op": "dsir_fit+weight", "rows": n, "wall_s": round(w, 1), "avg_w": round(float(cnt), 3), "rows_per_s": int(n / w)}
 
 
+def run_bm25(spark, n: int) -> dict:
+    from trackintel_spark.scale import bm25_search, corpus_stats
+
+    docs = docs_input(spark, n)
+    st = corpus_stats(docs).persist()
+    st.count()
+    t0 = time.time()
+    out = bm25_search(docs, "lorem ipsum dolor payload", k=10, stats=st).collect()
+    w = time.time() - t0
+    st.unpersist()
+    return {"op": "bm25_search", "rows": n, "wall_s": round(w, 1), "hits": len(out), "rows_per_s": int(n / w)}
+
+
 def main():
     from trackintel_spark import get_spark
 
@@ -151,8 +164,9 @@ def main():
         return default
 
     docs_ns = take("--docs", [1_000_000, 4_000_000])
-    vec_ns = take("--vecs", [500_000, 2_000_000])
-    asof_ns = take("--asof", [10_000_000])
+    vec_ns = take("--vecs", [100_000, 400_000])
+    asof_ns = take("--asof", [10_000_000, 40_000_000])
+    bm25_ns = take("--bm25", [1_000_000, 4_000_000])
 
     spark = get_spark(app_name="scale_probe_llm")
     spark.sparkContext.setLogLevel("ERROR")
@@ -168,6 +182,9 @@ def main():
     for n in asof_ns:
         if n:
             print(run_asof(spark, n), flush=True)
+    for n in bm25_ns:
+        if n:
+            print(run_bm25(spark, n), flush=True)
 
 
 if __name__ == "__main__":
