@@ -68,6 +68,7 @@ def test_host_stats_and_filter(spark):
 
     docs = spark.createDataFrame(
         [
+            (0, "https://www.good.org/with-www", "x"),
             (1, "https://spam.example.com/page1", "aaaa"),
             (2, "https://spam.example.com/page2", "bb"),
             (3, "http://good.org/article", "ccc"),
@@ -79,13 +80,13 @@ def test_host_stats_and_filter(spark):
     hs = {r["host"]: r for r in host_stats(docs).collect()}
     assert hs["spam.example.com"]["n_docs"] == 2
     assert hs["spam.example.com"]["total_chars"] == 6
-    assert hs["good.org"]["n_docs"] == 2  # schemeless fallback folds in
+    assert hs["good.org"]["n_docs"] == 3  # www. and schemeless forms fold in
     assert None in hs and hs[None]["n_docs"] == 1
 
     kept = sorted(r["doc_id"] for r in filter_hosts(docs, ["SPAM.example.com"]).collect())
-    assert kept == [3, 4, 5]  # blocked host gone; NULL url survives drop-mode
+    assert kept == [0, 3, 4, 5]  # blocked host gone; NULL url survives drop-mode
     only = sorted(r["doc_id"] for r in filter_hosts(docs, ["good.org"], keep=True).collect())
-    assert only == [3, 4]
+    assert only == [0, 3, 4]
 
 
 def test_mix_corpora_deterministic_weights(spark):

@@ -123,6 +123,18 @@ def top_tokens(
     )
 
 
+def _host_expr(url_col: str):
+    """Normalized host: parse_url HOST (or first path segment for
+    scheme-less values), lowercased, leading ``www.`` stripped — the
+    same site must fold to ONE host whichever syntax the crawler
+    recorded."""
+    raw = F.coalesce(
+        F.parse_url(F.col(url_col), F.lit("HOST")),
+        F.regexp_extract(F.col(url_col), r"^([^/\s:]+)", 1),
+    )
+    return F.regexp_replace(F.lower(raw), r"^www\.", "")
+
+
 def host_stats(
     docs: DataFrame,
     url_col: str = "url",
@@ -137,12 +149,7 @@ def host_stats(
     scheme-less values fall back to the first path segment. One hash
     aggregation; host cardinality bounds the result.
     """
-    host = F.lower(
-        F.coalesce(
-            F.parse_url(F.col(url_col), F.lit("HOST")),
-            F.regexp_extract(F.col(url_col), r"^(?:www\.)?([^/\s:]+)", 1),
-        )
-    )
+    host = _host_expr(url_col)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length(text_col)).alias("total_chars"),
@@ -163,11 +170,6 @@ def filter_hosts(
     list rides the plan as a literal ``isin`` (blocklists are bounded);
     pass a DataFrame-join for multi-million-entry lists instead.
     """
-    host = F.lower(
-        F.coalesce(
-            F.parse_url(F.col(url_col), F.lit("HOST")),
-            F.regexp_extract(F.col(url_col), r"^(?:www\.)?([^/\s:]+)", 1),
-        )
-    )
+    host = _host_expr(url_col)
     members = host.isin(*[h.lower() for h in blocklist]) if blocklist else F.lit(False)
     return docs.filter(members if keep else ~F.coalesce(members, F.lit(False)))
