@@ -359,3 +359,70 @@ def test_origin_destination_matrix(spark):
         for r in origin_destination_matrix(trips).collect()
     }
     assert raw[(10, 11)] == 1 and raw[(12, 13)] == 1
+
+
+def test_location_entropy_all_methods(spark):
+    import math
+
+    from trackintel_spark.analysis import location_entropy
+
+    # user 1 visits A,B,A,B,A,B... (period-2 routine); user 2 uniform
+    # over 4 locations; user 3 always home; NULL locations dropped
+    rows = []
+    for k in range(12):
+        rows.append((1, [10, 20][k % 2], k))
+    for k in range(12):
+        rows.append((2, [1, 2, 3, 4][k % 4], k))
+    for k in range(6):
+        rows.append((3, 7, k))
+    rows.append((1, None, 99))
+    sp = spark.createDataFrame(rows, "user_id long, location_id long, sec long").select(
+        "user_id", "location_id",
+        __import__("pyspark.sql.functions", fromlist=["x"]).timestamp_seconds(
+            __import__("pyspark.sql.functions", fromlist=["x"]).col("sec") + 1700000000
+        ).alias("started_at"),
+    )
+
+    rand = {r["user_id"]: r for r in location_entropy(sp, "random").collect()}
+    assert rand[1]["entropy"] == pytest.approx(1.0)   # log2(2)
+    assert rand[2]["entropy"] == pytest.approx(2.0)   # log2(4)
+    assert rand[3]["entropy"] == pytest.approx(0.0)
+    assert rand[1]["n_visits"] == 12 and rand[1]["n_locations"] == 2
+
+    unc = {r["user_id"]: r["entropy"] for r in location_entropy(sp, "uncorrelated").collect()}
+    assert unc[1] == pytest.approx(1.0)  # balanced 2-way histogram
+    assert unc[2] == pytest.approx(2.0)
+    assert unc[3] == pytest.approx(0.0)
+
+    act = {r["user_id"]: r["entropy"] for r in location_entropy(sp, "actual").collect()}
+    # the alternating routine is highly predictable: actual << uncorrelated
+    assert act[1] < unc[1]
+    # LZ estimator matches a direct python recomputation
+    from trackintel_spark.analysis.entropy import _lz_entropy_bits
+    import numpy as np
+
+    assert act[1] == pytest.approx(_lz_entropy_bits(np.array([10, 20] * 6)))
+    assert act[2] == pytest.approx(_lz_entropy_bits(np.array([1, 2, 3, 4] * 3)))
+
+    with pytest.raises(ValueError):
+        location_entropy(sp, "nope")
+
+
+def test_lz_entropy_reference_values():
+    """Hand-checkable sequences for the Kontoyiannis estimator."""
+    import numpy as np
+
+    from trackintel_spark.analysis.entropy import _lz_entropy_bits
+
+    # constant sequence: sum(lambda) ~ n^2/4 -> entropy ~ 4 log2(n)/n,
+    # slowly -> 0 (the estimator's known convergence rate)
+    c64 = _lz_entropy_bits(np.array([5] * 64))
+    c256 = _lz_entropy_bits(np.array([5] * 256))
+    assert c256 < c64 < 0.5
+    assert c64 == pytest.approx(64 * np.log2(64) / (64 * 67 / 4), rel=0.05)
+    # i.i.d.-ish alternation vs random: random should be higher
+    rng = np.random.RandomState(0)
+    r = _lz_entropy_bits(rng.randint(0, 8, 256))
+    a = _lz_entropy_bits(np.array([0, 1] * 128))
+    assert r > a
+    assert _lz_entropy_bits(np.array([1])) is None

@@ -1,3 +1,4 @@
+from trackintel_spark.analysis.entropy import location_entropy
 from trackintel_spark.analysis.flows import origin_destination_matrix
 from trackintel_spark.analysis.labelling import create_activity_flag, predict_transport_mode
 from trackintel_spark.analysis.location_identification import (
@@ -17,6 +18,7 @@ __all__ = [
     "radius_gyration",
     "jump_length",
     "origin_destination_matrix",
+    "location_entropy",
     "calculate_modal_split",
     "temporal_tracking_quality",
     "location_identifier",
