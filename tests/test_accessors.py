@@ -72,3 +72,36 @@ def test_trips_generate_tours_roundtrip(spark):
     assert "tour_id" in trips2.df.columns
     assert tours.count() >= 0  # tours table materializes with the contract schema
     assert {"id", "user_id", "started_at", "finished_at"} <= set(tours.df.columns)
+
+
+def test_staypoints_entropy_and_trips_od_accessors(spark):
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.model import Staypoints, Trips
+
+    sp_rows = []
+    for k in range(8):
+        sp_rows.append((k, 1, k * 3600, (k + 1) * 3600 - 600, 8.5, 47.4, k % 2))
+    sp = spark.createDataFrame(
+        sp_rows, "id long, user_id long, s long, f long, lon double, lat double, location_id long"
+    ).select(
+        "id", "user_id",
+        F.timestamp_seconds(F.col("s") + 1700000000).alias("started_at"),
+        F.timestamp_seconds(F.col("f") + 1700000000).alias("finished_at"),
+        F.struct("lon", "lat").alias("geom"), "location_id",
+    )
+    ent = Staypoints(sp).location_entropy("uncorrelated").collect()
+    assert len(ent) == 1 and abs(ent[0]["entropy"] - 1.0) < 1e-9
+
+    trips = spark.createDataFrame(
+        [(1, 1, 0, 1), (2, 1, 2, 3)],
+        "id long, user_id long, origin_staypoint_id long, destination_staypoint_id long",
+    ).select(
+        "id", "user_id",
+        F.timestamp_seconds(F.lit(1700000000)).alias("started_at"),
+        F.timestamp_seconds(F.lit(1700003600)).alias("finished_at"),
+        "origin_staypoint_id", "destination_staypoint_id",
+    )
+    od = Trips(trips).origin_destination_matrix(sp.select("id", "location_id"))
+    got = {(r["origin"], r["destination"]): r["n_trips"] for r in od.collect()}
+    assert got == {(0, 1): 2}

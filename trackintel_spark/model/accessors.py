@@ -157,6 +157,14 @@ class Staypoints(_Entity):
 
         return temporal_tracking_quality(self.df, granularity=granularity)
 
+    def location_entropy(self, method: str = "uncorrelated") -> DataFrame:
+        """Song et al. 2010 mobility entropy over the location-visit
+        sequence (requires a ``location_id`` column, e.g. from
+        generate_locations)."""
+        from trackintel_spark.analysis.entropy import location_entropy
+
+        return location_entropy(self.df, method=method)
+
     def generate_trips(
         self, triplegs: "Triplegs | DataFrame", gap_threshold: float = 15.0, add_geometry: bool = True
     ) -> tuple["Staypoints", "Triplegs", "Trips"]:
@@ -249,6 +257,16 @@ class Trips(_Entity):
         sp = staypoints.df if isinstance(staypoints, _Entity) else staypoints
         trips, tours = generate_tours(self.df, sp, **kwargs)
         return Trips(trips, validate_schema=False), Tours(tours)
+
+    def origin_destination_matrix(
+        self, staypoints: "Staypoints | DataFrame | None" = None, **kwargs
+    ) -> DataFrame:
+        """Location-level OD flows (analysis/flows.py); pass staypoints
+        carrying the zone column (default location_id)."""
+        from trackintel_spark.analysis.flows import origin_destination_matrix
+
+        sp = staypoints.df if isinstance(staypoints, _Entity) else staypoints
+        return origin_destination_matrix(self.df, sp, **kwargs)
 
 
 class Locations(_Entity):
