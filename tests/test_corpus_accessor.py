@@ -53,3 +53,14 @@ def test_corpus_validates_columns(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="missing column"):
         Corpus(df)
+
+
+def test_corpus_bpe_methods(spark, docs):
+    c = Corpus(docs)
+    merges = c.train_bpe(num_merges=40)
+    out = c.bpe_token_counts(merges)
+    rows = out.collect()
+    assert all(r["n_bpe_tokens"] > 0 for r in rows)
+    # duplicate docs 1/2 get identical budgets
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in rows}
+    assert got[1] == got[2]

@@ -167,6 +167,18 @@ class Corpus:
 
         return self._wrap(split_by_hash(self.df, self.id_col, fractions, salt=salt))
 
+    def train_bpe(self, num_merges: int = 1000, **kw) -> list:
+        from trackintel_spark.scale.bpe import train_bpe
+
+        return train_bpe(self.df, num_merges=num_merges, text_col=self.text_col, **kw)
+
+    def bpe_token_counts(self, merges: list, out_col: str = "n_bpe_tokens") -> "Corpus":
+        from trackintel_spark.scale.bpe import bpe_token_count
+
+        return self._wrap(
+            bpe_token_count(self.df, merges, text_col=self.text_col, out_col=out_col)
+        )
+
     # -- search / profile -----------------------------------------------------
 
     def search(self, query: str, k: int = 10, **kw) -> DataFrame:
