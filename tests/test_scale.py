@@ -811,3 +811,46 @@ def test_random_project_preserves_cosine_geometry(spark):
     low = {r["query_id"]: r["vec_id"] for r in cosine_topk_bruteforce(proj, qp, k=2).filter("rank=2").collect()}
     # same blob guaranteed; exact id may differ -> compare blob of the hit
     assert all(low[k] // 10 == full[k] // 10 for k in full)
+
+
+def test_mix_corpora_schema_union_and_validation(spark):
+    """Corpora with differing columns union with NULL fill; empty input
+    rejected."""
+    from trackintel_spark.scale import mix_corpora
+
+    a = spark.createDataFrame([(1, "t1", "en")], "doc_id long, text string, lang string")
+    b = spark.createDataFrame([(2, "t2", 0.9)], "doc_id long, text string, quality double")
+    out = mix_corpora({"a": (a, 1.0), "b": (b, 1.0)}).collect()
+    got = {r["mix_source"]: r for r in out}
+    assert got["a"]["lang"] == "en" and got["a"]["quality"] is None
+    assert got["b"]["quality"] == 0.9 and got["b"]["lang"] is None
+    with pytest.raises(ValueError):
+        mix_corpora({})
+
+
+def test_chunk_then_pack_integration(spark):
+    """The chunk -> count -> pack chain: every pack respects the token
+    budget and every chunk lands in exactly one pack."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(37 + i))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, max_tokens=16).withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(
+        chunks.withColumn("n_tokens", F.col("chunk_n_tokens")),
+        max_tokens=64,
+        id_col="chunk_key",
+    )
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk packed exactly once
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r["pack_id"], 0)
+        per_pack[r["pack_id"]] += r["n_tokens"]
+    assert all(v <= 64 for v in per_pack.values())
