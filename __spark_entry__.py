@@ -694,7 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from trackintel_spark.scale import dedup_embedding_cosine
 
         emb = load_table(spark, sf, "embeddings")
-        out = dedup_embedding_cosine(emb, threshold=0.5, norm_band_width=10.0)
+        out = dedup_embedding_cosine(emb, threshold=0.5)
         return out.select("id_a", "id_b", _r("cosine", 5).alias("cosine"))
 
     q["embedding_dedup"] = q_embedding_dedup

@@ -69,11 +69,18 @@ def test_lsh_topk_bucket_join_broadcasts_queries(spark):
 
 
 def test_dedup_embedding_banded_join_is_equi(spark):
+    """The self-join key must be the direction-projection CELL (a
+    concat of floor'd normalized projections) — never a norm band
+    (which prunes nothing on unit-norm embeddings) and never a cross
+    join."""
     from trackintel_spark.scale import dedup_embedding_cosine
 
     emb = load_table(spark, SF, "embeddings")
     plan = _plan(dedup_embedding_cosine(emb, threshold=0.9))
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "concat_ws" in plan  # composite projection-cell key
+    assert "FLOOR" in plan or "floor" in plan
 
 
 def test_spatial_filter_broadcasts_areas(spark):
@@ -329,3 +336,23 @@ def test_bm25_prunes_before_shuffle_and_broadcasts_df(spark):
     # FileScan branch
     scan_branch = plan.split("FileScan")[0]
     assert "arrays_overlap" in plan  # presence; detailed check above
+
+
+def test_ivf_topk_untrained_assignment_is_map_side(spark):
+    """The UNTRAINED ivf_topk default must behave like the trained path:
+    centers come from a fixed-size hash-sample (bounded driver state),
+    assignment is the map-side nearest_center_expr — so the plan has
+    exactly ONE corpus scan (no corpus-derived centers branch), no
+    corpus-sized broadcast, and no N x C max_by combine aggregation."""
+    from trackintel_spark.scale import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [0.5] * 64)], "query_id long, embedding array<double>"
+    )
+    plan = _plan(ivf_topk(emb, q, k=3, n_centers=4, n_probe=2))
+    assert plan.count("Scan parquet") == 1  # corpus only; centers are literals
+    assert "max_by" not in plan  # no N x C assignment aggregation
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is queries x literal centers (bounded)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -290,29 +290,61 @@ def kmeans_centers(
     return centers
 
 
+def sample_centers(
+    corpus: DataFrame,
+    n_centers: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """A FIXED-SIZE deterministic coarse quantizer: the ``n_centers``
+    non-zero vectors with the smallest ``xxhash64(id, seed)`` — the same
+    bounded-sample device :func:`kmeans_centers` uses for seeding.
+    TakeOrdered (per-partition heaps), so the cost is one corpus scan
+    and ``n_centers * dim`` driver doubles — independent of corpus size.
+    """
+    if n_centers <= 0:
+        raise ValueError(f"n_centers must be positive, got {n_centers}")
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__n", _norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+        .select("__id", "__v")
+        .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)), F.col("__id"))
+        .limit(n_centers)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    return [list(map(float, r["__v"])) for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    center_stride: int = 32,
+    n_centers: int = 64,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centers: list[list[float]] | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
     Coarse quantizer: pass ``centers`` (e.g. from :func:`kmeans_centers`)
-    for a trained quantizer; without it, every ``center_stride``-th
-    corpus vector (by id) is a center — the zero-build-cost baseline.
-    Corpus assignment is map-side either way: with a ``centers`` list,
+    for a trained quantizer; without it, a FIXED-SIZE deterministic
+    hash-sample of ``n_centers`` corpus vectors (:func:`sample_centers`)
+    is the zero-build-cost default — bounded driver state regardless of
+    corpus size. (An earlier stride-derived quantizer made the center
+    count grow with the corpus — an N x C quadratic join plus a
+    data-sized broadcast; the fixed sample is the scale-safe default.)
+    Corpus assignment is map-side in BOTH cases via
     :func:`nearest_center_expr` (codegen argmax, or one BLAS matmul per
-    Arrow batch past ``codegen_max_terms``) — no N x C intermediate at
-    all; with stride-derived centers (a DataFrame, unknown at plan
-    time), a broadcast join + ``max_by`` aggregation that combines back
-    to N rows map-side. Queries probe their ``n_probe`` nearest centers
-    and rescore exact cosine inside the matched cells only.
+    Arrow batch past ``codegen_max_terms``) — no N x C intermediate, no
+    shuffle. Queries probe their ``n_probe`` nearest centers and rescore
+    exact cosine inside the matched cells only.
 
     With ``n_probe`` >= the center count this is EXACTLY brute force —
     the recall/test anchor.
@@ -320,36 +352,20 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
-    if centers is not None:
-        spark = corpus.sparkSession
-        centers_df = spark.createDataFrame(
-            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
-            "__cid long, __center array<double>",
-        ).withColumn("__cnorm", _norm(F.col("__center")))
-    else:
-        centers_df = c.filter(F.col("vec_id") % center_stride == 0).select(
-            F.col("vec_id").alias("__cid"), F.col("__cv").alias("__center"), F.col("__cn").alias("__cnorm")
-        )
+    if centers is None:
+        centers = sample_centers(corpus, n_centers, seed=seed, id_col=id_col, vec_col=vec_col)
+    centers = [list(map(float, ctr)) for ctr in centers]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, ctr) for i, ctr in enumerate(centers)],
+        "__cid long, __center array<double>",
+    ).withColumn("__cnorm", _norm(F.col("__center")))
 
-    if centers is not None:
-        # known center list: pure map-side assignment, no N x C rows,
-        # no shuffle (codegen argmax or BLAS batch past the term cap)
-        assigned = c.filter(F.col("__cn") > 0).withColumn(
-            "__cid",
-            nearest_center_expr(F.col("__cv"), F.col("__cn"), [list(map(float, ctr)) for ctr in centers])["cid"],
-        )
-    else:
-        assigned = (
-            c.select(F.col("vec_id"), F.col("__cv").alias("__v"), F.col("__cn").alias("__n"))
-            .crossJoin(F.broadcast(centers_df))
-            .withColumn("__ccos", _dot(F.col("__v"), F.col("__center")) / (F.col("__n") * F.col("__cnorm")))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by("__cid", F.struct(F.col("__ccos"), -F.col("__cid"))).alias("__cid"),
-                F.first("__v").alias("__cv"),
-                F.first("__n").alias("__cn"),
-            )
-        )
+    # known center list: pure map-side assignment, no N x C rows,
+    # no shuffle (codegen argmax or BLAS batch past the term cap)
+    assigned = c.filter(F.col("__cn") > 0).withColumn(
+        "__cid", nearest_center_expr(F.col("__cv"), F.col("__cn"), centers)["cid"]
+    )
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
