@@ -155,3 +155,20 @@ def test_lm_cross_entropy_orders_quality(spark):
     for did in (0, 1):
         expect = -float(np.asarray(lp)[np.asarray(bags[did], dtype=int)].mean())
         assert got[did] == pytest.approx(expect, abs=1e-12)
+
+
+def test_dsir_and_xent_survive_null_text(spark):
+    """NULL text (reachable via JSONL schema with a missing key) must
+    score 0 / NULL instead of crashing the Arrow batch with
+    len(None)."""
+    from trackintel_spark.scale.mixing import dsir_log_weights, fit_ngram_model, lm_cross_entropy
+
+    target = spark.createDataFrame([("the cat sat",)], "text string")
+    lp = fit_ngram_model(target, buckets=256, max_n=2)
+    raw = spark.createDataFrame(
+        [(0, "the cat sat"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(raw, lp, raw_logprobs=lp).collect()}
+    assert w[1] == 0.0 and w[2] == 0.0
+    x = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(raw, lp).collect()}
+    assert x[1] is None and x[2] is None

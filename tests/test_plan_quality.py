@@ -279,6 +279,17 @@ def test_asof_join_is_merge_scan_not_join(spark):
         assert bad not in plan, bad
     assert "Union" in plan and "Window" in plan
 
+    # 'nearest' is ALSO join-free: one union (left + both right copies),
+    # one sort, two window frames. The former design joined two
+    # independently-evaluated monotonically_increasing_id columns — a
+    # silent row-misalignment hazard under nondeterministic left plans.
+    plan_n = _plan(
+        asof_join(left, right, on="ts", by="user_id", right_on="label_ts", direction="nearest")
+    )
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan_n, bad
+
 
 def test_line_dedup_has_no_line_keyed_window(spark):
     """line_dedup must stay window-free (AQE cannot split window skew;

@@ -625,6 +625,20 @@ def test_semantic_dedup_matches_reference_randomized(spark):
     n_kept = sum(1 for r in got.values() if r["is_kept"])
     assert n_kept <= n_base
 
+    # per-cluster cap: with every cluster under the cap the capped run
+    # must agree with the exact run EXACTLY...
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.98, centers=centers, max_compare=200).collect()
+    }
+    assert {v: capped[v]["is_kept"] for v in capped} == {v: got[v]["is_kept"] for v in got}
+    # ...and a tight cap only RELAXES the drop rule (kept superset)
+    tight = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup(emb, threshold=0.98, centers=centers, max_compare=1).collect()
+    }
+    assert all(tight[v] for v in got if got[v]["is_kept"])
+
 
 def test_semantic_dedup_trains_centers_inline(spark):
     """Without precomputed centers the inline k-means path runs and the
@@ -883,3 +897,37 @@ def test_chunk_then_pack_integration(spark):
         per_pack.setdefault(r["pack_id"], 0)
         per_pack[r["pack_id"]] += r["n_tokens"]
     assert all(v <= 64 for v in per_pack.values())
+
+
+def test_minhash_lsh_validates_band_parameters(spark):
+    """bands > num_perm silently degenerated every band hash to md5('')
+    — an all-pairs quadratic join; num_perm % bands != 0 silently
+    ignored trailing signature positions. Both must fail loudly."""
+    import pytest as _pytest
+
+    from trackintel_spark.scale import minhash_lsh_candidates
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_candidates(docs, num_perm=8, bands=16)
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(docs, num_perm=10, bands=4)
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_candidates(docs, num_perm=8, bands=0)
+
+
+def test_line_dedup_regex_delimiter_is_literal(spark):
+    """A delimiter like '|' must split literally, not as a Java regex
+    (which would split at every position)."""
+    from trackintel_spark.scale import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep me alone|this boilerplate line repeats"),
+            (1, "another unique line|this boilerplate line repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in line_dedup(docs, min_count=2, delimiter="|").collect()}
+    assert out[0] == "keep me alone|this boilerplate line repeats"
+    assert out[1] == "another unique line"

@@ -87,19 +87,26 @@ def run_line_dedup(spark, n: int) -> dict:
     return {"op": "line_dedup", "rows": n, "wall_s": round(w, 1), "removed": int(removed), "rows_per_s": int(n / w)}
 
 
-def run_semantic_dedup(spark, n: int) -> dict:
+def run_semantic_dedup(spark, n: int, max_compare: int | None = None) -> dict:
     """SemDeDup contract: cluster count grows with the corpus (~n/500
     here, the paper's cluster-size regime), so the per-cluster
     quadratic term stays bounded; at these k*dim the BLAS pandas-UDF
-    assignment path (past codegen_max_terms) is what runs."""
+    assignment path (past codegen_max_terms) is what runs.
+    ``max_compare`` measures the per-cluster cap (the paper's sampling
+    lever) that linearizes the within-cluster pair join."""
     from trackintel_spark.scale import semantic_dedup
 
     centers = blob_centers(max(64, n // 500))
     t0 = time.time()
-    out = semantic_dedup(vecs_input(spark, n, centers), threshold=0.995, centers=centers)
+    out = semantic_dedup(
+        vecs_input(spark, n, centers), threshold=0.995, centers=centers, max_compare=max_compare
+    )
     kept = out.filter("is_kept").count()
     w = time.time() - t0
-    return {"op": "semantic_dedup", "rows": n, "wall_s": round(w, 1), "kept": kept, "rows_per_s": int(n / w)}
+    return {
+        "op": "semantic_dedup", "rows": n, "wall_s": round(w, 1), "kept": kept,
+        "rows_per_s": int(n / w), "max_compare": max_compare,
+    }
 
 
 def run_asof(spark, n: int) -> dict:
@@ -179,6 +186,7 @@ def main():
     for n in vec_ns:
         if n:
             print(run_semantic_dedup(spark, n), flush=True)
+            print(run_semantic_dedup(spark, n, max_compare=100), flush=True)
     for n in asof_ns:
         if n:
             print(run_asof(spark, n), flush=True)

@@ -87,11 +87,14 @@ def trajectory_distance_matrix(
     if fn is None:
         raise ValueError(f"metric unknown, one of ('dtw', 'frechet'), got {metric!r}")
 
+    # consumed by both sides of the self-join, but it is a projection
+    # cheap to recompute — persisting here would leak cached blocks for
+    # the session lifetime (the caller's action runs after we return)
     flat = tpls.select(
         F.col(id_col).alias("__tid"),
         F.transform(geom_col, lambda p: p["lon"]).alias("__lons"),
         F.transform(geom_col, lambda p: p["lat"]).alias("__lats"),
-    ).persist()  # consumed by both sides of the self-join
+    )
     a = flat.select(F.col("__tid").alias("i"), F.col("__lons").alias("la"), F.col("__lats").alias("ya"))
     b = flat.select(F.col("__tid").alias("j"), F.col("__lons").alias("lb"), F.col("__lats").alias("yb"))
     pairs = a.join(b, on=F.col("i") < F.col("j"), how="inner")
@@ -193,6 +196,7 @@ def trajectory_topk(
     )
     seed_d = sorted(r["dist_m"] for r in exact(seeds).collect())
     if not seed_d:
+        flat.unpersist()
         return tpls.sparkSession.createDataFrame(
             [], f"{id_col} long, dist_m double, rank int"
         )
@@ -212,4 +216,8 @@ def trajectory_topk(
         )
         .select(F.col("tid").alias(id_col), "dist_m", "rank")
     )
-    return topk
+    # materialize the <= k result rows so the persisted LB frame can be
+    # released NOW instead of leaking for the session lifetime
+    rows = topk.collect()
+    flat.unpersist()
+    return tpls.sparkSession.createDataFrame(rows, f"{id_col} long, dist_m double, rank int")

@@ -153,27 +153,71 @@ def asof_join(
         )
         return out.drop("__asof_dt")
 
-    # nearest: tag left rows once, run both scans, pick the closer match
-    lid = left.withColumn("__asof_id", F.monotonically_increasing_id())
-    back, payload = _asof_one(
-        lid, right, on, by_cols, right_on, "backward", tolerance, allow_exact_matches, suffix
+    # nearest: ONE union, ONE sort, TWO running windows over the same
+    # ordering (backward = last preceding right, forward = first
+    # following right). Each right row enters the union twice — a
+    # B-copy placed so only the backward frame sees it at equal
+    # timestamps and an F-copy placed symmetrically — which makes both
+    # scans correct for either allow_exact_matches setting under a
+    # single sort. Fully deterministic: no generated ids, no join (the
+    # former design joined two independently-evaluated
+    # monotonically_increasing_id columns, which can silently misalign
+    # rows when the left plan is nondeterministic or a task retries).
+    t_l, t_r = F.col(on), F.col(right_on)
+    r_payload_cols = [c for c in right.columns if c not in by_cols and c != right_on]
+    out_names = {c: c + suffix if c in left.columns else c for c in r_payload_cols}
+    payload = [out_names[c] for c in r_payload_cols]
+
+    wr = Window.partitionBy(*by_cols, t_r).orderBy("__in")
+    rbase = right.withColumn("__in", F.monotonically_increasing_id()).withColumn(
+        "__rk", F.row_number().over(wr)
     )
-    fwd, _ = _asof_one(
-        lid, right, on, by_cols, right_on, "forward", tolerance, allow_exact_matches, suffix
+    rstruct = F.struct(
+        t_r.cast("double").alias("__rt"),
+        *[F.col(c).alias(out_names[c]) for c in r_payload_cols],
     )
-    b = back.select(
-        *[F.col(c) for c in lid.columns],
-        F.struct(*payload, F.col("__asof_dt")).alias("__b"),
+    # sort position at equal __t: exact matches allowed -> B-copy,
+    # left, F-copy (both copies visible); disallowed -> F-copy, left,
+    # B-copy (both copies hidden from their frame)
+    ord_b, ord_f = (0, 2) if allow_exact_matches else (2, 0)
+    rtype = rbase.select(rstruct.alias("__s")).schema["__s"].dataType
+    rb = rbase.select(
+        *by_cols, t_r.alias("__t"), F.lit(ord_b).alias("__ord"), "__rk",
+        rstruct.alias("__rb"), F.lit(None).cast(rtype).alias("__rf"),
     )
-    f = fwd.select("__asof_id", F.struct(*payload, F.col("__asof_dt")).alias("__f"))
-    bt, ft = F.col("__b.__asof_dt"), F.col("__f.__asof_dt")
+    rf = rbase.select(
+        *by_cols, t_r.alias("__t"), F.lit(ord_f).alias("__ord"), "__rk",
+        F.lit(None).cast(rtype).alias("__rb"), rstruct.alias("__rf"),
+    )
+    ltype_df = left.select(F.struct(*left.columns).alias("__l"))
+    ltype = ltype_df.schema["__l"].dataType
+    l_ = left.select(
+        *by_cols, t_l.alias("__t"), F.lit(1).alias("__ord"), F.lit(0).alias("__rk"),
+        F.lit(None).cast(rtype).alias("__rb"), F.lit(None).cast(rtype).alias("__rf"),
+        F.struct(*left.columns).alias("__l"),
+    )
+    u = (
+        rb.withColumn("__l", F.lit(None).cast(ltype))
+        .unionByName(rf.withColumn("__l", F.lit(None).cast(ltype)))
+        .unionByName(l_)
+    )
+    part = by_cols or [F.lit(1)]
+    order = [F.col("__t").asc(), F.col("__ord").asc(), F.col("__rk").asc()]
+    wb = Window.partitionBy(*part).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(*part).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    m = (
+        u.withColumn("__b", F.last("__rb", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__rf", ignorenulls=True).over(wf))
+        .filter(F.col("__ord") == 1)
+    )
+    bt = F.abs(F.col("__t").cast("double") - F.col("__b.__rt"))
+    ft = F.abs(F.col("__t").cast("double") - F.col("__f.__rt"))
+    if tolerance is not None:
+        m = m.withColumn("__b", F.when(bt <= F.lit(float(tolerance)), F.col("__b")))
+        m = m.withColumn("__f", F.when(ft <= F.lit(float(tolerance)), F.col("__f")))
     pick_b = F.when(ft.isNull(), F.lit(True)).when(bt.isNull(), F.lit(False)).otherwise(bt <= ft)
     best = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
-    return (
-        b.join(f, on="__asof_id")
-        .withColumn("__best", best)
-        .select(
-            *[c for c in left.columns],
-            *[F.col(f"__best.{c}").alias(c) for c in payload],
-        )
+    return m.withColumn("__best", best).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__best.{c}").alias(c) for c in payload],
     )

@@ -133,6 +133,11 @@ def minhash_lsh_candidates(
     jaccard_est) with id_a < id_b; jaccard_est = fraction of matching
     signature positions.
     """
+    if not 0 < bands <= num_perm:
+        raise ValueError(f"bands must be in (0, num_perm={num_perm}], got {bands}")
+    if num_perm % bands != 0:
+        # rows-per-band would silently drop trailing signature positions
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows = num_perm // bands
     sig_df = minhash_signature(df, text_col, num_perm, shingle_n, id_col=id_col).select(
         F.col(id_col).alias("__id"), "minhash"
@@ -422,6 +427,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codegen_max_terms: int = 20_000,
+    max_compare: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
@@ -446,6 +452,18 @@ def semantic_dedup(
     paper runs ~11k clusters on 440M examples); pass precomputed
     ``centers`` (e.g. from :func:`kmeans_centers` on a sample) to skip
     the in-line Lloyd iterations.
+
+    ``max_compare`` is the per-cluster safety valve (the paper's own
+    lever — SemDeDup subsamples oversized clusters): each member is
+    verified against at most the ``max_compare`` EARLIEST-ranked
+    earlier members of its cluster, so a ballooned cluster costs
+    O(max_compare * size) comparisons instead of O(size^2). Clusters
+    with <= ``max_compare`` + 1 members are judged EXACTLY (every
+    earlier member ranks within the cap), so the cap only relaxes the
+    drop rule on oversized clusters — capped ``is_kept`` is always a
+    superset of the exact keep-set. Rank order (centroid_cosine asc)
+    means the deduplicators are exactly the members the keep rule
+    favors.
 
     Returns one row per input row: (id_col, cluster_id,
     centroid_cosine, is_kept). Zero-norm vectors can't be placed on the
@@ -491,6 +509,10 @@ def semantic_dedup(
         "cluster_id", F.col("__v").alias("__ev"), F.col("__n").alias("__en"),
         F.col("__r").alias("__er"),
     )
+    if max_compare is not None:
+        if max_compare < 1:
+            raise ValueError(f"max_compare must be >= 1, got {max_compare}")
+        earlier = earlier.filter(F.col("__er") <= max_compare)
     dot = F.aggregate(F.zip_with("__lv", "__ev", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     dropped = (
         later.join(earlier, on="cluster_id")
@@ -572,10 +594,14 @@ def line_dedup(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    # F.split takes a Java regex; \Q...\E quotes the delimiter so '.'
+    # or '|' split literally (array_join on the rebuild side is literal)
     lines = (
         docs.select(
             F.col(id_col).alias("__did"),
-            F.posexplode(F.split(F.col(text_col), delimiter)).alias("__pos", "__line"),
+            F.posexplode(F.split(F.col(text_col), "\\Q" + delimiter + "\\E")).alias(
+                "__pos", "__line"
+            ),
         )
         .withColumn("__t", F.trim(F.col("__line")))
         .withColumn("__k", F.md5(F.col("__t")))

@@ -148,8 +148,11 @@ def dsir_log_weights(
     @pandas_udf("double")
     def _score(bucket_arrays: pd.Series) -> pd.Series:
         r = ratio_bc.value
+        # NULL text (e.g. a missing JSONL key) arrives as a None array
         return bucket_arrays.map(
-            lambda bs: float(r[np.asarray(bs, dtype=np.int64)].sum()) if len(bs) else 0.0
+            lambda bs: float(r[np.asarray(bs, dtype=np.int64)].sum())
+            if bs is not None and len(bs)
+            else 0.0
         )
 
     return raw.withColumn(
@@ -224,8 +227,11 @@ def lm_cross_entropy(
     @pandas_udf("double")
     def _xent(bucket_arrays: pd.Series) -> pd.Series:
         v = lp_bc.value
+        # NULL text (e.g. a missing JSONL key) arrives as a None array
         return bucket_arrays.map(
-            lambda bs: -float(v[np.asarray(bs, dtype=np.int64)].mean()) if len(bs) else None
+            lambda bs: -float(v[np.asarray(bs, dtype=np.int64)].mean())
+            if bs is not None and len(bs)
+            else None
         )
 
     return docs.withColumn(
