@@ -47,6 +47,7 @@ def connected_components(
     dst: str = "b",
     max_iterations: int = 50,
     small_graph_edges: int = 200_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Label vertices of the undirected graph given by ``edges``.
 
@@ -76,17 +77,30 @@ def connected_components(
     one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
 
     # fast path: distinct edges small enough for the driver (self-loops
-    # kept so isolated-with-self-loop vertices stay labeled)
-    uniq = one.distinct().persist()
-    if uniq.limit(small_graph_edges + 1).count() <= small_graph_edges:
-        labels = _union_find_components((r[0], r[1]) for r in uniq.collect())
-        uniq.unpersist()
+    # kept so isolated-with-self-loop vertices stay labeled). A caller
+    # who already knows the (upper bound on the) distinct edge count
+    # passes ``edge_count`` and skips the size-probe job + persist
+    # entirely; otherwise ONE count() action on the cached distinct
+    # edges decides, and the same cache feeds the collect.
+    if edge_count is not None and edge_count <= small_graph_edges:
+        pairs = one.distinct().collect()
         spark = edges.sparkSession
         vtype = edges.schema[src].dataType.simpleString()
+        labels = _union_find_components((r[0], r[1]) for r in pairs)
         if not labels:
             return spark.createDataFrame([], f"vertex {vtype}, component {vtype}")
         return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
-    uniq.unpersist()
+    if edge_count is None:
+        uniq = one.distinct().persist()
+        if uniq.count() <= small_graph_edges:
+            labels = _union_find_components((r[0], r[1]) for r in uniq.collect())
+            uniq.unpersist()
+            spark = edges.sparkSession
+            vtype = edges.schema[src].dataType.simpleString()
+            if not labels:
+                return spark.createDataFrame([], f"vertex {vtype}, component {vtype}")
+            return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
+        uniq.unpersist()
 
     # symmetrize with a map-side union; duplicate edges are harmless for
     # the min() aggregation, so no distinct (that would be a shuffle)
