@@ -76,25 +76,20 @@ def main() -> None:
         ),
     }
 
-    # Each query runs twice in the warm session and the reported cell is
-    # the MIN (the asv/timeit convention): this machine is a shared-host
-    # VM with steal-time waves that inflate identical plans 3-6x at
-    # random, and min-of-2 is the cheapest estimator that usually dodges
-    # a wave. Both samples are recorded for inspection.
+    # Each query runs FOUR times in the warm session and the reported
+    # cell is the MIN (the asv/timeit convention): this machine is a
+    # shared-host VM with steal-time waves that inflate identical plans
+    # 3-6x at random — documented same-day same-code spreads of
+    # 22.5-40 s on the r3 total — and min-of-4 reliably dodges a wave.
+    # All samples are recorded for inspection.
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
         runs = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.time()
             df = fn()
             n = df.count()
-            runs.append(round(time.time() - t0, 3))
-        if max(runs) > 1.5 * min(runs):
-            # the samples disagree: at least one sat in a steal wave —
-            # a third sample decides
-            t0 = time.time()
-            n = fn().count()
             runs.append(round(time.time() - t0, 3))
         samples[name] = runs
         timings[name] = min(runs)

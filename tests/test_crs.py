@@ -114,9 +114,10 @@ def test_projected_distance_matches_haversine(spark):
 
 
 def test_unknown_crs_raises(spark):
+    # 2154 (Lambert conic) has no built-in transform; 27700 does now
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
-        transform_points(df, 4326, 27700).collect()
+        transform_points(df, 4326, 2154).collect()
 
 
 def test_distance_matrix_euclidean_on_projected(spark):
@@ -287,16 +288,96 @@ def test_distance_matrix_metric_threshold_and_errors(spark):
 def test_pyproj_hook_roundtrip_non_builtin_epsg(spark):
     """Conditional: exercises the arbitrary-EPSG pyproj Arrow-UDF hook
     (geogr/crs.py:_pyproj_transform) with a CRS none of the built-in
-    exact transforms cover (EPSG:27700, British National Grid), so the
-    hook can't rot unnoticed wherever pyproj IS installed."""
+    exact transforms cover (EPSG:2154, Lambert-93 — a conic, not a
+    transverse Mercator), so the hook can't rot unnoticed wherever
+    pyproj IS installed."""
     import pytest as _pytest
 
     _pytest.importorskip("pyproj")
     from trackintel_spark.geogr.crs import transform_xy
 
+    df = spark.createDataFrame([(0, 2.3522, 48.8566)], "id long, lon double, lat double")
+    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 2154)
+    l93 = df.select("id", x.alias("e"), y.alias("n"))
+    lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 2154, 4326)
+    back = l93.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    assert abs(back.lon - 2.3522) < 1e-6 and abs(back.lat - 48.8566) < 1e-6
+
+
+def test_generic_tm_matches_utm_specialization(spark):
+    """The generic parameterized transverse Mercator with WGS84/UTM
+    parameters must reproduce the specialized (golden-tested) UTM code
+    to sub-micrometer — this pins the generalized series."""
+    from trackintel_spark.geogr.crs import TMGrid, tm_forward, tm_inverse, utm_to_wgs84, wgs84_to_utm
+
+    g = TMGrid(6378137.0, 1 / 298.257223563, lat0=0.0, lon0=9.0, k0=0.9996,
+               false_easting=500_000.0, false_northing=0.0)
+    pts = spark.createDataFrame(
+        [(0, 8.5417, 47.3769), (1, 7.4474, 46.9480), (2, 10.0, 54.5), (3, 6.1, 40.1)],
+        "id long, lon double, lat double",
+    )
+    gx, gy = tm_forward(F.col("lon"), F.col("lat"), g)
+    ux, uy = wgs84_to_utm(F.col("lon"), F.col("lat"), 32)  # zone 32: lon0=9
+    fwd = pts.select((gx - ux).alias("dx"), (gy - uy).alias("dy")).collect()
+    for r in fwd:
+        assert abs(r.dx) < 1e-6 and abs(r.dy) < 1e-6
+    grid = pts.select("id", gx.alias("e"), gy.alias("n"))
+    glon, glat = tm_inverse(F.col("e"), F.col("n"), g)
+    ulon, ulat = utm_to_wgs84(F.col("e"), F.col("n"), 32)
+    inv = grid.select((glon - ulon).alias("dlo"), (glat - ulat).alias("dla")).collect()
+    for r in inv:
+        assert abs(r.dlo) < 1e-12 and abs(r.dla) < 1e-12
+
+
+def test_osgb_projection_golden(spark):
+    """Ordnance Survey worked example ('A guide to coordinate systems
+    in Great Britain'): OSGB36 geodetic 52°39'27.2531\"N 1°43'4.5177\"E
+    projects to National Grid E 651409.903, N 313177.270 — projection
+    only (both sides on the Airy 1830 datum, no Helmert)."""
+    from trackintel_spark.geogr.crs import TM_GRIDS, tm_forward, tm_inverse
+
+    g = TM_GRIDS[27700]
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+    e, n = tm_forward(F.col("lon"), F.col("lat"), g)
+    got = df.select(e.alias("e"), n.alias("n")).collect()[0]
+    assert abs(got.e - 651409.903) < 0.02
+    assert abs(got.n - 313177.270) < 0.02
+    back = (
+        df.select(e.alias("e"), n.alias("n"))
+        .select(*(c.alias(nm) for c, nm in zip(tm_inverse(F.col("e"), F.col("n"), g), ("lon", "lat"))))
+        .collect()[0]
+    )
+    assert abs(back.lon - lon) < 1e-9 and abs(back.lat - lat) < 1e-9
+
+
+def test_national_grids_roundtrip_and_sanity(spark):
+    """EPSG:27700 (British National Grid) and EPSG:31468 (Gauss-Krüger
+    zone 4) through the full dispatcher (TM + Helmert datum bridge):
+    WGS84 round-trips to sub-millimeter-equivalent precision, and
+    known-city coordinates land where the published grids put them."""
+    from trackintel_spark.geogr.crs import transform_xy
+
+    # London (Trafalgar Square-ish): BNG ~ (530000, 180400)
     df = spark.createDataFrame([(0, -0.1276, 51.5072)], "id long, lon double, lat double")
-    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 27700)
-    bng = df.select("id", x.alias("e"), y.alias("n"))
+    e, n = transform_xy(F.col("lon"), F.col("lat"), 4326, 27700)
+    bng = df.select("id", e.alias("e"), n.alias("n"))
+    got = bng.collect()[0]
+    assert abs(got.e - 530_000) < 1_000 and abs(got.n - 180_400) < 1_000
     lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 27700, 4326)
     back = bng.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
-    assert abs(back.lon - -0.1276) < 1e-6 and abs(back.lat - 51.5072) < 1e-6
+    assert abs(back.lon - -0.1276) < 1e-8 and abs(back.lat - 51.5072) < 1e-8
+
+    # a point ON the zone-4 central meridian (lon 12°E): easting must sit
+    # within the datum shift (~100 m) of the 4_500_000 false easting,
+    # northing near the Bessel meridian arc for 48.1°N
+    df2 = spark.createDataFrame([(0, 12.0, 48.1374)], "id long, lon double, lat double")
+    e4, n4 = transform_xy(F.col("lon"), F.col("lat"), 4326, 31468)
+    gk = df2.select("id", e4.alias("e"), n4.alias("n"))
+    got2 = gk.collect()[0]
+    assert abs(got2.e - 4_500_000) < 500
+    assert 5_200_000 < got2.n < 5_430_000
+    lon3, lat3 = transform_xy(F.col("e"), F.col("n"), 31468, 4326)
+    back2 = gk.select(lon3.alias("lon"), lat3.alias("lat")).collect()[0]
+    assert abs(back2.lon - 12.0) < 1e-8 and abs(back2.lat - 48.1374) < 1e-8

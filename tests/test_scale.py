@@ -931,3 +931,25 @@ def test_line_dedup_regex_delimiter_is_literal(spark):
     out = {r.doc_id: r.text for r in line_dedup(docs, min_count=2, delimiter="|").collect()}
     assert out[0] == "keep me alone|this boilerplate line repeats"
     assert out[1] == "another unique line"
+
+
+def test_embedding_cosine_dedup_lsh_mode(spark):
+    """method='lsh' (the approximate billion-scale escape hatch) must
+    keep precision 1 (every emitted pair verified >= threshold) and
+    catch planted exact duplicates (identical vectors share every sign
+    bucket)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vs = rng.standard_normal((40, 16))
+    vs[1] = vs[0]  # exact duplicate
+    vs[3] = vs[2]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = dedup_embedding_cosine(df, threshold=0.99, method="lsh", n_planes=8).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    for r in got:
+        assert r.cosine >= 0.99

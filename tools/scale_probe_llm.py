@@ -97,15 +97,67 @@ def run_semantic_dedup(spark, n: int, max_compare: int | None = None) -> dict:
     from trackintel_spark.scale import semantic_dedup
 
     centers = blob_centers(max(64, n // 500))
+    # materialize the synthetic input BEFORE the clock: the generator's
+    # 2*dim xxhash calls per row would otherwise re-run inside the
+    # operator DAG on every branch evaluation and dominate the timing
+    inp = vecs_input(spark, n, centers).localCheckpoint()
     t0 = time.time()
-    out = semantic_dedup(
-        vecs_input(spark, n, centers), threshold=0.995, centers=centers, max_compare=max_compare
-    )
+    out = semantic_dedup(inp, threshold=0.995, centers=centers, max_compare=max_compare)
     kept = out.filter("is_kept").count()
     w = time.time() - t0
     return {
         "op": "semantic_dedup", "rows": n, "wall_s": round(w, 1), "kept": kept,
         "rows_per_s": int(n / w), "max_compare": max_compare,
+    }
+
+
+def aniso_unit_vecs_input(spark, n: int, dim: int = 64, group: int = 4):
+    """Anisotropic unit-norm embedding stand-in: groups of ``group``
+    consecutive ids share a base direction whose spectrum decays
+    exp(-j/24) (real sentence/CLIP embeddings concentrate variance in a
+    few directions), plus small per-row noise — intra-group cosine
+    ~0.99 (planted near-dups), inter-group cosine far below 0.95."""
+    import math as _math
+
+    base = (F.col("id") / group).cast("long")
+    comps = []
+    for j in range(dim):
+        scale = _math.exp(-j / 24.0)
+        ctr = (
+            (F.pmod(F.xxhash64(base, F.lit(j)), F.lit(2001)).cast("double") - 1000.0) / 1000.0
+        ) * scale
+        noise = (
+            (F.pmod(F.xxhash64("id", F.lit(j), F.lit(7)), F.lit(2001)).cast("double") - 1000.0)
+            / 1000.0
+        ) * 0.02
+        comps.append(ctr + noise)
+    raw = F.array(*comps)
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(raw, lambda x: x / nrm).alias("embedding"),
+    )
+
+
+def run_embedding_dedup(
+    spark, n: int, method: str = "exact", threshold: float = 0.95, n_planes: int = 20
+) -> dict:
+    """dedup_embedding_cosine on UNIT-NORM anisotropic vectors — the
+    case where the old L2-norm banding degenerated to all-pairs.
+    method='exact' (lossless PCA banding) is the moderate-N / verifier
+    path; method='lsh' with ~log2(N) planes is the 1M+ scale path
+    (candidates ~ N * probes, not a shared-cell quadratic)."""
+    from trackintel_spark.scale import dedup_embedding_cosine
+
+    inp = aniso_unit_vecs_input(spark, n).localCheckpoint()
+    t0 = time.time()
+    pairs = dedup_embedding_cosine(
+        inp, threshold=threshold, method=method, n_planes=n_planes
+    ).count()
+    w = time.time() - t0
+    return {
+        "op": "embedding_dedup", "rows": n, "wall_s": round(w, 1), "pairs": int(pairs),
+        "rows_per_s": int(n / w), "method": method,
     }
 
 

@@ -176,6 +176,214 @@ def wgs84_to_ch1903(lon: Column, lat: Column) -> tuple[Column, Column]:
     return e, n
 
 
+# -- generic transverse Mercator (any ellipsoid / national grid) -------------
+#
+# The UTM code above is WGS84-specialized; the functions below take the
+# full parameter set (ellipsoid a/f, origin lat0/lon0, scale k0, false
+# easting/northing) — the Snyder series generalizes directly, covering
+# most national grids (British National Grid, Gauss-Krüger, ...). For
+# grids on non-WGS84 datums a 7-parameter Helmert transformation
+# (position-vector convention, via geocentric XYZ with Bowring's
+# closed-form inverse) bridges to WGS84 — all pure Column expressions.
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TMGrid:
+    """A transverse-Mercator national grid + its datum bridge.
+
+    ``helmert_to_wgs84`` = (tx_m, ty_m, tz_m, rx_arcsec, ry_arcsec,
+    rz_arcsec, scale_ppm) in the position-vector convention, applied
+    geocentrically from the grid's datum to WGS84; None = the grid's
+    datum IS WGS84.
+    """
+
+    a: float
+    f: float
+    lat0: float
+    lon0: float
+    k0: float
+    false_easting: float
+    false_northing: float
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _arc(phi: Column, a: float, e2: float) -> Column:
+    e4, e6 = e2**2, e2**3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * F.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * F.sin(4 * phi)
+        - (35 * e6 / 3072) * F.sin(6 * phi)
+    )
+
+
+def _arc_scalar(phi: float, a: float, e2: float) -> float:
+    e4, e6 = e2**2, e2**3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+        - (35 * e6 / 3072) * math.sin(6 * phi)
+    )
+
+
+def tm_forward(lon: Column, lat: Column, g: TMGrid) -> tuple[Column, Column]:
+    """Geodetic (on the grid's own datum) -> grid easting/northing
+    (Snyder 8-9..8-13 with arbitrary ellipsoid/origin/scale)."""
+    a_, e2 = g.a, g.e2
+    ep2 = e2 / (1 - e2)
+    lam0 = math.radians(g.lon0)
+    m0 = _arc_scalar(math.radians(g.lat0), a_, e2)
+    phi = F.radians(lat)
+    lam = F.radians(lon)
+    sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = a_ / F.sqrt(1 - e2 * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = ep2 * cos_p * cos_p
+    aa = (lam - lam0) * cos_p
+    a2 = aa * aa
+    a3, a4 = a2 * aa, a2 * a2
+    a5, a6 = a4 * aa, a4 * a2
+    x = g.k0 * n * (aa + (1 - t + c) * a3 / 6 + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * a5 / 120)
+    y = g.k0 * (
+        _arc(phi, a_, e2) - m0
+        + n * tan_p * (a2 / 2 + (5 - t + 9 * c + 4 * c * c) * a4 / 24
+                       + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * a6 / 720)
+    )
+    return x + g.false_easting, y + g.false_northing
+
+
+def tm_inverse(x: Column, y: Column, g: TMGrid) -> tuple[Column, Column]:
+    """Grid easting/northing -> geodetic lon/lat on the grid's own
+    datum (Snyder 8-17..8-25, footpoint latitude)."""
+    a_, e2 = g.a, g.e2
+    ep2 = e2 / (1 - e2)
+    lam0 = math.radians(g.lon0)
+    m0 = _arc_scalar(math.radians(g.lat0), a_, e2)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    m = (y - g.false_northing) / g.k0 + m0
+    mu = m / (a_ * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + (151 * e1**3 / 96) * F.sin(6 * mu)
+        + (1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = ep2 * cos1 * cos1
+    t1 = tan1 * tan1
+    n1 = a_ / F.sqrt(1 - e2 * sin1 * sin1)
+    r1 = a_ * (1 - e2) / F.pow(1 - e2 * sin1 * sin1, 1.5)
+    d = (x - g.false_easting) / (n1 * g.k0)
+    d2 = d * d
+    d3, d4 = d2 * d, d2 * d2
+    d5, d6 = d4 * d, d4 * d2
+    phi = phi1 - (n1 * tan1 / r1) * (
+        d2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * d6 / 720
+    )
+    lam = (
+        d
+        - (1 + 2 * t1 + c1) * d3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) * d5 / 120
+    ) / cos1
+    return F.degrees(F.lit(lam0) + lam), F.degrees(phi)
+
+
+def _geodetic_to_xyz(lon: Column, lat: Column, a: float, e2: float) -> tuple[Column, Column, Column]:
+    phi, lam = F.radians(lat), F.radians(lon)
+    sin_p, cos_p = F.sin(phi), F.cos(phi)
+    nu = a / F.sqrt(1 - e2 * sin_p * sin_p)
+    return nu * cos_p * F.cos(lam), nu * cos_p * F.sin(lam), nu * (1 - e2) * sin_p
+
+
+def _xyz_to_geodetic(x: Column, y: Column, z: Column, a: float, e2: float) -> tuple[Column, Column]:
+    # Bowring's closed-form inverse: sub-mm at earth-surface heights
+    b = a * math.sqrt(1 - e2)
+    ep2 = e2 / (1 - e2)
+    p = F.sqrt(x * x + y * y)
+    theta = F.atan2(z * a, p * b)
+    st, ct = F.sin(theta), F.cos(theta)
+    phi = F.atan2(z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct)
+    lam = F.atan2(y, x)
+    return F.degrees(lam), F.degrees(phi)
+
+
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def _helmert(x: Column, y: Column, z: Column, p: tuple, invert: bool = False):
+    tx, ty, tz, rx, ry, rz, s_ppm = p
+    if invert:
+        # the linearized position-vector transform's inverse is the
+        # negated parameter set (second-order error ~1e-9 * |t|, < 1 um)
+        tx, ty, tz, rx, ry, rz, s_ppm = (-v for v in p)
+    rx, ry, rz = rx * _ARCSEC, ry * _ARCSEC, rz * _ARCSEC
+    m = 1.0 + s_ppm * 1e-6
+    return (
+        tx + m * (x - rz * y + ry * z),
+        ty + m * (rz * x + y - rx * z),
+        tz + m * (-ry * x + rx * y + z),
+    )
+
+
+# ellipsoids (public geodetic constants)
+_AIRY_1830 = (6377563.396, 1 / 299.3249646)
+_BESSEL_1841 = (6377397.155, 1 / 299.1528128)
+
+# OSGB36 -> WGS84 (the standard published 7-parameter set, ~2 m)
+_OSGB36_HELMERT = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+# DHDN (Potsdam) -> WGS84 (BKG national set, ~3 m)
+_DHDN_HELMERT = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+
+#: EPSG -> grid parameters; extend via :func:`register_tm_grid`.
+TM_GRIDS: dict[int, TMGrid] = {
+    # British National Grid (OSGB36)
+    27700: TMGrid(*_AIRY_1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                  false_easting=400_000.0, false_northing=-100_000.0,
+                  helmert_to_wgs84=_OSGB36_HELMERT),
+}
+# German Gauss-Krüger zones 2-5 (DHDN): lon0 = 3 * zone, FE = zone e6 + 500k
+for _z, _epsg in ((2, 31466), (3, 31467), (4, 31468), (5, 31469)):
+    TM_GRIDS[_epsg] = TMGrid(
+        *_BESSEL_1841, lat0=0.0, lon0=3.0 * _z, k0=1.0,
+        false_easting=_z * 1_000_000.0 + 500_000.0, false_northing=0.0,
+        helmert_to_wgs84=_DHDN_HELMERT,
+    )
+
+
+def register_tm_grid(epsg: int, grid: TMGrid) -> None:
+    """Register a custom transverse-Mercator grid so
+    :func:`transform_points` / :func:`transform_xy` accept its EPSG
+    code — the extension hook for national grids not built in."""
+    TM_GRIDS[epsg] = grid
+
+
+def _tm_grid_to_wgs84(x: Column, y: Column, g: TMGrid) -> tuple[Column, Column]:
+    lon, lat = tm_inverse(x, y, g)
+    if g.helmert_to_wgs84 is None:
+        return lon, lat
+    gx, gy, gz = _geodetic_to_xyz(lon, lat, g.a, g.e2)
+    wx, wy, wz = _helmert(gx, gy, gz, g.helmert_to_wgs84)
+    return _xyz_to_geodetic(wx, wy, wz, _A, _E2)
+
+
+def _wgs84_to_tm_grid(lon: Column, lat: Column, g: TMGrid) -> tuple[Column, Column]:
+    if g.helmert_to_wgs84 is not None:
+        wx, wy, wz = _geodetic_to_xyz(lon, lat, _A, _E2)
+        gx, gy, gz = _helmert(wx, wy, wz, g.helmert_to_wgs84, invert=True)
+        lon, lat = _xyz_to_geodetic(gx, gy, gz, g.a, g.e2)
+    return tm_forward(lon, lat, g)
+
+
 # -- dispatcher ---------------------------------------------------------------
 
 def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
@@ -191,8 +399,11 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
     if z is not None:
         zone, north = z
         return utm_to_wgs84(x, y if north else y - 10000000.0, zone)
+    if epsg in TM_GRIDS:
+        return _tm_grid_to_wgs84(x, y, TM_GRIDS[epsg])
     raise NotImplementedError(
-        f"EPSG:{epsg} has no built-in transform; install pyproj for arbitrary CRS support"
+        f"EPSG:{epsg} has no built-in transform; register_tm_grid() covers most "
+        f"national grids, or install pyproj for arbitrary CRS support"
     )
 
 
@@ -211,8 +422,11 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
         zone, north = z
         x, y = wgs84_to_utm(lon, lat, zone)
         return x, (y if north else y + 10000000.0)
+    if epsg in TM_GRIDS:
+        return _wgs84_to_tm_grid(lon, lat, TM_GRIDS[epsg])
     raise NotImplementedError(
-        f"EPSG:{epsg} has no built-in transform; install pyproj for arbitrary CRS support"
+        f"EPSG:{epsg} has no built-in transform; register_tm_grid() covers most "
+        f"national grids, or install pyproj for arbitrary CRS support"
     )
 
 

@@ -288,6 +288,10 @@ def dedup_embedding_cosine(
     threshold: float = 0.95,
     n_axes: int = 2,
     seed: int = 42,
+    pca_sample: int = 2048,
+    method: str = "exact",
+    n_planes: int = 12,
+    n_filter_axes: int = 6,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity — EXACT
     output (every pair with cos >= ``threshold``), with a LOSSLESS
@@ -297,22 +301,47 @@ def dedup_embedding_cosine(
     ``cos(a,b) >= t  <=>  ||a_hat - b_hat|| <= w := sqrt(2 - 2t)``.
     Projection onto any unit axis is 1-Lipschitz, so a qualifying
     pair's normalized projections differ by <= ``w`` on EVERY axis —
-    band each of ``n_axes`` seeded random unit axes with width ``w``
-    and probe the 3^n_axes neighbor cells: no qualifying pair can
-    escape, and the exact-cosine filter verifies every candidate. (The
-    earlier L2-norm banding pruned NOTHING on unit-norm embeddings —
-    the common case for sentence/CLIP vectors — degenerating to an
-    all-pairs join; direction banding prunes hardest exactly there.)
+    band ``n_axes`` unit axes with width ``w`` and probe the 3^n_axes
+    neighbor cells: no qualifying pair can escape, and the exact-cosine
+    filter verifies every candidate. (The earlier L2-norm banding
+    pruned NOTHING on unit-norm embeddings — the common case for
+    sentence/CLIP vectors — degenerating to an all-pairs join;
+    direction banding prunes hardest exactly there.)
 
-    Pruning power scales with the threshold: t = 0.95 gives w ~ 0.32
-    (~6 bands/axis — up to ~36x fewer candidates at n_axes=2); low
-    thresholds widen the bands and degrade gracefully toward all-pairs
-    while staying exact (a low-threshold cosine join is inherently
-    dense). Zero-norm vectors have no direction and emit no pairs,
-    matching the previous NULL-cosine behavior.
+    Axis choice governs PRUNING only, never correctness, so the axes
+    are the top principal directions of a bounded deterministic sample
+    (``pca_sample`` rows by smallest ``xxhash64(id, seed)``; one
+    dim x dim driver eigendecomposition): real embedding corpora are
+    strongly anisotropic, and the top-variance directions spread the
+    projections far wider than seeded random axes (onto which isotropic
+    high-dim mass concentrates within ~1/sqrt(dim)). Beyond the banded
+    join key, ``n_filter_axes`` further PCA projections ride along as a
+    SCALAR prefilter — |Δprojection| <= w per axis is necessary, and r
+    scalar compares reject most surviving candidates for ~1% of the
+    full dim-length dot each would otherwise cost. Pruning also scales
+    with the threshold: t = 0.95 gives w ~ 0.32; low thresholds widen
+    bands and degrade gracefully toward all-pairs while staying exact.
+    Zero-norm vectors have no direction and emit no pairs, matching the
+    previous NULL-cosine behavior.
+
+    Honest scaling guidance: a LOSSLESS candidate set over directions
+    that are not strongly clustered is inherently near-quadratic — no
+    axis choice changes that. method='exact' is the right tool for the
+    tight near-dup regime (t >= ~0.98), strongly clustered corpora, or
+    as the verifier behind another candidate generator
+    (:func:`semantic_dedup` clusters, MinHash, ...). At millions of
+    weakly-clustered vectors use ``method='lsh'``: sign-LSH buckets
+    over ``n_planes`` random hyperplanes with single-bit-flip
+    multiprobe — APPROXIMATE (recall < 1 by design) but candidate
+    volume is ~N * (n_planes+1) * bucket-occupancy, controlled by
+    ``n_planes`` (~log2(N) keeps buckets near-singleton) independent of
+    data anisotropy. Exact cosine still verifies every emitted pair, so
+    precision stays 1 in both modes.
     """
     if n_axes < 1:
         raise ValueError(f"n_axes must be >= 1, got {n_axes}")
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
     import numpy as np
 
     w = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0))) or 1e-9
@@ -321,46 +350,119 @@ def dedup_embedding_cosine(
         dim = 1
     else:
         dim = first["d"]
-    rng = np.random.RandomState(seed)
-    axes = rng.standard_normal((n_axes, dim))
-    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
 
     v = emb.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__norm", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
     v = v.filter(F.col("__norm") > 0)
-    proj = [
-        F.aggregate(
-            F.zip_with("__v", F.array(*[F.lit(float(x)) for x in axes[i]]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.col("__norm")
-        for i in range(n_axes)
-    ]
-    cells = [F.floor(proj[i] / F.lit(w)).alias(f"__c{i}") for i in range(n_axes)]
-    v = v.select("__id", "__v", "__norm", *cells)
+    rng = np.random.RandomState(seed)
 
-    a = v.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__norm").alias("__na"),
-        F.concat_ws(",", *[F.col(f"__c{i}") for i in range(n_axes)]).alias("__cell"),
-    )
-    # b probes its own cell plus every neighbor cell (3^n_axes keys)
-    offsets = [[]]
-    for _ in range(n_axes):
-        offsets = [o + [d] for o in offsets for d in (-1, 0, 1)]
-    probe_keys = F.array(
-        *[
-            F.concat_ws(",", *[F.col(f"__c{i}") + F.lit(o[i]) for i in range(n_axes)])
-            for o in offsets
+    if method == "lsh":
+        planes = rng.standard_normal((n_planes, dim))
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with("__v", F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in planes
         ]
-    )
-    b = v.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb"),
-        F.explode(probe_keys).alias("__cell"),
-    )
+        v = v.withColumn("__b0", F.concat(*bits))
+        a = v.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+            F.col("__norm").alias("__na"), F.col("__b0").alias("__cell"),
+        )
+        flips = F.array(
+            F.col("__b0"),
+            *[
+                F.concat(
+                    F.substring("__b0", 1, i),
+                    F.when(F.substring("__b0", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring("__b0", i + 2, n_planes - i - 1),
+                )
+                for i in range(n_planes)
+            ],
+        )
+        b = v.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col("__norm").alias("__nb"), F.explode(flips).alias("__cell"),
+        )
+    else:
+        # principal axes of a bounded sample of normalized vectors; fall
+        # back to seeded random axes when the sample is degenerate
+        samp = (
+            emb.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+            .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)), F.col("__id"))
+            .limit(max(pca_sample, n_axes))
+            .collect()
+        )
+        n_want = min(n_axes + max(n_filter_axes, 0), dim)
+        axes = rng.standard_normal((max(n_want, n_axes), dim))
+        if samp:
+            m = np.asarray([r["__v"] for r in samp], dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            mask = nrm[:, 0] > 0
+            m = m[mask] / nrm[mask]
+            if len(m) >= 2:
+                cov = np.cov(m, rowvar=False)
+                eigval, eigvec = np.linalg.eigh(np.atleast_2d(cov))
+                top = eigvec[:, np.argsort(eigval)[::-1][:n_want]].T  # (n_want, dim)
+                if top.shape[1] == dim and len(top) >= n_axes and np.all(np.isfinite(top)):
+                    axes = top
+        axes = axes / np.linalg.norm(axes, axis=1, keepdims=True)
+
+        # band on the first n_axes projections; carry n_filter extra
+        # PCA projections as a SCALAR prefilter — a qualifying pair
+        # differs by <= w on every unit-axis projection (1-Lipschitz),
+        # and r scalar compares reject most candidates for ~1% of the
+        # cost of the full dim-length dot they would otherwise pay
+        n_proj = min(len(axes), n_axes + n_filter_axes)
+        proj = [
+            F.aggregate(
+                F.zip_with("__v", F.array(*[F.lit(float(x)) for x in axes[i]]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.col("__norm")
+            for i in range(n_proj)
+        ]
+        cells = [F.floor(proj[i] / F.lit(w)).alias(f"__c{i}") for i in range(n_axes)]
+        extras = [proj[i].alias(f"__p{i}") for i in range(n_axes, n_proj)]
+        v = v.select("__id", "__v", "__norm", *cells, *extras)
+
+        a = v.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__norm").alias("__na"),
+            F.concat_ws(",", *[F.col(f"__c{i}") for i in range(n_axes)]).alias("__cell"),
+            *[F.col(f"__p{i}").alias(f"__pa{i}") for i in range(n_axes, n_proj)],
+        )
+        # b probes its own cell plus every neighbor cell (3^n_axes keys)
+        offsets = [[]]
+        for _ in range(n_axes):
+            offsets = [o + [d] for o in offsets for d in (-1, 0, 1)]
+        probe_keys = F.array(
+            *[
+                F.concat_ws(",", *[F.col(f"__c{i}") + F.lit(o[i]) for i in range(n_axes)])
+                for o in offsets
+            ]
+        )
+        b = v.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__norm").alias("__nb"),
+            F.explode(probe_keys).alias("__cell"),
+            *[F.col(f"__p{i}").alias(f"__pb{i}") for i in range(n_axes, n_proj)],
+        )
+        prefilter = [
+            F.abs(F.col(f"__pa{i}") - F.col(f"__pb{i}")) <= F.lit(w)
+            for i in range(n_axes, n_proj)
+        ]
     pairs = a.join(b, on="__cell").filter(F.col("id_a") < F.col("id_b"))
+    if method == "exact":
+        for cond in prefilter:
+            pairs = pairs.filter(cond)
     dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("__na") * F.col("__nb"))
     return (
@@ -428,6 +530,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     codegen_max_terms: int = 20_000,
     max_compare: int | None = None,
+    materialize_ranked: bool = False,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
@@ -465,6 +568,15 @@ def semantic_dedup(
     means the deduplicators are exactly the members the keep rule
     favors.
 
+    ``materialize_ranked=True`` localCheckpoints the assigned+ranked
+    frame: the drop rule consumes it through THREE branches whose
+    divergent column pruning defeats Catalyst's exchange reuse, so by
+    default the assignment scan re-executes per branch (cheap relative
+    to the pair join here, but a multiplier on the corpus scan when the
+    input is itself expensive to recompute). The checkpoint costs
+    executor storage of N x (dim + 4) doubles — opt in when the input
+    lineage is heavy, leave off when storage is the scarcer resource.
+
     Returns one row per input row: (id_col, cluster_id,
     centroid_cosine, is_kept). Zero-norm vectors can't be placed on the
     sphere: they come back with NULL cluster_id/centroid_cosine and
@@ -500,6 +612,8 @@ def semantic_dedup(
         F.col("centroid_cosine").asc(), F.col("__id").asc()
     )
     ranked = assigned.withColumn("__r", F.row_number().over(w))
+    if materialize_ranked:
+        ranked = ranked.localCheckpoint()
 
     later = ranked.select(
         "cluster_id", F.col("__id").alias("__li"), F.col("__v").alias("__lv"),

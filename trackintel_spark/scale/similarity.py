@@ -186,14 +186,29 @@ def nearest_center_expr(
         import numpy as _np
         import pandas as _pd
 
+        mat = mat_bc.value  # (dim, k)
         m = _np.stack(vs.to_numpy())  # (batch, dim)
         nm = _np.linalg.norm(m, axis=1)
         nm[nm == 0] = 1.0
-        sims = (m / nm[:, None]) @ mat_bc.value  # (batch, k)
-        # argmax takes the FIRST maximum — the min-id tie-break
-        return _pd.DataFrame(
-            {"cid": _np.argmax(sims, axis=1).astype("int64"), "ccos": _np.max(sims, axis=1)}
-        )
+        m = m / nm[:, None]
+        n_rows, n_k = len(m), mat.shape[1]
+        cid = _np.empty(n_rows, dtype="int64")
+        ccos = _np.empty(n_rows, dtype="float64")
+        # chunk the matmul so the (rows x k) similarity temp stays a
+        # small REUSED buffer: one (batch x k) allocation per batch is
+        # hundreds of MB per worker at large k, and the first-touch
+        # page faults across every concurrent worker dominated the
+        # first evaluation (measured 170 s first vs 6 s warm at
+        # 1.6M x 3200 on 32 cores)
+        step = max(1, 8_000_000 // max(n_k, 1))
+        buf = _np.empty((min(step, n_rows), n_k), dtype="float64")
+        for s in range(0, n_rows, step):
+            e = min(s + step, n_rows)
+            _np.dot(m[s:e], mat, out=buf[: e - s])
+            # argmax takes the FIRST maximum — the min-id tie-break
+            cid[s:e] = _np.argmax(buf[: e - s], axis=1)
+            ccos[s:e] = buf[_np.arange(e - s), cid[s:e]]
+        return _pd.DataFrame({"cid": cid, "ccos": ccos})
 
     return _nearest(vec)
 
