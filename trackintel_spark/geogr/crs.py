@@ -384,6 +384,57 @@ def _wgs84_to_tm_grid(lon: Column, lat: Column, g: TMGrid) -> tuple[Column, Colu
     return tm_forward(lon, lat, g)
 
 
+def _transform_stages(src_epsg: int, dst_epsg: int):
+    """The src->dst coordinate pipeline as a LIST of column-list stages.
+
+    Composing the whole datum-bridged chain into one Column pair
+    (transform_xy style) blows the Catalyst tree up multiplicatively —
+    each stage references the previous stage's giant expression 10-20
+    times (series terms, Bowring trig), so three nested stages copy the
+    base tree thousands of times and analysis OOMs. Applying the stages
+    as SEPARATE projections keeps the plan linear: CollapseProject
+    refuses to merge projections whose aliases are non-cheap and
+    multiply referenced, so each stage is evaluated once per row.
+    Returns None when the pair needs no staging (plain dispatcher path).
+    """
+    gs = TM_GRIDS.get(src_epsg)
+    gd = TM_GRIDS.get(dst_epsg)
+    if gs is None and gd is None:
+        return None
+    stages = []
+    if gs is not None:
+        stages.append(lambda c, g=gs: list(tm_inverse(c[0], c[1], g)))
+        if gs.helmert_to_wgs84 is not None:
+            stages.append(lambda c, g=gs: list(_geodetic_to_xyz(c[0], c[1], g.a, g.e2)))
+            stages.append(lambda c, g=gs: list(_helmert(c[0], c[1], c[2], g.helmert_to_wgs84)))
+            stages.append(lambda c: list(_xyz_to_geodetic(c[0], c[1], c[2], _A, _E2)))
+    else:
+        stages.append(lambda c: list(_to_wgs84(c[0], c[1], src_epsg)))
+    if gd is not None:
+        if gd.helmert_to_wgs84 is not None:
+            stages.append(lambda c: list(_geodetic_to_xyz(c[0], c[1], _A, _E2)))
+            stages.append(
+                lambda c, g=gd: list(_helmert(c[0], c[1], c[2], g.helmert_to_wgs84, invert=True))
+            )
+            stages.append(lambda c, g=gd: list(_xyz_to_geodetic(c[0], c[1], c[2], g.a, g.e2)))
+        stages.append(lambda c, g=gd: list(tm_forward(c[0], c[1], g)))
+    else:
+        stages.append(lambda c: list(_from_wgs84(c[0], c[1], dst_epsg)))
+    return stages
+
+
+def _apply_stages(df: DataFrame, stages, in_cols: list[Column]) -> tuple[DataFrame, list[str]]:
+    """Run the stage chain over ``df`` as successive projections on
+    temporary columns; returns (df, [x_col_name, y_col_name])."""
+    names = []
+    cur = list(in_cols)
+    for si, fn in enumerate(stages):
+        outs = fn([F.col(n) for n in names] if names else cur)
+        names = [f"__crs_{si}_{j}" for j in range(len(outs))]
+        df = df.withColumns({n: c for n, c in zip(names, outs)})
+    return df, names[:2]
+
+
 # -- dispatcher ---------------------------------------------------------------
 
 def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
@@ -447,28 +498,78 @@ def transform_points(
     """Reproject ``struct<lon,lat>`` geometry columns in place. The
     struct keeps its field names — downstream operators address
     ``geom.lon``/``geom.lat`` regardless of CRS, with the CRS carried as
-    metadata by convention (model/schemas)."""
+    metadata by convention (model/schemas). Datum-bridged national
+    grids (TM_GRIDS) run as STAGED projections — see
+    :func:`_transform_stages` for why the one-expression composition
+    cannot be used there.
+    """
     if src_epsg == dst_epsg:
         return df
+    stages = _transform_stages(src_epsg, dst_epsg)
     out = df
     for g in geom_cols:
         if g not in out.columns:
             continue
-        if dict(out.dtypes)[g].startswith("array"):
-            # linestring: per-vertex transform inside the array
-            out = out.withColumn(
-                g,
-                F.transform(
-                    F.col(g),
-                    lambda p: F.struct(
-                        transform_xy(p["lon"], p["lat"], src_epsg, dst_epsg)[0].alias("lon"),
-                        transform_xy(p["lon"], p["lat"], src_epsg, dst_epsg)[1].alias("lat"),
+        is_array = dict(out.dtypes)[g].startswith("array")
+        if stages is None:
+            if is_array:
+                # linestring: per-vertex transform inside the array
+                out = out.withColumn(
+                    g,
+                    F.transform(
+                        F.col(g),
+                        lambda p: F.struct(
+                            transform_xy(p["lon"], p["lat"], src_epsg, dst_epsg)[0].alias("lon"),
+                            transform_xy(p["lon"], p["lat"], src_epsg, dst_epsg)[1].alias("lat"),
+                        ),
                     ),
+                )
+            else:
+                nx, ny = transform_xy(F.col(g)["lon"], F.col(g)["lat"], src_epsg, dst_epsg)
+                out = out.withColumn(g, F.struct(nx.alias("lon"), ny.alias("lat")))
+            continue
+        if is_array:
+            # per-vertex staging can't run inside a lambda; explode to
+            # rows keyed by a per-row id + vertex index, stage, rebuild
+            # in order (one extra exchange — the price of a datum-
+            # bridged linestring reprojection)
+            col_order = list(out.columns)
+            others = [c for c in col_order if c != g]
+            keyed = out.withColumn("__crs_rid", F.monotonically_increasing_id())
+            ex = keyed.select(
+                "__crs_rid", *others, F.posexplode_outer(F.col(g)).alias("__crs_pos", "__crs_p")
+            )
+            ex, (xn, yn) = _apply_stages(
+                ex, stages, [F.col("__crs_p")["lon"], F.col("__crs_p")["lat"]]
+            )
+            ex = ex.withColumn(
+                "__crs_np",
+                F.when(
+                    F.col("__crs_p").isNotNull(),
+                    F.struct(F.col(xn).alias("lon"), F.col(yn).alias("lat")),
                 ),
             )
+            rebuilt = ex.groupBy("__crs_rid").agg(
+                *[F.first(c).alias(c) for c in others],
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__crs_pos").isNotNull(),
+                                F.struct(F.col("__crs_pos"), F.col("__crs_np").alias("p")),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ).alias(g),
+            )
+            out = rebuilt.select(*col_order)
         else:
-            nx, ny = transform_xy(F.col(g)["lon"], F.col(g)["lat"], src_epsg, dst_epsg)
-            out = out.withColumn(g, F.struct(nx.alias("lon"), ny.alias("lat")))
+            out, (xn, yn) = _apply_stages(
+                out, stages, [F.col(g)["lon"], F.col(g)["lat"]]
+            )
+            out = out.withColumn(g, F.struct(F.col(xn).alias("lon"), F.col(yn).alias("lat")))
+            out = out.drop(*[c for c in out.columns if c.startswith("__crs_")])
     return out
 
 
