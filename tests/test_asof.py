@@ -166,3 +166,34 @@ def test_asof_missing_right_column_raises(spark):
     r_df = spark.createDataFrame([(1, 1.0)], "k long, other double")
     with pytest.raises(ValueError, match="missing column"):
         asof_join(l_df, r_df, on="t", by="k")
+
+
+def test_asof_nearest_tolerance_matches_pandas(spark):
+    """direction='nearest' with a tolerance: both side matches must be
+    tolerance-gated BEFORE picking the closer one (a backward match
+    outside tolerance must not shadow a forward match inside it)."""
+    rng = np.random.RandomState(424242)
+    keys = ["a", "b"]
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.choice(keys, 50),
+            "t": rng.randint(0, 80, 50).astype("float64"),
+            "lv": np.arange(50),
+        }
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.choice(keys, 25),
+            "t": rng.randint(0, 80, 25).astype("float64"),
+            "rv": np.arange(25) * 10,
+        }
+    ).sort_values("t", kind="stable").reset_index(drop=True)
+
+    expect = pd.merge_asof(
+        left_pd, right_pd, on="t", by="k", direction="nearest", tolerance=4.0,
+        suffixes=("", "_right"),
+    )
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    got = asof_join(l_df, r_df, on="t", by="k", direction="nearest", tolerance=4.0).toPandas()
+    cols = ["k", "t", "lv", "rv"]
+    assert _sorted_records(got, cols) == _sorted_records(expect, cols)

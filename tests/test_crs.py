@@ -398,3 +398,30 @@ def test_national_grids_roundtrip_and_sanity(spark):
     rt = transform_points(transform_points(tpl, 4326, 27700), 27700, 4326).collect()[0]
     assert len(rt.geom) == 2
     assert abs(rt.geom[0]["lon"] - -0.1276) < 1e-7 and abs(rt.geom[1]["lat"] - 51.6) < 1e-7
+
+
+def test_grs80_tm_grids_roundtrip_and_sanity(spark):
+    """SWEREF99 TM (EPSG:3006) and NZTM2000 (EPSG:2193) — GRS80-based
+    frames (no Helmert bridge): round-trip to series precision, and
+    city coordinates land where the published grids put them."""
+    from trackintel_spark.geogr.crs import transform_points
+
+    # Stockholm (18.07 E, 59.33 N): SWEREF99 TM ~ (674000, 6580000)
+    df = spark.createDataFrame(
+        [(0, {"lon": 18.0686, "lat": 59.3293})], "id long, geom struct<lon:double,lat:double>"
+    )
+    sw = transform_points(df, 4326, 3006)
+    got = sw.select(F.col("geom.lon").alias("e"), F.col("geom.lat").alias("n")).collect()[0]
+    assert abs(got.e - 674_000) < 2_000 and abs(got.n - 6_580_000) < 3_000
+    back = transform_points(sw, 3006, 4326).select("geom.lon", "geom.lat").collect()[0]
+    assert abs(back.lon - 18.0686) < 1e-7 and abs(back.lat - 59.3293) < 1e-7
+
+    # Wellington (174.78 E, -41.29 S): NZTM ~ (1749000, 5428000)
+    df2 = spark.createDataFrame(
+        [(0, {"lon": 174.7772, "lat": -41.2889})], "id long, geom struct<lon:double,lat:double>"
+    )
+    nz = transform_points(df2, 4326, 2193)
+    got2 = nz.select(F.col("geom.lon").alias("e"), F.col("geom.lat").alias("n")).collect()[0]
+    assert abs(got2.e - 1_749_000) < 3_000 and abs(got2.n - 5_428_000) < 3_000
+    back2 = transform_points(nz, 2193, 4326).select("geom.lon", "geom.lat").collect()[0]
+    assert abs(back2.lon - 174.7772) < 1e-7 and abs(back2.lat - -41.2889) < 1e-7

@@ -344,12 +344,22 @@ _OSGB36_HELMERT = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
 # DHDN (Potsdam) -> WGS84 (BKG national set, ~3 m)
 _DHDN_HELMERT = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
 
+# GRS80 differs from WGS84 by <0.1 mm in flattening — datum bridge not
+# needed for GRS80-based modern national frames (SWEREF99, NZGD2000)
+_GRS80 = (6378137.0, 1 / 298.257222101)
+
 #: EPSG -> grid parameters; extend via :func:`register_tm_grid`.
 TM_GRIDS: dict[int, TMGrid] = {
     # British National Grid (OSGB36)
     27700: TMGrid(*_AIRY_1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
                   false_easting=400_000.0, false_northing=-100_000.0,
                   helmert_to_wgs84=_OSGB36_HELMERT),
+    # SWEREF99 TM (Sweden)
+    3006: TMGrid(*_GRS80, lat0=0.0, lon0=15.0, k0=0.9996,
+                 false_easting=500_000.0, false_northing=0.0),
+    # NZTM2000 (New Zealand)
+    2193: TMGrid(*_GRS80, lat0=0.0, lon0=173.0, k0=0.9996,
+                 false_easting=1_600_000.0, false_northing=10_000_000.0),
 }
 # German Gauss-Krüger zones 2-5 (DHDN): lon0 = 3 * zone, FE = zone e6 + 500k
 for _z, _epsg in ((2, 31466), (3, 31467), (4, 31468), (5, 31469)):
