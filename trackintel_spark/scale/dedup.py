@@ -19,6 +19,7 @@ Scale notes
 
 from __future__ import annotations
 
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -615,6 +616,12 @@ def semantic_dedup(
     if materialize_ranked:
         ranked = ranked.localCheckpoint()
 
+    # NOTE (measured, r4): a centroid-angle triangle-inequality
+    # prefilter (|acos(ccos_a) - acos(ccos_b)| <= acos(t)) before the
+    # dot was tried and REVERTED — it doubled the drop-join wall at
+    # 1.6M x 500-member clusters (interleaved A/B: 64 s -> 120 s) while
+    # pruning nothing where clusters are tight; the per-pair predicate
+    # cost exceeds the dot it would skip.
     later = ranked.select(
         "cluster_id", F.col("__id").alias("__li"), F.col("__v").alias("__lv"),
         F.col("__n").alias("__ln"), F.col("__r").alias("__lr"),
