@@ -367,3 +367,15 @@ def test_ivf_topk_untrained_assignment_is_map_side(spark):
     assert "CartesianProduct" not in plan
     # the only nested-loop join is queries x literal centers (bounded)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dedup_embedding_lsh_mode_is_bucket_equi_join(spark):
+    """method='lsh' must candidate-join on the sign-bucket string —
+    never a cartesian/nested-loop — like the exact projection-cell
+    path."""
+    from trackintel_spark.scale import dedup_embedding_cosine
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(dedup_embedding_cosine(emb, threshold=0.9, method="lsh", n_planes=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

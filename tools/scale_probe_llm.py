@@ -161,7 +161,7 @@ def run_embedding_dedup(
     }
 
 
-def run_asof(spark, n: int) -> dict:
+def run_asof(spark, n: int, direction: str = "backward") -> dict:
     from trackintel_spark.operators import asof_join
 
     left = spark.range(n).select(
@@ -174,10 +174,13 @@ def run_asof(spark, n: int) -> dict:
         F.col("id").alias("rv"),
     )
     t0 = time.time()
-    out = asof_join(left, right, on="t", by="k")
+    out = asof_join(left, right, on="t", by="k", direction=direction)
     matched = out.filter("rv is not null").count()
     w = time.time() - t0
-    return {"op": "asof_join", "rows": n, "wall_s": round(w, 1), "matched": matched, "rows_per_s": int(n / w)}
+    return {
+        "op": "asof_join", "rows": n, "wall_s": round(w, 1), "matched": matched,
+        "rows_per_s": int(n / w), "direction": direction,
+    }
 
 
 def run_dsir(spark, n: int) -> dict:
