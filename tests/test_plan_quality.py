@@ -379,3 +379,19 @@ def test_dedup_embedding_lsh_mode_is_bucket_equi_join(spark):
     plan = _plan(dedup_embedding_cosine(emb, threshold=0.9, method="lsh", n_planes=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_has_no_unbounded_following_frame(spark):
+    """Spark evaluates a [current, unboundedFollowing] window frame by
+    re-scanning the remaining frame per row — O(group^2), measured 10x
+    the backward scan at 40M rows. The nearest direction must express
+    its forward match as a RUNNING frame over the reversed sort."""
+    from trackintel_spark.operators import asof_join
+
+    ev = load_table(spark, SF, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", F.col("ts").alias("label_ts"), F.col("value").alias("label"))
+    plan = _plan(
+        asof_join(left, right, on="ts", by="user_id", right_on="label_ts", direction="nearest")
+    )
+    assert "unboundedfollowing" not in plan.lower()
