@@ -953,3 +953,44 @@ def test_embedding_cosine_dedup_lsh_mode(spark):
     assert (0, 1) in pairs and (2, 3) in pairs
     for r in got:
         assert r.cosine >= 0.99
+
+
+def test_embedding_cosine_dedup_null_first_vector(spark):
+    """A NULL embedding in the FIRST row used to make the dimension
+    probe return None (F.size(NULL) -> NULL) and numpy raise TypeError;
+    NULL vectors must simply be dropped like zero-norm ones."""
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0]), (2, [1.0, 1e-4, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    for method in ("exact", "lsh"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup_embedding_cosine(df, threshold=0.99, method=method).collect()
+        }
+        assert (1, 2) in got
+        assert not any(0 in pair for pair in got)
+
+
+def test_connected_components_small_probe_short_circuits(spark):
+    """The edge_count=None size gate probes via limit(n+1): the small
+    path must label correctly from the probe rows alone, and a graph
+    just over the budget must fall through to the distributed loop with
+    identical labels."""
+    from trackintel_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(100, 101), (101, 102)],
+        "a long, b long",
+    )
+    expect = {r.vertex: r.component for r in connected_components(edges, small_graph_edges=0).collect()}
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == expect
+    # budget boundary: exactly at the count -> small path; one less -> distributed
+    n_edges = edges.count()
+    at = {r.vertex: r.component for r in connected_components(edges, small_graph_edges=n_edges).collect()}
+    below = {
+        r.vertex: r.component
+        for r in connected_components(edges, small_graph_edges=n_edges - 1).collect()
+    }
+    assert at == expect and below == expect

@@ -91,16 +91,20 @@ def connected_components(
             return spark.createDataFrame([], f"vertex {vtype}, component {vtype}")
         return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
     if edge_count is None:
-        uniq = one.distinct().persist()
-        if uniq.count() <= small_graph_edges:
-            labels = _union_find_components((r[0], r[1]) for r in uniq.collect())
-            uniq.unpersist()
+        # limit(n+1) short-circuits the probe: one job that stops as soon
+        # as n+1 distinct edges exist, instead of a full distinct shuffle
+        # + count whose result the distributed path never reuses. When the
+        # graph IS small the collected rows feed union-find directly, so
+        # the small path costs exactly one action and no persist.
+        probe = one.distinct().limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            labels = _union_find_components((r[0], r[1]) for r in probe)
             spark = edges.sparkSession
             vtype = edges.schema[src].dataType.simpleString()
             if not labels:
                 return spark.createDataFrame([], f"vertex {vtype}, component {vtype}")
             return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
-        uniq.unpersist()
+        del probe
 
     # symmetrize with a map-side union; duplicate edges are harmless for
     # the min() aggregation, so no distinct (that would be a shuffle)

@@ -346,11 +346,15 @@ def dedup_embedding_cosine(
     import numpy as np
 
     w = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0))) or 1e-9
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        dim = 1
-    else:
-        dim = first["d"]
+    # probe the embedding dimension AFTER dropping NULL vectors — a NULL
+    # first row would make F.size() return NULL and dim None (the row
+    # itself is later dropped by the __norm > 0 filter anyway)
+    first = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    dim = 1 if first is None or first["d"] is None else first["d"]
 
     v = emb.select(
         F.col(id_col).alias("__id"),
@@ -397,7 +401,8 @@ def dedup_embedding_cosine(
         # principal axes of a bounded sample of normalized vectors; fall
         # back to seeded random axes when the sample is degenerate
         samp = (
-            emb.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
             .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)), F.col("__id"))
             .limit(max(pca_sample, n_axes))
             .collect()
