@@ -114,10 +114,11 @@ def test_projected_distance_matches_haversine(spark):
 
 
 def test_unknown_crs_raises(spark):
-    # 2154 (Lambert conic) has no built-in transform; 27700 does now
+    # 5070 (Albers equal-area conic) has no built-in transform; the TM
+    # (27700) and LCC (2154) families both do now
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
-        transform_points(df, 4326, 2154).collect()
+        transform_points(df, 4326, 5070).collect()
 
 
 def test_distance_matrix_euclidean_on_projected(spark):
@@ -288,18 +289,18 @@ def test_distance_matrix_metric_threshold_and_errors(spark):
 def test_pyproj_hook_roundtrip_non_builtin_epsg(spark):
     """Conditional: exercises the arbitrary-EPSG pyproj Arrow-UDF hook
     (geogr/crs.py:_pyproj_transform) with a CRS none of the built-in
-    exact transforms cover (EPSG:2154, Lambert-93 — a conic, not a
-    transverse Mercator), so the hook can't rot unnoticed wherever
-    pyproj IS installed."""
+    exact transforms cover (EPSG:5070, NAD83 Conus Albers — an
+    equal-area conic, neither TM nor conformal-conic), so the hook
+    can't rot unnoticed wherever pyproj IS installed."""
     import pytest as _pytest
 
     _pytest.importorskip("pyproj")
     from trackintel_spark.geogr.crs import transform_xy
 
     df = spark.createDataFrame([(0, 2.3522, 48.8566)], "id long, lon double, lat double")
-    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 2154)
+    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 5070)
     l93 = df.select("id", x.alias("e"), y.alias("n"))
-    lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 2154, 4326)
+    lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 5070, 4326)
     back = l93.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
     assert abs(back.lon - 2.3522) < 1e-6 and abs(back.lat - 48.8566) < 1e-6
 
@@ -425,3 +426,152 @@ def test_grs80_tm_grids_roundtrip_and_sanity(spark):
     assert abs(got2.e - 1_749_000) < 3_000 and abs(got2.n - 5_428_000) < 3_000
     back2 = transform_points(nz, 2193, 4326).select("geom.lon", "geom.lat").collect()[0]
     assert abs(back2.lon - 174.7772) < 1e-7 and abs(back2.lat - -41.2889) < 1e-7
+
+
+def test_mixed_bridged_unknown_pair_routes_to_pyproj_dispatch(spark):
+    """A datum-bridged TM grid paired with a non-built-in EPSG must not
+    raise from inside the stage lambdas (which would bypass the pyproj
+    fallback): _transform_stages declines the pair, transform_points
+    routes it through transform_xy, and the error (pyproj absent here)
+    is the 'needs pyproj' dispatch message — with pyproj installed the
+    same path transforms via the Arrow UDF."""
+    from trackintel_spark.geogr.crs import _transform_stages
+
+    assert _transform_stages(27700, 5070) is None
+    assert _transform_stages(5070, 27700) is None
+    df = _pts(spark, [(0, 400000.0, 200000.0)])
+    with pytest.raises(NotImplementedError, match="needs pyproj"):
+        transform_points(df, 27700, 5070).collect()
+    with pytest.raises(NotImplementedError, match="needs pyproj"):
+        transform_points(df, 5070, 27700).collect()
+
+
+def test_transform_xy_warns_on_datum_bridged_grid(spark):
+    # the one-expression composition blows up Catalyst for Helmert-bridged
+    # grids; the public transform_xy must say so and point at
+    # transform_points (which stages the identical math)
+    with pytest.warns(RuntimeWarning, match="transform_points"):
+        transform_xy(F.lit(-1.5), F.lit(52.0), 4326, 27700)
+
+
+def test_staged_linestring_preserves_null_and_empty_geometry(spark):
+    """The staged (datum-bridged) array path rebuilds linestrings via
+    posexplode_outer + collect_list; a NULL source array must come back
+    NULL (not []) and an empty array must stay empty — matching the
+    non-staged F.transform path's NULL semantics."""
+    gt = "array<struct<lon:double,lat:double>>"
+    df = (
+        spark.range(1)
+        .select(
+            F.lit(0).alias("id"),
+            F.expr(
+                "array(named_struct('lon', -1.5d, 'lat', 52.0d),"
+                " named_struct('lon', -1.49d, 'lat', 52.01d))"
+            ).cast(gt).alias("geom"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(1).alias("id"), F.expr(f"cast(null as {gt})").alias("geom")
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(2).alias("id"), F.expr(f"cast(array() as {gt})").alias("geom")
+            )
+        )
+    )
+    out = transform_points(df, 4326, 27700)
+    rows = {r.id: r.geom for r in out.collect()}
+    assert rows[1] is None
+    assert rows[2] == []
+    assert len(rows[0]) == 2
+    # BNG easting/northing for (-1.5, 52.0) is around (434400, 233600)
+    assert abs(rows[0][0].lon - 434_400) < 5_000
+    assert abs(rows[0][0].lat - 233_600) < 5_000
+
+
+def test_lcc_snyder_worked_example(spark):
+    """Snyder (USGS PP 1395) §15 numerical example, p.296: Clarke 1866,
+    standard parallels 33/45N, origin (23N, 96W); the point (35N, 75W)
+    maps to x=1894410.9, y=1564649.5 — pins the ellipsoidal LCC
+    forward/inverse Column expressions to the published values."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import LCCGrid, LCC_GRIDS, register_lcc_grid
+
+    clarke_f = 1 - _m.sqrt(1 - 0.00676866)  # Snyder uses e2=0.00676866
+    register_lcc_grid(
+        900914,
+        LCCGrid(6378206.4, clarke_f, lat0=23.0, lon0=-96.0, lat1=33.0, lat2=45.0,
+                false_easting=0.0, false_northing=0.0),
+    )
+    try:
+        df = _pts(spark, [(0, -75.0, 35.0)])
+        got = transform_points(df, 4326, 900914).first().geom
+        assert abs(got["lon"] - 1894410.9) < 0.5
+        assert abs(got["lat"] - 1564649.5) < 0.5
+        back = transform_points(
+            transform_points(df, 4326, 900914), 900914, 4326
+        ).first().geom
+        assert abs(back["lon"] - -75.0) < 1e-9 and abs(back["lat"] - 35.0) < 1e-9
+    finally:
+        LCC_GRIDS.pop(900914, None)
+
+
+def test_lambert93_false_origin_and_paris(spark):
+    """EPSG:2154 (RGF93 / Lambert-93): the projection origin
+    (3E, 46.5N) maps EXACTLY to the false origin (700000, 6600000);
+    Paris lands at its published Lambert-93 coordinates ~(652470,
+    6862040); round-trip is series-exact."""
+    df = _pts(spark, [(0, 3.0, 46.5), (1, 2.3522, 48.8566)])
+    l93 = transform_points(df, 4326, 2154)
+    rows = {r.id: r.geom for r in l93.collect()}
+    assert abs(rows[0]["lon"] - 700_000.0) < 1e-6
+    assert abs(rows[0]["lat"] - 6_600_000.0) < 1e-6
+    assert abs(rows[1]["lon"] - 652_470) < 200
+    assert abs(rows[1]["lat"] - 6_862_040) < 200
+    back = transform_points(l93, 2154, 4326)
+    for a, b in zip(df.collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9
+    assert check_planar(None, 2154)
+
+
+@pytest.mark.parametrize("epsg,lon,lat", [
+    (3347, -91.8667, 63.390675),   # StatCan Lambert origin area
+    (26985, -77.0, 39.0),          # NAD83 Maryland
+])
+def test_lcc_nad83_grids_roundtrip(spark, epsg, lon, lat):
+    df = _pts(spark, [(0, lon, lat), (1, lon + 1.0, lat - 0.5)])
+    back = transform_points(transform_points(df, 4326, epsg), epsg, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9
+
+
+def test_belgian_lambert72_datum_bridged(spark):
+    """EPSG:31370 (Belgian Lambert 72, BD72 datum on International 1924):
+    the STAGED Helmert-bridged LCC path. Brussels (4.3517E, 50.8466N)
+    lands near its published Lambert-72 coordinates ~(148870, 170960);
+    round-trip through the double Helmert is ~1e-7 deg."""
+    df = _pts(spark, [(0, 4.3517, 50.8466), (1, 5.5797, 50.6326)])  # Brussels, Liège
+    l72 = transform_points(df, 4326, 31370)
+    rows = {r.id: r.geom for r in l72.collect()}
+    assert abs(rows[0]["lon"] - 148_870) < 3_000
+    assert abs(rows[0]["lat"] - 170_960) < 3_000
+    back = transform_points(l72, 31370, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-7
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-7
+
+
+def test_lcc_to_tm_cross_grid(spark):
+    """A France->UK pair (2154 -> 27700) chains LCC inverse + Helmert
+    bridge + TM forward through the staged path; verify by going the
+    long way round (2154 -> 4326 -> 27700)."""
+    df = _pts(spark, [(0, 2.3522, 48.8566)])
+    l93 = transform_points(df, 4326, 2154)
+    direct = transform_points(l93, 2154, 27700).first().geom
+    via = transform_points(transform_points(l93, 2154, 4326), 4326, 27700).first().geom
+    assert abs(direct["lon"] - via["lon"]) < 1e-6
+    assert abs(direct["lat"] - via["lat"]) < 1e-6

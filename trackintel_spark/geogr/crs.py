@@ -377,8 +377,166 @@ def register_tm_grid(epsg: int, grid: TMGrid) -> None:
     TM_GRIDS[epsg] = grid
 
 
-def _tm_grid_to_wgs84(x: Column, y: Column, g: TMGrid) -> tuple[Column, Column]:
-    lon, lat = tm_inverse(x, y, g)
+# -- Lambert Conformal Conic (2SP) national grids -----------------------------
+#
+# Snyder, "Map Projections — A Working Manual" (USGS PP 1395), §15:
+# forward eqns 15-1..15-7 with the ellipsoidal t/m functions (14-15,
+# 14-9), inverse via eqns 15-8..15-11 and the conformal-latitude
+# series (3-5) instead of the fixed-point iteration — closed form, so
+# the Catalyst expression stays one bounded tree. Covers France
+# Lambert-93 (EPSG:2154), Belgian Lambert 72 (EPSG:31370), the
+# NAD83 State Plane LCC zones, and Canada's LCC frames. The reference
+# delegates all reprojection to geopandas/pyproj
+# (reference trackintel/geogr/distances.py:213-250); here the math is
+# pure Column expressions so it distributes with zero Python in the row
+# path.
+
+
+@dataclass(frozen=True)
+class LCCGrid:
+    """A 2-standard-parallel Lambert Conformal Conic grid + datum bridge.
+
+    ``lat0``/``lon0`` = latitude/longitude of false origin, ``lat1`` /
+    ``lat2`` = standard parallels (degrees). ``helmert_to_wgs84`` as in
+    :class:`TMGrid` (position-vector convention); None = datum is
+    WGS84-equivalent (RGF93, NAD83, ...).
+    """
+
+    a: float
+    f: float
+    lat0: float
+    lon0: float
+    lat1: float
+    lat2: float
+    false_easting: float
+    false_northing: float
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _lcc_consts(g: LCCGrid) -> tuple[float, float, float, float]:
+    """Plan-time scalars (n, F, rho0, e) for the 2SP cone."""
+    e = math.sqrt(g.e2)
+
+    def m(phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - g.e2 * s * s)
+
+    def t(phi: float) -> float:
+        s = math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    p0, p1, p2 = (math.radians(v) for v in (g.lat0, g.lat1, g.lat2))
+    m1, m2 = m(p1), m(p2)
+    t0, t1, t2 = t(p0), t(p1), t(p2)
+    if abs(g.lat1 - g.lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f_ = m1 / (n * t1**n)
+    rho0 = g.a * f_ * t0**n if t0 > 0 else 0.0
+    return n, f_, rho0, e
+
+
+def lcc_forward(lon: Column, lat: Column, g: LCCGrid) -> tuple[Column, Column]:
+    """Geodetic (grid datum) -> LCC easting/northing (Snyder 15-1..15-7)."""
+    n, f_, rho0, e = _lcc_consts(g)
+    phi = F.radians(lat)
+    sin_p = F.sin(phi)
+    # t(phi) as a Column (Snyder 15-9 / 14-15)
+    t_c = F.tan(math.pi / 4 - phi / 2) / F.pow((1 - e * sin_p) / (1 + e * sin_p), e / 2)
+    rho = g.a * f_ * F.pow(t_c, n)
+    theta = n * (F.radians(lon) - math.radians(g.lon0))
+    x = rho * F.sin(theta)
+    y = rho0 - rho * F.cos(theta)
+    return x + g.false_easting, y + g.false_northing
+
+
+def lcc_inverse(x: Column, y: Column, g: LCCGrid) -> tuple[Column, Column]:
+    """LCC easting/northing -> geodetic lon/lat on the grid's own datum
+    (Snyder 15-8..15-11; latitude via the conformal-latitude series 3-5,
+    closed form — no fixed-point iteration in the expression tree)."""
+    n, f_, rho0, e = _lcc_consts(g)
+    sgn = 1.0 if n >= 0 else -1.0
+    dx = x - g.false_easting
+    dy = rho0 - (y - g.false_northing)
+    rho = sgn * F.sqrt(dx * dx + dy * dy)
+    theta = F.atan2(sgn * dx, sgn * dy)
+    lam = theta / n + math.radians(g.lon0)
+    t_c = F.pow(rho / (g.a * f_), 1.0 / n)
+    chi = math.pi / 2 - 2 * F.atan(t_c)
+    e2 = g.e2
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * F.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * F.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * F.sin(6 * chi)
+        + (4279 * e8 / 161280) * F.sin(8 * chi)
+    )
+    return F.degrees(lam), F.degrees(phi)
+
+
+# International 1924 (Hayford) ellipsoid — Belgian Lambert 72 datum
+_INTL_1924 = (6378388.0, 1 / 297.0)
+# BD72 -> WGS84 (NGI 7-parameter set, position-vector convention; the
+# national NGI correction grid is more accurate — this Helmert set is
+# the standard grid-free approximation, good to a few meters)
+_BD72_HELMERT = (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+
+#: EPSG -> LCC grid parameters; extend via :func:`register_lcc_grid`.
+LCC_GRIDS: dict[int, LCCGrid] = {
+    # France Lambert-93 (RGF93 / GRS80 — datum equivalent to WGS84)
+    2154: LCCGrid(*_GRS80, lat0=46.5, lon0=3.0, lat1=44.0, lat2=49.0,
+                  false_easting=700_000.0, false_northing=6_600_000.0),
+    # Belgian Lambert 72 (BD72 on International 1924, Helmert-bridged)
+    31370: LCCGrid(*_INTL_1924, lat0=90.0, lon0=4.367486666666666,
+                   lat1=51.16666723333333, lat2=49.8333339,
+                   false_easting=150_000.013, false_northing=5_400_088.438,
+                   helmert_to_wgs84=_BD72_HELMERT),
+    # Statistics Canada Lambert (NAD83 / GRS80, metric)
+    3347: LCCGrid(*_GRS80, lat0=63.390675, lon0=-91.86666666666666,
+                  lat1=49.0, lat2=77.0,
+                  false_easting=6_200_000.0, false_northing=3_000_000.0),
+    # NAD83 / Maryland (State Plane LCC zone, metric)
+    26985: LCCGrid(*_GRS80, lat0=37.66666666666666, lon0=-77.0,
+                   lat1=38.3, lat2=39.45,
+                   false_easting=400_000.0, false_northing=0.0),
+}
+
+
+def register_lcc_grid(epsg: int, grid: LCCGrid) -> None:
+    """Register a custom Lambert-Conformal-Conic grid so
+    :func:`transform_points` / :func:`transform_xy` accept its EPSG
+    code — the extension hook for LCC zones not built in (other State
+    Plane zones, regional cones, ...)."""
+    LCC_GRIDS[epsg] = grid
+
+
+def _get_grid(epsg: int) -> "TMGrid | LCCGrid | None":
+    """Combined TM + LCC registry lookup."""
+    g = TM_GRIDS.get(epsg)
+    return g if g is not None else LCC_GRIDS.get(epsg)
+
+
+def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
+    if isinstance(g, LCCGrid):
+        return lcc_forward(lon, lat, g)
+    return tm_forward(lon, lat, g)
+
+
+def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
+    if isinstance(g, LCCGrid):
+        return lcc_inverse(x, y, g)
+    return tm_inverse(x, y, g)
+
+
+def _grid_to_wgs84(x: Column, y: Column, g) -> tuple[Column, Column]:
+    """TM or LCC grid coords -> WGS84 lon/lat (Helmert-bridged if needed)."""
+    lon, lat = _grid_inverse(x, y, g)
     if g.helmert_to_wgs84 is None:
         return lon, lat
     gx, gy, gz = _geodetic_to_xyz(lon, lat, g.a, g.e2)
@@ -386,12 +544,13 @@ def _tm_grid_to_wgs84(x: Column, y: Column, g: TMGrid) -> tuple[Column, Column]:
     return _xyz_to_geodetic(wx, wy, wz, _A, _E2)
 
 
-def _wgs84_to_tm_grid(lon: Column, lat: Column, g: TMGrid) -> tuple[Column, Column]:
+def _wgs84_to_grid(lon: Column, lat: Column, g) -> tuple[Column, Column]:
+    """WGS84 lon/lat -> TM or LCC grid coords (Helmert-bridged if needed)."""
     if g.helmert_to_wgs84 is not None:
         wx, wy, wz = _geodetic_to_xyz(lon, lat, _A, _E2)
         gx, gy, gz = _helmert(wx, wy, wz, g.helmert_to_wgs84, invert=True)
         lon, lat = _xyz_to_geodetic(gx, gy, gz, g.a, g.e2)
-    return tm_forward(lon, lat, g)
+    return _grid_forward(lon, lat, g)
 
 
 def _transform_stages(src_epsg: int, dst_epsg: int):
@@ -407,13 +566,29 @@ def _transform_stages(src_epsg: int, dst_epsg: int):
     multiply referenced, so each stage is evaluated once per row.
     Returns None when the pair needs no staging (plain dispatcher path).
     """
-    gs = TM_GRIDS.get(src_epsg)
-    gd = TM_GRIDS.get(dst_epsg)
+    gs = _get_grid(src_epsg)
+    gd = _get_grid(dst_epsg)
     if gs is None and gd is None:
         return None
+    # plan-time probe: if the non-grid side has no built-in transform, the
+    # staged lambdas would raise NotImplementedError deep inside
+    # _apply_stages — bypassing transform_xy's pyproj fallback. Probe the
+    # dispatcher with dummy literals NOW and return None for such mixed
+    # pairs so the whole pair routes through transform_xy (which catches
+    # NotImplementedError and dispatches to the pyproj Arrow UDF).
+    if gs is None:
+        try:
+            _to_wgs84(F.lit(0.0), F.lit(0.0), src_epsg)
+        except NotImplementedError:
+            return None
+    if gd is None:
+        try:
+            _from_wgs84(F.lit(0.0), F.lit(0.0), dst_epsg)
+        except NotImplementedError:
+            return None
     stages = []
     if gs is not None:
-        stages.append(lambda c, g=gs: list(tm_inverse(c[0], c[1], g)))
+        stages.append(lambda c, g=gs: list(_grid_inverse(c[0], c[1], g)))
         if gs.helmert_to_wgs84 is not None:
             stages.append(lambda c, g=gs: list(_geodetic_to_xyz(c[0], c[1], g.a, g.e2)))
             stages.append(lambda c, g=gs: list(_helmert(c[0], c[1], c[2], g.helmert_to_wgs84)))
@@ -427,7 +602,7 @@ def _transform_stages(src_epsg: int, dst_epsg: int):
                 lambda c, g=gd: list(_helmert(c[0], c[1], c[2], g.helmert_to_wgs84, invert=True))
             )
             stages.append(lambda c, g=gd: list(_xyz_to_geodetic(c[0], c[1], c[2], g.a, g.e2)))
-        stages.append(lambda c, g=gd: list(tm_forward(c[0], c[1], g)))
+        stages.append(lambda c, g=gd: list(_grid_forward(c[0], c[1], g)))
     else:
         stages.append(lambda c: list(_from_wgs84(c[0], c[1], dst_epsg)))
     return stages
@@ -460,11 +635,13 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
     if z is not None:
         zone, north = z
         return utm_to_wgs84(x, y if north else y - 10000000.0, zone)
-    if epsg in TM_GRIDS:
-        return _tm_grid_to_wgs84(x, y, TM_GRIDS[epsg])
+    g = _get_grid(epsg)
+    if g is not None:
+        return _grid_to_wgs84(x, y, g)
     raise NotImplementedError(
-        f"EPSG:{epsg} has no built-in transform; register_tm_grid() covers most "
-        f"national grids, or install pyproj for arbitrary CRS support"
+        f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
+        f"register_lcc_grid() cover most national grids, or install pyproj "
+        f"for arbitrary CRS support"
     )
 
 
@@ -483,23 +660,51 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
         zone, north = z
         x, y = wgs84_to_utm(lon, lat, zone)
         return x, (y if north else y + 10000000.0)
-    if epsg in TM_GRIDS:
-        return _wgs84_to_tm_grid(lon, lat, TM_GRIDS[epsg])
+    g = _get_grid(epsg)
+    if g is not None:
+        return _wgs84_to_grid(lon, lat, g)
     raise NotImplementedError(
-        f"EPSG:{epsg} has no built-in transform; register_tm_grid() covers most "
-        f"national grids, or install pyproj for arbitrary CRS support"
+        f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
+        f"register_lcc_grid() cover most national grids, or install pyproj "
+        f"for arbitrary CRS support"
     )
 
 
 def transform_xy(x: Column, y: Column, src_epsg: int, dst_epsg: int) -> tuple[Column, Column]:
     """Coordinate pair from src to dst CRS, WGS84 as the hub. Pure
     column expressions for the built-in systems; pyproj Arrow UDF for
-    everything else when available."""
+    everything else when available.
+
+    .. warning:: For datum-bridged national grids (``TM_GRIDS`` entries
+       carrying a Helmert transform — EPSG:27700, 31466-69, the LCC
+       grids, ...) this composes the full TM/LCC + Helmert + Bowring
+       chain into ONE Column pair. Each stage references the previous
+       stage's expression 10-20 times, so the Catalyst tree grows
+       multiplicatively and analysis can OOM on wide plans. Prefer
+       :func:`transform_points`, which applies the identical math as
+       staged projections with a linear-size plan.
+    """
     try:
         lon, lat = _to_wgs84(x, y, src_epsg)
-        return _from_wgs84(lon, lat, dst_epsg)
+        out = _from_wgs84(lon, lat, dst_epsg)
     except NotImplementedError:
         return _pyproj_transform(x, y, src_epsg, dst_epsg)
+    # warn only when the composed chain is actually returned (the pyproj
+    # fallback above ships the whole pair to one Arrow UDF instead)
+    for _e in (src_epsg, dst_epsg):
+        _g = _get_grid(_e)
+        if _g is not None and _g.helmert_to_wgs84 is not None:
+            import warnings
+
+            warnings.warn(
+                f"transform_xy composes the datum-bridged EPSG:{_e} chain into one "
+                "Column expression whose Catalyst tree grows multiplicatively; "
+                "prefer transform_points() for datum-bridged grids",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            break
+    return out
 
 
 def transform_points(
@@ -545,9 +750,14 @@ def transform_points(
             # bridged linestring reprojection)
             col_order = list(out.columns)
             others = [c for c in col_order if c != g]
-            keyed = out.withColumn("__crs_rid", F.monotonically_increasing_id())
+            keyed = out.withColumn("__crs_rid", F.monotonically_increasing_id()).withColumn(
+                "__crs_gnull", F.col(g).isNull()
+            )
             ex = keyed.select(
-                "__crs_rid", *others, F.posexplode_outer(F.col(g)).alias("__crs_pos", "__crs_p")
+                "__crs_rid",
+                "__crs_gnull",
+                *others,
+                F.posexplode_outer(F.col(g)).alias("__crs_pos", "__crs_p"),
             )
             ex, (xn, yn) = _apply_stages(
                 ex, stages, [F.col("__crs_p")["lon"], F.col("__crs_p")["lat"]]
@@ -561,6 +771,7 @@ def transform_points(
             )
             rebuilt = ex.groupBy("__crs_rid").agg(
                 *[F.first(c).alias(c) for c in others],
+                F.first("__crs_gnull").alias("__crs_gnull"),
                 F.transform(
                     F.sort_array(
                         F.collect_list(
@@ -572,6 +783,12 @@ def transform_points(
                     ),
                     lambda s: s["p"],
                 ).alias(g),
+            )
+            # a NULL source array must come back NULL, not empty — the
+            # posexplode_outer row for it carries NULL pos, which the
+            # collect_list filter drops, collapsing NULL to [] otherwise
+            rebuilt = rebuilt.withColumn(
+                g, F.when(~F.col("__crs_gnull"), F.col(g))
             )
             out = rebuilt.select(*col_order)
         else:
