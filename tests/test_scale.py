@@ -994,3 +994,29 @@ def test_connected_components_small_probe_short_circuits(spark):
         for r in connected_components(edges, small_graph_edges=n_edges - 1).collect()
     }
     assert at == expect and below == expect
+
+
+def test_semantic_dedup_defaults_auto_centers(spark):
+    """The no-parameter call (auto-derived n_centers, default
+    max_compare cap) must run and keep exactness on small clusters:
+    with every cluster far below the 1024 cap the result equals the
+    uncapped one."""
+    import numpy as np
+
+    from trackintel_spark.scale import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    vs = rng.standard_normal((80, 12))
+    for i in range(0, 40, 4):
+        vs[i + 1] = vs[i] + 1e-3 * rng.standard_normal(12)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, embedding array<double>",
+    )
+    auto = {r.vec_id: r.is_kept for r in semantic_dedup(df, threshold=0.999).collect()}
+    uncapped = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(df, threshold=0.999, max_compare=None).collect()
+    }
+    assert auto == uncapped
+    assert sum(not k for k in auto.values()) == 10  # one drop per planted pair

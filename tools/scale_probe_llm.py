@@ -111,6 +111,26 @@ def run_semantic_dedup(spark, n: int, max_compare: int | None = None) -> dict:
     }
 
 
+def run_semantic_dedup_defaults(spark, n: int) -> dict:
+    """The NO-PARAMETER contract: ``semantic_dedup(emb, threshold)``
+    alone must stay near-linear — n_centers auto-derived from one
+    count() (~n/500, clamped to [16, 4096]) and the default
+    max_compare=1024 cap. Includes the in-line spherical k-means, so
+    this measures the full untrained path a first-time caller gets."""
+    from trackintel_spark.scale import semantic_dedup
+
+    centers = blob_centers(max(64, n // 500))
+    inp = vecs_input(spark, n, centers).localCheckpoint()
+    t0 = time.time()
+    out = semantic_dedup(inp, threshold=0.995)
+    kept = out.filter("is_kept").count()
+    w = time.time() - t0
+    return {
+        "op": "semantic_dedup_defaults", "rows": n, "wall_s": round(w, 1),
+        "kept": kept, "rows_per_s": int(n / w),
+    }
+
+
 def aniso_unit_vecs_input(spark, n: int, dim: int = 64, group: int = 4):
     """Anisotropic unit-norm embedding stand-in: groups of ``group``
     consecutive ids share a base direction whose spectrum decays
@@ -242,6 +262,9 @@ def main():
         if n:
             print(run_semantic_dedup(spark, n), flush=True)
             print(run_semantic_dedup(spark, n, max_compare=100), flush=True)
+    for n in take("--vecs-defaults", []):
+        if n:
+            print(run_semantic_dedup_defaults(spark, n), flush=True)
     for n in asof_ns:
         if n:
             print(run_asof(spark, n), flush=True)

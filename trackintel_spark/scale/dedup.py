@@ -528,14 +528,14 @@ def dedup_clusters(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_centers: int = 32,
+    n_centers: int | None = None,
     centers: list[list[float]] | None = None,
     iters: int = 3,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codegen_max_terms: int = 20_000,
-    max_compare: int | None = None,
+    max_compare: int | None = 1024,
     materialize_ranked: bool = False,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
@@ -557,10 +557,14 @@ def semantic_dedup(
     :func:`trackintel_spark.scale.similarity.nearest_center_expr`); the
     only shuffles are the per-cluster rank window and the within-cluster
     equi-join on ``cluster_id``. The quadratic term is bounded by the
-    largest cluster, so ``n_centers`` must grow with the corpus (the
-    paper runs ~11k clusters on 440M examples); pass precomputed
-    ``centers`` (e.g. from :func:`kmeans_centers` on a sample) to skip
-    the in-line Lloyd iterations.
+    largest cluster, so the cluster count must grow with the corpus
+    (the paper runs ~11k clusters on 440M examples). The DEFAULT
+    (``n_centers=None``, no ``centers``) auto-derives the cluster count
+    from one cheap ``count()`` — ceil(N / 500), clamped to [16, 4096] —
+    so the no-parameter call stays near-linear at any corpus size. Pass
+    an explicit ``n_centers``, or precomputed ``centers`` (e.g. from
+    :func:`kmeans_centers` on a sample, skipping the in-line Lloyd
+    iterations), to override.
 
     ``max_compare`` is the per-cluster safety valve (the paper's own
     lever — SemDeDup subsamples oversized clusters): each member is
@@ -572,7 +576,9 @@ def semantic_dedup(
     drop rule on oversized clusters — capped ``is_kept`` is always a
     superset of the exact keep-set. Rank order (centroid_cosine asc)
     means the deduplicators are exactly the members the keep rule
-    favors.
+    favors. The default (1024) makes the default path scale-proof even
+    when clustering balloons; ``max_compare=None`` restores the exact
+    unbounded drop rule.
 
     ``materialize_ranked=True`` localCheckpoints the assigned+ranked
     frame: the drop rule consumes it through THREE branches whose
@@ -596,6 +602,11 @@ def semantic_dedup(
     placeable = v.filter(F.col("__n") > 0)
 
     if centers is None:
+        if n_centers is None:
+            # target ~500 members/cluster (SemDeDup's n_clusters ∝ corpus):
+            # one cheap count keeps the per-cluster quadratic term bounded
+            # with zero caller-side parameters
+            n_centers = int(min(4096, max(16, -(-placeable.count() // 500))))
         centers = kmeans_centers(
             placeable,
             n_centers=n_centers,

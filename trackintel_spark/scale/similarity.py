@@ -249,10 +249,13 @@ def kmeans_centers(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__n", _norm(F.col("__v"))).filter(F.col("__n") > 0)
 
+    # bounded driver state at ANY k: the seeding sample is capped at 100k
+    # rows regardless of n_centers (50/center is ideal; fewer per center
+    # still seeds fine because Lloyd repairs)
     sample = (
         c.select("__id", "__v")
         .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)))
-        .limit(max(50 * n_centers, n_centers))
+        .limit(max(min(50 * n_centers, 100_000), n_centers))
         .collect()
     )
     if not sample:
@@ -260,22 +263,29 @@ def kmeans_centers(
     pts = np.asarray([r["__v"] for r in sample], dtype=float)
     pts_unit = pts / np.linalg.norm(pts, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
-    first = int(rng.randint(len(pts)))
-    chosen = [first]
-    # cosine distance d = 1 - cos; greedy D^2 re-weighting per pick
-    d2 = (1.0 - pts_unit @ pts_unit[first]) ** 2
-    for _ in range(1, min(n_centers, len(pts))):
-        tot = float(d2.sum())
-        if tot <= 0:
-            remaining = [i for i in range(len(pts)) if i not in set(chosen)]
-            if not remaining:
-                break
-            nxt = remaining[0]
-        else:
-            nxt = int(np.searchsorted(np.cumsum(d2 / tot), rng.random_sample()))
-            nxt = min(nxt, len(pts) - 1)
-        chosen.append(nxt)
-        d2 = np.minimum(d2, (1.0 - pts_unit @ pts_unit[nxt]) ** 2)
+    if n_centers > 512:
+        # greedy D^2 seeding is O(k * sample * dim) — prohibitive past a
+        # few hundred centers. Hash-spread sample rows + Lloyd repair is
+        # the standard large-k init (what faiss does); the sample order
+        # is xxhash64-uniform, so taking a prefix IS a uniform draw.
+        chosen = list(range(min(n_centers, len(pts))))
+    else:
+        first = int(rng.randint(len(pts)))
+        chosen = [first]
+        # cosine distance d = 1 - cos; greedy D^2 re-weighting per pick
+        d2 = (1.0 - pts_unit @ pts_unit[first]) ** 2
+        for _ in range(1, min(n_centers, len(pts))):
+            tot = float(d2.sum())
+            if tot <= 0:
+                remaining = [i for i in range(len(pts)) if i not in set(chosen)]
+                if not remaining:
+                    break
+                nxt = remaining[0]
+            else:
+                nxt = int(np.searchsorted(np.cumsum(d2 / tot), rng.random_sample()))
+                nxt = min(nxt, len(pts) - 1)
+            chosen.append(nxt)
+            d2 = np.minimum(d2, (1.0 - pts_unit @ pts_unit[nxt]) ** 2)
     centers = [pts[i].tolist() for i in chosen]
 
     for _ in range(max(iters, 0)):
