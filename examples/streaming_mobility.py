@@ -26,6 +26,7 @@ from trackintel_spark import get_spark
 from trackintel_spark.sources import load_table
 from trackintel_spark.streaming import (
     staypoints_stream_exact,
+    tours_stream_exact,
     triplegs_stream_exact,
     trips_stream_exact,
 )
@@ -93,6 +94,61 @@ def main() -> None:
         nulls = trips.filter("destination_started_at is null").count()
         print(f"streaming trips emitted:     {n_trips} ({nulls} gap-terminated)")
         trips.orderBy("user_id", "started_at").show(5)
+
+        # ---- tours: close the chain online --------------------------------
+        # The trips stage emits timestamp-keyed trips without location ids
+        # (streams cannot assign the batch dense ids); the tours stage
+        # consumes id-keyed trips. Stage an id-keyed trips stream (as a
+        # batch pipeline would persist it) and run the stateful tour scan
+        # over it in max_dist mode — tours emit the moment their closing
+        # trip arrives, state spans the arrival chunks.
+        tr = (
+            trips.orderBy("user_id", "started_at")
+            .withColumn("id", F.monotonically_increasing_id())
+            .withColumn(
+                "geom",
+                F.struct(
+                    F.struct(F.lit(8.5).alias("lon"), F.lit(47.4).alias("lat")).alias("origin"),
+                    F.struct(
+                        (8.5 + F.pmod(F.minute("finished_at").cast("long"), F.lit(2)) * 0.05).alias("lon"),
+                        F.lit(47.4).alias("lat"),
+                    ).alias("dest"),
+                ),
+            )
+            .withColumn("origin_staypoint_id", F.col("id"))
+            .withColumn("destination_staypoint_id", F.col("id"))
+            .select("id", "user_id", "started_at", "finished_at",
+                    "origin_staypoint_id", "destination_staypoint_id", "geom")
+        )
+        tsrc = os.path.join(work, "trips_src")
+        os.makedirs(tsrc)
+        trows = tr.collect()
+        tcuts = [len(trows) // 2, len(trows)]
+        lo = 0
+        for i, hi in enumerate(tcuts):
+            spark.createDataFrame(trows[lo:hi], tr.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tsrc, f"chunk{i}"))
+            now = time.time() + 10 + i
+            d = os.path.join(tsrc, f"chunk{i}")
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now, now))
+            lo = hi
+        tstream = (
+            spark.readStream.schema(tr.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(tsrc)
+        )
+        tq = (
+            tours_stream_exact(tstream, max_dist=150.0, max_time=24 * 60)
+            .writeStream.format("memory").queryName("tour_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        tq.awaitTermination(180)
+        tours = spark.sql("SELECT * FROM tour_stream")
+        print(f"streaming tours emitted:     {tours.count()}")
+        tours.orderBy("user_id", "seq").show(5)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

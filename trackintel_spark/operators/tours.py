@@ -28,6 +28,7 @@ Semantics reproduced:
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -59,96 +60,155 @@ def _haversine_s(lon1, lat1, lon2, lat2):
     return 6371000.0 * math.acos(min(1.0, max(-1.0, arg)))
 
 
-def _tours_kernel(pdf: pd.DataFrame, use_locations: bool, max_dist: float, max_time_s: float, max_nr_gaps: int) -> pd.DataFrame:
+class _Trip(NamedTuple):
+    """One trip record inside the candidate stack. ``None`` marks
+    unknown staypoint / location ids; geometry fields are 0.0 in
+    locations mode (unused). The record form (rather than positional
+    arrays) lets the SAME scan step run incrementally from streaming
+    state (streaming/tours_state.py)."""
+
+    id: int
+    start_us: int
+    end_us: int
+    o_stp: int | None
+    d_stp: int | None
+    o_loc: int | None
+    d_loc: int | None
+    o_lon: float
+    o_lat: float
+    d_lon: float
+    d_lat: float
+
+
+_GAP = None  # spatial-gap marker inside the candidate stack
+
+
+def _same_loc_prev(prev: _Trip, cur: _Trip, use_locations: bool, max_dist: float) -> bool:
+    """destination of prev == origin of cur (reference :252-265)."""
+    if use_locations:
+        if prev.d_stp is None or cur.o_stp is None:
+            return False
+        return prev.d_loc is not None and cur.o_loc is not None and prev.d_loc == cur.o_loc
+    return _haversine_s(prev.d_lon, prev.d_lat, cur.o_lon, cur.o_lat) <= max_dist
+
+
+def _closes_tour(cand: _Trip, cur: _Trip, use_locations: bool, max_dist: float) -> bool:
+    """origin of cand == destination of cur (reference :313-326)."""
+    if use_locations:
+        if cand.o_stp is None or cur.d_stp is None:
+            return False
+        return cand.o_loc is not None and cur.d_loc is not None and cand.o_loc == cur.d_loc
+    return _haversine_s(cand.o_lon, cand.o_lat, cur.d_lon, cur.d_lat) <= max_dist
+
+
+def _scan_step(
+    candidates: list,
+    cur: _Trip,
+    use_locations: bool,
+    max_dist: float,
+    max_time_s: float,
+    max_nr_gaps: int,
+) -> tuple[list, list | None]:
+    """Advance the reference candidate-stack scan by ONE trip.
+
+    Returns (new_candidates, tour_members_or_None) — the members list
+    (GAPs removed) is non-None when ``cur`` closes a tour. This is the
+    exact per-iteration body of the reference loop
+    (preprocessing/trips.py:238-336 incl. its verbatim slicing), kept
+    side-effect-free so the batch kernel and the streaming state
+    operator share it and are equal by construction.
+    """
+    if candidates:
+        if not _same_loc_prev(candidates[-1], cur, use_locations, max_dist):
+            if max_nr_gaps == 0:
+                return [cur], None
+            candidates = candidates + [_GAP]
+    candidates = candidates + [cur]
+
+    # endpoint is an unknown activity -> cannot close a tour (:281)
+    if cur.d_stp is None:
+        return candidates, None
+
+    new_list_start = 0
+    gap_counter = 0
+    members = None
+    for j, cand in enumerate(reversed(candidates)):
+        if cand is _GAP:
+            gap_counter += 1
+            if gap_counter > max_nr_gaps:
+                new_list_start = j + 1  # verbatim reference slicing (:297)
+                break
+            continue
+        if cur.end_us - cand.start_us > max_time_s * 1e6:
+            new_list_start = len(candidates) - j - 1
+            break
+        # candidate starts at an unknown activity (:309)
+        if cand.o_stp is None:
+            continue
+        if _closes_tour(cand, cur, use_locations, max_dist):
+            members = [c for c in candidates[-j - 1:] if c is not _GAP]
+            break
+    return candidates[new_list_start:], members
+
+
+def _tour_row(members: list, seq: int, use_locations: bool) -> dict:
+    first, last = members[0], members[-1]
+    return {
+        "seq": seq,
+        "started_at": pd.Timestamp(first.start_us, unit="us"),
+        "finished_at": pd.Timestamp(last.end_us, unit="us"),
+        "origin_staypoint_id": first.o_stp,
+        "destination_staypoint_id": last.d_stp,
+        "location_id": first.o_loc if use_locations else None,
+        "trips": [m.id for m in members],
+    }
+
+
+def _trip_records(pdf: pd.DataFrame, use_locations: bool) -> list:
+    """Time-ordered _Trip records from a kernel input frame."""
     pdf = pdf.sort_values(["started_at", "id"], kind="stable").reset_index(drop=True)
-    n = len(pdf)
     ids = pdf["id"].to_numpy()
-    started = pdf["started_at"].astype("int64").to_numpy() / 1e9
-    finished = pdf["finished_at"].astype("int64").to_numpy() / 1e9
+    started = pdf["started_at"].astype("int64").to_numpy() // 1000
+    finished = pdf["finished_at"].astype("int64").to_numpy() // 1000
     o_stp = pdf["origin_staypoint_id"].to_numpy(dtype="float64", na_value=np.nan)
     d_stp = pdf["destination_staypoint_id"].to_numpy(dtype="float64", na_value=np.nan)
     if use_locations:
         o_loc = pdf["origin_loc"].to_numpy(dtype="float64", na_value=np.nan)
         d_loc = pdf["dest_loc"].to_numpy(dtype="float64", na_value=np.nan)
+        zeros = np.zeros(len(pdf))
+        o_lon = o_lat = d_lon = d_lat = zeros
     else:
+        o_loc = d_loc = np.full(len(pdf), np.nan)
         o_lon = pdf["o_lon"].to_numpy()
         o_lat = pdf["o_lat"].to_numpy()
         d_lon = pdf["d_lon"].to_numpy()
         d_lat = pdf["d_lat"].to_numpy()
 
-    def same_loc_prev(prev: int, cur: int) -> bool:
-        """destination of prev == origin of cur (reference :252-265)."""
-        if use_locations:
-            if np.isnan(d_stp[prev]) or np.isnan(o_stp[cur]):
-                return False
-            a, b = d_loc[prev], o_loc[cur]
-            return (not np.isnan(a)) and (not np.isnan(b)) and a == b
-        return _haversine_s(d_lon[prev], d_lat[prev], o_lon[cur], o_lat[cur]) <= max_dist
+    def _i(v):
+        return None if np.isnan(v) else int(v)
 
-    def closes_tour(cand: int, cur: int) -> bool:
-        """origin of cand == destination of cur (reference :313-326)."""
-        if use_locations:
-            if np.isnan(o_stp[cand]) or np.isnan(d_stp[cur]):
-                return False
-            a, b = o_loc[cand], d_loc[cur]
-            return (not np.isnan(a)) and (not np.isnan(b)) and a == b
-        return _haversine_s(o_lon[cand], o_lat[cand], d_lon[cur], d_lat[cur]) <= max_dist
+    return [
+        _Trip(
+            int(ids[i]), int(started[i]), int(finished[i]),
+            _i(o_stp[i]), _i(d_stp[i]), _i(o_loc[i]), _i(d_loc[i]),
+            float(o_lon[i]), float(o_lat[i]), float(d_lon[i]), float(d_lat[i]),
+        )
+        for i in range(len(pdf))
+    ]
 
-    GAP = -1
-    candidates: list[int] = []
+
+def _tours_kernel(pdf: pd.DataFrame, use_locations: bool, max_dist: float, max_time_s: float, max_nr_gaps: int) -> pd.DataFrame:
+    candidates: list = []
     out: list[dict] = []
-    for i in range(n):
-        end_time = finished[i]
-        if candidates:
-            if not same_loc_prev(candidates[-1], i):
-                if max_nr_gaps == 0:
-                    candidates = [i]
-                    continue
-                candidates.append(GAP)
-        candidates.append(i)
-
-        # endpoint is an unknown activity -> cannot close a tour (:281)
-        if np.isnan(d_stp[i]):
-            continue
-
-        new_list_start = 0
-        gap_counter = 0
-        for j, cand in enumerate(reversed(candidates)):
-            if cand == GAP:
-                gap_counter += 1
-                if gap_counter > max_nr_gaps:
-                    new_list_start = j + 1  # verbatim reference slicing (:297)
-                    break
-                continue
-            if end_time - started[cand] > max_time_s:
-                new_list_start = len(candidates) - j - 1
-                break
-            # candidate starts at an unknown activity (:309)
-            if np.isnan(o_stp[cand]):
-                continue
-            if closes_tour(cand, i):
-                members = [c for c in candidates[-j - 1:] if c != GAP]
-                first, last = members[0], members[-1]
-                out.append(
-                    {
-                        "seq": len(out),
-                        "started_at": pdf["started_at"].iloc[first],
-                        "finished_at": pdf["finished_at"].iloc[last],
-                        "origin_staypoint_id": None if np.isnan(o_stp[first]) else int(o_stp[first]),
-                        "destination_staypoint_id": None if np.isnan(d_stp[last]) else int(d_stp[last]),
-                        "location_id": (
-                            None
-                            if (not use_locations or np.isnan(o_loc[first]))
-                            else int(o_loc[first])
-                        ),
-                        "trips": [int(ids[c]) for c in members],
-                    }
-                )
-                break
-        candidates = candidates[new_list_start:]
+    for rec in _trip_records(pdf, use_locations):
+        candidates, members = _scan_step(
+            candidates, rec, use_locations, max_dist, max_time_s, max_nr_gaps
+        )
+        if members is not None:
+            out.append(_tour_row(members, len(out), use_locations))
 
     res = pd.DataFrame(out, columns=[f.name for f in _TOUR_SCHEMA.fields if f.name != "user_id"])
-    res["user_id"] = pdf["user_id"].iloc[0] if n else None
+    res["user_id"] = pdf["user_id"].iloc[0] if len(pdf) else None
     return res
 
 
