@@ -197,3 +197,46 @@ def test_asof_nearest_tolerance_matches_pandas(spark):
     got = asof_join(l_df, r_df, on="t", by="k", direction="nearest", tolerance=4.0).toPandas()
     cols = ["k", "t", "lv", "rv"]
     assert _sorted_records(got, cols) == _sorted_records(expect, cols)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_keyless_randomized_matches_pandas(spark, direction, allow_exact):
+    """Key-less (by=None) parity on inputs big enough to spread over
+    MANY range buckets — exercising the bucketed global scan with
+    boundary carries (empty buckets, duplicate timestamps, exact ties
+    included)."""
+    rng = np.random.RandomState(hash(("keyless", direction, allow_exact)) % 2**31)
+    left_pd = pd.DataFrame(
+        {"t": np.sort(rng.randint(0, 500, 400)).astype(float), "lv": range(400)}
+    )
+    right_pd = pd.DataFrame(
+        # half-range right keys leave the upper buckets right-free:
+        # their matches must all come from boundary carries
+        {"t": np.sort(rng.randint(0, 250, 150)).astype(float), "rv": range(150)}
+    )
+    expect = pd.merge_asof(
+        left_pd, right_pd, on="t", direction=direction, allow_exact_matches=allow_exact
+    )
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    # left may be arbitrarily partitioned; right keeps createDataFrame
+    # order (pandas breaks duplicate-timestamp ties by input position,
+    # which repartitioning would scramble for ANY implementation)
+    got = asof_join(
+        l_df.repartition(7), r_df, on="t",
+        direction=direction, allow_exact_matches=allow_exact,
+    ).toPandas()
+    assert _sorted_records(got, ["t", "lv", "rv"]) == _sorted_records(expect, ["t", "lv", "rv"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "nearest"])
+def test_asof_keyless_no_single_partition_exchange(spark, direction):
+    """The key-less scan must NOT serialize into one task: no
+    SinglePartition exchange anywhere in the physical plan (the old
+    Window.partitionBy(lit(1)) produced one)."""
+    left_pd = pd.DataFrame({"t": np.arange(200).astype(float), "lv": range(200)})
+    right_pd = pd.DataFrame({"t": np.arange(0, 200, 3).astype(float), "rv": range(67)})
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    out = asof_join(l_df, r_df, on="t", direction=direction)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

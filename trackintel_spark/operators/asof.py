@@ -28,14 +28,102 @@ Ties at equal timestamps resolve like pandas: the LAST right row in
 right-input order wins (deterministic here via an arrival rank);
 ``allow_exact_matches=False`` hides equal-time right rows by flipping
 the side tag's sort position.
+
+Key-less (``by=None``) as-of is the one case a global window would
+serialize into a single task. It instead runs range-BUCKETED: quantile
+cut points on the event time (one approxQuantile pass) assign
+deterministic buckets, each bucket computes its running scan in
+parallel, and per-bucket boundary values (<= n_buckets rows, collected
++ prefix-scanned on the driver) broadcast back as carry-ins —
+``coalesce(running, carry)`` equals the global scan exactly, with no
+SinglePartition exchange in the plan (pinned in test_asof.py). This
+mode is EAGER (two small driver actions); the union is persisted
+across them per the cache-lifetime convention (SCALE.md).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SIDE_L, _SIDE_R = 0, 1
+
+
+def _rank_cuts(u: DataFrame, rank0: Column, n_buckets: int) -> list[float]:
+    """Quantile split points of the leading rank component — ONE
+    approxQuantile pass (a driver action; key-less mode is eager)."""
+    if n_buckets <= 1:
+        return []
+    probe = u.select(rank0.cast("double").alias("__rank0"))
+    cuts = probe.stat.approxQuantile(
+        "__rank0", [i / n_buckets for i in range(1, n_buckets)], 0.001
+    )
+    return sorted(set(cuts))
+
+
+def _global_scan_last(
+    u: DataFrame,
+    rank0: Column,
+    rank: Column,
+    value_col: str,
+    out_col: str,
+    cuts: list[float],
+) -> DataFrame:
+    """Global (key-less) ``last(value, ignorenulls) OVER (ORDER BY rank
+    ROWS UNBOUNDED PRECEDING)`` WITHOUT the single-task
+    ``Window.partitionBy(lit(1))``:
+
+    1. deterministic range buckets from the precomputed ``cuts`` on the
+       leading rank component (literal comparisons — equal keys always
+       share a bucket, so bucket order respects rank order);
+    2. a per-bucket running window (ONE hash exchange on ``__bkt``,
+       reused by the boundary aggregate, full parallelism);
+    3. per-bucket boundary values (``max_by`` over non-null rows)
+       collected to the driver — <= len(cuts)+1 rows — prefix-scanned
+       in Python, and broadcast-joined back as each bucket's carry-in.
+
+    ``coalesce(running, carry_in)`` equals the global scan exactly.
+    Eager (one collect); the caller persists ``u`` across the actions.
+    """
+    sfx = out_col.strip("_")
+    rk0, rkc, bkc, runc = f"__r0_{sfx}", f"__rank_{sfx}", f"__bkt_{sfx}", f"__run_{sfx}"
+    bkt: Column = F.lit(0)
+    for c in cuts:
+        bkt = bkt + F.when(rank0.cast("double") >= F.lit(float(c)), 1).otherwise(0)
+    u2 = u.withColumn(rkc, rank).withColumn(
+        bkc, F.when(rank0.isNull(), F.lit(0)).otherwise(bkt).cast("int")
+    )
+    w = Window.partitionBy(bkc).orderBy(F.col(rkc).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = u2.withColumn(runc, F.last(value_col, ignorenulls=True).over(w))
+
+    bnd = (
+        u2.filter(F.col(value_col).isNotNull())
+        .groupBy(bkc)
+        .agg(F.max_by(F.col(value_col), F.col(rkc)).alias("__bnd"))
+        .collect()
+    )
+    by_bkt = {r[bkc]: r["__bnd"] for r in bnd}
+    carry = None
+    carry_rows = []
+    for k in range(len(cuts) + 1):
+        carry_rows.append((k, carry))
+        if k in by_bkt:
+            carry = by_bkt[k]
+    vtype = u2.schema[value_col].dataType
+    carried = u.sparkSession.createDataFrame(
+        carry_rows,
+        T.StructType(
+            [T.StructField(bkc, T.IntegerType()), T.StructField("__carry", vtype)]
+        ),
+    )
+    return (
+        run.join(F.broadcast(carried), on=bkc, how="left")
+        .withColumn(out_col, F.coalesce(F.col(runc), F.col("__carry")))
+        .drop(rk0, rkc, bkc, runc, "__carry")
+    )
 
 
 def _asof_one(
@@ -93,14 +181,38 @@ def _asof_one(
         order = [F.col("__t").desc(), side_first_r, F.col("__rk").desc()]
     else:
         order = [F.col("__t").asc(), side_first_r, F.col("__rk").asc()]
-    w = (
-        Window.partitionBy(*(by_cols or [F.lit(1)]))
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
-        F.col("__side") == _SIDE_L
-    )
+    if by_cols:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    else:
+        # key-less as-of: the equivalent global scan would serialize into
+        # ONE task; run it range-bucketed with a boadcast carry instead
+        # (eager — see _global_scan_last)
+        s_sign = -1 if allow_exact_matches else 1  # side desc == right first
+        t0 = F.col("__t").cast("double")
+        if direction == "forward":
+            rank0 = -t0
+            rank = F.struct(
+                (-t0).alias("r0"),
+                (F.lit(s_sign) * F.col("__side")).alias("r1"),
+                (-F.col("__rk")).alias("r2"),
+            )
+        else:
+            rank0 = t0
+            rank = F.struct(
+                t0.alias("r0"),
+                (F.lit(s_sign) * F.col("__side")).alias("r1"),
+                F.col("__rk").alias("r2"),
+            )
+        u = u.persist()  # feeds the quantile pass, the boundary collect, and the result
+        n_buckets = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        cuts = _rank_cuts(u, rank0, n_buckets)
+        matched = _global_scan_last(u, rank0, rank, "__r", "__m", cuts)
+    matched = matched.filter(F.col("__side") == _SIDE_L)
     dt = F.abs(F.col("__t").cast("double") - F.col("__m.__rt"))
     keep = F.col("__m").isNotNull() & (
         F.lit(tolerance is None) | (dt <= F.lit(tolerance or 0.0))
@@ -201,22 +313,43 @@ def asof_join(
         .unionByName(rf.withColumn("__l", F.lit(None).cast(ltype)))
         .unionByName(l_)
     )
-    part = by_cols or [F.lit(1)]
-    order = [F.col("__t").asc(), F.col("__ord").asc(), F.col("__rk").asc()]
-    rev = [F.col("__t").desc(), F.col("__ord").desc(), F.col("__rk").desc()]
-    wb = Window.partitionBy(*part).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    # the forward match is the same row set as [current, unbounded
-    # following] under the ascending sort, but expressed as a RUNNING
-    # prefix over the reversed sort: Spark's unbounded-FOLLOWING frame
-    # re-evaluates the whole remaining frame per row (O(group^2) —
-    # measured 10x the backward scan at 40M rows), while two running
-    # frames cost one extra in-partition sort and stay linear.
-    wf = Window.partitionBy(*part).orderBy(*rev).rowsBetween(Window.unboundedPreceding, 0)
-    m = (
-        u.withColumn("__b", F.last("__rb", ignorenulls=True).over(wb))
-        .withColumn("__f", F.last("__rf", ignorenulls=True).over(wf))
-        .filter(F.col("__ord") == 1)
-    )
+    if by_cols:
+        order = [F.col("__t").asc(), F.col("__ord").asc(), F.col("__rk").asc()]
+        rev = [F.col("__t").desc(), F.col("__ord").desc(), F.col("__rk").desc()]
+        wb = Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        # the forward match is the same row set as [current, unbounded
+        # following] under the ascending sort, but expressed as a RUNNING
+        # prefix over the reversed sort: Spark's unbounded-FOLLOWING frame
+        # re-evaluates the whole remaining frame per row (O(group^2) —
+        # measured 10x the backward scan at 40M rows), while two running
+        # frames cost one extra in-partition sort and stay linear.
+        wf = Window.partitionBy(*by_cols).orderBy(*rev).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        m = (
+            u.withColumn("__b", F.last("__rb", ignorenulls=True).over(wb))
+            .withColumn("__f", F.last("__rf", ignorenulls=True).over(wf))
+            .filter(F.col("__ord") == 1)
+        )
+    else:
+        # key-less nearest: both running scans go through the bucketed
+        # global-scan path (see _global_scan_last); one quantile pass
+        # shared, forward reuses the negated cut points
+        t0 = F.col("__t").cast("double")
+        rank_b = F.struct(
+            t0.alias("r0"), F.col("__ord").alias("r1"), F.col("__rk").alias("r2")
+        )
+        rank_f = F.struct(
+            (-t0).alias("r0"), (-F.col("__ord")).alias("r1"), (-F.col("__rk")).alias("r2")
+        )
+        u = u.persist()  # feeds the quantile pass, two boundary collects, the result
+        n_buckets = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        cuts = _rank_cuts(u, t0, n_buckets)
+        m = _global_scan_last(u, t0, rank_b, "__rb", "__b", cuts)
+        m = _global_scan_last(m, -t0, rank_f, "__rf", "__f", sorted(-c for c in cuts))
+        m = m.filter(F.col("__ord") == 1)
     bt = F.abs(F.col("__t").cast("double") - F.col("__b.__rt"))
     ft = F.abs(F.col("__t").cast("double") - F.col("__f.__rt"))
     if tolerance is not None:
