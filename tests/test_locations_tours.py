@@ -269,3 +269,71 @@ def test_osna_conflict_home_wins(spark):
     per_loc = {r.location_id: r.purpose for r in out.collect()}
     assert per_loc[1] == "home"
     assert per_loc[2] == "work"
+
+
+def test_tours_session_salting_equivalence(spark, monkeypatch):
+    """Splitting a user's trip stream at > max_time gaps (with the
+    previous trip seeded as a context row) must be EXACTLY the unsalted
+    kernel — including the reference's quirk that a post-gap self-loop
+    trip does NOT close a 1-trip tour when the stack was non-empty
+    (continuation skips the scan at a location break with
+    max_nr_gaps=0), and including max_nr_gaps > 0 GAP bookkeeping."""
+    import trackintel_spark.operators.staypoints as S
+
+    # staypoint id i -> location; users 1 and 2 share the pattern
+    pairs = []
+    trips_rows = []
+    tid = 0
+    for u in (1, 2):
+        spb = u * 100
+
+        def loc_pairs(k, o_loc, d_loc):
+            pairs.append((spb + 2 * k, o_loc))
+            pairs.append((spb + 2 * k + 1, d_loc))
+            return spb + 2 * k, spb + 2 * k + 1
+
+        t = 0
+        k = 0
+
+        def trip(o_loc, d_loc, dwell=30):
+            nonlocal t, tid, k
+            o_sp, d_sp = loc_pairs(k, o_loc, d_loc)
+            trips_rows.append((tid, u, t, t + 60, o_sp, d_sp))
+            tid += 1
+            k += 1
+            t += 60 + dwell
+        # session 1: one 3-trip tour + an open chain
+        trip(0, 1); trip(1, 2); trip(2, 0); trip(0, 3)
+        t += 3000  # > max_time=1440 min: salt boundary
+        # session 2 opens with a SELF-LOOP trip (5 -> 5): the unsalted
+        # kernel skips its scan (location break resets the stack), so no
+        # 1-trip tour — the salted kernel must agree via the ctx seed
+        trip(5, 5)
+        trip(5, 6); trip(6, 5)  # a real tour in session 2
+        t += 3000
+        # session 3 opens same-location as the last session-2 trip ended
+        # (5): continuation appends to the stack; ensure a tour still
+        # closes inside the window
+        trip(5, 7); trip(7, 5)
+
+    sp = _mk_sp(spark, [(i, 1, 0, 10, 8.5, 47.4) for i, _ in pairs])
+    locmap = {i: l for i, l in pairs}
+    sp = sp.withColumn("location_id", F.udf(lambda i: locmap.get(i), "long")(F.col("id")))
+    trips = _mk_trips(spark, trips_rows)
+
+    for gaps in (0, 1):
+        base_to, base_tours = generate_tours(
+            trips, staypoints=sp, max_nr_gaps=gaps, salt_sessions=False
+        )
+        base = sorted(map(str, base_tours.collect()))
+        base_links = sorted(map(str, base_to.select("id", "tour_id").collect()))
+
+        monkeypatch.setattr(S, "_SALT_MIN_USER_ROWS", 0)
+        salted_to, salted_tours = generate_tours(
+            trips, staypoints=sp, max_nr_gaps=gaps, salt_sessions=True
+        )
+        assert sorted(map(str, salted_tours.collect())) == base, f"max_nr_gaps={gaps}"
+        assert sorted(map(str, salted_to.select("id", "tour_id").collect())) == base_links
+        monkeypatch.setattr(S, "_SALT_MIN_USER_ROWS", 200_000)
+        # non-vacuous: tours exist in several sessions
+        assert base_tours.count() >= 6

@@ -395,3 +395,38 @@ def test_asof_nearest_has_no_unbounded_following_frame(spark):
         asof_join(left, right, on="ts", by="user_id", right_on="label_ts", direction="nearest")
     )
     assert "unboundedfollowing" not in plan.lower()
+
+
+def test_bucketed_table_elides_user_exchange(spark):
+    """SCALE.md claims persisting entity tables bucketed by user_id
+    removes the dominant shuffle from every per-user stage — prove it:
+    a user_id window AND a user_id groupBy over the bucketed table must
+    plan with NO hash exchange on user_id, while the same operator over
+    the unbucketed frame does exchange."""
+    from pyspark.sql import Window
+
+    from trackintel_spark.plans.partitioning import write_bucketed_by_user
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("tracked_at"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    name = "t_bucketing_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        write_bucketed_by_user(df, name, num_buckets=8)
+        t = spark.table(name)
+        w = Window.partitionBy("user_id").orderBy("tracked_at")
+        win_plan = _plan(t.withColumn("prev", F.lag("v").over(w)))
+        assert "Exchange hashpartitioning(user_id" not in win_plan, win_plan
+        agg_plan = _plan(t.groupBy("user_id").agg(F.sum("v").alias("s")))
+        assert "Exchange hashpartitioning(user_id" not in agg_plan, agg_plan
+        assert "Bucketed: true" in win_plan
+        # contrast: the unbucketed source pays the exchange
+        plain = _plan(df.withColumn("prev", F.lag("v").over(w)))
+        assert "Exchange hashpartitioning(user_id" in plain
+        # and values survive the bucketed round-trip
+        assert t.count() == 1000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -164,8 +164,10 @@ def _tour_row(members: list, seq: int, use_locations: bool) -> dict:
     }
 
 
-def _trip_records(pdf: pd.DataFrame, use_locations: bool) -> list:
-    """Time-ordered _Trip records from a kernel input frame."""
+def _trip_records(pdf: pd.DataFrame, use_locations: bool, ctx_col: str | None = None) -> list:
+    """Time-ordered _Trip records from a kernel input frame. With
+    ``ctx_col``, returns (record, is_context) pairs instead — context
+    rows are session-salt seeds (see :func:`generate_tours`)."""
     pdf = pdf.sort_values(["started_at", "id"], kind="stable").reset_index(drop=True)
     ids = pdf["id"].to_numpy()
     started = pdf["started_at"].astype("int64").to_numpy() // 1000
@@ -187,7 +189,7 @@ def _trip_records(pdf: pd.DataFrame, use_locations: bool) -> list:
     def _i(v):
         return None if np.isnan(v) else int(v)
 
-    return [
+    recs = [
         _Trip(
             int(ids[i]), int(started[i]), int(finished[i]),
             _i(o_stp[i]), _i(d_stp[i]), _i(o_loc[i]), _i(d_loc[i]),
@@ -195,12 +197,27 @@ def _trip_records(pdf: pd.DataFrame, use_locations: bool) -> list:
         )
         for i in range(len(pdf))
     ]
+    if ctx_col is None:
+        return recs
+    flags = pdf[ctx_col].to_numpy()
+    return [(r, bool(flags[i])) for i, r in enumerate(recs)]
 
 
 def _tours_kernel(pdf: pd.DataFrame, use_locations: bool, max_dist: float, max_time_s: float, max_nr_gaps: int) -> pd.DataFrame:
+    salted = "__ctx" in pdf.columns
     candidates: list = []
     out: list[dict] = []
-    for rec in _trip_records(pdf, use_locations):
+    for item in _trip_records(pdf, use_locations, ctx_col="__ctx" if salted else None):
+        rec, is_ctx = item if salted else (item, False)
+        if is_ctx:
+            # session-salt seed: the last trip BEFORE the max_time gap.
+            # After any trip's iteration the stack always ends with that
+            # trip, so candidates=[ctx] replicates the unsalted stack's
+            # observable state exactly (everything deeper is max_time-
+            # pruned before any scan can use it); its own tours were
+            # emitted by the previous session, so no scan runs here.
+            candidates = [rec]
+            continue
         candidates, members = _scan_step(
             candidates, rec, use_locations, max_dist, max_time_s, max_nr_gaps
         )
@@ -209,6 +226,8 @@ def _tours_kernel(pdf: pd.DataFrame, use_locations: bool, max_dist: float, max_t
 
     res = pd.DataFrame(out, columns=[f.name for f in _TOUR_SCHEMA.fields if f.name != "user_id"])
     res["user_id"] = pdf["user_id"].iloc[0] if len(pdf) else None
+    if salted:
+        res["__session"] = pdf["__session"].iloc[0] if len(pdf) else None
     return res
 
 
@@ -218,10 +237,21 @@ def generate_tours(
     max_dist: float = 100.0,
     max_time: float = 1440.0,
     max_nr_gaps: int = 0,
+    salt_sessions: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Generate tours; returns (trips+tour_id list, tours).
 
     ``max_time`` in minutes (reference default '1D').
+
+    ``salt_sessions`` splits each mega-user's trip stream at gaps where
+    consecutive trip starts are > ``max_time`` apart — no tour can span
+    such a gap (every cross-gap candidate is max_time-pruned), so a
+    years-long user no longer serializes into one kernel task. Each
+    session is seeded with the last pre-gap trip as a context row,
+    which makes the split EXACT (the unsalted stack's last element is
+    always that trip; everything deeper is unreachable past the gap) —
+    pinned by a salted == unsalted test. Gated on the per-user row
+    count like the staypoint kernel: ordinary users stay one group.
     """
     validate(trips, "trips")
     use_locations = staypoints is not None
@@ -289,15 +319,65 @@ def generate_tours(
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _tours_kernel(pdf, use_locations, max_dist, max_time_s, max_nr_gaps)
 
+    from pyspark.sql import Window
+    from trackintel_spark.operators.staypoints import _SALT_MIN_USER_ROWS
     from trackintel_spark.plans.partitioning import kernel_partitions
 
+    if salt_sessions:
+        base_cols = list(kin.columns)
+        wgap = Window.partitionBy("user_id").orderBy("started_at", "id")
+        lag_start = F.lag("started_at").over(wgap)
+        flagged = kin.withColumn(
+            "__gap_flag",
+            F.coalesce(
+                (F.col("started_at").cast("double") - lag_start.cast("double")) > max_time_s,
+                F.lit(True),
+            ).cast("long"),
+        )
+        wuser = Window.partitionBy("user_id")
+        flagged = flagged.withColumn("__session", F.sum("__gap_flag").over(wgap)).withColumn(
+            "__session",
+            F.when(
+                F.count(F.lit(1)).over(wuser) > _SALT_MIN_USER_ROWS, F.col("__session")
+            ).otherwise(F.lit(0)),
+        )
+        # context rows: the previous trip, injected into the NEW session
+        # (same wgap exchange — the lags ride the existing sort)
+        ctx = flagged.withColumns(
+            {f"__prev_{c}": F.lag(c).over(wgap) for c in base_cols if c != "user_id"}
+        ).filter(
+            (F.col("__gap_flag") == 1)
+            & (F.col("__session") > 0)
+            & F.col("__prev_started_at").isNotNull()
+        ).select(
+            *[
+                (F.col(f"__prev_{c}").alias(c) if c != "user_id" else F.col("user_id"))
+                for c in base_cols
+            ],
+            F.col("__session"),
+            F.lit(1).alias("__ctx"),
+        )
+        kin2 = flagged.select(*base_cols, "__session", F.lit(0).alias("__ctx")).unionByName(ctx)
+        group_cols = ["user_id", "__session"]
+        schema = T.StructType(
+            list(_TOUR_SCHEMA.fields) + [T.StructField("__session", T.LongType())]
+        )
+        order_by = ["__session", "seq"]
+    else:
+        kin2 = kin
+        group_cols = ["user_id"]
+        schema = _TOUR_SCHEMA
+        order_by = ["seq"]
+
     raw = (
-        kin.repartition(kernel_partitions(kin), "user_id")
-        .groupBy("user_id")
-        .applyInPandas(_run, schema=_TOUR_SCHEMA)
+        kin2.repartition(kernel_partitions(kin2), *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(_run, schema=schema)
         .persist()
     )
-    tours = dense_id_by_user(raw, order_by=["seq"], id_col="id").drop("seq")
+    tours = dense_id_by_user(raw, order_by=order_by, id_col="id").drop(
+        *(["seq", "__session"] if salt_sessions else ["seq"])
+    )
 
     links = tours.select(F.col("id").alias("tour_id"), F.explode("trips").alias("id"))
     tour_lists = links.groupBy("id").agg(F.sort_array(F.collect_list("tour_id")).alias("tour_id"))
