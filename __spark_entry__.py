@@ -2,7 +2,7 @@
 
 ``queries()`` exposes the engine's operators (SURVEY.md §2 + scale
 extensions) over the driver's synthetic tables; ``oracle_sql()`` gives
-DuckDB-equivalent SQL for EVERY registered query (53/53). The
+DuckDB-equivalent SQL for EVERY registered query (55/55). The
 sequential kernels (staypoint sliding scan, DBSCAN, tour stack,
 DTW/Fréchet) are checked through parameterizations where their
 recurrences have exact closed forms on the synthetic hotspot grid —
@@ -1009,6 +1009,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["generate_tours"] = q_generate_tours
 
+    # -- benchmark decontamination (full oracle: shingle join mirrored) -------
+    def q_decontaminate(spark, sf):
+        from trackintel_spark.scale.decontaminate import decontaminate
+
+        docs = load_table(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+        out = decontaminate(docs, bench, n=2, keep_contaminated=True)
+        return out.select(
+            "doc_id",
+            "matched_shingles",
+            _r("overlap_frac", 6).alias("overlap_frac"),
+            "contaminated",
+        )
+
+    q["decontaminate"] = q_decontaminate
+
+    # -- duplicated-chunk fraction (oracle: literal-string chunk census ----
+    # mirrors the xxhash64 census exactly barring astronomically unlikely
+    # hash collisions) -----------------------------------------------------
+    def q_chunk_dedup(spark, sf):
+        from trackintel_spark.scale.dedup import chunk_dedup_fraction
+
+        docs = load_table(spark, sf, "documents")
+        out = chunk_dedup_fraction(docs, window=5, stride=2)
+        return out.select(
+            "doc_id", "n_chunks", _r("dup_chunk_fraction", 6).alias("dup_chunk_fraction")
+        )
+
+    q["chunk_dedup"] = q_chunk_dedup
+
     # Every registered query is oracle-backed. The driver evaluates a
     # 50-query prefix, so the first 50 entries below are the ones scored.
     # Three implementation-redundant queries (radius_gyration_duration,
@@ -1044,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # get_speed_triplegs ≡ tripleg_length/temporal pieces) — all still
         # oracle-backed here and pytest-covered.
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
+        # round-5 additions (oracle-backed; outside the driver prefix)
+        "decontaminate", "chunk_dedup",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1567,6 +1599,55 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
         FROM pairs WHERE jaccard >= 0.05
+    """
+
+    o["decontaminate"] = f"""
+        WITH bench_sh AS (
+            SELECT DISTINCT UNNEST({_shingles2}) AS s
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        corp AS (
+            SELECT doc_id, {_shingles2} AS sh FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, len(sh) AS n_shingles, UNNEST(sh) AS s FROM corp
+        ),
+        m AS (
+            SELECT ex.doc_id, ex.n_shingles, COUNT(*) AS matched
+            FROM ex JOIN bench_sh USING (s)
+            GROUP BY ex.doc_id, ex.n_shingles
+        )
+        SELECT d.doc_id,
+               COALESCE(m.matched, 0) AS matched_shingles,
+               ROUND(COALESCE(CAST(m.matched AS DOUBLE) / GREATEST(m.n_shingles, 1), 0.0), 6)
+                 AS overlap_frac,
+               COALESCE(m.matched, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN m USING (doc_id)
+    """
+
+    o["chunk_dedup"] = f"""
+        WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+        c AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5 THEN
+                       list_transform(range(0, len(toks) - 5 + 1, 2),
+                                      i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+                   ELSE [] END AS chunks
+            FROM t
+        ),
+        ex AS (SELECT doc_id, UNNEST(chunks) AS ch FROM c),
+        per_doc AS (SELECT ch, doc_id, COUNT(*) AS occ FROM ex GROUP BY ch, doc_id),
+        census AS (SELECT ch, COUNT(*) AS n_docs FROM per_doc GROUP BY ch),
+        dup AS (
+            SELECT doc_id, SUM(occ) AS dup
+            FROM per_doc JOIN census USING (ch)
+            WHERE n_docs >= 2 GROUP BY doc_id
+        )
+        SELECT c.doc_id, len(c.chunks) AS n_chunks,
+               CASE WHEN len(c.chunks) > 0 THEN
+                   ROUND(CAST(COALESCE(dup.dup, 0) AS DOUBLE) / len(c.chunks), 6)
+               ELSE NULL END AS dup_chunk_fraction
+        FROM c LEFT JOIN dup USING (doc_id)
     """
 
     o["embedding_topk"] = """

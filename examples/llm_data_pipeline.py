@@ -9,6 +9,7 @@ driver's synthetic documents/embeddings parquet:
     -> exact dedup
     -> MinHash LSH near-dup candidates -> Jaccard verify -> clusters
     -> SemDeDup semantic dedup over embeddings
+    -> composed embedding stack: sign-LSH cosine pairs -> clusters -> keep-list
     -> benchmark decontamination
     -> DSIR importance weighting toward a target corpus
     -> embedding ANN sanity probe (IVF with a k-means quantizer)
@@ -38,6 +39,7 @@ from trackintel_spark.scale import (
 from trackintel_spark.scale.decontaminate import decontaminate
 from trackintel_spark.scale.dedup import (
     dedup_clusters,
+    dedup_embedding_cosine,
     dedup_exact,
     line_dedup,
     minhash_lsh_candidates,
@@ -97,6 +99,19 @@ def main() -> None:
     emb0 = load_table(spark, sf_dir, "embeddings")
     sem = semantic_dedup(emb0, threshold=0.98, n_centers=8, iters=2)
     print(f"semantic dedup keeps: {sem.filter('is_kept').count()} / {sem.count()} vectors")
+
+    # 3c. the COMPOSED embedding dedup stack: sign-LSH bucketed candidate
+    # pairs (exact-cosine verified, precision 1) feed the SAME cluster /
+    # canonical-selection machinery as the text near-dup path — this is
+    # the 1M+ scale recipe (SCALE.md "dedup-stack composition" probe):
+    # dedup_embedding_cosine(method='lsh') -> dedup_clusters -> keep-list
+    epairs = dedup_embedding_cosine(emb0, threshold=0.98, method="lsh")
+    evec = emb0.select(F.col("vec_id").alias("doc_id"))
+    ekeep = dedup_clusters(evec, epairs.select("id_a", "id_b"), keep="min_id")
+    print(
+        "embedding-cluster dedup keeps: "
+        f"{ekeep.filter('is_canonical').count()} / {ekeep.count()} vectors"
+    )
 
     # 4. decontaminate against a (mock) benchmark set
     bench = docs.limit(20).select(F.col("doc_id").alias("bench_id"), "text")

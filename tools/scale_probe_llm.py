@@ -111,6 +111,32 @@ def run_semantic_dedup(spark, n: int, max_compare: int | None = None) -> dict:
     }
 
 
+def run_embedding_dedup_stack(spark, n: int) -> dict:
+    """The COMPOSED embedding dedup recipe end-to-end (the
+    examples/llm_data_pipeline.py stage 3c shape at scale):
+    dedup_embedding_cosine(method='lsh') candidate pairs (exact-cosine
+    verified) -> dedup_clusters (connected components + canonical pick)
+    -> keep-list count. Anisotropic unit vectors with planted 4-member
+    near-dup groups; reports recall of dropped duplicates."""
+    from trackintel_spark.scale import dedup_embedding_cosine
+    from trackintel_spark.scale.dedup import dedup_clusters
+
+    inp = aniso_unit_vecs_input(spark, n).localCheckpoint()
+    t0 = time.time()
+    pairs = dedup_embedding_cosine(inp, threshold=0.95, method="lsh")
+    keep = dedup_clusters(
+        inp.select(F.col("vec_id").alias("doc_id")), pairs.select("id_a", "id_b")
+    )
+    kept = keep.filter("is_canonical").count()
+    w = time.time() - t0
+    # ideal keep-count = one per planted 4-group
+    return {
+        "op": "embedding_dedup_stack", "rows": n, "wall_s": round(w, 1),
+        "kept": kept, "dup_recall": round((n - kept) / (n - n // 4), 3),
+        "rows_per_s": int(n / w),
+    }
+
+
 def run_semantic_dedup_defaults(spark, n: int) -> dict:
     """The NO-PARAMETER contract: ``semantic_dedup(emb, threshold)``
     alone must stay near-linear — n_centers auto-derived from one
@@ -265,6 +291,9 @@ def main():
     for n in take("--vecs-defaults", []):
         if n:
             print(run_semantic_dedup_defaults(spark, n), flush=True)
+    for n in take("--dedup-stack", []):
+        if n:
+            print(run_embedding_dedup_stack(spark, n), flush=True)
     for n in asof_ns:
         if n:
             print(run_asof(spark, n), flush=True)

@@ -90,15 +90,25 @@ def connected_components(
         if not labels:
             return spark.createDataFrame([], f"vertex {vtype}, component {vtype}")
         return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
+    one_persisted = False
     if edge_count is None:
+        # the edge lineage may be EXPENSIVE (an LSH dedup, a banded
+        # similarity join): persist before the probe so the probe and the
+        # symmetrizing explode read one materialization — unpersisted as
+        # soon as sym is checkpointed (measured: without this,
+        # dedup_clusters over a 1M-vector LSH pair graph re-ran the dedup
+        # repeatedly and blew a 20-minute budget)
+        one = one.persist()
+        one_persisted = True
         # limit(n+1) short-circuits the probe: one job that stops as soon
         # as n+1 distinct edges exist, instead of a full distinct shuffle
         # + count whose result the distributed path never reuses. When the
         # graph IS small the collected rows feed union-find directly, so
-        # the small path costs exactly one action and no persist.
+        # the small path costs exactly one action.
         probe = one.distinct().limit(small_graph_edges + 1).collect()
         if len(probe) <= small_graph_edges:
             labels = _union_find_components((r[0], r[1]) for r in probe)
+            one.unpersist()
             spark = edges.sparkSession
             vtype = edges.schema[src].dataType.simpleString()
             if not labels:
@@ -106,9 +116,33 @@ def connected_components(
             return spark.createDataFrame(labels, f"vertex {vtype}, component {vtype}")
         del probe
 
-    # symmetrize with a map-side union; duplicate edges are harmless for
-    # the min() aggregation, so no distinct (that would be a shuffle)
-    sym = one.unionByName(one.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    # symmetrize with ONE map-side explode, not a self-union: a union of
+    # a cached frame with a projection of itself defeats Spark's cache
+    # substitution (measured: each action on the union re-ran the full
+    # expensive edge lineage — 64s a pop on a 200k-vector LSH pair graph
+    # whose cached scan costs 0.2s), and even uncached the explode halves
+    # the input scans. Duplicate edges are harmless for the min()
+    # aggregation, so no distinct (that would be a shuffle).
+    # localCheckpoint (not persist): the iteration references sym several
+    # times per round (propagation join + the pointer-jump self-join), and
+    # Spark's cache substitution does NOT reliably kick in for repeated
+    # occurrences of one cached subplan inside a single query — measured
+    # 60s/iteration re-running the dedup lineage vs 0.3s reading the same
+    # data through a checkpoint. A checkpoint has no lineage to re-run.
+    sym = (
+        one.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+        .localCheckpoint()  # eager: ONE evaluation of the edge lineage
+    )
+    if one_persisted:
+        one.unpersist()
 
     labels = sym.select(F.col("a").alias("vid")).distinct().withColumn("lbl", F.col("vid"))
     labels = labels.localCheckpoint()
@@ -140,5 +174,4 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels.select(F.col("vid").alias("vertex"), F.col("lbl").alias("component"))
