@@ -240,3 +240,93 @@ def test_asof_keyless_no_single_partition_exchange(spark, direction):
     out = asof_join(l_df, r_df, on="t", direction=direction)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_keyless_all_equal_timestamps(spark, direction, allow_exact):
+    """Degenerate key-less input: EVERY row shares one timestamp, so the
+    quantile pass on the event time returns zero cuts. The scan must
+    (a) stay correct (pandas parity — ties resolve by right input
+    position) and (b) re-bucket on the secondary rank composite instead
+    of collapsing to one task."""
+    left_pd = pd.DataFrame({"t": np.full(120, 7.0), "lv": range(120)})
+    right_pd = pd.DataFrame({"t": np.full(90, 7.0), "rv": range(90)})
+    expect = pd.merge_asof(
+        left_pd, right_pd, on="t", direction=direction, allow_exact_matches=allow_exact
+    )
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    got = asof_join(
+        l_df, r_df, on="t", direction=direction, allow_exact_matches=allow_exact
+    ).toPandas()
+    assert _sorted_records(got, ["t", "lv", "rv"]) == _sorted_records(expect, ["t", "lv", "rv"])
+
+
+def test_asof_keyless_all_equal_rebuckets_on_secondary(spark):
+    """With a constant event time the fallback must produce >1 bucket
+    (secondary-composite cuts), not a single-bucket serial scan."""
+    from trackintel_spark.operators.asof import _bucket_cuts
+
+    left_pd = pd.DataFrame({"t": np.full(200, 3.0), "lv": range(200)})
+    right_pd = pd.DataFrame({"t": np.full(200, 3.0), "rv": range(200)})
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    # replicate the union the backward scan builds, then probe the cuts
+    from pyspark.sql import Window
+    from trackintel_spark.operators.asof import _SEC_SCALE, _SIDE_L, _SIDE_R
+
+    wr = Window.partitionBy(F.col("t")).orderBy("__in")
+    r = (
+        r_df.withColumn("__in", F.monotonically_increasing_id())
+        .withColumn("__rk", F.row_number().over(wr))
+        .select(F.col("t").alias("__t"), "__rk", F.lit(_SIDE_R).alias("__side"))
+    )
+    l_ = l_df.select(
+        F.col("t").alias("__t"), F.lit(0).alias("__rk"), F.lit(_SIDE_L).alias("__side")
+    )
+    u = r.unionByName(l_)
+    t0 = F.col("__t").cast("double")
+    sec = (F.lit(-1) * F.col("__side")).cast("double") * F.lit(_SEC_SCALE) + F.col(
+        "__rk"
+    ).cast("double")
+    bucket_on, cuts = _bucket_cuts(u, t0, sec, 8)
+    assert len(cuts) >= 2, cuts  # parallelism restored
+
+
+def test_asof_keyless_skewed_but_nonconstant_keeps_single_bucket(spark):
+    """If the event time is merely skewed (quantiles collapse but values
+    differ), secondary bucketing would interleave timestamps across
+    buckets and corrupt the scan — the fallback must NOT engage, and
+    the result must stay correct."""
+    t = np.full(300, 5.0)
+    t[::150] = [1.0, 9.0]  # two outliers; 0.001-precision quantiles collapse
+    left_pd = pd.DataFrame({"t": np.sort(t), "lv": range(300)})
+    right_pd = pd.DataFrame({"t": np.sort(t[:100]), "rv": range(100)})
+    expect = pd.merge_asof(left_pd, right_pd, on="t", direction="backward")
+    l_df, r_df = _mk(spark, left_pd, right_pd)
+    got = asof_join(l_df, r_df, on="t", direction="backward").toPandas()
+    assert _sorted_records(got, ["t", "lv", "rv"]) == _sorted_records(expect, ["t", "lv", "rv"])
+
+
+def test_asof_shuffle_partitions_conf_non_numeric(spark):
+    """A non-numeric spark.sql.shuffle.partitions (some deployments set
+    'auto' via external resource managers) must not crash the key-less
+    path — the bucket count falls back to 200. Spark 4 refuses to SET a
+    non-int value on a live session, so probe the helper with a stub."""
+    from trackintel_spark.operators.asof import _shuffle_partitions
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _S:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert _shuffle_partitions(_S("auto")) == 200
+    assert _shuffle_partitions(_S(None)) == 200
+    assert _shuffle_partitions(_S("64")) == 64
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

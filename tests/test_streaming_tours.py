@@ -246,3 +246,26 @@ def test_geometry_mode_matches_batch(spark):
     got = _norm(tours_stream_exact(df, max_dist=100.0).collect())
     assert got == exp
     assert len(got) >= 2
+
+
+def test_stream_out_of_order_across_batches_raises(spark, tmp_path):
+    """The ordering contract is enforced: a micro-batch delivering a trip
+    that starts BEFORE one already folded into the candidate stack must
+    fail the query loudly (silently corrupted tours were the alternative)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    rows = _mk_trips(n_users=1)
+    # second chunk REPLAYS the first trip -> out of order across batches
+    chunks = [rows[3:], rows[:3]]
+    with pytest.raises(StreamingQueryException, match="out-of-order trip"):
+        _stream_result(spark, tmp_path, chunks, max_files=1)
+
+
+def test_stream_in_order_duplicate_boundary_ok(spark, tmp_path):
+    """Equal started_at at a micro-batch boundary is NOT out of order
+    (strictly-before raises; ties pass through the kernel)."""
+    rows = _mk_trips(n_users=1)
+    cut = len(rows) // 2
+    got = _stream_result(spark, tmp_path, [rows[:cut], rows[cut:]], max_files=1)
+    assert got == _batch_expected(spark, rows)

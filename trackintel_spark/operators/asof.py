@@ -49,6 +49,19 @@ from pyspark.sql import types as T
 
 _SIDE_L, _SIDE_R = 0, 1
 
+# secondary-rank composite scale: |r1| <= 2 and r2 = row_number (int32),
+# so r1 * 2^32 + r2 stays exactly representable in a double (< 2^53)
+_SEC_SCALE = 2.0**32
+
+
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the 'auto'
+    / non-numeric values some deployments set (falls back to 200)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return 200
+
 
 def _rank_cuts(u: DataFrame, rank0: Column, n_buckets: int) -> list[float]:
     """Quantile split points of the leading rank component — ONE
@@ -62,9 +75,48 @@ def _rank_cuts(u: DataFrame, rank0: Column, n_buckets: int) -> list[float]:
     return sorted(set(cuts))
 
 
+def _bucket_cuts(
+    u: DataFrame, rank0: Column, rank_sec: Column, n_buckets: int
+) -> tuple[Column, list[float]]:
+    """Pick the bucketing expression + cut points for the key-less scan.
+
+    Normally the leading rank component (event time) spreads enough to
+    cut on directly. When its quantiles collapse to a single point
+    (every row shares one timestamp — approxQuantile returns the one
+    constant for every probe, so <= 1 distinct cut and every row lands
+    in the same bucket), the scan would degenerate to ONE task. In
+    that case, IF the
+    leading component is provably constant (min == max, no NULLs), the
+    global order is decided entirely by the secondary components, so
+    cutting on their exact numeric composite keeps bucket order ==
+    rank order and restores parallelism. If the leading component
+    merely has extreme skew (non-constant but collapsed quantiles), a
+    secondary cut would interleave rank0 values across buckets and
+    CORRUPT the scan — keep the single bucket there.
+    """
+    cuts = _rank_cuts(u, rank0, n_buckets)
+    if len(cuts) > 1:
+        return rank0, cuts
+    r0d = rank0.cast("double")
+    stats = u.select(
+        F.min(r0d).alias("lo"),
+        F.max(r0d).alias("hi"),
+        F.sum(F.when(r0d.isNull(), 1).otherwise(0)).alias("nulls"),
+    ).first()
+    if (
+        stats["lo"] is not None
+        and stats["lo"] == stats["hi"]
+        and not (stats["nulls"] or 0)
+    ):
+        sec_cuts = _rank_cuts(u, rank_sec, n_buckets)
+        if len(sec_cuts) > 1:
+            return rank_sec, sec_cuts
+    return rank0, cuts
+
+
 def _global_scan_last(
     u: DataFrame,
-    rank0: Column,
+    bucket_on: Column,
     rank: Column,
     value_col: str,
     out_col: str,
@@ -74,7 +126,8 @@ def _global_scan_last(
     ROWS UNBOUNDED PRECEDING)`` WITHOUT the single-task
     ``Window.partitionBy(lit(1))``:
 
-    1. deterministic range buckets from the precomputed ``cuts`` on the
+    1. deterministic range buckets from the precomputed ``cuts`` on
+       ``bucket_on`` — a rank-order-monotone expression, normally the
        leading rank component (literal comparisons — equal keys always
        share a bucket, so bucket order respects rank order);
     2. a per-bucket running window (ONE hash exchange on ``__bkt``,
@@ -87,12 +140,12 @@ def _global_scan_last(
     Eager (one collect); the caller persists ``u`` across the actions.
     """
     sfx = out_col.strip("_")
-    rk0, rkc, bkc, runc = f"__r0_{sfx}", f"__rank_{sfx}", f"__bkt_{sfx}", f"__run_{sfx}"
+    rkc, bkc, runc = f"__rank_{sfx}", f"__bkt_{sfx}", f"__run_{sfx}"
     bkt: Column = F.lit(0)
     for c in cuts:
-        bkt = bkt + F.when(rank0.cast("double") >= F.lit(float(c)), 1).otherwise(0)
+        bkt = bkt + F.when(bucket_on.cast("double") >= F.lit(float(c)), 1).otherwise(0)
     u2 = u.withColumn(rkc, rank).withColumn(
-        bkc, F.when(rank0.isNull(), F.lit(0)).otherwise(bkt).cast("int")
+        bkc, F.when(bucket_on.isNull(), F.lit(0)).otherwise(bkt).cast("int")
     )
     w = Window.partitionBy(bkc).orderBy(F.col(rkc).asc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -122,7 +175,7 @@ def _global_scan_last(
     return (
         run.join(F.broadcast(carried), on=bkc, how="left")
         .withColumn(out_col, F.coalesce(F.col(runc), F.col("__carry")))
-        .drop(rk0, rkc, bkc, runc, "__carry")
+        .drop(rkc, bkc, runc, "__carry")
     )
 
 
@@ -194,24 +247,23 @@ def _asof_one(
         # (eager — see _global_scan_last)
         s_sign = -1 if allow_exact_matches else 1  # side desc == right first
         t0 = F.col("__t").cast("double")
+        r1 = F.lit(s_sign) * F.col("__side")
         if direction == "forward":
             rank0 = -t0
             rank = F.struct(
-                (-t0).alias("r0"),
-                (F.lit(s_sign) * F.col("__side")).alias("r1"),
-                (-F.col("__rk")).alias("r2"),
+                (-t0).alias("r0"), r1.alias("r1"), (-F.col("__rk")).alias("r2")
             )
+            rank_sec = r1.cast("double") * F.lit(_SEC_SCALE) - F.col("__rk").cast("double")
         else:
             rank0 = t0
             rank = F.struct(
-                t0.alias("r0"),
-                (F.lit(s_sign) * F.col("__side")).alias("r1"),
-                F.col("__rk").alias("r2"),
+                t0.alias("r0"), r1.alias("r1"), F.col("__rk").alias("r2")
             )
+            rank_sec = r1.cast("double") * F.lit(_SEC_SCALE) + F.col("__rk").cast("double")
         u = u.persist()  # feeds the quantile pass, the boundary collect, and the result
-        n_buckets = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        cuts = _rank_cuts(u, rank0, n_buckets)
-        matched = _global_scan_last(u, rank0, rank, "__r", "__m", cuts)
+        n_buckets = _shuffle_partitions(u.sparkSession)
+        bucket_on, cuts = _bucket_cuts(u, rank0, rank_sec, n_buckets)
+        matched = _global_scan_last(u, bucket_on, rank, "__r", "__m", cuts)
     matched = matched.filter(F.col("__side") == _SIDE_L)
     dt = F.abs(F.col("__t").cast("double") - F.col("__m.__rt"))
     keep = F.col("__m").isNotNull() & (
@@ -250,6 +302,13 @@ def asof_join(
     rows keep NULLs. Right's ``by``/``right_on`` columns are not
     duplicated. 'nearest' runs both scans and keeps the closer match
     per row (ties to the backward side, like pandas).
+
+    .. note:: key-less mode (``by=None``) is EAGER: calling this
+       function triggers Spark jobs immediately (one approxQuantile
+       pass plus per-bucket boundary collects — small driver actions)
+       and persists the internal union for the result's lifetime, per
+       the SCALE.md cache-lifetime convention. Keyed mode is fully
+       lazy as usual.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
@@ -345,10 +404,14 @@ def asof_join(
             (-t0).alias("r0"), (-F.col("__ord")).alias("r1"), (-F.col("__rk")).alias("r2")
         )
         u = u.persist()  # feeds the quantile pass, two boundary collects, the result
-        n_buckets = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        cuts = _rank_cuts(u, t0, n_buckets)
-        m = _global_scan_last(u, t0, rank_b, "__rb", "__b", cuts)
-        m = _global_scan_last(m, -t0, rank_f, "__rf", "__f", sorted(-c for c in cuts))
+        n_buckets = _shuffle_partitions(u.sparkSession)
+        # the forward scan's order is the exact negation of the backward
+        # scan's (rank_f == -rank_b componentwise), so ONE cut pass
+        # serves both: negate the bucketing expression and cut points.
+        sec_b = F.col("__ord").cast("double") * F.lit(_SEC_SCALE) + F.col("__rk").cast("double")
+        bucket_on, cuts = _bucket_cuts(u, t0, sec_b, n_buckets)
+        m = _global_scan_last(u, bucket_on, rank_b, "__rb", "__b", cuts)
+        m = _global_scan_last(m, -bucket_on, rank_f, "__rf", "__f", sorted(-c for c in cuts))
         m = m.filter(F.col("__ord") == 1)
     bt = F.abs(F.col("__t").cast("double") - F.col("__b.__rt"))
     ft = F.abs(F.col("__t").cast("double") - F.col("__f.__rt"))

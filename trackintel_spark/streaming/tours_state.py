@@ -21,7 +21,9 @@ locations-labeled staypoints, see :func:`attach_trip_locations`) or a
 ``geom`` struct of origin/dest points (max_dist mode). Trips must
 arrive per-user in ``started_at`` order across micro-batches (each
 batch is sorted internally) — upstream ``trips_stream_exact`` emits in
-order.
+order. The contract is ENFORCED: the last processed ``started_at`` is
+kept in state and an out-of-order arrival raises instead of silently
+corrupting the candidate stack.
 
 Output: (user_id, seq, started_at, finished_at, origin_staypoint_id,
 destination_staypoint_id, location_id, trips) — ``seq`` is the dense
@@ -74,9 +76,13 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("c_olat", T.ArrayType(T.DoubleType())),
         T.StructField("c_dlon", T.ArrayType(T.DoubleType())),
         T.StructField("c_dlat", T.ArrayType(T.DoubleType())),
+        T.StructField("last_start_us", T.LongType()),
         T.StructField("n_emitted", T.LongType()),
     ]
 )
+
+# sentinel "no trip processed yet" — below any real epoch-µs
+_NEVER_US = -(1 << 62)
 
 
 def _pack(candidates: list) -> tuple:
@@ -179,14 +185,27 @@ def tours_stream_exact(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            *packed, n_emitted = state.get
+            *packed, last_start_us, n_emitted = state.get
             candidates = _unpack(tuple(packed))
         else:
-            candidates, n_emitted = [], 0
+            candidates, last_start_us, n_emitted = [], _NEVER_US, 0
 
         rows = []
         pdf_all = pd.concat(list(batches), ignore_index=True)
-        for rec in _trip_records(pdf_all, use_locations):
+        recs = _trip_records(pdf_all, use_locations)
+        # enforce the documented per-user ordering contract: a trip that
+        # starts BEFORE one already folded into the candidate stack in a
+        # previous micro-batch would silently corrupt the scan state —
+        # fail loudly instead (the batch itself is sorted internally).
+        if recs and recs[0].start_us < last_start_us:
+            raise ValueError(
+                f"tours_stream_exact: out-of-order trip for user {user_id}: "
+                f"trip id {recs[0].id} starts at {recs[0].start_us} µs but a "
+                f"trip starting at {last_start_us} µs was already processed "
+                "in an earlier micro-batch; trips must arrive per-user in "
+                "started_at order (upstream trips_stream_exact emits in order)"
+            )
+        for rec in recs:
             candidates, members = _scan_step(
                 candidates, rec, use_locations, max_dist, max_time_s, max_nr_gaps
             )
@@ -201,7 +220,9 @@ def tours_stream_exact(
                     )
                 )
 
-        state.update((*_pack(candidates), int(n_emitted)))
+        if recs:
+            last_start_us = recs[-1].start_us
+        state.update((*_pack(candidates), int(last_start_us), int(n_emitted)))
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
 
