@@ -114,11 +114,12 @@ def test_projected_distance_matches_haversine(spark):
 
 
 def test_unknown_crs_raises(spark):
-    # 5070 (Albers equal-area conic) has no built-in transform; the TM
-    # (27700) and LCC (2154) families both do now
+    # 54009 (Mollweide) has no built-in transform; the TM (27700), LCC
+    # (2154), AEA (5070), and polar-stereographic (3413) families all
+    # do now
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
-        transform_points(df, 4326, 5070).collect()
+        transform_points(df, 4326, 54009).collect()
 
 
 def test_distance_matrix_euclidean_on_projected(spark):
@@ -437,13 +438,13 @@ def test_mixed_bridged_unknown_pair_routes_to_pyproj_dispatch(spark):
     same path transforms via the Arrow UDF."""
     from trackintel_spark.geogr.crs import _transform_stages
 
-    assert _transform_stages(27700, 5070) is None
-    assert _transform_stages(5070, 27700) is None
+    assert _transform_stages(27700, 54009) is None
+    assert _transform_stages(54009, 27700) is None
     df = _pts(spark, [(0, 400000.0, 200000.0)])
     with pytest.raises(NotImplementedError, match="needs pyproj"):
-        transform_points(df, 27700, 5070).collect()
+        transform_points(df, 27700, 54009).collect()
     with pytest.raises(NotImplementedError, match="needs pyproj"):
-        transform_points(df, 5070, 27700).collect()
+        transform_points(df, 54009, 27700).collect()
 
 
 def test_transform_xy_warns_on_datum_bridged_grid(spark):
@@ -573,5 +574,162 @@ def test_lcc_to_tm_cross_grid(spark):
     l93 = transform_points(df, 4326, 2154)
     direct = transform_points(l93, 2154, 27700).first().geom
     via = transform_points(transform_points(l93, 2154, 4326), 4326, 27700).first().geom
+    assert abs(direct["lon"] - via["lon"]) < 1e-6
+    assert abs(direct["lat"] - via["lat"]) < 1e-6
+
+
+def test_aea_snyder_worked_example(spark):
+    """Snyder (USGS PP 1395) §14 numerical example, p.292: Clarke 1866,
+    standard parallels 29.5/45.5N, origin (23N, 96W); the point
+    (35N, 75W) maps to x=1885472.7, y=1535925.0 — pins the ellipsoidal
+    Albers Equal-Area forward/inverse Column expressions to the
+    published values."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import AEAGrid, AEA_GRIDS, register_aea_grid
+
+    clarke_f = 1 - _m.sqrt(1 - 0.00676866)  # Snyder uses e2=0.00676866
+    register_aea_grid(
+        900915,
+        AEAGrid(6378206.4, clarke_f, lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5,
+                false_easting=0.0, false_northing=0.0),
+    )
+    try:
+        df = _pts(spark, [(0, -75.0, 35.0)])
+        got = transform_points(df, 4326, 900915).first().geom
+        assert abs(got["lon"] - 1885472.7) < 0.5
+        assert abs(got["lat"] - 1535925.0) < 0.5
+        back = transform_points(
+            transform_points(df, 4326, 900915), 900915, 4326
+        ).first().geom
+        assert abs(back["lon"] - -75.0) < 1e-7 and abs(back["lat"] - 35.0) < 1e-7
+    finally:
+        AEA_GRIDS.pop(900915, None)
+
+
+def test_ps_snyder_worked_example(spark):
+    """Snyder §21 numerical example, p.315: International 1924 ellipsoid,
+    south aspect, standard parallel 71S, lon0=-100E; the point
+    (75S, 150E) maps to x=-1540033.6, y=-560526.4."""
+    from trackintel_spark.geogr.crs import PSGrid, PS_GRIDS, register_ps_grid
+
+    register_ps_grid(
+        900916,
+        PSGrid(6378388.0, 1 / 297.0, north=False, lon0=-100.0,
+               false_easting=0.0, false_northing=0.0, lat_ts=-71.0),
+    )
+    try:
+        df = _pts(spark, [(0, 150.0, -75.0)])
+        got = transform_points(df, 4326, 900916).first().geom
+        assert abs(got["lon"] - -1540033.6) < 0.5
+        assert abs(got["lat"] - -560526.4) < 0.5
+        back = transform_points(
+            transform_points(df, 4326, 900916), 900916, 4326
+        ).first().geom
+        assert abs(back["lon"] - 150.0) < 1e-7 and abs(back["lat"] - -75.0) < 1e-7
+    finally:
+        PS_GRIDS.pop(900916, None)
+
+
+def test_conus_albers_equal_area_property(spark):
+    """EPSG:5070 (NAD83 / Conus Albers): the projection origin maps to
+    (0,0); the numerical Jacobian of the forward map equals the true
+    ellipsoidal area element (area scale == 1 — the DEFINING property
+    of an equal-area projection, catching any formula error); k == 1
+    along the standard parallels; round-trip is series-exact."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import AEA_GRIDS
+
+    g = AEA_GRIDS[5070]
+    df = _pts(spark, [(0, -96.0, 23.0), (1, -100.0, 40.0), (2, -75.0, 35.0)])
+    alb = transform_points(df, 4326, 5070)
+    rows = {r.id: r.geom for r in alb.collect()}
+    assert abs(rows[0]["lon"]) < 1e-6 and abs(rows[0]["lat"]) < 1e-6
+
+    # area-scale check via a small finite-difference Jacobian at (-100, 40)
+    h = 1e-5
+    probe = _pts(spark, [(0, -100.0, 40.0), (1, -100.0 + h, 40.0), (2, -100.0, 40.0 + h)])
+    p = {r.id: r.geom for r in transform_points(probe, 4326, 5070).collect()}
+    jac = abs(
+        (p[1]["lon"] - p[0]["lon"]) * (p[2]["lat"] - p[0]["lat"])
+        - (p[2]["lon"] - p[0]["lon"]) * (p[1]["lat"] - p[0]["lat"])
+    ) / _m.radians(h) ** 2
+    s = _m.sin(_m.radians(40.0))
+    m_rad = g.a * (1 - g.e2) / (1 - g.e2 * s * s) ** 1.5
+    n_rad = g.a / _m.sqrt(1 - g.e2 * s * s)
+    assert abs(jac / (m_rad * n_rad * _m.cos(_m.radians(40.0))) - 1.0) < 1e-6
+
+    back = transform_points(alb, 5070, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-7
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-7
+
+
+@pytest.mark.parametrize("epsg,lon,lat", [
+    (3310, -120.0, 37.0),   # California Albers
+    (3577, 133.5, -24.0),   # Australian Albers (southern cone, n < 0)
+])
+def test_aea_grids_roundtrip(spark, epsg, lon, lat):
+    df = _pts(spark, [(0, lon, lat), (1, lon + 2.0, lat - 1.5)])
+    back = transform_points(transform_points(df, 4326, epsg), epsg, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-7
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-7
+
+
+def test_nsidc_polar_stereographic(spark):
+    """EPSG:3413 (NSIDC Sea Ice North) and 3031 (Antarctic): the pole
+    maps to the false origin, scale is 1 at the standard parallel
+    (conformal k via finite difference along the meridian), and the
+    round-trip is closed-form exact."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import PS_GRIDS
+
+    for epsg, pole_lat, lat_ts in ((3413, 90.0, 70.0), (3031, -90.0, -71.0)):
+        g = PS_GRIDS[epsg]
+        pole = transform_points(_pts(spark, [(0, g.lon0, pole_lat)]), 4326, epsg).first().geom
+        assert abs(pole["lon"]) < 1e-6 and abs(pole["lat"]) < 1e-6
+
+        h = 1e-5
+        probe = _pts(spark, [(0, 10.0, lat_ts), (1, 10.0, lat_ts + h)])
+        p = {r.id: r.geom for r in transform_points(probe, 4326, epsg).collect()}
+        dist = _m.hypot(p[1]["lon"] - p[0]["lon"], p[1]["lat"] - p[0]["lat"])
+        s = _m.sin(_m.radians(lat_ts))
+        m_rad = g.a * (1 - g.e2) / (1 - g.e2 * s * s) ** 1.5
+        assert abs(dist / (m_rad * _m.radians(h)) - 1.0) < 1e-6  # k(lat_ts) == 1
+
+        df = _pts(spark, [(0, -145.0, 60.0 if epsg == 3413 else -60.0),
+                          (1, 10.0, 75.0 if epsg == 3413 else -75.0)])
+        back = transform_points(transform_points(df, 4326, epsg), epsg, 4326)
+        for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+            assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-8
+            assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-8
+
+
+def test_ups_variant_a(spark):
+    """EPSG:32661/32761 (UPS, variant A: k0=0.994 at the pole): pole ->
+    (2000000, 2000000); round-trip exact; k at the pole == 0.994
+    (finite difference across the pole along the 0-meridian plane)."""
+    for epsg, pole_lat in ((32661, 90.0), (32761, -90.0)):
+        pole = transform_points(_pts(spark, [(0, 0.0, pole_lat)]), 4326, epsg).first().geom
+        assert abs(pole["lon"] - 2_000_000.0) < 1e-6
+        assert abs(pole["lat"] - 2_000_000.0) < 1e-6
+        df = _pts(spark, [(0, 30.0, pole_lat * 0.9), (1, -120.0, pole_lat * 0.87)])
+        back = transform_points(transform_points(df, 4326, epsg), epsg, 4326)
+        for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+            assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-8
+            assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-8
+
+
+def test_aea_to_ps_cross_grid(spark):
+    """An Albers->polar-stereographic pair (5070 -> 3413) chains AEA
+    inverse + PS forward through the staged path; verify by going the
+    long way round (5070 -> 4326 -> 3413)."""
+    df = _pts(spark, [(0, -100.0, 48.0)])
+    alb = transform_points(df, 4326, 5070)
+    direct = transform_points(alb, 5070, 3413).first().geom
+    via = transform_points(transform_points(alb, 5070, 4326), 4326, 3413).first().geom
     assert abs(direct["lon"] - via["lon"]) < 1e-6
     assert abs(direct["lat"] - via["lat"]) < 1e-6

@@ -15,11 +15,20 @@ common projections are implemented as closed-form column expressions
   — the current official Swiss frame) — the swisstopo approximate
   formulas
   (public), meter-level accuracy (matches the published accuracy of the
-  approximation itself).
+  approximation itself);
+* generic parameterized grid FAMILIES, each a registry + dataclass +
+  Snyder-series Column expressions with an optional 7-parameter Helmert
+  datum bridge: transverse Mercator (``TM_GRIDS`` — BNG 27700,
+  Gauss-Krüger, ...), Lambert Conformal Conic 2SP (``LCC_GRIDS`` —
+  Lambert-93 2154, Belgian 31370, ...), Albers Equal-Area 2SP
+  (``AEA_GRIDS`` — Conus Albers 5070, California 3310, Australian
+  3577), and polar stereographic variants A/B (``PS_GRIDS`` — NSIDC
+  3413/3031, UPS 32661/32761). Extend via ``register_*_grid``.
 
-Anything else dispatches to a pyproj-backed Arrow UDF IF pyproj is
-importable (feature-flagged; not present in this container), else
-raises with a clear message.
+Anything else (Mollweide-class equal-area, oblique aspects, ...)
+dispatches to a pyproj-backed Arrow UDF IF pyproj is importable
+(feature-flagged; not present in this container), else raises with a
+clear message.
 """
 
 from __future__ import annotations
@@ -516,21 +525,286 @@ def register_lcc_grid(epsg: int, grid: LCCGrid) -> None:
     LCC_GRIDS[epsg] = grid
 
 
-def _get_grid(epsg: int) -> "TMGrid | LCCGrid | None":
-    """Combined TM + LCC registry lookup."""
-    g = TM_GRIDS.get(epsg)
-    return g if g is not None else LCC_GRIDS.get(epsg)
+# -- Albers Equal-Area Conic (2SP) -------------------------------------------
+# Snyder §14 (Map Projections: A Working Manual, pp. 98-103), the CONUS
+# analysis projection (US Census / National Atlas) and the Australian
+# national equal-area grid. Same staged-projection + Helmert machinery
+# as TM/LCC.
+
+
+@dataclass(frozen=True)
+class AEAGrid:
+    """A 2-standard-parallel Albers Equal-Area Conic grid + datum bridge.
+
+    ``lat0``/``lon0`` = latitude/longitude of false origin, ``lat1`` /
+    ``lat2`` = standard parallels (degrees). ``helmert_to_wgs84`` as in
+    :class:`TMGrid`; None = datum is WGS84-equivalent (NAD83, GDA94...).
+    """
+
+    a: float
+    f: float
+    lat0: float
+    lon0: float
+    lat1: float
+    lat2: float
+    false_easting: float
+    false_northing: float
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _aea_q_scalar(phi: float, e2: float) -> float:
+    """Authalic q(φ) — Snyder 3-12 — at plan time."""
+    if e2 == 0.0:
+        return 2.0 * math.sin(phi)
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _aea_consts(g: AEAGrid) -> tuple[float, float, float, float]:
+    """Plan-time cone scalars (n, C, rho0, q_pole) — Snyder 14-3..14-6."""
+    e2 = g.e2
+    p0, p1, p2 = (math.radians(v) for v in (g.lat0, g.lat1, g.lat2))
+
+    def m(phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    q0, q1, q2 = (_aea_q_scalar(p, e2) for p in (p0, p1, p2))
+    m1, m2 = m(p1), m(p2)
+    if abs(g.lat1 - g.lat2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = g.a * math.sqrt(c - n * q0) / n
+    q_pole = _aea_q_scalar(math.pi / 2, e2)
+    return n, c, rho0, q_pole
+
+
+def _aea_q_col(phi: Column, e2: float) -> Column:
+    """q(φ) as a Column (Snyder 3-12)."""
+    if e2 == 0.0:  # sphere
+        return 2.0 * F.sin(phi)
+    e = math.sqrt(e2)
+    s = F.sin(phi)
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - (1 / (2 * e)) * F.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def aea_forward(lon: Column, lat: Column, g: AEAGrid) -> tuple[Column, Column]:
+    """Geodetic (grid datum) -> AEA easting/northing (Snyder 14-1..14-4)."""
+    n, c, rho0, _ = _aea_consts(g)
+    q = _aea_q_col(F.radians(lat), g.e2)
+    rho = g.a * F.sqrt(c - n * q) / n
+    theta = n * (F.radians(lon) - math.radians(g.lon0))
+    x = rho * F.sin(theta)
+    y = rho0 - rho * F.cos(theta)
+    return x + g.false_easting, y + g.false_northing
+
+
+def aea_inverse(x: Column, y: Column, g: AEAGrid) -> tuple[Column, Column]:
+    """AEA easting/northing -> geodetic lon/lat on the grid's own datum
+    (Snyder 14-8..14-11; latitude via the authalic-latitude series 3-18,
+    closed form — no fixed-point iteration in the expression tree)."""
+    n, c, rho0, q_pole = _aea_consts(g)
+    sgn = 1.0 if n >= 0 else -1.0
+    dx = x - g.false_easting
+    dy = rho0 - (y - g.false_northing)
+    rho = F.sqrt(dx * dx + dy * dy)
+    theta = F.atan2(sgn * dx, sgn * dy)
+    lam = theta / n + math.radians(g.lon0)
+    q = (c - (rho * rho) * (n * n) / (g.a * g.a)) / n
+    # clamp |q/q_pole| into asin's domain against float round-off at the pole
+    ratio = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), q / q_pole))
+    beta = F.asin(ratio)
+    e2 = g.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * beta)
+        + (761 * e6 / 45360) * F.sin(6 * beta)
+    )
+    return F.degrees(lam), F.degrees(phi)
+
+
+#: EPSG -> AEA grid parameters; extend via :func:`register_aea_grid`.
+AEA_GRIDS: dict[int, AEAGrid] = {
+    # NAD83 / Conus Albers — the US Census / National Atlas CONUS frame
+    5070: AEAGrid(*_GRS80, lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5,
+                  false_easting=0.0, false_northing=0.0),
+    # NAD83 / California Albers (statewide analysis grid)
+    3310: AEAGrid(*_GRS80, lat0=0.0, lon0=-120.0, lat1=34.0, lat2=40.5,
+                  false_easting=0.0, false_northing=-4_000_000.0),
+    # GDA94 / Australian Albers (national equal-area grid)
+    3577: AEAGrid(*_GRS80, lat0=0.0, lon0=132.0, lat1=-18.0, lat2=-36.0,
+                  false_easting=0.0, false_northing=0.0),
+}
+
+
+def register_aea_grid(epsg: int, grid: AEAGrid) -> None:
+    """Register a custom Albers Equal-Area grid so
+    :func:`transform_points` / :func:`transform_xy` accept its EPSG code
+    — the extension hook for AEA zones not built in (state planes,
+    continental analysis grids, ...)."""
+    AEA_GRIDS[epsg] = grid
+
+
+# -- Polar Stereographic ------------------------------------------------------
+# Snyder §21 (pp. 160-163) / EPSG Guidance Note 7-2 variants A (scale
+# factor at the pole — UPS) and B (standard parallel — the NSIDC sea-ice
+# grids). Conformal; shares the conformal-latitude series with LCC.
+
+
+@dataclass(frozen=True)
+class PSGrid:
+    """A polar stereographic grid (variant A or B) + datum bridge.
+
+    ``north`` picks the pole aspect. Give EITHER ``lat_ts`` (standard
+    parallel, variant B — NSIDC 3413/3031) OR ``k0`` (scale factor at
+    the pole, variant A — UPS). ``lon0`` = longitude of origin (the
+    down-grid meridian).
+    """
+
+    a: float
+    f: float
+    north: bool
+    lon0: float
+    false_easting: float
+    false_northing: float
+    lat_ts: float | None = None
+    k0: float | None = None
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _ps_t_scalar(phi: float, e2: float) -> float:
+    """Conformal t(φ) for the NORTH aspect (Snyder 15-9) at plan time."""
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return math.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+def _ps_scale(g: PSGrid) -> float:
+    """Plan-time radial scale K with rho = K * t — variant B from the
+    standard parallel (Snyder 21-34), variant A from k0 (21-33)."""
+    e2 = g.e2
+    e = math.sqrt(e2)
+    if g.lat_ts is not None:
+        pc = math.radians(abs(g.lat_ts))  # pole-relative
+        s = math.sin(pc)
+        m_c = math.cos(pc) / math.sqrt(1 - e2 * s * s)
+        t_c = _ps_t_scalar(pc, e2)
+        return g.a * m_c / t_c
+    if g.k0 is None:
+        raise ValueError("PSGrid needs lat_ts (variant B) or k0 (variant A)")
+    return 2.0 * g.a * g.k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+
+def ps_forward(lon: Column, lat: Column, g: PSGrid) -> tuple[Column, Column]:
+    """Geodetic (grid datum) -> polar stereographic easting/northing
+    (Snyder 21-30..21-34; south aspect via the φ→-φ, λ→-λ symmetry)."""
+    k = _ps_scale(g)
+    e = math.sqrt(g.e2)
+    sgn = 1.0 if g.north else -1.0
+    phi = sgn * F.radians(lat)  # pole-relative latitude
+    s = F.sin(phi)
+    t_c = F.tan(math.pi / 4 - phi / 2) / F.pow((1 - e * s) / (1 + e * s), e / 2)
+    rho = k * t_c
+    lam = sgn * (F.radians(lon) - math.radians(g.lon0))
+    x = rho * F.sin(lam)
+    y = -rho * F.cos(lam)
+    return sgn * x + g.false_easting, sgn * y + g.false_northing
+
+
+def ps_inverse(x: Column, y: Column, g: PSGrid) -> tuple[Column, Column]:
+    """Polar stereographic easting/northing -> geodetic lon/lat on the
+    grid's own datum (Snyder 21-39/21-40 + conformal-latitude series)."""
+    k = _ps_scale(g)
+    sgn = 1.0 if g.north else -1.0
+    dx = sgn * (x - g.false_easting)
+    dy = sgn * (y - g.false_northing)
+    rho = F.sqrt(dx * dx + dy * dy)
+    t_c = rho / k
+    chi = math.pi / 2 - 2 * F.atan(t_c)
+    e2 = g.e2
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * F.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * F.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * F.sin(6 * chi)
+        + (4279 * e8 / 161280) * F.sin(8 * chi)
+    )
+    # dx/dy are the north-aspect pole-relative plane coords; undo the
+    # forward's lam_p = sgn*(lam - lon0), then wrap into (-180, 180] —
+    # atan2 folds |lam - lon0| > 180 cases (e.g. the date line opposite
+    # lon0) onto the wrong branch otherwise
+    lam_p = F.atan2(dx, -dy)
+    lam_deg = F.degrees(sgn * lam_p + math.radians(g.lon0))
+    lam_wrapped = lam_deg - 360.0 * F.floor((lam_deg + 180.0) / 360.0)
+    return lam_wrapped, F.degrees(sgn * phi)
+
+
+#: EPSG -> polar stereographic grids; extend via :func:`register_ps_grid`.
+PS_GRIDS: dict[int, PSGrid] = {
+    # NSIDC Sea Ice Polar Stereographic North (WGS84, lat_ts 70N, lon0 -45)
+    3413: PSGrid(_A, _F, north=True, lon0=-45.0,
+                 false_easting=0.0, false_northing=0.0, lat_ts=70.0),
+    # Antarctic Polar Stereographic (WGS84, lat_ts 71S, lon0 0)
+    3031: PSGrid(_A, _F, north=False, lon0=0.0,
+                 false_easting=0.0, false_northing=0.0, lat_ts=-71.0),
+    # Universal Polar Stereographic North / South (variant A, k0=0.994)
+    32661: PSGrid(_A, _F, north=True, lon0=0.0,
+                  false_easting=2_000_000.0, false_northing=2_000_000.0, k0=0.994),
+    32761: PSGrid(_A, _F, north=False, lon0=0.0,
+                  false_easting=2_000_000.0, false_northing=2_000_000.0, k0=0.994),
+}
+
+
+def register_ps_grid(epsg: int, grid: PSGrid) -> None:
+    """Register a custom polar stereographic grid for
+    :func:`transform_points` / :func:`transform_xy`."""
+    PS_GRIDS[epsg] = grid
+
+
+def _get_grid(epsg: int) -> "TMGrid | LCCGrid | AEAGrid | PSGrid | None":
+    """Combined TM + LCC + AEA + PS registry lookup."""
+    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS):
+        g = reg.get(epsg)
+        if g is not None:
+            return g
+    return None
 
 
 def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
     if isinstance(g, LCCGrid):
         return lcc_forward(lon, lat, g)
+    if isinstance(g, AEAGrid):
+        return aea_forward(lon, lat, g)
+    if isinstance(g, PSGrid):
+        return ps_forward(lon, lat, g)
     return tm_forward(lon, lat, g)
 
 
 def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
     if isinstance(g, LCCGrid):
         return lcc_inverse(x, y, g)
+    if isinstance(g, AEAGrid):
+        return aea_inverse(x, y, g)
+    if isinstance(g, PSGrid):
+        return ps_inverse(x, y, g)
     return tm_inverse(x, y, g)
 
 
@@ -640,8 +914,8 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
         return _grid_to_wgs84(x, y, g)
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
-        f"register_lcc_grid() cover most national grids, or install pyproj "
-        f"for arbitrary CRS support"
+        f"register_lcc_grid() / register_aea_grid() / register_ps_grid() "
+        f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
 
@@ -665,8 +939,8 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
         return _wgs84_to_grid(lon, lat, g)
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
-        f"register_lcc_grid() cover most national grids, or install pyproj "
-        f"for arbitrary CRS support"
+        f"register_lcc_grid() / register_aea_grid() / register_ps_grid() "
+        f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
 
