@@ -2,7 +2,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "scale": {probe: {rows, wall_s, rows_per_s}},
+"sf": ...}.
+
+The sf0.1 tier is latency-bound (~1 s of fixed stage latency per cell),
+so a plan regression that doubles shuffled BYTES is invisible there.
+The ``scale`` section re-runs four headline operators at probe scale
+(10M-pfs mobility chain, 1M-doc line dedup, 40M-row as-of join,
+400k-vector no-parameter semantic dedup) where throughput, not stage
+latency, dominates — single samples, reported as rows/s. Disable with
+SPARK_GRAFT_SCALE=0; shrink with SPARK_GRAFT_SCALE_FRACTION=0.1.
 """
 
 from __future__ import annotations
@@ -96,6 +105,27 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]:.2f}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # -- scale tier: throughput probes on synthetic data (see module doc)
+    scale: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        frac = float(os.environ.get("SPARK_GRAFT_SCALE_FRACTION", "1"))
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from scale_probe import run_chain
+        from scale_probe_llm import run_asof, run_line_dedup, run_semantic_dedup_defaults
+
+        probes = [
+            ("mobility_chain_10m", lambda: run_chain(spark, int(10_000_000 * frac))),
+            ("line_dedup_1m", lambda: run_line_dedup(spark, int(1_000_000 * frac))),
+            ("asof_join_40m", lambda: run_asof(spark, int(40_000_000 * frac))),
+            ("semantic_dedup_defaults_400k",
+             lambda: run_semantic_dedup_defaults(spark, int(400_000 * frac))),
+        ]
+        for name, fn in probes:
+            r = fn()
+            scale[name] = {k: r[k] for k in ("rows", "wall_s", "rows_per_s")}
+            print(f"# scale {name}: {scale[name]}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -105,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "scale": scale,
                 "warmup_sec": warmup_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
