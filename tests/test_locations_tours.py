@@ -337,3 +337,88 @@ def test_tours_session_salting_equivalence(spark, monkeypatch):
         monkeypatch.setattr(S, "_SALT_MIN_USER_ROWS", 200_000)
         # non-vacuous: tours exist in several sessions
         assert base_tours.count() >= 6
+
+
+def test_salt_min_user_rows_conf_knob(spark):
+    """Both sequential kernels read the shared session-salting threshold
+    from plans.partitioning: the spark.trackintel.salt.minUserRows conf
+    overrides the module default; non-numeric values fall back."""
+    from trackintel_spark.plans.partitioning import (
+        SALT_MIN_USER_ROWS_CONF, salt_min_user_rows,
+    )
+
+    assert salt_min_user_rows(spark) == 200_000
+    assert salt_min_user_rows(spark, 7) == 7
+    try:
+        spark.conf.set(SALT_MIN_USER_ROWS_CONF, "123")
+        assert salt_min_user_rows(spark) == 123
+        assert salt_min_user_rows(spark, 7) == 123  # conf wins over default
+        spark.conf.set(SALT_MIN_USER_ROWS_CONF, "not-a-number")
+        assert salt_min_user_rows(spark, 7) == 7  # graceful fallback
+    finally:
+        spark.conf.unset(SALT_MIN_USER_ROWS_CONF)
+
+
+def test_tours_salting_fuzz_randomized_streams(spark):
+    """Adversarial-parameter fuzz for the gap-salting path: 60 users,
+    each an independent RANDOM trip stream over a 5-location alphabet —
+    random location breaks, self-loops, dwells, and >max_time gaps (so
+    quantile-free session boundaries land everywhere, including directly
+    after gaps and on post-gap self-loops, the reference quirks). The
+    salting gate is forced to 0 via the conf knob, so EVERY user splits;
+    salted must equal unsalted for max_nr_gaps in {0, 1, 3}.
+
+    This fuzz originally CAUGHT a real defect: with max_nr_gaps > 0 the
+    reference scan's gap-budget slicing (verbatim ``candidates[j+1:]``,
+    a bottom-relative index) makes results depend on the absolute stack
+    length including time-stale candidates, so no bounded context seed
+    can make a session split exact. generate_tours now refuses to salt
+    when max_nr_gaps > 0 — the {1, 3} legs pin that fallback."""
+    import random
+
+    from trackintel_spark.plans.partitioning import SALT_MIN_USER_ROWS_CONF
+
+    rng = random.Random(20260814)
+    pairs = []
+    trips_rows = []
+    tid = 0
+    sp_id = 0
+    for u in range(1, 61):
+        t = 0
+        prev_dest = None
+        for _ in range(30):
+            if prev_dest is not None and rng.random() < 0.7:
+                o_loc = prev_dest  # chain continues
+            else:
+                o_loc = rng.randrange(5)  # location break
+            d_loc = rng.randrange(5)  # self-loops included
+            o_sp, d_sp = sp_id, sp_id + 1
+            sp_id += 2
+            pairs.append((o_sp, o_loc))
+            pairs.append((d_sp, d_loc))
+            trips_rows.append((tid, u, t, t + 60, o_sp, d_sp))
+            tid += 1
+            prev_dest = d_loc
+            # dwell: mostly short; ~15% a > max_time(=1440 min) gap
+            t += 60 + (2000 if rng.random() < 0.15 else rng.choice((10, 30, 100)))
+
+    sp = _mk_sp(spark, [(i, 1, 0, 10, 8.5, 47.4) for i, _ in pairs])
+    locmap = {i: l for i, l in pairs}
+    sp = sp.withColumn("location_id", F.udf(lambda i: locmap.get(i), "long")(F.col("id")))
+    trips = _mk_trips(spark, trips_rows)
+
+    for gaps in (0, 1, 3):
+        _, base_tours = generate_tours(
+            trips, staypoints=sp, max_nr_gaps=gaps, salt_sessions=False
+        )
+        base = sorted(map(str, base_tours.collect()))
+        assert len(base) >= 100  # non-vacuous at every gap setting
+        try:
+            spark.conf.set(SALT_MIN_USER_ROWS_CONF, "0")
+            _, salted_tours = generate_tours(
+                trips, staypoints=sp, max_nr_gaps=gaps, salt_sessions=True
+            )
+            got = sorted(map(str, salted_tours.collect()))
+        finally:
+            spark.conf.unset(SALT_MIN_USER_ROWS_CONF)
+        assert got == base, f"max_nr_gaps={gaps}"

@@ -47,6 +47,10 @@ from trackintel_spark.plans.ids import dense_id_by_user
 # users below this row count run the sliding kernel as ONE group; above
 # it, their stream splits at recording gaps so no single task serializes
 # a mega-user. 200k rows ≈ well under a second of kernel time per task.
+# Module-level for monkeypatching in tests; cluster operators override
+# per-session via the spark.trackintel.salt.minUserRows conf (read by
+# plans.partitioning.salt_min_user_rows at plan time, shared with the
+# tours kernel).
 _SALT_MIN_USER_ROWS = 200_000
 
 _KERNEL_SCHEMA = T.StructType(
@@ -218,9 +222,10 @@ def generate_staypoints(
             elevation_flag=elevation_flag,
         )
 
-    from trackintel_spark.plans.partitioning import kernel_partitions
+    from trackintel_spark.plans.partitioning import kernel_partitions, salt_min_user_rows
 
     if salt_sessions and not include_last:
+        salt_rows = salt_min_user_rows(kernel_in.sparkSession, _SALT_MIN_USER_ROWS)
         wgap = Window.partitionBy("user_id").orderBy("tracked_at", "id")
         kernel_in = kernel_in.withColumn(
             "__gap_flag",
@@ -244,7 +249,7 @@ def generate_staypoints(
             .withColumn(
                 "__session",
                 F.when(
-                    F.count(F.lit(1)).over(wuser) > _SALT_MIN_USER_ROWS, F.col("__session")
+                    F.count(F.lit(1)).over(wuser) > salt_rows, F.col("__session")
                 ).otherwise(F.lit(0)),
             )
             .drop("__gap_flag")

@@ -248,10 +248,21 @@ def generate_tours(
     such a gap (every cross-gap candidate is max_time-pruned), so a
     years-long user no longer serializes into one kernel task. Each
     session is seeded with the last pre-gap trip as a context row,
-    which makes the split EXACT (the unsalted stack's last element is
-    always that trip; everything deeper is unreachable past the gap) —
-    pinned by a salted == unsalted test. Gated on the per-user row
-    count like the staypoint kernel: ordinary users stay one group.
+    which makes the split EXACT for ``max_nr_gaps == 0`` (the unsalted
+    stack's last element is always that trip; everything deeper is
+    unreachable past the gap) — pinned by salted == unsalted tests
+    incl. a randomized fuzz. Gated on the per-user row count like the
+    staypoint kernel (``spark.trackintel.salt.minUserRows`` overrides):
+    ordinary users stay one group.
+
+    With ``max_nr_gaps > 0`` the reference scan's gap-budget slicing
+    (its verbatim ``candidates[j+1:]``, a BOTTOM-relative index —
+    preprocessing/trips.py:297) makes the surviving stack depend on the
+    absolute stack length, INCLUDING time-stale candidates below the
+    session boundary; no bounded context seed can reproduce that, so
+    salting silently degrades exactness. ``generate_tours`` therefore
+    ignores ``salt_sessions`` and runs the per-user kernel whenever
+    ``max_nr_gaps > 0`` (found by the randomized fuzz test).
     """
     validate(trips, "trips")
     use_locations = staypoints is not None
@@ -320,10 +331,19 @@ def generate_tours(
         return _tours_kernel(pdf, use_locations, max_dist, max_time_s, max_nr_gaps)
 
     from pyspark.sql import Window
-    from trackintel_spark.operators.staypoints import _SALT_MIN_USER_ROWS
-    from trackintel_spark.plans.partitioning import kernel_partitions
+    from trackintel_spark.operators import staypoints as _sp_mod
+    from trackintel_spark.plans.partitioning import kernel_partitions, salt_min_user_rows
+
+    if salt_sessions and max_nr_gaps > 0:
+        # the gap-budget slicing is bottom-relative (see docstring): a
+        # session split changes the stack length and silently changes
+        # the result — exactness wins, run per-user.
+        salt_sessions = False
 
     if salt_sessions:
+        # same gate as the staypoints sliding kernel: the module constant
+        # (monkeypatchable) overridden by spark.trackintel.salt.minUserRows
+        salt_rows = salt_min_user_rows(kin.sparkSession, _sp_mod._SALT_MIN_USER_ROWS)
         base_cols = list(kin.columns)
         wgap = Window.partitionBy("user_id").orderBy("started_at", "id")
         lag_start = F.lag("started_at").over(wgap)
@@ -338,7 +358,7 @@ def generate_tours(
         flagged = flagged.withColumn("__session", F.sum("__gap_flag").over(wgap)).withColumn(
             "__session",
             F.when(
-                F.count(F.lit(1)).over(wuser) > _SALT_MIN_USER_ROWS, F.col("__session")
+                F.count(F.lit(1)).over(wuser) > salt_rows, F.col("__session")
             ).otherwise(F.lit(0)),
         )
         # context rows: the previous trip, injected into the NEW session

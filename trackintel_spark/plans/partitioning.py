@@ -43,3 +43,28 @@ def write_bucketed_by_user(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+#: Spark conf key overriding the session-salting row threshold — lets a
+#: cluster operator tune skew splitting (e.g. ``spark.conf.set(
+#: SALT_MIN_USER_ROWS_CONF, "50000")``) without editing source.
+SALT_MIN_USER_ROWS_CONF = "spark.trackintel.salt.minUserRows"
+
+#: users below this row count run a sequential kernel as ONE group;
+#: above it, their stream splits at natural gaps (session salting) so
+#: no single task serializes a mega-user. 200k rows ≈ well under a
+#: second of kernel time per task.
+DEFAULT_SALT_MIN_USER_ROWS = 200_000
+
+
+def salt_min_user_rows(spark, default: int | None = None) -> int:
+    """The per-user row threshold above which sequential kernels
+    (generate_staypoints' sliding window, generate_tours' stack scan)
+    split a user's stream at natural gaps. Reads
+    ``spark.trackintel.salt.minUserRows`` when set; falls back to
+    ``default`` (or the module default) on absent/non-numeric values."""
+    base = DEFAULT_SALT_MIN_USER_ROWS if default is None else default
+    try:
+        return int(spark.conf.get(SALT_MIN_USER_ROWS_CONF, str(base)))
+    except (TypeError, ValueError):
+        return base
