@@ -1,0 +1,165 @@
+"""locations_stream_exact: online nearest-location assignment for
+streamed staypoints — stream-static candidate join against a trained
+locations table + stateful open-new-location fallback."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from trackintel_spark.streaming.locations_state import (
+    _haversine_scalar,
+    locations_stream_exact,
+)
+
+T0 = datetime(2024, 1, 1, 8, 0, 0)
+
+
+def _sp_df(spark, rows):
+    """(id, user, minute, lon, lat)"""
+    data = [(i, u, T0 + timedelta(minutes=m), lon, lat) for i, u, m, lon, lat in rows]
+    df = spark.createDataFrame(
+        data, "id long, user_id long, started_at timestamp, lon double, lat double"
+    )
+    return df.select(
+        "id", "user_id", "started_at", F.struct("lon", "lat").alias("geom")
+    )
+
+
+def _loc_df(spark, rows):
+    """(id, user, lon, lat)"""
+    return spark.createDataFrame(
+        rows, "id long, user_id long, lon double, lat double"
+    ).select("id", "user_id", F.struct("lon", "lat").alias("center"))
+
+
+# ~100 m in degrees of latitude / of longitude at 47.4N
+DLAT = 100.0 / 111194.93
+DLON = DLAT / math.cos(math.radians(47.4))
+
+
+def test_batch_assignment_nearest_trained_center(spark):
+    locs = _loc_df(spark, [(10, 1, 8.50, 47.40), (11, 1, 8.50 + 3 * DLON, 47.40)])
+    sp = _sp_df(
+        spark,
+        [
+            (0, 1, 0, 8.50, 47.40),                   # on center 10
+            (1, 1, 10, 8.50 + 0.4 * DLON, 47.40),     # nearer 10 than 11
+            (2, 1, 20, 8.50 + 2.7 * DLON, 47.40),     # nearer 11
+            (3, 1, 30, 8.50 + 30 * DLON, 47.40),      # far: opens -1
+            (4, 1, 40, 8.50 + 30.2 * DLON, 47.40),    # near the opened -1
+        ],
+    )
+    got = {
+        r.id: r.location_id
+        for r in locations_stream_exact(sp, locs, epsilon_m=100.0).collect()
+    }
+    assert got == {0: 10, 1: 10, 2: 11, 3: -1, 4: -1}
+
+
+def test_batch_pure_online_clusterer(spark):
+    """No trained table: leader clustering in arrival order."""
+    sp = _sp_df(
+        spark,
+        [
+            (0, 1, 0, 8.50, 47.40),
+            (1, 1, 10, 8.50 + 0.3 * DLON, 47.40),   # joins -1
+            (2, 1, 20, 8.50 + 5 * DLON, 47.40),     # opens -2
+            (3, 1, 30, 8.50, 47.40),                # back to -1
+            (4, 2, 0, 8.50, 47.40),                 # user 2: its own -1
+        ],
+    )
+    got = {
+        r.id: r.location_id for r in locations_stream_exact(sp, None).collect()
+    }
+    assert got == {0: -1, 1: -1, 2: -2, 3: -1, 4: -1}
+
+
+def test_grid_join_never_drops_a_center_randomized(spark):
+    """The banded 3x3 candidate join must surface EVERY trained center
+    within eps — verified against a brute-force python oracle on random
+    points, including band/cell edges and a high-latitude block."""
+    rng = random.Random(1234)
+    locs, sps = [], []
+    lid = 0
+    for base_lon, base_lat in ((8.5, 47.4), (20.0, 69.9)):  # mid + high lat
+        for _ in range(40):
+            locs.append((lid, 1, base_lon + rng.uniform(0, 8 * DLON),
+                         base_lat + rng.uniform(0, 8 * DLAT)))
+            lid += 1
+        for i in range(80):
+            sps.append((len(sps), 1, len(sps),
+                        base_lon + rng.uniform(0, 8 * DLON),
+                        base_lat + rng.uniform(0, 8 * DLAT)))
+    got = {
+        r.id: r.location_id
+        for r in locations_stream_exact(
+            _sp_df(spark, sps), _loc_df(spark, locs), epsilon_m=100.0
+        ).collect()
+    }
+    # oracle: exact nearest within eps by brute force (tie: smallest id)
+    for sid, _, _, slon, slat in sps:
+        best = None
+        for lid_, _, llon, llat in locs:
+            d = _haversine_scalar(slon, slat, llon, llat)
+            if d <= 100.0 and (best is None or (d, lid_) < best):
+                best = (d, lid_)
+        if best is not None:
+            assert got[sid] == best[1], (sid, got[sid], best)
+        else:
+            assert got[sid] < 0  # opened online
+
+
+def test_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """Chunked delivery: assignments (incl. the stateful opened ids)
+    must equal the single-pass batch run."""
+    rows = [
+        (0, 1, 0, 8.50, 47.40),
+        (1, 1, 10, 8.50 + 0.3 * DLON, 47.40),
+        (2, 1, 20, 8.50 + 6 * DLON, 47.40),
+        (3, 1, 30, 8.50, 47.40),
+        (4, 1, 40, 8.50 + 6.2 * DLON, 47.40),
+        (5, 2, 0, 9.00, 47.00),
+        (6, 2, 10, 9.00 + 0.2 * DLON, 47.00),
+    ]
+    locs = _loc_df(spark, [(10, 1, 8.50, 47.40)])
+    batch = {
+        r.id: r.location_id
+        for r in locations_stream_exact(_sp_df(spark, rows), locs).collect()
+    }
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    chunks = [rows[:2], rows[2:5], rows[5:]]
+    for i, chunk in enumerate(chunks):
+        _sp_df(spark, chunk).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{i}")
+        )
+        now = time.time() + i
+        d = os.path.join(src, f"f{i}")
+        for f_ in os.listdir(d):
+            os.utime(os.path.join(d, f_), (now, now))
+    schema = "id long, user_id long, started_at timestamp, geom struct<lon:double,lat:double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = locations_stream_exact(stream, locs)
+    q = (
+        out.writeStream.format("memory").queryName("loc_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.id: r.location_id for r in spark.sql("SELECT * FROM loc_stream").collect()
+    }
+    assert got == batch
+    assert batch[0] == 10 and batch[3] == 10  # trained center sticks
+    assert batch[2] == batch[4] < 0  # opened center reused across batches

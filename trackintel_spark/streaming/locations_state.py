@@ -1,0 +1,232 @@
+"""ONLINE location assignment for streamed staypoints — the last
+mobility entity with no streaming path (reference
+preprocessing/staypoints.py ``generate_locations`` is batch DBSCAN).
+
+Two cooperating pieces, composable with the rest of the online chain
+(pfs -> staypoints -> THIS -> location_identifier-style labelling):
+
+1. a STREAM-STATIC candidate join against a batch-trained locations
+   table (the ``generate_locations`` output): each staypoint meets
+   every trained center within ``epsilon_m`` via a latitude-banded
+   grid-cell equi-join (the dbscan_distributed band scheme — cell
+   height = eps in latitude degrees, per-band cell width covering eps
+   in longitude at the band's pole-near edge, centers exploded to
+   their 3x3 cell neighborhood). The stream side never shuffles more
+   than its groupBy key; the static side is a small broadcast-able
+   table of 9 rows per center.
+2. a STATEFUL fallback (``applyInPandasWithState`` keyed on user_id):
+   staypoints with no trained center within eps are leader-clustered
+   online — assigned to the nearest previously OPENED center within
+   eps, else they open a new location at their own coordinates.
+   Opened locations get NEGATIVE ids (-1, -2, ... per user) so they
+   never collide with trained ids; state is the per-user list of
+   opened centers — bounded by the number of genuinely new places a
+   user visits, not by stream length.
+
+Batch parity: on a non-streaming input the same kernel runs through
+``applyInPandas`` (the tours_state.py convention), and
+tests/test_streaming_locations.py pins stream == batch across
+arbitrary micro-batch splits.
+
+Ordering contract: within a user, micro-batches are processed in
+arrival order and each batch is sorted by (started_at, id); the
+opened-center ids therefore depend on arrival order, exactly like any
+online clusterer. Assignment against TRAINED centers is
+order-independent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from trackintel_spark.functions.spatial import EARTH_RADIUS_M
+from trackintel_spark.operators.dbscan_distributed import _band_cos, _DEG2M
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("location_id", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("o_id", T.ArrayType(T.LongType())),
+        T.StructField("o_lon", T.ArrayType(T.DoubleType())),
+        T.StructField("o_lat", T.ArrayType(T.DoubleType())),
+        T.StructField("n_opened", T.LongType()),
+    ]
+)
+
+
+def _haversine_scalar(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = p2 - p1, math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _with_cells(df: DataFrame, lon: F.Column, lat: F.Column, cell_deg: float):
+    """(cy, cx) banded grid cell — identical math on both join sides.
+    Cell height = eps in latitude degrees; cell WIDTH in a band covers
+    eps of longitude at the band's pole-near edge (smallest cos), so
+    two points within eps always differ by <= 1 cell on each axis."""
+    cy = F.floor(lat / cell_deg).cast("long")
+    _, cos_pole = _band_cos(cy, cell_deg)
+    w = F.lit(cell_deg) / cos_pole
+    return df.withColumn("__cy", cy).withColumn(
+        "__cx", F.floor(lon / w).cast("long")
+    )
+
+
+def _explode_center_cells(locations: DataFrame, cell_deg: float) -> DataFrame:
+    """Static side: each trained center replicated into its 3x3 cell
+    neighborhood. The lon-cell index is recomputed PER TARGET BAND
+    (bands have different widths)."""
+    base = locations.select(
+        F.col("user_id"),
+        F.col("id").alias("__cand_id"),
+        F.col("center.lon").alias("__cand_lon"),
+        F.col("center.lat").alias("__cand_lat"),
+    )
+    own_cy = F.floor(F.col("__cand_lat") / cell_deg).cast("long")
+    out = base.withColumn("__cy0", own_cy).withColumn(
+        "__dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    )
+    cy = (F.col("__cy0") + F.col("__dy")).alias("__cy")
+    _, cos_pole = _band_cos(F.col("__cy0") + F.col("__dy"), cell_deg)
+    w = F.lit(cell_deg) / cos_pole
+    cx0 = F.floor(F.col("__cand_lon") / w).cast("long")
+    out = out.withColumn("__cy", cy).withColumn("__cx0", cx0).withColumn(
+        "__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        "__cy",
+        (F.col("__cx0") + F.col("__dx")).alias("__cx"),
+        "__cand_id",
+        "__cand_lon",
+        "__cand_lat",
+    )
+
+
+def locations_stream_exact(
+    sp: DataFrame,
+    locations: DataFrame | None = None,
+    epsilon_m: float = 100.0,
+) -> DataFrame:
+    """Assign a ``location_id`` to every (streamed) staypoint.
+
+    ``locations``: a STATIC batch-trained table with (id, user_id,
+    center struct<lon,lat>) — the :func:`generate_locations` output.
+    Staypoints within ``epsilon_m`` of a trained center take the
+    nearest one (ties to the smallest id). Everything else falls back
+    to the stateful online leader clusterer (negative ids; see module
+    doc). Pass ``locations=None`` for the pure online clusterer.
+
+    Works on a streaming OR batch ``sp`` (unified API). Returns
+    (id, user_id, location_id).
+    """
+    cell_deg = epsilon_m / _DEG2M
+    kin = sp.select(
+        "id", "user_id", "started_at",
+        F.col("geom.lon").alias("__lon"), F.col("geom.lat").alias("__lat"),
+    )
+    if locations is not None:
+        cands = _explode_center_cells(locations, cell_deg)
+        kin = _with_cells(kin, F.col("__lon"), F.col("__lat"), cell_deg)
+        # stream-static LEFT join: stateless, so it composes with the
+        # downstream stateful operator; a staypoint with no nearby
+        # trained center keeps one row with NULL candidate columns
+        kin = kin.join(cands, on=["user_id", "__cy", "__cx"], how="left").drop(
+            "__cy", "__cx"
+        )
+    else:
+        kin = (
+            kin.withColumn("__cand_id", F.lit(None).cast("long"))
+            .withColumn("__cand_lon", F.lit(None).cast("double"))
+            .withColumn("__cand_lat", F.lit(None).cast("double"))
+        )
+
+    eps = float(epsilon_m)
+
+    def fn(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            o_id, o_lon, o_lat, n_opened = state.get
+            o_id, o_lon, o_lat = list(o_id), list(o_lon), list(o_lat)
+        else:
+            o_id, o_lon, o_lat, n_opened = [], [], [], 0
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["started_at", "id"], kind="stable")
+        rows = []
+        for (sp_id, s_lon, s_lat), grp in pdf.groupby(
+            ["id", "__lon", "__lat"], sort=False
+        ):
+            # nearest trained center within eps (tie -> smallest id)
+            best_key, assigned = (float("inf"), float("inf")), None
+            for cid, clon, clat in zip(
+                grp["__cand_id"], grp["__cand_lon"], grp["__cand_lat"]
+            ):
+                if pd.isna(cid):
+                    continue
+                d = _haversine_scalar(s_lon, s_lat, clon, clat)
+                if d <= eps and (d, cid) < best_key:
+                    best_key, assigned = (d, int(cid)), int(cid)
+            if assigned is None:
+                # nearest OPENED center within eps (tie -> first-opened,
+                # i.e. the LARGEST negative id: -1 before -2)
+                for j in range(len(o_id)):
+                    d = _haversine_scalar(s_lon, s_lat, o_lon[j], o_lat[j])
+                    if d <= eps and (d, -o_id[j]) < best_key:
+                        best_key, assigned = (d, -o_id[j]), o_id[j]
+            if assigned is None:
+                n_opened += 1
+                assigned = -n_opened
+                o_id.append(assigned)
+                o_lon.append(float(s_lon))
+                o_lat.append(float(s_lat))
+            rows.append((int(sp_id), int(user_id), int(assigned)))
+
+        state.update((o_id, o_lon, o_lat, int(n_opened)))
+        if rows:
+            yield pd.DataFrame(rows, columns=["id", "user_id", "location_id"])
+
+    grouped = kin.groupBy("user_id")
+    if kin.isStreaming:
+        return grouped.applyInPandasWithState(
+            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+
+    class _FakeState:
+        exists = False
+
+        def get(self):  # pragma: no cover - interface parity
+            raise ValueError
+
+        def update(self, v):
+            self._v = v
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = _FakeState()
+        frames = list(fn((int(pdf["user_id"].iloc[0]),), iter([pdf]), st))
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
+        )
+
+    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
