@@ -39,3 +39,13 @@ def test_streaming_mobility_example():
     )
     assert "streaming staypoints emitted:" in out.stdout
     assert "streaming trips emitted:" in out.stdout, out.stdout[-2000:]
+
+
+def test_bucketed_warehouse_example():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "bucketed_warehouse.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300, check=True,
+    )
+    assert "exchange-free bucketed stages: 5/5" in out.stdout, out.stdout[-2000:]
