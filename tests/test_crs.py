@@ -733,3 +733,80 @@ def test_aea_to_ps_cross_grid(spark):
     via = transform_points(transform_points(alb, 5070, 4326), 4326, 3413).first().geom
     assert abs(direct["lon"] - via["lon"]) < 1e-6
     assert abs(direct["lat"] - via["lat"]) < 1e-6
+
+
+def test_laea_snyder_worked_example(spark):
+    """Snyder §24 ellipsoidal numerical example, p.358: Clarke 1866,
+    projection center (40N, 100W); the point (30N, 110W) maps to
+    x=-965932.1, y=-1056814.9 — pins the oblique Lambert Azimuthal
+    Equal-Area forward/inverse Column expressions."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import LAEAGrid, LAEA_GRIDS, register_laea_grid
+
+    clarke_f = 1 - _m.sqrt(1 - 0.00676866)
+    register_laea_grid(
+        900917,
+        LAEAGrid(6378206.4, clarke_f, lat0=40.0, lon0=-100.0,
+                 false_easting=0.0, false_northing=0.0),
+    )
+    try:
+        df = _pts(spark, [(0, -110.0, 30.0)])
+        got = transform_points(df, 4326, 900917).first().geom
+        assert abs(got["lon"] - -965932.1) < 0.5
+        assert abs(got["lat"] - -1056814.9) < 0.5
+        back = transform_points(
+            transform_points(df, 4326, 900917), 900917, 4326
+        ).first().geom
+        assert abs(back["lon"] - -110.0) < 1e-7 and abs(back["lat"] - 30.0) < 1e-7
+    finally:
+        LAEA_GRIDS.pop(900917, None)
+
+
+def test_etrs89_laea_europe(spark):
+    """EPSG:3035 (ETRS89-extended / LAEA Europe, the EU statistical
+    grid): the projection center (10E, 52N) maps EXACTLY to the false
+    origin (4321000, 3210000); the area scale is 1 (equal-area Jacobian
+    property); round-trip is series-exact across the grid's extent."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import LAEA_GRIDS
+
+    g = LAEA_GRIDS[3035]
+    df = _pts(spark, [(0, 10.0, 52.0), (1, 4.35, 50.85), (2, 25.0, 60.0), (3, -9.1, 38.7)])
+    laea = transform_points(df, 4326, 3035)
+    rows = {r.id: r.geom for r in laea.collect()}
+    assert abs(rows[0]["lon"] - 4_321_000.0) < 1e-6
+    assert abs(rows[0]["lat"] - 3_210_000.0) < 1e-6
+
+    h = 1e-5
+    probe = _pts(spark, [(0, 15.0, 48.0), (1, 15.0 + h, 48.0), (2, 15.0, 48.0 + h)])
+    p = {r.id: r.geom for r in transform_points(probe, 4326, 3035).collect()}
+    jac = abs(
+        (p[1]["lon"] - p[0]["lon"]) * (p[2]["lat"] - p[0]["lat"])
+        - (p[2]["lon"] - p[0]["lon"]) * (p[1]["lat"] - p[0]["lat"])
+    ) / _m.radians(h) ** 2
+    s = _m.sin(_m.radians(48.0))
+    m_rad = g.a * (1 - g.e2) / (1 - g.e2 * s * s) ** 1.5
+    n_rad = g.a / _m.sqrt(1 - g.e2 * s * s)
+    assert abs(jac / (m_rad * n_rad * _m.cos(_m.radians(48.0))) - 1.0) < 1e-6
+
+    back = transform_points(laea, 3035, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-8
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-8
+
+
+@pytest.mark.parametrize("epsg", [2163, 9311])
+def test_us_national_atlas_sphere_laea(spark, epsg):
+    """EPSG:2163/9311 (US National Atlas, LAEA on the Clarke-1866
+    authalic SPHERE — the e2 == 0 degradation path): center maps to
+    (0,0), round-trip is float-exact."""
+    df = _pts(spark, [(0, -100.0, 45.0), (1, -75.0, 35.0), (2, -122.3, 47.6)])
+    out = transform_points(df, 4326, epsg)
+    rows = {r.id: r.geom for r in out.collect()}
+    assert abs(rows[0]["lon"]) < 1e-6 and abs(rows[0]["lat"]) < 1e-6
+    back = transform_points(out, epsg, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9

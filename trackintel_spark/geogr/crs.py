@@ -22,8 +22,10 @@ common projections are implemented as closed-form column expressions
   Gauss-Krüger, ...), Lambert Conformal Conic 2SP (``LCC_GRIDS`` —
   Lambert-93 2154, Belgian 31370, ...), Albers Equal-Area 2SP
   (``AEA_GRIDS`` — Conus Albers 5070, California 3310, Australian
-  3577), and polar stereographic variants A/B (``PS_GRIDS`` — NSIDC
-  3413/3031, UPS 32661/32761). Extend via ``register_*_grid``.
+  3577), polar stereographic variants A/B (``PS_GRIDS`` — NSIDC
+  3413/3031, UPS 32661/32761), and oblique Lambert Azimuthal
+  Equal-Area (``LAEA_GRIDS`` — ETRS89-LAEA Europe 3035, US National
+  Atlas sphere 2163/9311). Extend via ``register_*_grid``.
 
 Anything else (Mollweide-class equal-area, oblique aspects, ...)
 dispatches to a pyproj-backed Arrow UDF IF pyproj is importable
@@ -779,9 +781,127 @@ def register_ps_grid(epsg: int, grid: PSGrid) -> None:
     PS_GRIDS[epsg] = grid
 
 
-def _get_grid(epsg: int) -> "TMGrid | LCCGrid | AEAGrid | PSGrid | None":
-    """Combined TM + LCC + AEA + PS registry lookup."""
-    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS):
+# -- Lambert Azimuthal Equal-Area (oblique aspect) ----------------------------
+# Snyder §24 (pp. 182-190): the EU statistical grid (ETRS89-LAEA
+# EPSG:3035) and the sphere-based US National Atlas grids. Ellipsoidal
+# form via the authalic sphere; e2 == 0 degrades exactly to the
+# spherical formulas.
+
+
+@dataclass(frozen=True)
+class LAEAGrid:
+    """An oblique Lambert Azimuthal Equal-Area grid + datum bridge.
+
+    ``lat0``/``lon0`` = latitude/longitude of the projection center
+    (degrees). ``helmert_to_wgs84`` as in :class:`TMGrid`; None = datum
+    is WGS84-equivalent (ETRS89, the National-Atlas sphere, ...).
+    """
+
+    a: float
+    f: float
+    lat0: float
+    lon0: float
+    false_easting: float
+    false_northing: float
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _laea_consts(g: LAEAGrid) -> tuple[float, float, float, float, float]:
+    """Plan-time scalars (Rq, D, sin beta1, cos beta1, q_pole) — Snyder
+    24-20, 3-11..3-13, 24-17..24-19."""
+    e2 = g.e2
+    p0 = math.radians(g.lat0)
+    q_pole = _aea_q_scalar(math.pi / 2, e2)
+    q1 = _aea_q_scalar(p0, e2)
+    rq = g.a * math.sqrt(q_pole / 2.0)
+    beta1 = math.asin(max(-1.0, min(1.0, q1 / q_pole)))
+    s0 = math.sin(p0)
+    m1 = math.cos(p0) / math.sqrt(1 - e2 * s0 * s0)
+    cos_b1 = math.cos(beta1)
+    d = g.a * m1 / (rq * cos_b1) if cos_b1 > 1e-12 else 1.0
+    return rq, d, math.sin(beta1), cos_b1, q_pole
+
+
+def laea_forward(lon: Column, lat: Column, g: LAEAGrid) -> tuple[Column, Column]:
+    """Geodetic (grid datum) -> LAEA easting/northing (Snyder
+    24-15..24-19: authalic-latitude oblique aspect)."""
+    rq, d, sin_b1, cos_b1, q_pole = _laea_consts(g)
+    q = _aea_q_col(F.radians(lat), g.e2)
+    ratio = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), q / q_pole))
+    beta = F.asin(ratio)
+    sb, cb = F.sin(beta), F.cos(beta)
+    dl = F.radians(lon) - math.radians(g.lon0)
+    # B (24-19); the denominator vanishes only at the antipode
+    b_den = F.sqrt(
+        F.greatest(F.lit(1e-12), 1.0 + sin_b1 * sb + cos_b1 * cb * F.cos(dl))
+    )
+    b = rq * math.sqrt(2.0) / b_den
+    x = b * d * cb * F.sin(dl)
+    y = (b / d) * (cos_b1 * sb - sin_b1 * cb * F.cos(dl))
+    return x + g.false_easting, y + g.false_northing
+
+
+def laea_inverse(x: Column, y: Column, g: LAEAGrid) -> tuple[Column, Column]:
+    """LAEA easting/northing -> geodetic lon/lat on the grid's own datum
+    (Snyder 24-26..24-31 + the authalic-latitude series 3-18)."""
+    rq, d, sin_b1, cos_b1, _ = _laea_consts(g)
+    dx = (x - g.false_easting) / d
+    dy = (y - g.false_northing) * d
+    rho = F.sqrt(dx * dx + dy * dy)
+    # ce = 2 asin(rho / 2Rq); guard the center point (rho == 0)
+    ce = 2.0 * F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), rho / (2.0 * rq))))
+    sce, cce = F.sin(ce), F.cos(ce)
+    safe_rho = F.when(rho < 1e-9, F.lit(1.0)).otherwise(rho)
+    sb = F.when(rho < 1e-9, F.lit(float(sin_b1))).otherwise(
+        cce * sin_b1 + dy * sce * cos_b1 / safe_rho
+    )
+    sb = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sb))
+    beta = F.asin(sb)
+    lam = math.radians(g.lon0) + F.atan2(
+        dx * sce, safe_rho * cos_b1 * cce - dy * sin_b1 * sce
+    )
+    e2 = g.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * beta)
+        + (761 * e6 / 45360) * F.sin(6 * beta)
+    )
+    lam_deg = F.degrees(lam)
+    lam_wrapped = lam_deg - 360.0 * F.floor((lam_deg + 180.0) / 360.0)
+    return lam_wrapped, F.degrees(phi)
+
+
+# authalic sphere of Clarke 1866 — the US National Atlas radius
+_ATLAS_SPHERE_A = 6370997.0
+
+#: EPSG -> LAEA grid parameters; extend via :func:`register_laea_grid`.
+LAEA_GRIDS: dict[int, LAEAGrid] = {
+    # ETRS89-extended / LAEA Europe — the EU statistical grid
+    3035: LAEAGrid(*_GRS80, lat0=52.0, lon0=10.0,
+                   false_easting=4_321_000.0, false_northing=3_210_000.0),
+    # US National Atlas Equal Area (sphere; 2163 deprecated -> 9311)
+    2163: LAEAGrid(_ATLAS_SPHERE_A, 0.0, lat0=45.0, lon0=-100.0,
+                   false_easting=0.0, false_northing=0.0),
+    9311: LAEAGrid(_ATLAS_SPHERE_A, 0.0, lat0=45.0, lon0=-100.0,
+                   false_easting=0.0, false_northing=0.0),
+}
+
+
+def register_laea_grid(epsg: int, grid: LAEAGrid) -> None:
+    """Register a custom Lambert-Azimuthal-Equal-Area grid for
+    :func:`transform_points` / :func:`transform_xy`."""
+    LAEA_GRIDS[epsg] = grid
+
+
+def _get_grid(epsg: int) -> "TMGrid | LCCGrid | AEAGrid | PSGrid | LAEAGrid | None":
+    """Combined TM + LCC + AEA + PS + LAEA registry lookup."""
+    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS):
         g = reg.get(epsg)
         if g is not None:
             return g
@@ -795,6 +915,8 @@ def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
         return aea_forward(lon, lat, g)
     if isinstance(g, PSGrid):
         return ps_forward(lon, lat, g)
+    if isinstance(g, LAEAGrid):
+        return laea_forward(lon, lat, g)
     return tm_forward(lon, lat, g)
 
 
@@ -805,6 +927,8 @@ def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
         return aea_inverse(x, y, g)
     if isinstance(g, PSGrid):
         return ps_inverse(x, y, g)
+    if isinstance(g, LAEAGrid):
+        return laea_inverse(x, y, g)
     return tm_inverse(x, y, g)
 
 
@@ -914,7 +1038,8 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
         return _grid_to_wgs84(x, y, g)
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
-        f"register_lcc_grid() / register_aea_grid() / register_ps_grid() "
+        f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
+        f"register_laea_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
@@ -939,7 +1064,8 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
         return _wgs84_to_grid(lon, lat, g)
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
-        f"register_lcc_grid() / register_aea_grid() / register_ps_grid() "
+        f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
+        f"register_laea_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
