@@ -430,3 +430,27 @@ def test_bucketed_table_elides_user_exchange(spark):
         assert t.count() == 1000
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_streaming_locations_static_side_broadcasts(spark):
+    """locations_stream_exact's candidate join must broadcast the
+    (small) trained-centers side and pay exactly ONE user_id exchange —
+    the one the stateful groupBy requires. A shuffled static side would
+    re-exchange the full staypoint stream per micro-batch."""
+    from trackintel_spark.streaming.locations_state import locations_stream_exact
+
+    sp = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("started_at"),
+        F.struct((8.5 + (F.col("id") % 5) * 0.01).alias("lon"),
+                 F.lit(47.4).alias("lat")).alias("geom"),
+    )
+    locs = spark.range(20).select(
+        F.col("id"), (F.col("id") % 10).alias("user_id"),
+        F.struct((8.5 + (F.col("id") % 5) * 0.01).alias("lon"),
+                 F.lit(47.4).alias("lat")).alias("center"),
+    )
+    plan = _plan(locations_stream_exact(sp, locs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
