@@ -810,3 +810,71 @@ def test_us_national_atlas_sphere_laea(spark, epsg):
     for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
         assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
         assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9
+
+
+def test_oblique_stereographic_epsg_worked_example(spark):
+    """EPSG Guidance Note 7-2 §3.2.6.1 worked example for method 9809
+    (Amersfoort / RD New parameters, on the grid's OWN datum): the
+    point (53N, 6E) maps to E=196105.283, N=557057.739 — pins the
+    conformal-sphere forward and the staged iterative inverse."""
+    from trackintel_spark.geogr.crs import OST_GRIDS, OSTGrid, register_ost_grid
+
+    rd = OST_GRIDS[28992]
+    # same projection, no datum bridge: the worked example's lat/lon are
+    # Amersfoort-datum coordinates
+    register_ost_grid(
+        900918,
+        OSTGrid(rd.a, rd.f, lat0=rd.lat0, lon0=rd.lon0, k0=rd.k0,
+                false_easting=rd.false_easting, false_northing=rd.false_northing),
+    )
+    try:
+        df = _pts(spark, [(0, 6.0, 53.0), (1, rd.lon0, rd.lat0)])
+        rows = {r.id: r.geom for r in transform_points(df, 4326, 900918).collect()}
+        assert abs(rows[0]["lon"] - 196105.283) < 0.01
+        assert abs(rows[0]["lat"] - 557057.739) < 0.01
+        # the origin maps exactly to the false origin
+        assert abs(rows[1]["lon"] - 155000.0) < 1e-6
+        assert abs(rows[1]["lat"] - 463000.0) < 1e-6
+        back = transform_points(
+            transform_points(df, 4326, 900918), 900918, 4326
+        )
+        for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+            assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
+            assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9
+    finally:
+        OST_GRIDS.pop(900918, None)
+
+
+def test_rd_new_datum_bridged(spark):
+    """EPSG:28992 (Amersfoort / RD New): the full staged chain — OST
+    iterative inverse + Helmert bridge. Amsterdam lands near its
+    published RD coordinates (~121850, 487250); round-trip through the
+    double Helmert is ~1e-7 deg (same envelope as the Belgian grid);
+    conformality holds (meridian scale == parallel scale)."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import OST_GRIDS
+
+    g = OST_GRIDS[28992]
+    df = _pts(spark, [(0, 4.9, 52.37), (1, 5.12, 52.09), (2, 6.57, 53.22)])
+    rd = transform_points(df, 4326, 28992)
+    rows = {r.id: r.geom for r in rd.collect()}
+    assert abs(rows[0]["lon"] - 121_850) < 3_000
+    assert abs(rows[0]["lat"] - 487_250) < 3_000
+    back = transform_points(rd, 28992, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-6
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-6
+
+    # conformality via finite differences at Utrecht
+    h = 1e-6
+    probe = _pts(spark, [(0, 5.12, 52.09), (1, 5.12 + h, 52.09), (2, 5.12, 52.09 + h)])
+    p = {r.id: r.geom for r in transform_points(probe, 4326, 28992).collect()}
+    k_par = _m.hypot(p[1]["lon"] - p[0]["lon"], p[1]["lat"] - p[0]["lat"])
+    k_mer = _m.hypot(p[2]["lon"] - p[0]["lon"], p[2]["lat"] - p[0]["lat"])
+    s = _m.sin(_m.radians(52.09))
+    m_rad = g.a * (1 - g.e2) / (1 - g.e2 * s * s) ** 1.5
+    n_rad = g.a / _m.sqrt(1 - g.e2 * s * s)
+    k_par /= n_rad * _m.cos(_m.radians(52.09)) * _m.radians(h)
+    k_mer /= m_rad * _m.radians(h)
+    assert abs(k_par / k_mer - 1.0) < 1e-4

@@ -23,11 +23,13 @@ common projections are implemented as closed-form column expressions
   Lambert-93 2154, Belgian 31370, ...), Albers Equal-Area 2SP
   (``AEA_GRIDS`` — Conus Albers 5070, California 3310, Australian
   3577), polar stereographic variants A/B (``PS_GRIDS`` — NSIDC
-  3413/3031, UPS 32661/32761), and oblique Lambert Azimuthal
-  Equal-Area (``LAEA_GRIDS`` — ETRS89-LAEA Europe 3035, US National
-  Atlas sphere 2163/9311). Extend via ``register_*_grid``.
+  3413/3031, UPS 32661/32761), oblique Lambert Azimuthal Equal-Area
+  (``LAEA_GRIDS`` — ETRS89-LAEA Europe 3035, US National Atlas sphere
+  2163/9311), and oblique stereographic / EPSG 9809 (``OST_GRIDS`` —
+  Dutch RD New 28992, staged iterative inverse). Extend via
+  ``register_*_grid``.
 
-Anything else (Mollweide-class equal-area, oblique aspects, ...)
+Anything else (Mollweide-class world projections, ...)
 dispatches to a pyproj-backed Arrow UDF IF pyproj is importable
 (feature-flagged; not present in this container), else raises with a
 clear message.
@@ -899,9 +901,175 @@ def register_laea_grid(epsg: int, grid: LAEAGrid) -> None:
     LAEA_GRIDS[epsg] = grid
 
 
-def _get_grid(epsg: int) -> "TMGrid | LCCGrid | AEAGrid | PSGrid | LAEAGrid | None":
-    """Combined TM + LCC + AEA + PS + LAEA registry lookup."""
-    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS):
+# -- Oblique Stereographic (EPSG method 9809) ---------------------------------
+# The "double projection" via a conformal sphere — EPSG Guidance Note
+# 7-2 §3.2.6.1 — used by the Dutch national grid (RD New, EPSG:28992)
+# and several other European grids. Conformal; the inverse recovers the
+# geodetic latitude from the isometric latitude with a fixed-point
+# iteration UNROLLED into the expression tree (4 steps, quadratic
+# convergence — sub-micrometer at step 3).
+
+
+@dataclass(frozen=True)
+class OSTGrid:
+    """An oblique stereographic grid (EPSG 9809) + datum bridge.
+
+    ``lat0``/``lon0`` = latitude/longitude of origin (degrees), ``k0``
+    = scale factor at origin. ``helmert_to_wgs84`` as in
+    :class:`TMGrid`.
+    """
+
+    a: float
+    f: float
+    lat0: float
+    lon0: float
+    k0: float
+    false_easting: float
+    false_northing: float
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _ost_consts(g: OSTGrid) -> tuple[float, float, float, float, float]:
+    """Plan-time conformal-sphere constants (R, n, c, sin chi0, cos
+    chi0) — EPSG GN7-2 §3.2.6.1."""
+    e2 = g.e2
+    e = math.sqrt(e2)
+    p0 = math.radians(g.lat0)
+    s0 = math.sin(p0)
+    rho0 = g.a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = g.a / math.sqrt(1 - e2 * s0 * s0)
+    r = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+    s1 = (1 + s0) / (1 - s0)
+    s2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi0) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    sin_chi0 = (w2 - 1) / (w2 + 1)
+    return r, n, c, sin_chi0, math.sqrt(1 - sin_chi0 * sin_chi0)
+
+
+def ost_forward(lon: Column, lat: Column, g: OSTGrid) -> tuple[Column, Column]:
+    """Geodetic (grid datum) -> oblique stereographic easting/northing
+    (EPSG 9809 forward)."""
+    r, n, c, sin_chi0, cos_chi0 = _ost_consts(g)
+    e = math.sqrt(g.e2)
+    phi = F.radians(lat)
+    s = F.sin(phi)
+    sa = (1 + s) / (1 - s)
+    sb = (1 - e * s) / (1 + e * s)
+    w = c * F.pow(sa * F.pow(sb, e), n)
+    sin_chi = (w - 1) / (w + 1)
+    cos_chi = F.sqrt(F.greatest(F.lit(0.0), 1.0 - sin_chi * sin_chi))
+    dlam = n * (F.radians(lon) - math.radians(g.lon0))
+    b = 1.0 + sin_chi * sin_chi0 + cos_chi * cos_chi0 * F.cos(dlam)
+    x = 2.0 * r * g.k0 * cos_chi * F.sin(dlam) / b
+    y = 2.0 * r * g.k0 * (sin_chi * cos_chi0 - cos_chi * sin_chi0 * F.cos(dlam)) / b
+    return x + g.false_easting, y + g.false_northing
+
+
+def _ost_inverse_seed(x: Column, y: Column, g: OSTGrid) -> tuple[Column, Column, Column]:
+    """Stage 1 of the EPSG 9809 inverse: (easting, northing) ->
+    (phi seed, isometric latitude psi, longitude in radians)."""
+    r, n, c, sin_chi0, _cos_chi0 = _ost_consts(g)
+    chi0 = math.asin(sin_chi0)
+    gg = 2.0 * r * g.k0 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 4.0 * r * g.k0 * math.tan(chi0) + gg
+    dx = x - g.false_easting
+    dy = y - g.false_northing
+    i = F.atan2(dx, h + dy)
+    j = F.atan2(dx, gg - dy) - i
+    chi = chi0 + 2.0 * F.atan((dy - dx * F.tan(j / 2.0)) / (2.0 * r * g.k0))
+    lam = (j + 2.0 * i) / n + math.radians(g.lon0)
+    sin_chi = F.sin(chi)
+    psi = F.log((1.0 + sin_chi) / (F.lit(float(c)) * (1.0 - sin_chi))) / (2.0 * n)
+    phi0 = 2.0 * F.atan(F.exp(psi)) - math.pi / 2
+    return phi0, psi, lam
+
+
+def _ost_iterate(phi: Column, psi: Column, g: OSTGrid) -> Column:
+    """One fixed-point step toward the geodetic latitude whose
+    isometric latitude equals ``psi`` (EPSG 9809 inverse iteration)."""
+    e2 = g.e2
+    e = math.sqrt(e2)
+    sp = F.sin(phi)
+    psi_i = F.log(F.tan(phi / 2.0 + math.pi / 4.0)) - (e / 2.0) * F.log(
+        (1.0 + e * sp) / (1.0 - e * sp)
+    )
+    return phi - (psi_i - psi) * F.cos(phi) * (1.0 - e2 * sp * sp) / (1.0 - e2)
+
+
+def _ost_finish(phi: Column, lam: Column) -> tuple[Column, Column]:
+    lam_deg = F.degrees(lam)
+    lam_wrapped = lam_deg - 360.0 * F.floor((lam_deg + 180.0) / 360.0)
+    return lam_wrapped, F.degrees(phi)
+
+
+# quadratic convergence: the seed is ~e²-accurate, 3 steps reach
+# float64 round-off for any ellipsoid in use
+_OST_ITERS = 3
+
+
+def ost_inverse(x: Column, y: Column, g: OSTGrid) -> tuple[Column, Column]:
+    """Oblique stereographic easting/northing -> geodetic lon/lat on
+    the grid's own datum (EPSG 9809 inverse; geodetic latitude from
+    the isometric latitude by unrolled fixed-point steps).
+
+    .. warning:: composing the unrolled iteration into ONE Column pair
+       grows the Catalyst tree multiplicatively (each step references
+       the previous latitude ~6 times). :func:`transform_points`
+       applies the identical math as staged projections with a
+       linear-size plan — prefer it for data-sized frames; this
+       composed form is for literal/one-off expressions.
+    """
+    phi, psi, lam = _ost_inverse_seed(x, y, g)
+    for _ in range(_OST_ITERS):
+        phi = _ost_iterate(phi, psi, g)
+    return _ost_finish(phi, lam)
+
+
+def _ost_inverse_stages(g: OSTGrid) -> list:
+    """The EPSG 9809 inverse as SEPARATE projection stages (seed, one
+    stage per fixed-point step, finish) — linear plan size; used by
+    :func:`_transform_stages`."""
+    stages = [lambda c, g=g: list(_ost_inverse_seed(c[0], c[1], g))]
+    for _ in range(_OST_ITERS):
+        stages.append(lambda c, g=g: [_ost_iterate(c[0], c[1], g), c[1], c[2]])
+    stages.append(lambda c: list(_ost_finish(c[0], c[2])))
+    return stages
+
+
+# Amersfoort -> WGS84 (position-vector 7-parameter, the standard
+# grid-free approximation; the national NTv2/RDNAPTRANS correction is
+# more accurate)
+_AMERSFOORT_HELMERT = (565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.87740, 4.0725)
+
+#: EPSG -> oblique stereographic grids; extend via :func:`register_ost_grid`.
+OST_GRIDS: dict[int, OSTGrid] = {
+    # Amersfoort / RD New — the Dutch national grid (Bessel 1841)
+    28992: OSTGrid(*_BESSEL_1841,
+                   lat0=52.0 + 9.0 / 60 + 22.178 / 3600,
+                   lon0=5.0 + 23.0 / 60 + 15.5 / 3600,
+                   k0=0.9999079,
+                   false_easting=155_000.0, false_northing=463_000.0,
+                   helmert_to_wgs84=_AMERSFOORT_HELMERT),
+}
+
+
+def register_ost_grid(epsg: int, grid: OSTGrid) -> None:
+    """Register a custom oblique stereographic (EPSG 9809) grid for
+    :func:`transform_points` / :func:`transform_xy`."""
+    OST_GRIDS[epsg] = grid
+
+
+def _get_grid(epsg: int) -> "TMGrid | LCCGrid | AEAGrid | PSGrid | LAEAGrid | OSTGrid | None":
+    """Combined TM + LCC + AEA + PS + LAEA + OST registry lookup."""
+    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS, OST_GRIDS):
         g = reg.get(epsg)
         if g is not None:
             return g
@@ -917,6 +1085,8 @@ def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
         return ps_forward(lon, lat, g)
     if isinstance(g, LAEAGrid):
         return laea_forward(lon, lat, g)
+    if isinstance(g, OSTGrid):
+        return ost_forward(lon, lat, g)
     return tm_forward(lon, lat, g)
 
 
@@ -929,6 +1099,8 @@ def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
         return ps_inverse(x, y, g)
     if isinstance(g, LAEAGrid):
         return laea_inverse(x, y, g)
+    if isinstance(g, OSTGrid):
+        return ost_inverse(x, y, g)
     return tm_inverse(x, y, g)
 
 
@@ -986,7 +1158,12 @@ def _transform_stages(src_epsg: int, dst_epsg: int):
             return None
     stages = []
     if gs is not None:
-        stages.append(lambda c, g=gs: list(_grid_inverse(c[0], c[1], g)))
+        if isinstance(gs, OSTGrid):
+            # the 9809 inverse iterates; one composed expression grows
+            # multiplicatively (measured OOM) — stage each step
+            stages.extend(_ost_inverse_stages(gs))
+        else:
+            stages.append(lambda c, g=gs: list(_grid_inverse(c[0], c[1], g)))
         if gs.helmert_to_wgs84 is not None:
             stages.append(lambda c, g=gs: list(_geodetic_to_xyz(c[0], c[1], g.a, g.e2)))
             stages.append(lambda c, g=gs: list(_helmert(c[0], c[1], c[2], g.helmert_to_wgs84)))
@@ -1039,7 +1216,7 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
-        f"register_laea_grid() "
+        f"register_laea_grid() / register_ost_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
@@ -1065,7 +1242,7 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
-        f"register_laea_grid() "
+        f"register_laea_grid() / register_ost_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
