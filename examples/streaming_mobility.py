@@ -87,6 +87,44 @@ def main() -> None:
 
         sp = run(staypoints_stream_exact, "sp_stream", **PARAMS)
         print(f"streaming staypoints emitted: {sp.count()}")
+
+        # ---- locations: online assignment against batch-trained centers --
+        # Train locations in BATCH over the emitted staypoint history (the
+        # nightly-retrain pattern), then assign the same staypoints ONLINE:
+        # nearest trained center within eps via the stream-static grid
+        # join; unseen places open negative-id locations statefully.
+        from trackintel_spark.operators import generate_locations
+        from trackintel_spark.streaming import locations_stream_exact
+
+        sp_hist = (
+            sp.withColumn("id", F.monotonically_increasing_id())
+            .withColumn("geom", F.struct("lon", "lat"))
+            .select("id", "user_id", "started_at", "finished_at", "geom")
+        )
+        # localCheckpoint: the trained table must be a MATERIALIZED static
+        # side — its lazy plan contains monotonically_increasing_id (from
+        # the history ids), which streaming queries reject in-plan
+        _, locs = generate_locations(sp_hist, epsilon=150, num_samples=1)
+        locs = locs.localCheckpoint()
+        lsrc = os.path.join(work, "sp_src")
+        os.makedirs(lsrc)
+        sp_hist.coalesce(1).write.parquet(os.path.join(lsrc, "chunk0"))
+        lstream = (
+            spark.readStream.schema(sp_hist.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(lsrc)
+        )
+        lq = (
+            locations_stream_exact(lstream, locs, epsilon_m=150.0)
+            .writeStream.format("memory").queryName("loc_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        lq.awaitTermination(180)
+        assigned = spark.sql("SELECT * FROM loc_stream")
+        n_tr = assigned.filter("location_id >= 0").count()
+        n_new = assigned.filter("location_id < 0").count()
+        print(f"streaming locations assigned: {n_tr} to trained centers, {n_new} opened online")
+
         tpl = run(triplegs_stream_exact, "tpl_stream", **PARAMS)
         print(f"streaming triplegs emitted:  {tpl.count()}")
         trips = run(trips_stream_exact, "trip_stream", activity_threshold=15, **PARAMS)

@@ -38,6 +38,7 @@ def test_streaming_mobility_example():
         capture_output=True, text=True, timeout=420, check=True,
     )
     assert "streaming staypoints emitted:" in out.stdout
+    assert "streaming locations assigned:" in out.stdout
     assert "streaming trips emitted:" in out.stdout, out.stdout[-2000:]
 
 
