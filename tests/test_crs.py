@@ -114,12 +114,11 @@ def test_projected_distance_matches_haversine(spark):
 
 
 def test_unknown_crs_raises(spark):
-    # 54009 (Mollweide) has no built-in transform; the TM (27700), LCC
-    # (2154), AEA (5070), and polar-stereographic (3413) families all
-    # do now
+    # 54030 (Robinson, a compromise world projection) has no built-in
+    # transform; TM/LCC/AEA/PS/LAEA/OST/Mollweide families all do now
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
-        transform_points(df, 4326, 54009).collect()
+        transform_points(df, 4326, 54030).collect()
 
 
 def test_distance_matrix_euclidean_on_projected(spark):
@@ -438,13 +437,13 @@ def test_mixed_bridged_unknown_pair_routes_to_pyproj_dispatch(spark):
     same path transforms via the Arrow UDF."""
     from trackintel_spark.geogr.crs import _transform_stages
 
-    assert _transform_stages(27700, 54009) is None
-    assert _transform_stages(54009, 27700) is None
+    assert _transform_stages(27700, 54030) is None
+    assert _transform_stages(54030, 27700) is None
     df = _pts(spark, [(0, 400000.0, 200000.0)])
     with pytest.raises(NotImplementedError, match="needs pyproj"):
-        transform_points(df, 27700, 54009).collect()
+        transform_points(df, 27700, 54030).collect()
     with pytest.raises(NotImplementedError, match="needs pyproj"):
-        transform_points(df, 54009, 27700).collect()
+        transform_points(df, 54030, 27700).collect()
 
 
 def test_transform_xy_warns_on_datum_bridged_grid(spark):
@@ -878,3 +877,41 @@ def test_rd_new_datum_bridged(spark):
     k_par /= n_rad * _m.cos(_m.radians(52.09)) * _m.radians(h)
     k_mer /= m_rad * _m.radians(h)
     assert abs(k_par / k_mer - 1.0) < 1e-4
+
+
+def test_mollweide_world_grid(spark):
+    """ESRI:54009 (World Mollweide): exact anchor points — origin ->
+    (0,0), poles -> (0, ±√2·R), the date-line equator point -> x =
+    2√2·R; equal-area Jacobian == R²cosφ on the sphere; round-trip is
+    float-exact INCLUDING near-pole latitudes (the staged Newton with
+    the cube-root pole seed)."""
+    import math as _m
+
+    R = 6378137.0
+    df = _pts(spark, [(0, 0.0, 0.0), (1, 0.0, 90.0), (2, 180.0, 0.0),
+                      (3, 10.0, 52.0), (4, 7.0, 89.9), (5, -120.0, -35.0)])
+    m = transform_points(df, 4326, 54009)
+    rows = {r.id: r.geom for r in m.collect()}
+    assert abs(rows[0]["lon"]) < 1e-9 and abs(rows[0]["lat"]) < 1e-9
+    assert abs(rows[1]["lon"]) < 1e-9
+    assert abs(rows[1]["lat"] - _m.sqrt(2) * R) < 1e-4
+    assert abs(rows[2]["lon"] - 2 * _m.sqrt(2) * R) < 1e-3
+
+    h = 1e-6
+    probe = _pts(spark, [(0, 10.0, 52.0), (1, 10.0 + h, 52.0), (2, 10.0, 52.0 + h)])
+    p = {r.id: r.geom for r in transform_points(probe, 4326, 54009).collect()}
+    jac = abs(
+        (p[1]["lon"] - p[0]["lon"]) * (p[2]["lat"] - p[0]["lat"])
+        - (p[2]["lon"] - p[0]["lon"]) * (p[1]["lat"] - p[0]["lat"])
+    ) / _m.radians(h) ** 2
+    assert abs(jac / (R * R * _m.cos(_m.radians(52.0))) - 1.0) < 1e-6
+
+    back = transform_points(m, 54009, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        if abs(a.geom["lat"]) == 90.0:
+            assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9  # lon undefined
+        elif a.geom["lon"] == 180.0:
+            assert abs(b.geom["lon"] - -180.0) < 1e-9  # wrap convention
+        else:
+            assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
+            assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9

@@ -25,11 +25,12 @@ common projections are implemented as closed-form column expressions
   3577), polar stereographic variants A/B (``PS_GRIDS`` — NSIDC
   3413/3031, UPS 32661/32761), oblique Lambert Azimuthal Equal-Area
   (``LAEA_GRIDS`` — ETRS89-LAEA Europe 3035, US National Atlas sphere
-  2163/9311), and oblique stereographic / EPSG 9809 (``OST_GRIDS`` —
-  Dutch RD New 28992, staged iterative inverse). Extend via
-  ``register_*_grid``.
+  2163/9311), oblique stereographic / EPSG 9809 (``OST_GRIDS`` —
+  Dutch RD New 28992, staged iterative inverse), and Mollweide
+  (``MOLL_GRIDS`` — World Mollweide 54009, staged Newton forward with
+  a cube-root pole seed). Extend via ``register_*_grid``.
 
-Anything else (Mollweide-class world projections, ...)
+Anything else (Robinson-class compromise projections, ...)
 dispatches to a pyproj-backed Arrow UDF IF pyproj is importable
 (feature-flagged; not present in this container), else raises with a
 clear message.
@@ -1067,9 +1068,125 @@ def register_ost_grid(epsg: int, grid: OSTGrid) -> None:
     OST_GRIDS[epsg] = grid
 
 
-def _get_grid(epsg: int) -> "TMGrid | LCCGrid | AEAGrid | PSGrid | LAEAGrid | OSTGrid | None":
-    """Combined TM + LCC + AEA + PS + LAEA + OST registry lookup."""
-    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS, OST_GRIDS):
+# -- Mollweide (world equal-area) ---------------------------------------------
+# Snyder §31 (pp. 249-252), spherical — the convention PROJ uses for
+# +proj=moll with an ellipsoid: sphere radius = the semi-major axis.
+# Forward solves 2t + sin 2t = pi sin(phi) by Newton steps (quadratic;
+# staged through the projection machinery like the 9809 inverse);
+# the inverse is closed-form.
+
+
+@dataclass(frozen=True)
+class MollweideGrid:
+    """A Mollweide world grid (sphere radius ``r``, central meridian
+    ``lon0``). ``helmert_to_wgs84`` kept for interface parity (world
+    grids are WGS84-based in practice)."""
+
+    r: float
+    lon0: float
+    false_easting: float = 0.0
+    false_northing: float = 0.0
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    # interface parity with the ellipsoidal grids (Helmert bridge math)
+    @property
+    def a(self) -> float:
+        return self.r
+
+    @property
+    def e2(self) -> float:
+        return 0.0
+
+
+_MOLL_ITERS = 7  # Newton stalls to linear near the poles; 7 staged steps
+
+
+def _moll_seed(lon: Column, lat: Column, g: MollweideGrid) -> tuple[Column, Column, Column]:
+    """(theta seed, pi*sin(phi), delta-lon) — Newton target carried
+    through the iteration stages.
+
+    Near the poles the Newton root has multiplicity 3 (f(t) ~ pi -
+    (4/3)(pi/2 - t)^3) and plain Newton converges only linearly at
+    factor 2/3, so for |sin phi| > 0.995 the seed is the analytic
+    cube-root solution of that limiting cubic — accurate to O(u^2)
+    relative, which the remaining steps polish."""
+    phi = F.radians(lat)
+    dlam = F.radians(lon) - math.radians(g.lon0)
+    target = math.pi * F.sin(phi)
+    u = F.cbrt(3.0 * (math.pi - F.abs(target)) / 4.0)
+    pole_seed = F.signum(phi) * (math.pi / 2 - u)
+    seed = F.when(F.abs(F.sin(phi)) > 0.995, pole_seed).otherwise(phi)
+    return seed, target, dlam
+
+
+def _moll_iterate(theta: Column, target: Column) -> Column:
+    """One Newton step on f(t) = 2t + sin 2t - target; the pole
+    (denominator -> 0) is already the fixpoint there, so freeze it."""
+    den = 2.0 + 2.0 * F.cos(2.0 * theta)
+    step = (2.0 * theta + F.sin(2.0 * theta) - target) / F.greatest(den, F.lit(1e-9))
+    # |theta| can only move toward the pole; clamp into [-pi/2, pi/2]
+    t = theta - step
+    return F.greatest(F.lit(-math.pi / 2), F.least(F.lit(math.pi / 2), t))
+
+
+def _moll_finish(theta: Column, dlam: Column, g: MollweideGrid) -> tuple[Column, Column]:
+    x = (2.0 * math.sqrt(2.0) / math.pi) * g.r * dlam * F.cos(theta)
+    y = math.sqrt(2.0) * g.r * F.sin(theta)
+    return x + g.false_easting, y + g.false_northing
+
+
+def moll_forward(lon: Column, lat: Column, g: MollweideGrid) -> tuple[Column, Column]:
+    """Geodetic -> Mollweide (composed; prefer :func:`transform_points`
+    for data-sized frames — it stages the Newton iteration)."""
+    theta, target, dlam = _moll_seed(lon, lat, g)
+    for _ in range(5):  # composed form: cap the multiplicative tree
+        theta = _moll_iterate(theta, target)
+    return _moll_finish(theta, dlam, g)
+
+
+def _moll_forward_stages(g: MollweideGrid) -> list:
+    stages = [lambda c, g=g: list(_moll_seed(c[0], c[1], g))]
+    for _ in range(_MOLL_ITERS):
+        stages.append(lambda c: [_moll_iterate(c[0], c[1]), c[1], c[2]])
+    stages.append(lambda c, g=g: list(_moll_finish(c[0], c[2], g)))
+    return stages
+
+
+def moll_inverse(x: Column, y: Column, g: MollweideGrid) -> tuple[Column, Column]:
+    """Mollweide -> geodetic (closed form, Snyder 31-6..31-8)."""
+    dy = (y - g.false_northing) / (math.sqrt(2.0) * g.r)
+    theta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), dy)))
+    sphi = (2.0 * theta + F.sin(2.0 * theta)) / math.pi
+    phi = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sphi)))
+    cos_t = F.cos(theta)
+    dlam = F.when(
+        cos_t < 1e-12, F.lit(0.0)
+    ).otherwise(
+        math.pi * (x - g.false_easting) / (2.0 * math.sqrt(2.0) * g.r * cos_t)
+    )
+    lam_deg = F.degrees(dlam + math.radians(g.lon0))
+    lam_wrapped = lam_deg - 360.0 * F.floor((lam_deg + 180.0) / 360.0)
+    return lam_wrapped, F.degrees(phi)
+
+
+#: ESRI/EPSG codes -> Mollweide grids; extend via :func:`register_moll_grid`.
+MOLL_GRIDS: dict[int, MollweideGrid] = {
+    # ESRI:54009 World Mollweide (WGS84; PROJ spherical convention R = a)
+    54009: MollweideGrid(r=_A, lon0=0.0),
+}
+
+
+def register_moll_grid(epsg: int, grid: MollweideGrid) -> None:
+    """Register a custom Mollweide grid for :func:`transform_points` /
+    :func:`transform_xy`."""
+    MOLL_GRIDS[epsg] = grid
+
+
+def _get_grid(epsg: int):
+    """Combined grid registry lookup (TM, LCC, AEA, PS, LAEA, OST,
+    Mollweide)."""
+    for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS, OST_GRIDS,
+                MOLL_GRIDS):
         g = reg.get(epsg)
         if g is not None:
             return g
@@ -1087,6 +1204,8 @@ def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
         return laea_forward(lon, lat, g)
     if isinstance(g, OSTGrid):
         return ost_forward(lon, lat, g)
+    if isinstance(g, MollweideGrid):
+        return moll_forward(lon, lat, g)
     return tm_forward(lon, lat, g)
 
 
@@ -1101,6 +1220,8 @@ def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
         return laea_inverse(x, y, g)
     if isinstance(g, OSTGrid):
         return ost_inverse(x, y, g)
+    if isinstance(g, MollweideGrid):
+        return moll_inverse(x, y, g)
     return tm_inverse(x, y, g)
 
 
@@ -1177,7 +1298,11 @@ def _transform_stages(src_epsg: int, dst_epsg: int):
                 lambda c, g=gd: list(_helmert(c[0], c[1], c[2], g.helmert_to_wgs84, invert=True))
             )
             stages.append(lambda c, g=gd: list(_xyz_to_geodetic(c[0], c[1], c[2], g.a, g.e2)))
-        stages.append(lambda c, g=gd: list(_grid_forward(c[0], c[1], g)))
+        if isinstance(gd, MollweideGrid):
+            # the Mollweide forward iterates; stage each Newton step
+            stages.extend(_moll_forward_stages(gd))
+        else:
+            stages.append(lambda c, g=gd: list(_grid_forward(c[0], c[1], g)))
     else:
         stages.append(lambda c: list(_from_wgs84(c[0], c[1], dst_epsg)))
     return stages
@@ -1216,7 +1341,7 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
-        f"register_laea_grid() / register_ost_grid() "
+        f"register_laea_grid() / register_ost_grid() / register_moll_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
@@ -1242,7 +1367,7 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
-        f"register_laea_grid() / register_ost_grid() "
+        f"register_laea_grid() / register_ost_grid() / register_moll_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
