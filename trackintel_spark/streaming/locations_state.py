@@ -41,7 +41,7 @@ import math
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -74,7 +74,7 @@ def _haversine_scalar(lon1: float, lat1: float, lon2: float, lat2: float) -> flo
     return 2 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
 
 
-def _with_cells(df: DataFrame, lon: F.Column, lat: F.Column, cell_deg: float):
+def _with_cells(df: DataFrame, lon: Column, lat: Column, cell_deg: float):
     """(cy, cx) banded grid cell — identical math on both join sides.
     Cell height = eps in latitude degrees; cell WIDTH in a band covers
     eps of longitude at the band's pole-near edge (smallest cos), so
@@ -135,6 +135,8 @@ def locations_stream_exact(
     Works on a streaming OR batch ``sp`` (unified API). Returns
     (id, user_id, location_id).
     """
+    if epsilon_m <= 0:
+        raise ValueError(f"epsilon_m must be positive, got {epsilon_m}")
     cell_deg = epsilon_m / _DEG2M
     kin = sp.select(
         "id", "user_id", "started_at",
