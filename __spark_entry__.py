@@ -751,6 +751,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup"] = q_line_dedup
 
+    def q_substring_dedup(spark, sf):
+        from trackintel_spark.scale import dedup_substrings
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        # cross-doc duplication: each doc carries its own text followed by
+        # the NEXT doc's text (left join; the last doc falls back to its
+        # own) — every doc body then appears in two constructed docs, so
+        # interior windows get flagged and spans are removed; md5+counts
+        # ship instead of the raw rebuilt text (same rationale as
+        # line_dedup)
+        nxt = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__nt")
+        )
+        multi = docs.join(nxt, on="doc_id", how="left").select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.coalesce("__nt", F.col("text"))).alias("text"),
+        )
+        out = dedup_substrings(multi, window=12, stride=3, min_count=2)
+        return out.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+            F.length("text").cast("long").alias("text_len"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+            F.col("n_spans_removed").cast("long").alias("n_spans_removed"),
+        )
+
+    q["substring_dedup"] = q_substring_dedup
+
     def q_distance_matrix_chebyshev(spark, sf):
         from trackintel_spark.geogr import calculate_distance_matrix
 
@@ -1089,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-backed here and pytest-covered.
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix",
+        # round-6 addition (oracle-backed; outside the driver prefix)
+        "substring_dedup",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1760,6 +1791,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS text_md5, LENGTH(text) AS text_len,
                n_lines, n_lines_removed
         FROM rebuilt
+    """
+
+    # substring dedup: literal-chunk census (mirrors the xxhash64 census
+    # exactly barring astronomically unlikely collisions), gaps-and-
+    # islands span merge, complement rebuild — the dedup_substrings spec
+    _w, _st = 12, 3
+    o["substring_dedup"] = f"""
+        WITH base AS (
+            SELECT d.doc_id,
+                   d.text || ' ' || COALESCE(n.text, d.text) AS t
+            FROM documents d
+            LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(str_split_regex(t, '\\s+'), x -> x <> '') AS ts
+            FROM base
+        ),
+        occ AS (
+            SELECT doc_id, u.s AS s,
+                   array_to_string(ts[u.s + 1 : u.s + {_w}], chr(31)) AS c
+            FROM toks,
+                 UNNEST(CASE WHEN len(ts) >= {_w}
+                             THEN generate_series(0, len(ts) - {_w}, {_st})
+                             ELSE [] END) AS u(s)
+        ),
+        perdoc AS (
+            SELECT c, doc_id, MIN(s) AS minpos FROM occ GROUP BY c, doc_id
+        ),
+        census AS (
+            SELECT c, COUNT(*) AS docs, MIN(doc_id) AS kdoc,
+                   arg_min(minpos, doc_id) AS kpos
+            FROM perdoc GROUP BY c
+        ),
+        flagged AS (
+            SELECT o2.doc_id, o2.s
+            FROM occ o2 JOIN census v ON o2.c = v.c
+            WHERE v.docs >= 2 AND NOT (o2.doc_id = v.kdoc AND o2.s = v.kpos)
+        ),
+        islands AS (
+            SELECT doc_id, s,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s) AS isl
+            FROM (
+                SELECT doc_id, s,
+                       MAX(s + {_w}) OVER (PARTITION BY doc_id ORDER BY s
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prev_max
+                FROM flagged)
+        ),
+        merged AS (
+            SELECT doc_id, isl, MIN(s) AS ss, MAX(s + {_w}) AS ee
+            FROM islands GROUP BY doc_id, isl
+        ),
+        tokidx AS (
+            SELECT doc_id, i - 1 AS idx, ts[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(ts))) AS t(i)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.idx, t.tok
+            FROM tokidx t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM merged m
+                WHERE m.doc_id = t.doc_id AND t.idx >= m.ss AND t.idx < m.ee)
+        ),
+        reb AS (
+            SELECT k.doc_id,
+                   string_agg(k.tok, ' ' ORDER BY k.idx) AS text
+            FROM kept k GROUP BY k.doc_id
+        ),
+        spanstats AS (
+            SELECT doc_id, SUM(ee - ss) AS removed, COUNT(*) AS nspans
+            FROM merged GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               md5(COALESCE(r.text, '')) AS text_md5,
+               LENGTH(COALESCE(r.text, '')) AS text_len,
+               len(tk.ts) AS n_tokens,
+               COALESCE(sp.removed, 0) AS n_tokens_removed,
+               COALESCE(sp.nspans, 0) AS n_spans_removed
+        FROM toks tk
+        LEFT JOIN reb r ON r.doc_id = tk.doc_id
+        LEFT JOIN spanstats sp ON sp.doc_id = tk.doc_id
     """
 
     hav_mv = _hav_sql("o_lon", "o_lat", "d_lon", "d_lat")

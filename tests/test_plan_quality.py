@@ -454,3 +454,18 @@ def test_streaming_locations_static_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_substring_dedup_is_window_and_kernel_free(spark):
+    """dedup_substrings must plan as aggregations + equi-joins + codegen
+    expressions: no Window over chunk groups (a corpus-wide boilerplate
+    chunk would funnel one task), no cartesian, and no Python kernel
+    (span merge + complement rebuild are aggregate/transform folds)."""
+    from trackintel_spark.scale import dedup_substrings
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(dedup_substrings(docs, window=10, stride=5))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -1020,3 +1020,121 @@ def test_semantic_dedup_defaults_auto_centers(spark):
     }
     assert auto == uncapped
     assert sum(not k for k in auto.values()) == 10  # one drop per planted pair
+
+
+def _brute_dedup_substrings(rows, window, stride, min_count, keep):
+    """Independent python model of the dedup_substrings spec."""
+    import re
+
+    toks = {d: [t for t in re.split(r"\s+", txt) if t] for d, txt in rows}
+    occ = []  # (chunk, doc, start)
+    for d, ts in toks.items():
+        for s in range(0, len(ts) - window + 1, stride):
+            occ.append(("\x1f".join(ts[s:s + window]), d, s))
+    by_chunk: dict = {}
+    for c, d, s in occ:
+        by_chunk.setdefault(c, []).append((d, s))
+    flagged: dict = {d: set() for d, _ in rows}
+    for c, lst in by_chunk.items():
+        if len({d for d, _ in lst}) < min_count:
+            continue
+        keeper = min(lst)
+        for d, s in lst:
+            if keep == "first" and (d, s) == keeper:
+                continue
+            flagged[d].add(s)
+    out = {}
+    for d, ts in toks.items():
+        spans = []
+        for s in sorted(flagged[d]):
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + window)
+            else:
+                spans.append([s, s + window])
+        drop = set()
+        for s, e in spans:
+            drop.update(range(s, e))
+        kept = [t for i, t in enumerate(ts) if i not in drop]
+        out[d] = (" ".join(kept), len(ts), len(drop), len(spans))
+    return out
+
+
+def test_dedup_substrings_curated(spark):
+    from trackintel_spark.scale import dedup_substrings
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"one two three {boiler} four five"),
+        (2, "unique text with no duplication at all here"),
+        (3, f"{boiler} standalone prefix case"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup_substrings(docs, window=10, stride=1, min_count=2).collect()
+    }
+    # keeper doc 0 keeps its copy; docs 1/3 lose exactly the 12 fully-
+    # duplicated tokens (edge windows mix doc-specific context -> kept)
+    assert got[0].n_tokens_removed == 0 and "b0" in got[0].text
+    assert got[1].n_tokens_removed == 12 and got[1].text == "one two three four five"
+    assert got[3].n_tokens_removed == 12 and got[3].text == "standalone prefix case"
+    assert got[2].n_tokens_removed == 0
+    assert got[1].n_spans_removed == 1
+
+    # keep='none' strips the keeper too
+    none = {
+        r.doc_id: r
+        for r in dedup_substrings(docs, window=10, stride=1, min_count=2, keep="none").collect()
+    }
+    assert none[0].n_tokens_removed == 12 and "b0" not in none[0].text
+
+    # short docs pass through untouched
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    r9 = dedup_substrings(short, window=10, stride=1).collect()[0]
+    assert r9.text == "tiny doc" and r9.n_spans_removed == 0
+
+
+def test_dedup_substrings_matches_brute_force_randomized(spark):
+    """Randomized parity with an independent python model: overlapping
+    spans, intra-doc repeats, keeper exemptions, stride > 1."""
+    import random
+
+    from trackintel_spark.scale import dedup_substrings
+
+    rng = random.Random(77)
+    phrases = [
+        " ".join(f"p{k}_{i}" for i in range(rng.randint(6, 14))) for k in range(6)
+    ]
+    rows = []
+    for d in range(24):
+        parts = []
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.6:
+                parts.append(rng.choice(phrases))
+            else:
+                parts.append(" ".join(f"u{d}_{i}" for i in range(rng.randint(3, 9))))
+        rows.append((d, " ".join(parts)))
+
+    for window, stride, keep in ((6, 1, "first"), (6, 2, "none"), (8, 3, "first")):
+        expect = _brute_dedup_substrings(rows, window, stride, 2, keep)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed, r.n_spans_removed)
+            for r in dedup_substrings(
+                docs, window=window, stride=stride, min_count=2, keep=keep
+            ).collect()
+        }
+        assert got == expect, (window, stride, keep)
+
+
+def test_dedup_substrings_validation(spark):
+    import pytest as _pt
+
+    from trackintel_spark.scale import dedup_substrings
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="keep"):
+        dedup_substrings(docs, keep="bogus")
+    with _pt.raises(ValueError, match="window"):
+        dedup_substrings(docs, window=0)

@@ -853,3 +853,166 @@ def chunk_dedup_fraction(
     return docs.join(
         out.select(F.col("__did").alias(id_col), "n_chunks", out_col), on=id_col, how="left"
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    stride: int = 8,
+    min_count: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Remove duplicated token SPANS from documents — the strided,
+    census-based approximation of exact-substring deduplication (Lee et
+    al. 2022, arXiv:2107.06499, build suffix arrays over the corpus;
+    this finds the same long verbatim overlaps at O(tokens/stride) rows
+    per document and Spark-native shapes).
+
+    A *chunk* is ``window`` consecutive tokens sampled every ``stride``
+    tokens (case-SENSITIVE, original text — removal must preserve what
+    it keeps). A chunk occurrence is *duplicated* when its exact token
+    sequence occurs in >= ``min_count`` distinct documents;
+    ``keep='first'`` exempts the single occurrence at the smallest
+    (doc, position) (Lee et al. keep one copy), ``keep='none'`` strips
+    every occurrence. Flagged occurrences merge into token spans
+    [start, start+window); the returned ``text`` is rebuilt from the
+    complement intervals, whitespace-normalized (single spaces — the
+    tokenizer's inverse, same convention as :func:`line_dedup`'s
+    trimmed lines).
+
+    Returns (id_col, text, n_tokens, n_tokens_removed,
+    n_spans_removed); docs shorter than ``window`` tokens pass through
+    unchanged (no chunk to judge — n_spans_removed = 0).
+
+    Scale shape — skew-proof, mirrors :func:`line_dedup` /
+    :func:`chunk_dedup_fraction`:
+
+    - chunk hashes are ``xxhash64`` of the joined window (collision
+      probability ~n²/2⁶⁴ — negligible; no raw chunk strings shuffle);
+    - the census is a two-level aggregation: groupBy(chunk, doc)
+      spreads corpus-wide boilerplate chunks across tasks before the
+      per-chunk distinct-doc count — a banner chunk present in every
+      document never funnels one task;
+    - NO windows over chunk groups and no per-doc kernels: span
+      merging and the complement rebuild are O(tokens) ``aggregate`` /
+      ``transform`` expressions over the per-doc sorted start arrays
+      (bounded by tokens/stride), fully codegen'd.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    # case-sensitive tokens: rebuild must preserve original casing
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("__did"), toks.alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    base = base.withColumn(
+        "__starts",
+        F.when(
+            F.col("__n") >= window,
+            F.sequence(F.lit(0), F.col("__n") - window, F.lit(max(stride, 1))),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+
+    occ = base.select(
+        "__did",
+        F.explode(
+            F.transform(
+                "__starts",
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.xxhash64(F.concat_ws("\x1f", F.slice("__toks", s + 1, window))).alias("c"),
+                ),
+            )
+        ).alias("__o"),
+    ).select("__did", F.col("__o.s").alias("__s"), F.col("__o.c").alias("__c"))
+
+    # census: distinct docs per chunk + the keeper occurrence (lexico
+    # min (doc, start)); two-level so hot chunks spread first
+    per_doc = occ.groupBy("__c", "__did").agg(F.min("__s").alias("__minpos"))
+    census = per_doc.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.min(F.struct("__did", "__minpos")).alias("__keeper"),
+    )
+    flagged = occ.join(
+        census.filter(F.col("__docs") >= min_count).select("__c", "__keeper"), on="__c"
+    )
+    if keep == "first":
+        flagged = flagged.filter(
+            ~((F.col("__did") == F.col("__keeper.__did")) & (F.col("__s") == F.col("__keeper.__minpos")))
+        )
+    spans_per_doc = flagged.groupBy("__did").agg(
+        F.sort_array(F.collect_set("__s")).alias("__fs")
+    )
+
+    with_spans = base.join(spans_per_doc, on="__did", how="left").withColumn(
+        "__fs", F.coalesce(F.col("__fs"), F.array().cast("array<int>"))
+    )
+
+    # merge flagged starts into disjoint [s, e) spans: fold over the
+    # sorted starts, extending the last span when the next start lands
+    # inside it (starts are sorted, so only the tail can merge)
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    merged = F.aggregate(
+        "__fs",
+        empty_spans,
+        lambda acc, s: F.when(
+            (F.size(acc) == 0) | (s > last(acc)["e"]),
+            F.concat(acc, F.array(F.struct(s.alias("s"), (s + window).alias("e")))),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], s + window).alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    with_spans = with_spans.withColumn("__spans", merged)
+
+    # complement intervals [keep_s, keep_e): walk the spans with a fold
+    # carrying (cursor, kept-intervals); spans are disjoint + sorted
+    empty_keeps = F.array().cast("array<struct<s:int,e:int>>")
+    folded = F.aggregate(
+        "__spans",
+        F.struct(F.lit(0).alias("cur"), empty_keeps.alias("ivs")),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("cur"),
+            F.when(
+                sp["s"] > acc["cur"],
+                F.concat(
+                    acc["ivs"], F.array(F.struct(acc["cur"].alias("s"), sp["s"].alias("e")))
+                ),
+            ).otherwise(acc["ivs"]).alias("ivs"),
+        ),
+        lambda acc: F.when(
+            acc["cur"] < F.col("__n"),
+            F.concat(
+                acc["ivs"], F.array(F.struct(acc["cur"].alias("s"), F.col("__n").alias("e")))
+            ),
+        ).otherwise(acc["ivs"]),
+    )
+    with_spans = with_spans.withColumn("__keeps", folded)
+
+    kept_tokens = F.flatten(
+        F.transform("__keeps", lambda iv: F.slice("__toks", iv["s"] + 1, iv["e"] - iv["s"]))
+    )
+    n_removed = F.aggregate(
+        "__spans", F.lit(0), lambda acc, sp: acc + (sp["e"] - sp["s"])
+    )
+    out = with_spans.select(
+        F.col("__did").alias(id_col),
+        F.array_join(kept_tokens, " ").alias("text"),
+        F.col("__n").alias("n_tokens"),
+        n_removed.alias("n_tokens_removed"),
+        F.size("__spans").alias("n_spans_removed"),
+    )
+    return out
