@@ -78,6 +78,36 @@ def minhash_b(i: int) -> int:
     return 12345 + 7 * i
 
 
+def minhash_signature_expr(
+    text: Column, num_perm: int = 32, shingle_n: int = 3
+) -> Column:
+    """The MinHash signature as ONE per-row Column expression —
+    identical values to :func:`minhash_signature` (same shingles, same
+    md5-prefix base hash, same affine permutations), but with no
+    explode/groupBy so it runs inside STREAMING projections (the batch
+    layout's shuffle+combine is better for batch; an aggregation
+    mid-stream would demand watermark state). NULL for shingle-less
+    documents."""
+    hashes = F.transform(
+        shingles(text, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+
+    def _perm_min(i: int) -> Column:
+        # NOTE: the permutation index must be closed over, NOT passed as
+        # a defaulted lambda arg — a two-argument transform lambda makes
+        # Spark bind the second parameter to the ARRAY INDEX
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.lit(minhash_a(i)) * h + F.lit(minhash_b(i))) % F.lit(MINHASH_P),
+            )
+        )
+
+    sig = F.array(*[_perm_min(i) for i in range(num_perm)])
+    return F.when(F.size(hashes) > 0, sig)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -1,5 +1,6 @@
 from trackintel_spark.streaming.dedup import dedup_stream
 from trackintel_spark.streaming.locations_state import locations_stream_exact
+from trackintel_spark.streaming.neardup import neardup_stream, resolve_neardup
 from trackintel_spark.streaming.sessionize import sessionize_stream, staypoints_stream
 from trackintel_spark.streaming.staypoints_state import staypoints_stream_exact
 from trackintel_spark.streaming.tours_state import attach_trip_locations, tours_stream_exact
@@ -7,6 +8,7 @@ from trackintel_spark.streaming.triplegs_state import triplegs_stream_exact
 from trackintel_spark.streaming.trips_state import trips_stream_exact
 
 __all__ = ["attach_trip_locations", "dedup_stream", "locations_stream_exact",
+    "neardup_stream", "resolve_neardup",
     "sessionize_stream", "staypoints_stream",
     "staypoints_stream_exact", "tours_stream_exact", "triplegs_stream_exact",
     "trips_stream_exact"]
