@@ -87,6 +87,20 @@ def run_line_dedup(spark, n: int) -> dict:
     return {"op": "line_dedup", "rows": n, "wall_s": round(w, 1), "removed": int(removed), "rows_per_s": int(n / w)}
 
 
+def run_substring_dedup(spark, n: int) -> dict:
+    """Span removal at corpus scale: the docs_input corpus duplicates
+    its boilerplate lines corpus-wide and its shared blocks 1000-way,
+    so chunk windows covering them flag and merge into spans."""
+    from trackintel_spark.scale import dedup_substrings
+
+    t0 = time.time()
+    out = dedup_substrings(docs_input(spark, n), window=8, stride=2)
+    removed = out.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    w = time.time() - t0
+    return {"op": "substring_dedup", "rows": n, "wall_s": round(w, 1),
+            "removed": int(removed), "rows_per_s": int(n / w)}
+
+
 def run_semantic_dedup(spark, n: int, max_compare: int | None = None) -> dict:
     """SemDeDup contract: cluster count grows with the corpus (~n/500
     here, the paper's cluster-size regime), so the per-cluster
@@ -281,6 +295,7 @@ def main():
     for n in docs_ns:
         if n:
             print(run_line_dedup(spark, n), flush=True)
+            print(run_substring_dedup(spark, n), flush=True)
     for n in docs_ns:
         if n:
             print(run_dsir(spark, n), flush=True)
