@@ -84,6 +84,16 @@ def main() -> None:
     kept = line_dedup(kept, min_count=3, keep="none").persist()
     print(f"boilerplate lines removed: {kept.agg(F.sum('n_lines_removed')).collect()[0][0]}")
 
+    # 2a'. strip duplicated token SPANS (Lee-et-al-style substring dedup;
+    # finer than lines — catches verbatim passages embedded mid-paragraph)
+    from trackintel_spark.scale import dedup_substrings
+
+    spans = dedup_substrings(
+        kept.drop("n_lines", "n_lines_removed"), window=20, stride=5
+    ).persist()
+    print(f"duplicated spans removed: {spans.agg(F.sum('n_spans_removed')).collect()[0][0]}")
+    kept = spans.drop("n_tokens", "n_tokens_removed", "n_spans_removed")
+
     # 2b. exact dedup (hash aggregation, md5 shuffle key)
     uniq = dedup_exact(kept.drop("n_lines", "n_lines_removed")).persist()
     print(f"after exact dedup: {uniq.count()}")

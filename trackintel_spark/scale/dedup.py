@@ -912,9 +912,11 @@ def dedup_substrings(
     tokenizer's inverse, same convention as :func:`line_dedup`'s
     trimmed lines).
 
-    Returns (id_col, text, n_tokens, n_tokens_removed,
-    n_spans_removed); docs shorter than ``window`` tokens pass through
-    unchanged (no chunk to judge — n_spans_removed = 0).
+    Returns the input columns with ``text_col`` replaced by the rebuilt
+    text, plus ``n_tokens``, ``n_tokens_removed``, ``n_spans_removed``;
+    docs shorter than ``window`` tokens lose no tokens (no chunk to
+    judge — n_spans_removed = 0; their text is still
+    whitespace-normalized by the rebuild, like every output row).
 
     Scale shape — skew-proof, mirrors :func:`line_dedup` /
     :func:`chunk_dedup_fraction`:
@@ -1040,9 +1042,10 @@ def dedup_substrings(
     )
     out = with_spans.select(
         F.col("__did").alias(id_col),
-        F.array_join(kept_tokens, " ").alias("text"),
+        F.array_join(kept_tokens, " ").alias(text_col),
         F.col("__n").alias("n_tokens"),
         n_removed.alias("n_tokens_removed"),
         F.size("__spans").alias("n_spans_removed"),
     )
-    return out
+    # preserve the caller's other columns (line_dedup convention)
+    return docs.drop(text_col).join(out, on=id_col, how="left")
