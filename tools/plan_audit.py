@@ -35,6 +35,7 @@ AUDIT = [
     "generate_locations", "generate_tours", "dbscan_distributed", "merge_staypoints",
     "tpch_q1", "tpch_q3ish", "minhash_lsh_pairs", "embedding_topk", "lsh_topk",
     "spatial_filter", "trajectory_distances", "asof_join", "top_tokens",
+    "line_dedup", "substring_dedup", "decontaminate", "chunk_dedup",
 ]
 
 

@@ -58,8 +58,10 @@ _K0 = 0.9996  # UTM scale factor
 
 def is_geographic(epsg: int) -> bool:
     """True when coordinates are lon/lat degrees (the engine's native
-    form); False for projected (planar, meters) systems."""
-    return epsg in (WGS84, 4979, 4258)
+    form); False for projected (planar, meters) systems. 4258 (ETRS89)
+    and 4269 (NAD83) differ from WGS84 by well under the GPS noise
+    floor at this library's scales, so they pass through."""
+    return epsg in (WGS84, 4979, 4258, 4269)
 
 
 def check_planar(df: DataFrame, epsg: int | None) -> bool:

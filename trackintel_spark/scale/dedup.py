@@ -930,7 +930,10 @@ def dedup_substrings(
     - NO windows over chunk groups and no per-doc kernels: span
       merging and the complement rebuild are O(tokens) ``aggregate`` /
       ``transform`` expressions over the per-doc sorted start arrays
-      (bounded by tokens/stride), fully codegen'd.
+      (bounded by tokens/stride), fully codegen'd;
+    - the plan reads the input several times (census branch, rebuild
+      branch, column-preserve join) — persist ``docs`` upstream when
+      it is itself an expensive lineage rather than a table scan.
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
