@@ -2,7 +2,7 @@
 
 ``queries()`` exposes the engine's operators (SURVEY.md §2 + scale
 extensions) over the driver's synthetic tables; ``oracle_sql()`` gives
-DuckDB-equivalent SQL for EVERY registered query (55/55). The
+DuckDB-equivalent SQL for EVERY registered query (56/56). The
 sequential kernels (staypoint sliding scan, DBSCAN, tour stack,
 DTW/Fréchet) are checked through parameterizations where their
 recurrences have exact closed forms on the synthetic hotspot grid —

@@ -30,6 +30,14 @@ def test_corpus_chain_matches_functional_core(spark, docs):
     assert set(chained.df.columns) == set(direct.columns)
 
 
+def test_corpus_substring_dedup(spark, docs):
+    from trackintel_spark.scale.dedup import dedup_substrings
+
+    chained = Corpus(docs).substring_dedup(window=6, stride=1)
+    direct = dedup_substrings(docs, window=6, stride=1)
+    assert sorted(map(str, chained.collect())) == sorted(map(str, direct.collect()))
+
+
 def test_corpus_near_dedup_and_search(spark, docs):
     kept = Corpus(docs).near_dedup(threshold=0.6)
     ids = sorted(r["doc_id"] for r in kept.collect())

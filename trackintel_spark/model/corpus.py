@@ -99,6 +99,15 @@ class Corpus:
             line_dedup(self.df, text_col=self.text_col, id_col=self.id_col, **kw)
         )
 
+    def substring_dedup(self, **kw) -> "Corpus":
+        """Remove duplicated token spans (Lee-et-al-style strided
+        approximation — see :func:`trackintel_spark.scale.dedup.dedup_substrings`)."""
+        from trackintel_spark.scale.dedup import dedup_substrings
+
+        return self._wrap(
+            dedup_substrings(self.df, text_col=self.text_col, id_col=self.id_col, **kw)
+        )
+
     def near_dedup(self, threshold: float = 0.7, num_perm: int = 64, bands: int = 16, keep: str = "min_id") -> "Corpus":
         """MinHash LSH candidates -> exact Jaccard verify -> connected
         components -> canonical survivors only."""
