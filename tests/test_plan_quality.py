@@ -469,3 +469,23 @@ def test_substring_dedup_is_window_and_kernel_free(spark):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_generic_bucketed_table_elides_doc_exchange(spark):
+    """write_bucketed on doc_id: a doc_id groupBy over the bucketed
+    documents table plans with no doc_id hash exchange — the LLM-side
+    counterpart of the user_id bucketing pin."""
+    from trackintel_spark.plans.partitioning import write_bucketed
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    name = "t_doc_bucketing_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        write_bucketed(docs, name, ("doc_id",), num_buckets=8)
+        t = spark.table(name)
+        plan = _plan(t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+        assert "Exchange hashpartitioning(doc_id" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert t.count() == docs.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -31,18 +31,30 @@ def co_partition_by_user(df: DataFrame, num_partitions: int | None = None) -> Da
     return df.repartition(F.col("user_id"))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 256,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist a table bucketed (+ optionally sorted) on ``bucket_cols``
+    so downstream groupBys/windows/joins keyed on them plan with NO
+    hash exchange — the generic form of :func:`write_bucketed_by_user`
+    (e.g. bucket a documents table by doc_id for shuffle-free dedup
+    census joins, or embeddings by vec_id)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*bucket_cols, *sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def write_bucketed_by_user(
     df: DataFrame, table_name: str, num_buckets: int = 256, sort_cols: tuple[str, ...] = ("tracked_at",)
 ) -> None:
     """Persist an entity table bucketed+sorted by user_id for shuffle-free
     downstream windows and co-located joins."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(num_buckets, "user_id")
-        .sortBy("user_id", *sort_cols)
-        .format("parquet")
-        .saveAsTable(table_name)
-    )
+    write_bucketed(df, table_name, ("user_id",), num_buckets, sort_cols)
 
 
 #: Spark conf key overriding the session-salting row threshold — lets a

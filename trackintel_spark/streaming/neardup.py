@@ -110,33 +110,44 @@ def neardup_stream(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         band, _bucket = key
+        idbuf = np.empty(max_bucket, dtype=np.int64)
+        sigbuf = np.empty((max_bucket, np_), dtype=np.int64)
         if state.exists:
-            ids, sigs = state.get
-            ids, sigs = list(ids), list(sigs)
+            ids_l, sigs_l = state.get
+            count = len(ids_l)
+            idbuf[:count] = ids_l
+            sigbuf[:count] = np.asarray(sigs_l, dtype=np.int64).reshape(count, np_)
         else:
-            ids, sigs = [], []
+            count = 0
 
         pdf = pd.concat(list(batches), ignore_index=True).sort_values(
             "doc_id", kind="stable"
         )
         out = []
         for doc_id, sig_arr in zip(pdf["doc_id"], pdf["__sig"]):
-            s = list(sig_arr)
+            s = np.asarray(list(sig_arr), dtype=np.int64)
             dup_of, best_est = None, None
-            for j, sid in enumerate(ids):
-                stored = sigs[j * np_:(j + 1) * np_]
-                est = sum(1 for a, b in zip(s, stored) if a == b) / np_
-                if thr is not None and est < thr:
-                    continue
-                if dup_of is None or sid < dup_of:
-                    dup_of, best_est = sid, est
+            if count:
+                # one vectorized signature-agreement pass over the bucket
+                est = (sigbuf[:count] == s).mean(axis=1)
+                ok = est >= thr if thr is not None else np.ones(count, dtype=bool)
+                if ok.any():
+                    cand_ids = idbuf[:count][ok]
+                    j = int(np.argmin(cand_ids))
+                    dup_of = int(cand_ids[j])
+                    best_est = float(est[:count][ok][j])
             out.append((int(doc_id), int(band), dup_of, best_est))
-            if len(ids) < max_bucket:
-                ids.append(int(doc_id))
-                sigs.extend(int(v) for v in s)
+            if count < max_bucket:
+                idbuf[count] = int(doc_id)
+                sigbuf[count] = s
+                count += 1
 
-        state.update((ids, sigs))
+        state.update(
+            ([int(v) for v in idbuf[:count]], [int(v) for v in sigbuf[:count].reshape(-1)])
+        )
         if out:
             yield pd.DataFrame(out, columns=["doc_id", "band", "dup_of", "jaccard_est"])
 
