@@ -1138,3 +1138,30 @@ def test_dedup_substrings_validation(spark):
         dedup_substrings(docs, keep="bogus")
     with _pt.raises(ValueError, match="window"):
         dedup_substrings(docs, window=0)
+
+
+def test_dedup_ops_are_idempotently_chainable(spark):
+    """Running dedup_substrings / line_dedup on a frame that already
+    carries a previous run's stat columns supersedes them instead of
+    producing AMBIGUOUS_REFERENCE duplicates."""
+    from trackintel_spark.scale import dedup_substrings, line_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, f"alpha beta {boiler} gamma delta"), (1, f"one two {boiler} three four")],
+        "doc_id long, text string",
+    )
+    once = dedup_substrings(docs, window=10, stride=1, min_count=2)
+    twice = dedup_substrings(once, window=10, stride=1, min_count=2)
+    assert twice.columns.count("n_tokens") == 1
+    # second pass removes nothing (the dup span is already gone)
+    assert all(r.n_tokens_removed == 0 for r in twice.select("n_tokens_removed").collect())
+
+    ldocs = spark.createDataFrame(
+        [(0, "keep me\nSHARED LINE HERE\nmore"), (1, "other\nSHARED LINE HERE\ntail")],
+        "doc_id long, text string",
+    )
+    l1 = line_dedup(ldocs, min_count=2, min_chars=5)
+    l2 = line_dedup(l1, min_count=2, min_chars=5)
+    assert l2.columns.count("n_lines_removed") == 1
+    assert all(r.n_lines_removed == 0 for r in l2.select("n_lines_removed").collect())

@@ -163,3 +163,20 @@ def test_stream_matches_batch_across_microbatches(spark, tmp_path):
     assert got == batch
     assert batch[0] == 10 and batch[3] == 10  # trained center sticks
     assert batch[2] == batch[4] < 0  # opened center reused across batches
+
+
+def test_null_geometry_staypoints_kept_with_null_location(spark):
+    """A staypoint with NULL lon/lat must still appear in the output —
+    with location_id NULL — instead of being silently dropped by the
+    kernel's pandas groupby (which excludes NaN keys)."""
+    locs = _loc_df(spark, [(10, 1, 8.50, 47.40)])
+    data = [
+        (0, 1, T0, 8.50, 47.40),
+        (1, 1, T0 + timedelta(minutes=5), None, 47.40),
+        (2, 1, T0 + timedelta(minutes=9), None, None),
+    ]
+    sp = spark.createDataFrame(
+        data, "id long, user_id long, started_at timestamp, lon double, lat double"
+    ).select("id", "user_id", "started_at", F.struct("lon", "lat").alias("geom"))
+    got = {r.id: r.location_id for r in locations_stream_exact(sp, locs).collect()}
+    assert got == {0: 10, 1: None, 2: None}

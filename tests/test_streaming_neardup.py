@@ -140,3 +140,90 @@ def test_neardup_validation(spark):
         neardup_stream(docs, num_perm=16, bands=5)
     with pytest.raises(ValueError, match="bands"):
         neardup_stream(docs, num_perm=16, bands=0)
+
+
+def test_short_documents_get_never_dup_verdict(spark):
+    """Shingle-less documents (< shingle_n tokens) can't collide but
+    must still appear in the verdict stream — a band=-1 never-a-dup row
+    — so resolve_neardup covers EVERY input document."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "tiny doc"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = resolve_neardup(neardup_stream(docs, num_perm=16, bands=8))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].is_dup is False and rows[2].dup_of is None
+    assert rows[3].is_dup is False
+
+
+def test_staged_signature_matches_single_expression(spark):
+    """The staged two-projection form (minhash_hashes_expr ->
+    minhash_signature_from_hashes, the streaming hot path) is value-
+    identical to the one-expression form."""
+    from trackintel_spark.scale.dedup import (
+        minhash_hashes_expr,
+        minhash_signature_expr,
+        minhash_signature_from_hashes,
+    )
+
+    docs = _docs(spark)
+    one = {
+        r.doc_id: r.s and list(r.s)
+        for r in docs.select(
+            "doc_id", minhash_signature_expr(F.col("text"), 16).alias("s")
+        ).collect()
+    }
+    staged_df = docs.select(
+        "doc_id", minhash_hashes_expr(F.col("text")).alias("h")
+    ).select("doc_id", minhash_signature_from_hashes(F.col("h"), 16).alias("s"))
+    staged = {r.doc_id: r.s and list(r.s) for r in staged_df.collect()}
+    assert one == staged
+
+
+def test_state_ttl_accepted_and_correct_within_window(spark, tmp_path):
+    """state_ttl_min wires ProcessingTimeTimeout through the stream path
+    (and is a no-op in batch mode); with a generous TTL nothing is
+    evicted mid-run, so results equal the no-TTL baseline."""
+    docs = _docs(spark)
+    base = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in resolve_neardup(neardup_stream(docs, num_perm=16, bands=8)).collect()
+    }
+    # batch mode: TTL ignored
+    got_b = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in resolve_neardup(
+            neardup_stream(docs, num_perm=16, bands=8, state_ttl_min=60)
+        ).collect()
+    }
+    assert got_b == base
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    rows = docs.collect()
+    for i, chunk in enumerate([rows[:3], rows[3:]]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+        now = time.time() + i
+        d = os.path.join(src, f"f{i}")
+        for f_ in os.listdir(d):
+            os.utime(os.path.join(d, f_), (now, now))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        neardup_stream(stream, num_perm=16, bands=8, state_ttl_min=60)
+        .writeStream.format("memory").queryName("nd_ttl")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got_s = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in resolve_neardup(spark.sql("SELECT * FROM nd_ttl")).collect()
+    }
+    assert got_s == base

@@ -78,20 +78,24 @@ def minhash_b(i: int) -> int:
     return 12345 + 7 * i
 
 
-def minhash_signature_expr(
-    text: Column, num_perm: int = 32, shingle_n: int = 3
-) -> Column:
-    """The MinHash signature as ONE per-row Column expression —
-    identical values to :func:`minhash_signature` (same shingles, same
-    md5-prefix base hash, same affine permutations), but with no
-    explode/groupBy so it runs inside STREAMING projections (the batch
-    layout's shuffle+combine is better for batch; an aggregation
-    mid-stream would demand watermark state). NULL for shingle-less
-    documents."""
-    hashes = F.transform(
+def minhash_hashes_expr(text: Column, shingle_n: int = 3) -> Column:
+    """The shingle base-hash array (md5-prefix per shingle) as a Column
+    expression — stage this as a REAL column in its own projection, then
+    apply :func:`minhash_signature_from_hashes` in the next one. Spark's
+    subexpression elimination skips lambda-bearing subtrees, so folding
+    this into the same projection as the per-permutation mins would
+    re-tokenize and re-digest the document once per permutation;
+    Catalyst's CollapseProject keeps the two projections apart (the
+    alias is non-cheap and multiply referenced), restoring 1x cost."""
+    return F.transform(
         shingles(text, shingle_n),
         lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
     )
+
+
+def minhash_signature_from_hashes(hashes: Column, num_perm: int = 32) -> Column:
+    """Per-permutation minima over a pre-staged base-hash column (see
+    :func:`minhash_hashes_expr`). NULL for shingle-less documents."""
 
     def _perm_min(i: int) -> Column:
         # NOTE: the permutation index must be closed over, NOT passed as
@@ -106,6 +110,27 @@ def minhash_signature_expr(
 
     sig = F.array(*[_perm_min(i) for i in range(num_perm)])
     return F.when(F.size(hashes) > 0, sig)
+
+
+def minhash_signature_expr(
+    text: Column, num_perm: int = 32, shingle_n: int = 3
+) -> Column:
+    """The MinHash signature as ONE per-row Column expression —
+    identical values to :func:`minhash_signature` (same shingles, same
+    md5-prefix base hash, same affine permutations), but with no
+    explode/groupBy so it runs inside STREAMING projections (the batch
+    layout's shuffle+combine is better for batch; an aggregation
+    mid-stream would demand watermark state). NULL for shingle-less
+    documents.
+
+    Evaluating this in ONE projection digests the text once per
+    permutation; hot paths should stage :func:`minhash_hashes_expr` as
+    its own column first and apply
+    :func:`minhash_signature_from_hashes` in the next projection (the
+    streaming near-dup operator does)."""
+    return minhash_signature_from_hashes(
+        minhash_hashes_expr(text, shingle_n), num_perm
+    )
 
 
 def minhash_signature(
@@ -814,8 +839,11 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("__drop").cast("int")).alias("n_lines_removed"),
     )
+    # a prior run's stat columns are superseded, not duplicated — keeps
+    # the operator idempotently chainable
+    base_docs = docs.drop("n_lines", "n_lines_removed")
     return (
-        docs.join(rebuilt, docs[id_col] == rebuilt["__did"], how="left")
+        base_docs.join(rebuilt, base_docs[id_col] == rebuilt["__did"], how="left")
         .withColumn(text_col, F.coalesce("__new_text", F.col(text_col)))
         .drop("__did", "__new_text")
     )
@@ -1050,5 +1078,9 @@ def dedup_substrings(
         n_removed.alias("n_tokens_removed"),
         F.size("__spans").alias("n_spans_removed"),
     )
-    # preserve the caller's other columns (line_dedup convention)
-    return docs.drop(text_col).join(out, on=id_col, how="left")
+    # preserve the caller's other columns (line_dedup convention); a
+    # prior run's stat columns are superseded, not duplicated — dropping
+    # them keeps the operator idempotently chainable
+    return docs.drop(
+        text_col, "n_tokens", "n_tokens_removed", "n_spans_removed"
+    ).join(out, on=id_col, how="left")

@@ -44,10 +44,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.functions.spatial import EARTH_RADIUS_M
 from trackintel_spark.operators.dbscan_distributed import _band_cos, _DEG2M
+from trackintel_spark.streaming._parity import apply_with_batch_parity
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -142,6 +143,14 @@ def locations_stream_exact(
         "id", "user_id", "started_at",
         F.col("geom.lon").alias("__lon"), F.col("geom.lat").alias("__lat"),
     )
+    # NULL-geometry staypoints can't be clustered; emit them with a NULL
+    # location_id through a stateless branch instead of letting the
+    # kernel's pandas groupby silently drop NaN keys — every input row
+    # must appear in the output
+    nullg = kin.filter(F.col("__lon").isNull() | F.col("__lat").isNull()).select(
+        "id", "user_id", F.lit(None).cast("long").alias("location_id")
+    )
+    kin = kin.filter(F.col("__lon").isNotNull() & F.col("__lat").isNotNull())
     if locations is not None:
         cands = _explode_center_cells(locations, cell_deg)
         kin = _with_cells(kin, F.col("__lon"), F.col("__lat"), cell_deg)
@@ -207,28 +216,7 @@ def locations_stream_exact(
         if rows:
             yield pd.DataFrame(rows, columns=["id", "user_id", "location_id"])
 
-    grouped = kin.groupBy("user_id")
-    if kin.isStreaming:
-        return grouped.applyInPandasWithState(
-            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
-        )
-
-    class _FakeState:
-        exists = False
-
-        def get(self):  # pragma: no cover - interface parity
-            raise ValueError
-
-        def update(self, v):
-            self._v = v
-
-    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = _FakeState()
-        frames = list(fn((int(pdf["user_id"].iloc[0]),), iter([pdf]), st))
-        return (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
-        )
-
-    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
+    out = apply_with_batch_parity(
+        kin, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    )
+    return out.unionByName(nullg)

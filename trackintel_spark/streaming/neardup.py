@@ -13,7 +13,10 @@ verify step, folded into the same operator).
 
 Output is one verdict row PER (document, band): ``(doc_id, band,
 dup_of, jaccard_est)`` with ``dup_of`` NULL when the band saw no
-qualifying earlier document. Reduce to per-document decisions with
+qualifying earlier document. Shingle-less documents (fewer than
+``shingle_n`` tokens — no signature, can't collide) get ONE stateless
+``band = -1`` never-a-dup row so every input document appears in the
+verdict stream. Reduce to per-document decisions with
 :func:`resolve_neardup` (a batch aggregation — run it on the sink
 table, or in-stream with a watermark if event time is available).
 
@@ -24,7 +27,10 @@ entries: a boilerplate bucket hit by millions of near-identical
 documents stops growing after the cap (new arrivals still match
 against the stored sample — exactly the right behavior for a
 saturated bucket; the cap is the documented bounded-state trade-off,
-like ``dedup_stream``'s watermark). Within a micro-batch, documents
+like ``dedup_stream``'s watermark). The NUMBER of buckets grows with
+corpus size — cap total state on unbounded ingest with
+``state_ttl_min`` (idle buckets evicted via processing-time timeout).
+Within a micro-batch, documents
 are processed in ascending ``id_col`` order, so stream == batch for
 any chunking (pinned in tests/test_streaming_neardup.py).
 """
@@ -37,9 +43,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
-from trackintel_spark.scale.dedup import minhash_signature_expr
+from trackintel_spark.scale.dedup import (
+    minhash_hashes_expr,
+    minhash_signature_from_hashes,
+)
+from trackintel_spark.streaming._parity import apply_with_batch_parity
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -67,20 +77,49 @@ def neardup_stream(
     shingle_n: int = 3,
     threshold: float | None = None,
     max_bucket: int = 1024,
+    state_ttl_min: float | None = None,
 ) -> DataFrame:
     """Per-band near-dup verdicts for a document stream (or batch —
     unified API, same kernel). ``threshold=None`` counts ANY bucket
     collision (pure LSH); with a threshold, signature agreement must
-    reach it. ``dup_of`` is the smallest qualifying earlier id."""
+    reach it. ``dup_of`` is the smallest qualifying earlier id.
+
+    ``state_ttl_min`` (streaming only; ignored in batch mode): evict a
+    bucket's state after that many minutes WITHOUT a new arrival. The
+    per-bucket cap bounds each group, but the NUMBER of (band, bucket)
+    groups grows with corpus size — on an unbounded ingest stream a TTL
+    keeps total state proportional to the recent-window bucket count
+    instead of the all-time one. Trade-off: a document arriving after
+    its bucket was evicted won't match the evicted occupants (they're
+    forgotten) — the standard bounded-memory dedup window."""
     if not 0 < bands <= num_perm:
         raise ValueError(f"bands must be in (0, num_perm={num_perm}], got {bands}")
     if num_perm % bands != 0:
         raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows = num_perm // bands
 
-    sig = minhash_signature_expr(F.col(text_col), num_perm, shingle_n)
-    base = docs.select(F.col(id_col).alias("doc_id"), sig.alias("__sig")).filter(
-        F.col("__sig").isNotNull()
+    # two projections: the base-hash array is staged as a REAL column so
+    # the per-permutation mins reuse it instead of re-digesting the text
+    # once per permutation (see minhash_hashes_expr's docstring)
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_hashes_expr(F.col(text_col), shingle_n).alias("__h"),
+    )
+    with_sig = hashed.select(
+        "doc_id",
+        minhash_signature_from_hashes(F.col("__h"), num_perm).alias("__sig"),
+    )
+    base = with_sig.filter(F.col("__sig").isNotNull())
+    # shingle-less documents (< shingle_n tokens) have no signature and
+    # can't collide with anything: emit a stateless never-a-dup verdict
+    # row (band -1) so resolve_neardup still covers EVERY document —
+    # without it, short documents would silently vanish from the
+    # verdict stream
+    short = with_sig.filter(F.col("__sig").isNull()).select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band"),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("double").alias("jaccard_est"),
     )
     band_structs = F.array(
         *[
@@ -105,12 +144,20 @@ def neardup_stream(
     np_ = num_perm
     thr = threshold
 
+    ttl_ms = None if state_ttl_min is None else max(1, int(state_ttl_min * 60_000))
+
     def fn(
         key: Tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        if state.hasTimedOut:
+            # idle-bucket eviction (state_ttl_min): drop the stored
+            # sample, emit nothing
+            state.remove()
+            return
 
         band, _bucket = key
         idbuf = np.empty(max_bucket, dtype=np.int64)
@@ -148,36 +195,22 @@ def neardup_stream(
         state.update(
             ([int(v) for v in idbuf[:count]], [int(v) for v in sigbuf[:count].reshape(-1)])
         )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out:
             yield pd.DataFrame(out, columns=["doc_id", "band", "dup_of", "jaccard_est"])
 
-    grouped = banded.groupBy("band", "bucket")
-    if banded.isStreaming:
-        return grouped.applyInPandasWithState(
-            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
-        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    class _FakeState:
-        exists = False
-
-        def get(self):  # pragma: no cover - interface parity
-            raise ValueError
-
-        def update(self, v):
-            self._v = v
-
-    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = _FakeState()
-        frames = list(
-            fn((int(pdf["band"].iloc[0]), int(pdf["bucket"].iloc[0])), iter([pdf]), st)
-        )
-        return (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
-        )
-
-    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    verdicts = apply_with_batch_parity(
+        banded, ("band", "bucket"), fn, _OUT_SCHEMA, _STATE_SCHEMA, timeout=timeout
+    )
+    return verdicts.unionByName(short)
 
 
 def resolve_neardup(verdicts: DataFrame) -> DataFrame:

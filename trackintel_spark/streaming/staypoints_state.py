@@ -31,9 +31,10 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.operators.staypoints import _sliding_kernel
+from trackintel_spark.streaming._parity import apply_with_batch_parity
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -138,30 +139,6 @@ def staypoints_stream_exact(
                 }
             )
 
-    grouped = pfs.groupBy("user_id")
-    if pfs.isStreaming:
-        return grouped.applyInPandasWithState(
-            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
-        )
-
-    # batch fallback: same function driven by a trivial in-memory state —
-    # pins the semantics without a streaming runtime
-    class _FakeState:
-        exists = False
-
-        def get(self):  # pragma: no cover - interface parity
-            raise ValueError
-
-        def update(self, v):
-            self._v = v
-
-    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = _FakeState()
-        frames = list(fn((int(pdf["user_id"].iloc[0]),), iter([pdf]), st))
-        return (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
-        )
-
-    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
+    return apply_with_batch_parity(
+        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    )

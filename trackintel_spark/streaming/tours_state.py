@@ -45,9 +45,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.operators.tours import _GAP, _Trip, _scan_step, _tour_row, _trip_records
+from trackintel_spark.streaming._parity import apply_with_batch_parity
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -62,7 +63,13 @@ _OUT_SCHEMA = T.StructType(
     ]
 )
 
-# candidate stack as parallel arrays; a GAP marker is id = -1 with NaNs
+# candidate stack as parallel arrays; a GAP marker is id = -1 with NaNs.
+# NOTE: any change to this schema (last_start_us was ADDED for the
+# out-of-order guard) is checkpoint-incompatible — a running query
+# restarted from a pre-change checkpoint fails its first stateful batch.
+# Restart such queries with a fresh checkpoint directory (replaying the
+# source from the last committed offset of the OLD sink, the standard
+# Structured Streaming state-schema-evolution procedure).
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("c_id", T.ArrayType(T.LongType())),
@@ -226,28 +233,6 @@ def tours_stream_exact(
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
 
-    grouped = kin.groupBy("user_id")
-    if kin.isStreaming:
-        return grouped.applyInPandasWithState(
-            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
-        )
-
-    class _FakeState:
-        exists = False
-
-        def get(self):  # pragma: no cover - interface parity
-            raise ValueError
-
-        def update(self, v):
-            self._v = v
-
-    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = _FakeState()
-        frames = list(fn((int(pdf["user_id"].iloc[0]),), iter([pdf]), st))
-        return (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame({f.name: pd.Series(dtype="object") for f in _OUT_SCHEMA.fields})
-        )
-
-    return grouped.applyInPandas(batch_fn, schema=_OUT_SCHEMA)
+    return apply_with_batch_parity(
+        kin, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    )
