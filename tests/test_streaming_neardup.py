@@ -227,3 +227,29 @@ def test_state_ttl_accepted_and_correct_within_window(spark, tmp_path):
         for r in resolve_neardup(spark.sql("SELECT * FROM nd_ttl")).collect()
     }
     assert got_s == base
+
+
+def test_staged_projections_digest_text_once(spark):
+    """The staging contract in minhash_hashes_expr's docstring, pinned at
+    the plan level: CollapseProject must NOT fold the base-hash column
+    into the per-permutation mins (the alias is non-cheap and multiply
+    referenced), so the optimized plan digests the text ONCE — the
+    single-expression form re-digests it once per permutation."""
+    from trackintel_spark.scale.dedup import (
+        minhash_hashes_expr,
+        minhash_signature_expr,
+        minhash_signature_from_hashes,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    staged = docs.select(
+        "doc_id", minhash_hashes_expr(F.col("text")).alias("__h")
+    ).select("doc_id", minhash_signature_from_hashes(F.col("__h"), 16).alias("__sig"))
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1
+
+    single = docs.select(
+        "doc_id", minhash_signature_expr(F.col("text"), 16).alias("__sig")
+    )
+    plan1 = single._jdf.queryExecution().optimizedPlan().toString()
+    assert plan1.count("md5") >= 16  # what the staging avoids
