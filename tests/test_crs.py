@@ -915,3 +915,93 @@ def test_mollweide_world_grid(spark):
         else:
             assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
             assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-9
+
+
+def test_krovak_epsg_worked_example(spark):
+    """EPSG Guidance Note 7-2 §3.2.8 worked example for method 9819
+    (S-JTSK / Krovak, on the grid's OWN Bessel datum): the point
+    50°12'32.4416"N 16°50'59.1790"E (Greenwich) maps to
+    southing X=1050538.63, westing Y=568991.00 — pins the oblique
+    conformal conic forward and the staged iterative inverse, plus the
+    EPSG 1041 east-north axis flip of CRS 5514."""
+    from trackintel_spark.geogr.crs import KROVAK_GRIDS, KrovakGrid, register_krovak_grid
+
+    base = KROVAK_GRIDS[5513]
+    # same projection, no datum bridge: the worked example's lat/lon
+    # are S-JTSK (Bessel) datum coordinates
+    for code, east_north in ((900951, False), (900952, True)):
+        register_krovak_grid(
+            code,
+            KrovakGrid(base.a, base.f, lat_c=base.lat_c, lon0=base.lon0,
+                       alpha_c=base.alpha_c, lat_p=base.lat_p, k_p=base.k_p,
+                       false_easting=0.0, false_northing=0.0,
+                       east_north=east_north),
+        )
+    try:
+        lon = 16 + 50 / 60 + 59.1790 / 3600
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        df = _pts(spark, [(0, lon, lat)])
+        r = transform_points(df, 4326, 900951).first().geom
+        assert abs(r["lon"] - 1050538.63) < 0.02  # southing
+        assert abs(r["lat"] - 568991.00) < 0.02  # westing
+        r2 = transform_points(df, 4326, 900952).first().geom
+        assert abs(r2["lon"] - -568991.00) < 0.02  # easting = -westing
+        assert abs(r2["lat"] - -1050538.63) < 0.02  # northing = -southing
+        # staged iterative inverse round-trips both axis conventions
+        for code in (900951, 900952):
+            fwd = transform_points(df, 4326, code)
+            back = transform_points(fwd, code, 4326).first().geom
+            assert abs(back["lon"] - lon) < 1e-9
+            assert abs(back["lat"] - lat) < 1e-9
+    finally:
+        KROVAK_GRIDS.pop(900951, None)
+        KROVAK_GRIDS.pop(900952, None)
+
+
+def test_krovak_5514_datum_bridged(spark):
+    """EPSG:5514 (S-JTSK / Krovak East North): the full staged chain —
+    Krovak iterative inverse + S-JTSK Helmert bridge. Prague lands near
+    its published coordinates (~ -742800, -1043000); round-trip through
+    the double Helmert stays ~1e-7 deg; conformality holds."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import KROVAK_GRIDS
+
+    g = KROVAK_GRIDS[5514]
+    df = _pts(spark, [(0, 14.4208, 50.0880), (1, 17.1077, 48.1486), (2, 18.0, 49.0)])
+    kv = transform_points(df, 4326, 5514)
+    rows = {r.id: r.geom for r in kv.collect()}
+    # Prague centre, published S-JTSK coordinates
+    assert abs(rows[0]["lon"] - -742_800) < 3_000
+    assert abs(rows[0]["lat"] - -1_043_000) < 3_000
+    # whole-country coordinates stay in the S-JTSK quadrant (both axes
+    # negative, |X| < |Y|) — the east-north convention is the right way up
+    for r in rows.values():
+        assert r["lon"] < 0 and r["lat"] < 0 and abs(r["lon"]) < abs(r["lat"])
+    # Prague-Bratislava planar distance matches the great circle within
+    # Krovak's distortion envelope (<= ~2e-4 across the country, sphere
+    # vs ellipsoid adds ~1e-3)
+    d_plane = _m.hypot(rows[1]["lon"] - rows[0]["lon"], rows[1]["lat"] - rows[0]["lat"])
+    d_gc = 2 * 6371000.0 * _m.asin(_m.sqrt(
+        _m.sin(_m.radians((48.1486 - 50.0880) / 2)) ** 2
+        + _m.cos(_m.radians(50.0880)) * _m.cos(_m.radians(48.1486))
+        * _m.sin(_m.radians((17.1077 - 14.4208) / 2)) ** 2
+    ))
+    assert abs(d_plane / d_gc - 1.0) < 5e-3
+    back = transform_points(kv, 5514, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-6
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 1e-6
+
+    # conformality via finite differences at Brno
+    h = 1e-6
+    probe = _pts(spark, [(0, 16.61, 49.195), (1, 16.61 + h, 49.195), (2, 16.61, 49.195 + h)])
+    p = {r.id: r.geom for r in transform_points(probe, 4326, 5514).collect()}
+    k_par = _m.hypot(p[1]["lon"] - p[0]["lon"], p[1]["lat"] - p[0]["lat"])
+    k_mer = _m.hypot(p[2]["lon"] - p[0]["lon"], p[2]["lat"] - p[0]["lat"])
+    s = _m.sin(_m.radians(49.195))
+    m_rad = g.a * (1 - g.e2) / (1 - g.e2 * s * s) ** 1.5
+    n_rad = g.a / _m.sqrt(1 - g.e2 * s * s)
+    k_par /= n_rad * _m.cos(_m.radians(49.195)) * _m.radians(h)
+    k_mer /= m_rad * _m.radians(h)
+    assert abs(k_par / k_mer - 1.0) < 1e-4

@@ -26,9 +26,12 @@ common projections are implemented as closed-form column expressions
   3413/3031, UPS 32661/32761), oblique Lambert Azimuthal Equal-Area
   (``LAEA_GRIDS`` — ETRS89-LAEA Europe 3035, US National Atlas sphere
   2163/9311), oblique stereographic / EPSG 9809 (``OST_GRIDS`` —
-  Dutch RD New 28992, staged iterative inverse), and Mollweide
+  Dutch RD New 28992, staged iterative inverse), Mollweide
   (``MOLL_GRIDS`` — World Mollweide 54009, staged Newton forward with
-  a cube-root pole seed). Extend via ``register_*_grid``.
+  a cube-root pole seed), and Krovak / EPSG 9819+1041
+  (``KROVAK_GRIDS`` — Czech/Slovak S-JTSK 5514/5513, oblique
+  conformal conic, staged iterative inverse). Extend via
+  ``register_*_grid``.
 
 Anything else (Robinson-class compromise projections, ...)
 dispatches to a pyproj-backed Arrow UDF IF pyproj is importable
@@ -1184,11 +1187,202 @@ def register_moll_grid(epsg: int, grid: MollweideGrid) -> None:
     MOLL_GRIDS[epsg] = grid
 
 
+# -- Krovak (oblique conformal conic, EPSG methods 9819/1041) ------------------
+# The Czech/Slovak national grid (S-JTSK). EPSG Guidance Note 7-2
+# §3.2.8: a conformal conic on an OBLIQUE cone whose axis passes
+# through a pseudo pole; forward is closed-form, the inverse recovers
+# geodetic latitude from the conformal-sphere latitude U by the
+# EPSG fixed-point iteration (3 steps, staged like the 9809 inverse).
+# EPSG 5514 ("Krovak East North") negates the native southing/westing
+# axes so coordinates behave as ordinary (easting, northing) — both
+# axis conventions are supported via ``east_north``.
+
+
+@dataclass(frozen=True)
+class KrovakGrid:
+    """A Krovak grid + datum bridge.
+
+    ``lat_c``/``lon0`` = latitude of projection centre / longitude of
+    origin (degrees, Greenwich); ``alpha_c`` = co-latitude of the cone
+    axis; ``lat_p`` = latitude of the pseudo standard parallel; ``k_p``
+    = scale factor on it. ``east_north=True`` (EPSG 1041, CRS 5514)
+    emits (-westing, -southing); ``False`` (EPSG 9819) emits the native
+    (southing, westing) pair. ``helmert_to_wgs84`` as in
+    :class:`TMGrid`.
+    """
+
+    a: float
+    f: float
+    lat_c: float
+    lon0: float
+    alpha_c: float
+    lat_p: float
+    k_p: float
+    false_easting: float
+    false_northing: float
+    east_north: bool = True
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _krovak_consts(g: KrovakGrid) -> tuple[float, float, float, float, float]:
+    """Plan-time constants (B, t0, n, r0, e) — EPSG GN7-2 §3.2.8."""
+    e2 = g.e2
+    e = math.sqrt(e2)
+    pc = math.radians(g.lat_c)
+    sc = math.sin(pc)
+    b = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+    a_ = g.a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    gamma0 = math.asin(sc / b)
+    t0 = (
+        math.tan(math.pi / 4 + gamma0 / 2)
+        * ((1 + e * sc) / (1 - e * sc)) ** (e * b / 2)
+        / math.tan(math.pi / 4 + pc / 2) ** b
+    )
+    pp = math.radians(g.lat_p)
+    n = math.sin(pp)
+    r0 = g.k_p * a_ / math.tan(pp)
+    return b, t0, n, r0, e
+
+
+def krovak_forward(lon: Column, lat: Column, g: KrovakGrid) -> tuple[Column, Column]:
+    """Geodetic lon/lat (degrees, on the grid's own datum) -> grid
+    coordinates (EPSG 9819 forward; 1041 axis flip when
+    ``east_north``)."""
+    b, t0, n, r0, e = _krovak_consts(g)
+    alpha = math.radians(g.alpha_c)
+    pp = math.radians(g.lat_p)
+    phi, lam = F.radians(lat), F.radians(lon)
+    sp = F.sin(phi)
+    u = 2 * (
+        F.atan(
+            t0
+            * F.pow(F.tan(phi / 2 + math.pi / 4), b)
+            / F.pow((1 + e * sp) / (1 - e * sp), e * b / 2)
+        )
+        - math.pi / 4
+    )
+    v = b * (math.radians(g.lon0) - lam)
+    t_ = F.asin(math.cos(alpha) * F.sin(u) + math.sin(alpha) * F.cos(u) * F.cos(v))
+    d = F.asin(F.cos(u) * F.sin(v) / F.cos(t_))
+    theta = n * d
+    r = r0 * math.tan(math.pi / 4 + pp / 2) ** n / F.pow(F.tan(t_ / 2 + math.pi / 4), n)
+    southing = r * F.cos(theta)
+    westing = r * F.sin(theta)
+    if g.east_north:
+        return -westing + g.false_easting, -southing + g.false_northing
+    return southing + g.false_easting, westing + g.false_northing
+
+
+def _krovak_inverse_seed(x: Column, y: Column, g: KrovakGrid) -> tuple[Column, Column]:
+    """(x, y) -> (U', lambda) — everything before the latitude
+    iteration (EPSG GN7-2 §3.2.8 inverse)."""
+    b, t0, n, r0, e = _krovak_consts(g)
+    alpha = math.radians(g.alpha_c)
+    pp = math.radians(g.lat_p)
+    if g.east_north:
+        southing = -(y - g.false_northing)
+        westing = -(x - g.false_easting)
+    else:
+        southing = x - g.false_easting
+        westing = y - g.false_northing
+    r = F.sqrt(southing * southing + westing * westing)
+    theta = F.atan2(westing, southing)
+    d = theta / n
+    t_ = 2 * (
+        F.atan(F.pow(F.lit(r0) / r, 1.0 / n) * math.tan(math.pi / 4 + pp / 2))
+        - math.pi / 4
+    )
+    u = F.asin(math.cos(alpha) * F.sin(t_) - math.sin(alpha) * F.cos(t_) * F.cos(d))
+    v = F.asin(F.cos(t_) * F.sin(d) / F.cos(u))
+    lam = math.radians(g.lon0) - v / b
+    return u, lam
+
+
+_KROVAK_ITERS = 3  # EPSG-prescribed fixed-point count (quadratic)
+
+
+def _krovak_iterate(phi: Column, u: Column, g: KrovakGrid) -> Column:
+    """One latitude fixed-point step: phi_j from (U', phi_{j-1})."""
+    b, t0, n, r0, e = _krovak_consts(g)
+    sp = F.sin(phi)
+    return 2 * (
+        F.atan(
+            t0 ** (-1.0 / b)
+            * F.pow(F.tan(u / 2 + math.pi / 4), 1.0 / b)
+            * F.pow((1 + e * sp) / (1 - e * sp), e / 2)
+        )
+        - math.pi / 4
+    )
+
+
+def krovak_inverse(x: Column, y: Column, g: KrovakGrid) -> tuple[Column, Column]:
+    """Krovak grid coordinates -> geodetic lon/lat on the grid's own
+    datum.
+
+    .. warning:: the composed form unrolls the latitude iteration into
+       one expression (each step references the previous latitude
+       twice); :func:`transform_points` applies the identical math as
+       staged projections — prefer it for data-sized frames.
+    """
+    u, lam = _krovak_inverse_seed(x, y, g)
+    phi = u
+    for _ in range(_KROVAK_ITERS):
+        phi = _krovak_iterate(phi, u, g)
+    return F.degrees(lam), F.degrees(phi)
+
+
+def _krovak_inverse_stages(g: KrovakGrid) -> list:
+    """The Krovak inverse as SEPARATE projection stages (seed, one per
+    fixed-point step, finish) — linear plan size; used by
+    :func:`_transform_stages` like the 9809 inverse."""
+    stages = [lambda c, g=g: [*_krovak_inverse_seed(c[0], c[1], g)]]
+    stages.append(lambda c: [c[0], c[1], c[0]])  # phi_0 = U'
+    for _ in range(_KROVAK_ITERS):
+        stages.append(lambda c, g=g: [c[0], c[1], _krovak_iterate(c[2], c[0], g)])
+    stages.append(lambda c: [F.degrees(c[1]), F.degrees(c[2])])
+    return stages
+
+
+# S-JTSK -> WGS84 (the standard published 7-parameter position-vector
+# set, ~1 m; national grid corrections are more accurate)
+_SJTSK_HELMERT = (570.8, 85.7, 462.8, 4.998, 1.587, 5.261, 3.56)
+
+#: EPSG -> Krovak grids; extend via :func:`register_krovak_grid`.
+KROVAK_GRIDS: dict[int, KrovakGrid] = {
+    # S-JTSK / Krovak East North — the Czech/Slovak national grid
+    5514: KrovakGrid(*_BESSEL_1841,
+                     lat_c=49.5,
+                     lon0=24.0 + 50.0 / 60.0,
+                     alpha_c=30.0 + 17.0 / 60.0 + 17.30311 / 3600.0,
+                     lat_p=78.5, k_p=0.9999,
+                     false_easting=0.0, false_northing=0.0,
+                     east_north=True, helmert_to_wgs84=_SJTSK_HELMERT),
+    # S-JTSK / Krovak (native southing/westing axes, method 9819)
+    5513: KrovakGrid(*_BESSEL_1841,
+                     lat_c=49.5,
+                     lon0=24.0 + 50.0 / 60.0,
+                     alpha_c=30.0 + 17.0 / 60.0 + 17.30311 / 3600.0,
+                     lat_p=78.5, k_p=0.9999,
+                     false_easting=0.0, false_northing=0.0,
+                     east_north=False, helmert_to_wgs84=_SJTSK_HELMERT),
+}
+
+
+def register_krovak_grid(epsg: int, grid: KrovakGrid) -> None:
+    """Register a custom Krovak grid for :func:`transform_points` /
+    :func:`transform_xy`."""
+    KROVAK_GRIDS[epsg] = grid
+
+
 def _get_grid(epsg: int):
     """Combined grid registry lookup (TM, LCC, AEA, PS, LAEA, OST,
     Mollweide)."""
     for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS, OST_GRIDS,
-                MOLL_GRIDS):
+                MOLL_GRIDS, KROVAK_GRIDS):
         g = reg.get(epsg)
         if g is not None:
             return g
@@ -1208,6 +1402,8 @@ def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
         return ost_forward(lon, lat, g)
     if isinstance(g, MollweideGrid):
         return moll_forward(lon, lat, g)
+    if isinstance(g, KrovakGrid):
+        return krovak_forward(lon, lat, g)
     return tm_forward(lon, lat, g)
 
 
@@ -1224,6 +1420,8 @@ def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
         return ost_inverse(x, y, g)
     if isinstance(g, MollweideGrid):
         return moll_inverse(x, y, g)
+    if isinstance(g, KrovakGrid):
+        return krovak_inverse(x, y, g)
     return tm_inverse(x, y, g)
 
 
@@ -1285,6 +1483,9 @@ def _transform_stages(src_epsg: int, dst_epsg: int):
             # the 9809 inverse iterates; one composed expression grows
             # multiplicatively (measured OOM) — stage each step
             stages.extend(_ost_inverse_stages(gs))
+        elif isinstance(gs, KrovakGrid):
+            # the Krovak latitude recovery iterates too — same staging
+            stages.extend(_krovak_inverse_stages(gs))
         else:
             stages.append(lambda c, g=gs: list(_grid_inverse(c[0], c[1], g)))
         if gs.helmert_to_wgs84 is not None:
@@ -1343,7 +1544,8 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
-        f"register_laea_grid() / register_ost_grid() / register_moll_grid() "
+        f"register_laea_grid() / register_ost_grid() / register_moll_grid() / "
+        f"register_krovak_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
@@ -1369,7 +1571,8 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
     raise NotImplementedError(
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
-        f"register_laea_grid() / register_ost_grid() / register_moll_grid() "
+        f"register_laea_grid() / register_ost_grid() / register_moll_grid() / "
+        f"register_krovak_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
