@@ -1005,3 +1005,31 @@ def test_krovak_5514_datum_bridged(spark):
     k_par /= n_rad * _m.cos(_m.radians(49.195)) * _m.radians(h)
     k_mer /= m_rad * _m.radians(h)
     assert abs(k_par / k_mer - 1.0) < 1e-4
+
+
+def test_equidistant_cylindrical_world(spark):
+    """EPSG:4087 (WGS84 World Equidistant Cylindrical, method 1028):
+    x is exactly linear in longitude (equator circumference / 360 per
+    degree), y is the ellipsoidal meridian arc (so NOT linear in
+    latitude — 45N sits ~0.1% south of the spherical midpoint); the
+    meridian-arc inversion round-trips to 1e-9 deg."""
+    import math as _m
+
+    from trackintel_spark.geogr.crs import EQC_GRIDS
+
+    g = EQC_GRIDS[4087]
+    df = _pts(spark, [(0, 0.0, 0.0), (1, 180.0, 0.0), (2, 0.0, 45.0), (3, -73.0, -33.5)])
+    m = transform_points(df, 4326, 4087)
+    rows = {r.id: r.geom for r in m.collect()}
+    assert abs(rows[0]["lon"]) < 1e-9 and abs(rows[0]["lat"]) < 1e-9
+    # equator: pi * a at 180 deg, exactly
+    assert abs(rows[1]["lon"] - _m.pi * g.a) < 1e-6
+    # meridian arc to 45N: the published WGS84 value is 4984944.4 m —
+    # ~16 km SHORT of half the quarter-meridian (10001965.729 / 2),
+    # which is the whole point of using the arc, not a linear scale
+    assert abs(rows[2]["lat"] - 4_984_944.4) < 1.0
+    back = transform_points(m, 4087, 4326)
+    for a, b in zip(df.orderBy("id").collect(), back.orderBy("id").collect()):
+        assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
+        # the rectifying series truncates at sin(8 mu): ~2e-9 deg (0.2 mm)
+        assert abs(a.geom["lat"] - b.geom["lat"]) < 5e-9

@@ -1187,6 +1187,80 @@ def register_moll_grid(epsg: int, grid: MollweideGrid) -> None:
     MOLL_GRIDS[epsg] = grid
 
 
+# -- Equidistant Cylindrical (EPSG method 1028) --------------------------------
+# World Equidistant Cylindrical (EPSG:4087) and Plate-Carrée-style
+# grids: x is linear in longitude at the standard parallel's normal
+# radius, y is the ellipsoidal meridian arc — both closed-form (the
+# inverse reuses the TM footpoint rectifying series), so no staging.
+
+
+@dataclass(frozen=True)
+class EQCGrid:
+    """An equidistant cylindrical grid (EPSG 1028) + datum bridge.
+
+    ``lat1`` = latitude of the first standard parallel (degrees),
+    ``lon0`` = longitude of origin. ``helmert_to_wgs84`` as in
+    :class:`TMGrid`.
+    """
+
+    a: float
+    f: float
+    lat1: float
+    lon0: float
+    false_easting: float
+    false_northing: float
+    helmert_to_wgs84: tuple[float, float, float, float, float, float, float] | None = None
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+
+def _eqc_nu1_cos(g: EQCGrid) -> float:
+    s1 = math.sin(math.radians(g.lat1))
+    return g.a / math.sqrt(1 - g.e2 * s1 * s1) * math.cos(math.radians(g.lat1))
+
+
+def eqc_forward(lon: Column, lat: Column, g: EQCGrid) -> tuple[Column, Column]:
+    """Geodetic lon/lat (degrees, grid datum) -> easting/northing
+    (EPSG GN7-2 §3.5.3: E = nu1 cos(lat1) (lam - lam0), N = M(phi))."""
+    x = _eqc_nu1_cos(g) * (F.radians(lon) - math.radians(g.lon0))
+    y = _arc(F.radians(lat), g.a, g.e2)
+    return x + g.false_easting, y + g.false_northing
+
+
+def eqc_inverse(x: Column, y: Column, g: EQCGrid) -> tuple[Column, Column]:
+    """Easting/northing -> geodetic lon/lat on the grid's own datum
+    (meridian-arc inversion via the rectifying-latitude series —
+    closed form, same series as the TM footpoint)."""
+    a_, e2 = g.a, g.e2
+    lam = (x - g.false_easting) / _eqc_nu1_cos(g) + math.radians(g.lon0)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = (y - g.false_northing) / (a_ * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    phi = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + (151 * e1**3 / 96) * F.sin(6 * mu)
+        + (1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    return F.degrees(lam), F.degrees(phi)
+
+
+#: EPSG -> equidistant cylindrical grids; extend via :func:`register_eqc_grid`.
+EQC_GRIDS: dict[int, EQCGrid] = {
+    # WGS84 / World Equidistant Cylindrical
+    4087: EQCGrid(_A, _F, lat1=0.0, lon0=0.0,
+                  false_easting=0.0, false_northing=0.0),
+}
+
+
+def register_eqc_grid(epsg: int, grid: EQCGrid) -> None:
+    """Register a custom equidistant cylindrical grid for
+    :func:`transform_points` / :func:`transform_xy`."""
+    EQC_GRIDS[epsg] = grid
+
+
 # -- Krovak (oblique conformal conic, EPSG methods 9819/1041) ------------------
 # The Czech/Slovak national grid (S-JTSK). EPSG Guidance Note 7-2
 # §3.2.8: a conformal conic on an OBLIQUE cone whose axis passes
@@ -1382,7 +1456,7 @@ def _get_grid(epsg: int):
     """Combined grid registry lookup (TM, LCC, AEA, PS, LAEA, OST,
     Mollweide)."""
     for reg in (TM_GRIDS, LCC_GRIDS, AEA_GRIDS, PS_GRIDS, LAEA_GRIDS, OST_GRIDS,
-                MOLL_GRIDS, KROVAK_GRIDS):
+                MOLL_GRIDS, KROVAK_GRIDS, EQC_GRIDS):
         g = reg.get(epsg)
         if g is not None:
             return g
@@ -1404,6 +1478,8 @@ def _grid_forward(lon: Column, lat: Column, g) -> tuple[Column, Column]:
         return moll_forward(lon, lat, g)
     if isinstance(g, KrovakGrid):
         return krovak_forward(lon, lat, g)
+    if isinstance(g, EQCGrid):
+        return eqc_forward(lon, lat, g)
     return tm_forward(lon, lat, g)
 
 
@@ -1422,6 +1498,8 @@ def _grid_inverse(x: Column, y: Column, g) -> tuple[Column, Column]:
         return moll_inverse(x, y, g)
     if isinstance(g, KrovakGrid):
         return krovak_inverse(x, y, g)
+    if isinstance(g, EQCGrid):
+        return eqc_inverse(x, y, g)
     return tm_inverse(x, y, g)
 
 
@@ -1545,7 +1623,7 @@ def _to_wgs84(x: Column, y: Column, epsg: int) -> tuple[Column, Column]:
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
         f"register_laea_grid() / register_ost_grid() / register_moll_grid() / "
-        f"register_krovak_grid() "
+        f"register_krovak_grid() / register_eqc_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
@@ -1572,7 +1650,7 @@ def _from_wgs84(lon: Column, lat: Column, epsg: int) -> tuple[Column, Column]:
         f"EPSG:{epsg} has no built-in transform; register_tm_grid() / "
         f"register_lcc_grid() / register_aea_grid() / register_ps_grid() / "
         f"register_laea_grid() / register_ost_grid() / register_moll_grid() / "
-        f"register_krovak_grid() "
+        f"register_krovak_grid() / register_eqc_grid() "
         f"cover most national grids, or install pyproj for arbitrary CRS support"
     )
 
