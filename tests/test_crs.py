@@ -289,19 +289,22 @@ def test_distance_matrix_metric_threshold_and_errors(spark):
 def test_pyproj_hook_roundtrip_non_builtin_epsg(spark):
     """Conditional: exercises the arbitrary-EPSG pyproj Arrow-UDF hook
     (geogr/crs.py:_pyproj_transform) with a CRS none of the built-in
-    exact transforms cover (EPSG:5070, NAD83 Conus Albers — an
-    equal-area conic, neither TM nor conformal-conic), so the hook
-    can't rot unnoticed wherever pyproj IS installed."""
+    exact transforms cover (EPSG:6933, EASE-Grid 2.0 Global — a
+    cylindrical equal-area, in no grid registry; 5070 stopped
+    qualifying when the AEA family landed), so the hook can't rot
+    unnoticed wherever pyproj IS installed."""
     import pytest as _pytest
 
     _pytest.importorskip("pyproj")
-    from trackintel_spark.geogr.crs import transform_xy
+    from trackintel_spark.geogr.crs import _get_grid, transform_xy
+
+    assert _get_grid(6933) is None  # must still route to the hook
 
     df = spark.createDataFrame([(0, 2.3522, 48.8566)], "id long, lon double, lat double")
-    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 5070)
-    l93 = df.select("id", x.alias("e"), y.alias("n"))
-    lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 5070, 4326)
-    back = l93.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    x, y = transform_xy(F.col("lon"), F.col("lat"), 4326, 6933)
+    ease = df.select("id", x.alias("e"), y.alias("n"))
+    lon2, lat2 = transform_xy(F.col("e"), F.col("n"), 6933, 4326)
+    back = ease.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
     assert abs(back.lon - 2.3522) < 1e-6 and abs(back.lat - 48.8566) < 1e-6
 
 
