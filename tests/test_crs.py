@@ -115,7 +115,7 @@ def test_projected_distance_matches_haversine(spark):
 
 def test_unknown_crs_raises(spark):
     # 54030 (Robinson, a compromise world projection) has no built-in
-    # transform; TM/LCC/AEA/PS/LAEA/OST/Mollweide families all do now
+    # transform; TM/LCC/AEA/PS/LAEA/OST/Mollweide/Krovak/EQC families all do now
     df = _pts(spark, EUROPE)
     with pytest.raises(NotImplementedError, match="pyproj"):
         transform_points(df, 4326, 54030).collect()
