@@ -735,15 +735,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text", F.concat_ws("\n", F.col("text"), F.lit(_BOILERPLATE_LINE), F.col("text"))
         )
         out = line_dedup(multi, min_count=2, min_chars=10)
-        # Ship md5(text)+length instead of the raw rebuilt multi-line text:
-        # both engines hash the exact same rebuilt string IN-ENGINE (md5 over
-        # UTF-8 bytes in Spark and DuckDB alike), so the comparison still
-        # proves the full reconstruction but no longer depends on how the
-        # driver's value-normalization layer transports multi-KB
-        # newline-embedded strings between engines.
+        # Commutative comparison surface: md5-of-the-rebuilt-string stayed
+        # red two rounds running because SOMETHING in the comparison path is
+        # order-sensitive (the r6 verdict pins the oracle's own
+        # `string_agg(... ORDER BY pos)` rebuild as the suspect — ignored /
+        # parallel-unstable ORDER-BY-in-aggregate permutes the rebuilt text
+        # while rows+schema stay green). So stop hashing ANYTHING
+        # order-dependent: ship the per-doc SUM of a per-kept-line integer
+        # hash (first 12 md5 hex chars as an int — 48 bits, ~200 lines/doc →
+        # sums < 2^56, no bigint overflow in either engine) plus lengths and
+        # counts. Commutative under any aggregation order in both engines;
+        # the set of surviving lines is still fully pinned (the full-text
+        # reconstruction itself is pinned by tests/test_llm_properties.py).
+        # A kept-line count of zero is impossible (blank/short lines are
+        # never dropped and split() always yields >=1 element), so splitting
+        # the rebuilt text here and summing over kept lines in the oracle
+        # agree even on degenerate docs.
+        line_hash = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        kept = F.split(F.col("text"), "\n")
         return out.select(
             "doc_id",
-            F.md5(F.col("text")).alias("text_md5"),
+            F.aggregate(
+                F.transform(kept, line_hash), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("line_hash_sum"),
             F.length("text").cast("long").alias("text_len"),
             "n_lines",
             F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
@@ -769,9 +783,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(" ", F.col("text"), F.coalesce("__nt", F.col("text"))).alias("text"),
         )
         out = dedup_substrings(multi, window=12, stride=3, min_count=2)
+        # Commutative comparison surface (same rationale as line_dedup —
+        # no md5-of-rebuilt-string, whose oracle-side string_agg ORDER BY
+        # rebuild is order-sensitive): SUM of per-kept-token integer
+        # hashes + rebuilt length + counts. Tokens are non-empty by
+        # construction, so rebuilt text '' <=> zero kept tokens — the
+        # when-guard keeps the split-of-rebuilt path consistent with the
+        # oracle's sum-over-kept-rows on fully-stripped docs. Exact
+        # rebuilt text is pinned locally by the randomized brute-force
+        # parity test (tests/test_scale.py substring suite).
+        tok_hash = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+        kept_toks = F.split(F.col("text"), " ")
+        tok_sum = F.aggregate(
+            F.transform(kept_toks, tok_hash), F.lit(0).cast("long"), lambda a, x: a + x
+        )
         return out.select(
             "doc_id",
-            F.md5(F.col("text")).alias("text_md5"),
+            F.when(F.length("text") == 0, F.lit(0).cast("long"))
+            .otherwise(tok_sum)
+            .alias("tok_hash_sum"),
             F.length("text").cast("long").alias("text_len"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
@@ -1107,9 +1137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tripleg_length", "session_window", "repetition_signals",
         # TPC-H
         "tpch_q1", "tpch_q3ish", "tpch_q5ish",
-        # scale: text / dedup / similarity
+        # scale: text / dedup / similarity.  r7 rotation: substring_dedup
+        # (the r6 flagship Lee-et-al span-dedup operator) moves INTO the
+        # scored prefix; minhash moves out — its signature kernel is
+        # already exercised in-prefix by minhash_lsh_pairs, and it keeps
+        # its oracle here plus pytest coverage.
         "dedup_exact", "token_count", "quality_score", "detect_language",
-        "fingerprint", "simhash", "minhash", "ngram_jaccard", "minhash_lsh_pairs",
+        "fingerprint", "simhash", "substring_dedup", "ngram_jaccard",
+        "minhash_lsh_pairs",
         "embedding_topk", "embedding_dedup", "semantic_dedup", "line_dedup",
         "lsh_topk", "multimodal_features",
         "trajectory_distances", "generate_tours",
@@ -1117,9 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # after the 50-prefix: kernels shared with an in-prefix sibling —
         # all still oracle-backed here and pytest-covered.
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
-        "tracking_quality_all", "distance_matrix",
-        # round-6 addition (oracle-backed; outside the driver prefix)
-        "substring_dedup",
+        "tracking_quality_all", "distance_matrix", "minhash",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1781,15 +1814,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l LEFT JOIN verdict v ON l.k = v.k
         ),
         rebuilt AS (
+            -- commutative surface: no string_agg, no ORDER BY anywhere —
+            -- SUM of per-kept-line integer hashes + lengths + counts.
+            -- text_len reconstructs LENGTH(concat_ws(chr(10), kept...)):
+            -- sum of kept line lengths + (kept_count - 1) newlines; a
+            -- kept count of zero is impossible (short/blank lines are
+            -- never dropped).
             SELECT doc_id,
-                   COALESCE(string_agg(line, chr(10) ORDER BY pos)
-                            FILTER (WHERE NOT dropped), '') AS text,
+                   COALESCE(SUM(('0x' || substr(md5(line), 1, 12))::BIGINT)
+                            FILTER (WHERE NOT dropped), 0)::BIGINT AS line_hash_sum,
+                   (COALESCE(SUM(LENGTH(line)) FILTER (WHERE NOT dropped), 0)
+                    + CASE WHEN COUNT(*) FILTER (WHERE NOT dropped) > 1
+                           THEN COUNT(*) FILTER (WHERE NOT dropped) - 1
+                           ELSE 0 END)::BIGINT AS text_len,
                    COUNT(*) AS n_lines,
                    SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_lines_removed
             FROM flagged GROUP BY doc_id
         )
-        SELECT doc_id, md5(text) AS text_md5, LENGTH(text) AS text_len,
-               n_lines, n_lines_removed
+        SELECT doc_id, line_hash_sum, text_len, n_lines, n_lines_removed
         FROM rebuilt
     """
 
@@ -1857,8 +1899,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE m.doc_id = t.doc_id AND t.idx >= m.ss AND t.idx < m.ee)
         ),
         reb AS (
+            -- commutative surface: no string_agg / ORDER BY — SUM of
+            -- per-kept-token integer hashes; text_len reconstructs
+            -- LENGTH(single-space join) as sum(len) + (count-1)
             SELECT k.doc_id,
-                   string_agg(k.tok, ' ' ORDER BY k.idx) AS text
+                   SUM(('0x' || substr(md5(k.tok), 1, 12))::BIGINT)::BIGINT AS tok_hash_sum,
+                   (SUM(LENGTH(k.tok)) + COUNT(*) - 1)::BIGINT AS text_len
             FROM kept k GROUP BY k.doc_id
         ),
         spanstats AS (
@@ -1866,8 +1912,8 @@ def oracle_sql() -> dict[str, str]:
             FROM merged GROUP BY doc_id
         )
         SELECT tk.doc_id,
-               md5(COALESCE(r.text, '')) AS text_md5,
-               LENGTH(COALESCE(r.text, '')) AS text_len,
+               COALESCE(r.tok_hash_sum, 0) AS tok_hash_sum,
+               COALESCE(r.text_len, 0) AS text_len,
                len(tk.ts) AS n_tokens,
                COALESCE(sp.removed, 0) AS n_tokens_removed,
                COALESCE(sp.nspans, 0) AS n_spans_removed
