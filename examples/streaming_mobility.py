@@ -187,6 +187,49 @@ def main() -> None:
         tours = spark.sql("SELECT * FROM tour_stream")
         print(f"streaming tours emitted:     {tours.count()}")
         tours.orderBy("user_id", "seq").show(5)
+
+        # ---- bounded-disorder ingest: real phones jitter ------------------
+        # Replay the SAME positionfixes with each fix's arrival jittered by
+        # up to 4 minutes (shuffled across micro-batch files) and opt into
+        # the hold-and-sort buffer: rows wait in state until the per-user
+        # event-time high-water mark is max_disorder past them, then enter
+        # the exact kernel in order. Results equal the in-order run for any
+        # within-bound jitter; an arrival beyond the bound raises (or set
+        # late='drop' for the watermark convention).
+        import random
+
+        rng = random.Random(42)
+        jit = sorted(rows, key=lambda r: r.tracked_at.timestamp() + rng.uniform(0, 220))
+        jsrc = os.path.join(work, "jittered_src")
+        os.makedirs(jsrc)
+        step = (len(jit) + 3) // 4
+        for i in range(4):
+            spark.createDataFrame(jit[i * step:(i + 1) * step], pfs.schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(jsrc, f"chunk{i}"))
+            now = time.time() + 20 + i
+            d = os.path.join(jsrc, f"chunk{i}")
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now, now))
+        jstream = (
+            spark.readStream.schema(pfs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(jsrc)
+        )
+        jq = (
+            staypoints_stream_exact(jstream, max_disorder=4.0, **PARAMS)
+            .writeStream.format("memory").queryName("sp_reordered")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        jq.awaitTermination(180)
+        n_reordered = spark.sql("SELECT * FROM sp_reordered").count()
+        n_ordered = spark.sql("SELECT * FROM sp_stream").count()
+        print(
+            f"bounded-disorder replay:     {n_reordered} staypoints from the "
+            f"jittered stream (in-order run emitted {n_ordered}; the tail "
+            "difference is rows still inside the reorder buffer at stream end)"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

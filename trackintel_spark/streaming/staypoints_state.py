@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.operators.staypoints import _sliding_kernel
-from trackintel_spark.streaming._parity import apply_with_batch_parity
+from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -63,11 +63,21 @@ def staypoints_stream_exact(
     dist_threshold: float = 100.0,
     time_threshold: float = 5.0,
     gap_threshold: float = 15.0,
+    max_disorder: float = 0.0,
+    late: str = "raise",
 ) -> DataFrame:
     """Streaming-exact generate_staypoints over (id, user_id,
     tracked_at, lon, lat) rows. Thresholds in the reference's units
     (meters / minutes). Works on a streaming OR batch DataFrame — the
-    unified API keeps one code path testable both ways."""
+    unified API keeps one code path testable both ways.
+
+    ``max_disorder`` (minutes, default 0) opts into the bounded-
+    disorder hold-and-sort buffer
+    (:mod:`trackintel_spark.streaming.reorder`): fixes jittering up to
+    that bound across micro-batches are re-sorted before the scan;
+    beyond the bound the query raises (``late='raise'``) or falls back
+    to this kernel's native drop-behind-the-anchor watermark
+    (``late='drop'``)."""
     time_s = time_threshold * 60.0
     gap_s = gap_threshold * 60.0
 
@@ -139,6 +149,7 @@ def staypoints_stream_exact(
                 }
             )
 
-    return apply_with_batch_parity(
-        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    return apply_with_reorder(
+        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA,
+        time_col="tracked_at", max_disorder_s=max_disorder * 60.0, late=late,
     )

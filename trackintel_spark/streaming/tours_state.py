@@ -48,7 +48,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.operators.tours import _GAP, _Trip, _scan_step, _tour_row, _trip_records
-from trackintel_spark.streaming._parity import apply_with_batch_parity
+from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -155,12 +155,19 @@ def tours_stream_exact(
     max_dist: float = 100.0,
     max_time: float = 1440.0,
     max_nr_gaps: int = 0,
+    max_disorder: float = 0.0,
 ) -> DataFrame:
     """Streaming tour generation. Locations mode when the input carries
     ``origin_loc``/``dest_loc`` (see :func:`attach_trip_locations`),
     else max_dist mode from the ``geom`` origin/dest struct. Works on a
     streaming OR batch DataFrame (unified API); ``max_time`` in
-    minutes, like batch :func:`generate_tours`."""
+    minutes, like batch :func:`generate_tours`.
+
+    ``max_disorder`` (minutes, default 0 = strict order) opts into the
+    bounded-disorder hold-and-sort buffer
+    (:mod:`trackintel_spark.streaming.reorder`): trips jittering up to
+    that bound across micro-batches are re-sorted before hitting the
+    candidate-stack scan; beyond the bound the query still raises."""
     use_locations = "origin_loc" in trips.columns and "dest_loc" in trips.columns
     max_time_s = max_time * 60.0
 
@@ -233,6 +240,7 @@ def tours_stream_exact(
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
 
-    return apply_with_batch_parity(
-        kin, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    return apply_with_reorder(
+        kin, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA,
+        time_col="started_at", max_disorder_s=max_disorder * 60.0,
     )

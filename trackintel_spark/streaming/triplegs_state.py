@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.operators.staypoints import _sliding_kernel
-from trackintel_spark.streaming._parity import apply_with_batch_parity
+from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -188,10 +188,17 @@ def triplegs_stream_exact(
     dist_threshold: float = 100.0,
     time_threshold: float = 5.0,
     gap_threshold: float = 15.0,
+    max_disorder: float = 0.0,
+    late: str = "raise",
 ) -> DataFrame:
     """Streaming tripleg extraction over (id, user_id, tracked_at, lon,
     lat) rows; thresholds in the reference's units (meters / minutes).
-    Works on a streaming OR batch DataFrame (unified API)."""
+    Works on a streaming OR batch DataFrame (unified API).
+
+    ``max_disorder`` (minutes, default 0) opts into the bounded-
+    disorder hold-and-sort buffer
+    (:mod:`trackintel_spark.streaming.reorder`); ``late`` picks raise
+    vs drop for arrivals beyond the bound."""
     time_s = time_threshold * 60.0
     gap_s = gap_threshold * 60.0
 
@@ -231,6 +238,7 @@ def triplegs_stream_exact(
                 out_rows, columns=["user_id", "started_at", "finished_at", "n_pfs", "geom_wkt"]
             )
 
-    return apply_with_batch_parity(
-        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    return apply_with_reorder(
+        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA,
+        time_col="tracked_at", max_disorder_s=max_disorder * 60.0, late=late,
     )

@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.streaming.triplegs_state import _ingest_and_settle
-from trackintel_spark.streaming._parity import apply_with_batch_parity
+from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -86,12 +86,19 @@ def trips_stream_exact(
     time_threshold: float = 5.0,
     gap_threshold: float = 15.0,
     activity_threshold: float = 15.0,
+    max_disorder: float = 0.0,
+    late: str = "raise",
 ) -> DataFrame:
     """Streaming trip generation over (id, user_id, tracked_at, lon,
     lat) rows. ``gap_threshold`` plays the role of BOTH the scan's gap
     and the trip gap (minutes) — passing them separately is possible
     but the reference pipelines use one value. Works on a streaming OR
-    batch DataFrame (unified API)."""
+    batch DataFrame (unified API).
+
+    ``max_disorder`` (minutes, default 0) opts into the bounded-
+    disorder hold-and-sort buffer
+    (:mod:`trackintel_spark.streaming.reorder`); ``late`` picks raise
+    vs drop for arrivals beyond the bound."""
     time_s = time_threshold * 60.0
     gap_s = gap_threshold * 60.0
     act_s = activity_threshold * 60.0
@@ -213,6 +220,7 @@ def trips_stream_exact(
         if out_rows:
             yield pd.DataFrame(out_rows, columns=[f.name for f in _OUT_SCHEMA.fields])
 
-    return apply_with_batch_parity(
-        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    return apply_with_reorder(
+        pfs, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA,
+        time_col="tracked_at", max_disorder_s=max_disorder * 60.0, late=late,
     )
