@@ -489,3 +489,49 @@ def test_generic_bucketed_table_elides_doc_exchange(spark):
         assert t.count() == docs.count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partitioned_bucketed_table_prunes_and_elides(spark):
+    """partitionBy(event_date) + bucketBy(user_id) compose in one
+    saveAsTable: an incremental daily job filtering one event_date must
+    (a) prune every other date partition AT THE SCAN (PartitionFilters
+    carries the date predicate) and (b) still plan its per-user window
+    with zero user_id hash exchange. Bucketing removes the shuffle;
+    partitioning removes the scan — this pin holds BOTH on one plan."""
+    from pyspark.sql import Window
+
+    from trackintel_spark.plans.partitioning import (
+        with_event_date,
+        write_bucketed_by_user,
+    )
+
+    df = with_event_date(
+        spark.range(2000).select(
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(F.col("id") * 3600).alias("tracked_at"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    n_dates = df.select("event_date").distinct().count()
+    assert n_dates > 10  # multi-partition layout, pruning is non-vacuous
+    name = "t_part_bucket_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        write_bucketed_by_user(df, name, num_buckets=8, partition_cols=("event_date",))
+        t = spark.table(name)
+        one_day = df.select(F.min("event_date")).first()[0]
+        w = Window.partitionBy("user_id").orderBy("tracked_at")
+        daily = t.filter(F.col("event_date") == F.lit(one_day)).withColumn(
+            "prev", F.lag("v").over(w)
+        )
+        plan = _plan(daily)
+        # (a) the date predicate prunes at the scan, not post-read
+        pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "event_date" in pf, plan
+        # (b) no user_id exchange inside the day
+        assert "Exchange hashpartitioning(user_id" not in plan, plan
+        assert "Bucketed: true" in plan
+        # and the pruned read returns exactly that day's rows
+        assert daily.count() == df.filter(F.col("event_date") == F.lit(one_day)).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
