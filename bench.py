@@ -123,7 +123,8 @@ def main() -> None:
         ]
         for name, fn in probes:
             r = fn()
-            scale[name] = {k: r[k] for k in ("rows", "wall_s", "rows_per_s")}
+            keep = ("rows", "wall_s", "rows_per_s", "count_s", "kmeans_s", "dedup_s")
+            scale[name] = {k: r[k] for k in keep if k in r}
             print(f"# scale {name}: {scale[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

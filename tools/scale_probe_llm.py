@@ -156,18 +156,41 @@ def run_semantic_dedup_defaults(spark, n: int) -> dict:
     alone must stay near-linear — n_centers auto-derived from one
     count() (~n/500, clamped to [16, 4096]) and the default
     max_compare=1024 cap. Includes the in-line spherical k-means, so
-    this measures the full untrained path a first-time caller gets."""
+    this measures the full untrained path a first-time caller gets.
+
+    Stage attribution: the probe replays the defaults flow through its
+    own public pieces — the sizing count(), ``kmeans_centers`` (the
+    inline Lloyd iterations), then ``semantic_dedup(centers=...)`` with
+    the default cap (assignment + rank + capped pair join) — and
+    reports each wall separately, so a throughput regression names its
+    stage. The staged total IS the defaults path (semantic_dedup with
+    ``centers is None`` runs exactly these steps in sequence)."""
     from trackintel_spark.scale import semantic_dedup
+    from trackintel_spark.scale.similarity import kmeans_centers
 
     centers = blob_centers(max(64, n // 500))
     inp = vecs_input(spark, n, centers).localCheckpoint()
     t0 = time.time()
-    out = semantic_dedup(inp, threshold=0.995)
+    placeable = inp.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_centers = int(min(4096, max(16, -(-placeable.count() // 500))))
+    t1 = time.time()
+    trained = kmeans_centers(
+        placeable, n_centers=n_centers, iters=3, seed=42,
+        id_col="vec_id", vec_col="embedding",
+    )
+    t2 = time.time()
+    out = semantic_dedup(inp, threshold=0.995, centers=trained)
     kept = out.filter("is_kept").count()
-    w = time.time() - t0
+    t3 = time.time()
+    w = t3 - t0
     return {
         "op": "semantic_dedup_defaults", "rows": n, "wall_s": round(w, 1),
         "kept": kept, "rows_per_s": int(n / w),
+        "count_s": round(t1 - t0, 1),
+        "kmeans_s": round(t2 - t1, 1),
+        "dedup_s": round(t3 - t2, 1),
     }
 
 
