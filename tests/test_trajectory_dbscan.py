@@ -275,3 +275,100 @@ def test_trajectory_topk_endpoint_bound_is_valid(spark):
         d_ee = _pair_cost(a[-1:], b[-1:])[0, 0]
         assert max(d_ss, d_ee) <= frechet_distance(a, b) + 1e-9
         assert d_ss + d_ee <= dtw_distance(a, b) + 1e-9
+
+
+def test_dbscan_border_tie_deviation_is_bounded(spark):
+    """Adversarial equidistant border points: a non-core point within
+    eps of core points of TWO clusters. sklearn-semantics
+    (dbscan_haversine, index-order BFS) gives it to the first-scanned
+    cluster; dbscan_distributed gives it to the min-label cluster — a
+    DOCUMENTED deviation. This test proves the deviation is BOUNDED:
+
+    (a) cluster COUNT and the noise set always match;
+    (b) restricted to CORE points, the partitions are identical;
+    (c) any point whose cluster differs is non-core AND lies within
+        eps of a core member of the cluster each engine gave it —
+        i.e. both answers are valid DBSCAN border assignments.
+
+    Construction per tie site: two anchor cores 190 m apart (each
+    propped up by 4 coincident satellites 85 m behind it, out of the
+    border's reach), and the border point midway — within 100 m of
+    both anchors, with only 3 eps-neighbors < min_samples=5.
+
+    The tie-breaks only diverge when sklearn's SCAN order (input row
+    order) disagrees with the id order the engine's min-label uses
+    (when rows arrive sorted by id, first-expanded == min-core-id and
+    the two rules coincide) — so the local reference runs on an
+    INDEPENDENT random row permutation, the realistic
+    arbitrarily-ordered-input regime."""
+    eps_m, min_samples = 100.0, 5
+    eps_rad = eps_m / 6371000.0
+    deg = 1 / 111320.0  # ~meters to degrees latitude
+
+    def pairwise_core(lon, lat):
+        lon_r, lat_r = np.deg2rad(lon), np.deg2rad(lat)
+        arg = np.cos(lat_r[:, None] - lat_r[None, :]) - np.cos(lat_r[:, None]) * np.cos(
+            lat_r[None, :]
+        ) * (1 - np.cos(lon_r[:, None] - lon_r[None, :]))
+        d = np.arccos(np.clip(arg, -1.0, 1.0))
+        within = d <= eps_rad
+        return within, within.sum(axis=1) >= min_samples
+
+    n_diff_total = 0
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        coords = []
+        for site in range(3):
+            bx = 8.0 + site * 0.5 + rng.uniform(0, 0.01)
+            by = 47.0 + rng.uniform(0, 0.01)
+            for side in (-1, 1):
+                ax, ay = bx, by + side * 95 * deg  # anchor core
+                coords.append((ax, ay))
+                for _ in range(4):  # satellites 85 m behind the anchor
+                    coords.append((ax + rng.uniform(-1e-7, 1e-7), ay + side * 85 * deg))
+            coords.append((bx, by))  # the equidistant border point
+        # id order and scan (row) order are independent permutations
+        perm = rng.permutation(len(coords))
+        pts = [(int(perm[i]), c[0], c[1]) for i, c in enumerate(coords)]
+        rng.shuffle(pts)
+        arr = np.array([(p[1], p[2]) for p in pts])
+        within, core = pairwise_core(arr[:, 0], arr[:, 1])
+        local = dbscan_haversine(arr[:, 0], arr[:, 1], eps_rad, min_samples)
+
+        df = spark.createDataFrame(pts, "id long, lon double, lat double")
+        got_map = {
+            r.id: r.location_id
+            for r in dbscan_distributed(df, epsilon_m=eps_m, min_samples=min_samples).collect()
+        }
+        got = np.array([-1 if got_map[p[0]] is None else got_map[p[0]] for p in pts])
+
+        # (a) cluster count + noise set
+        assert len(set(got[got >= 0])) == len(set(local[local >= 0]))
+        assert set(np.flatnonzero(got < 0)) == set(np.flatnonzero(local < 0))
+        # every core belongs to a cluster in both
+        assert (got[core] >= 0).all() and (local[core] >= 0).all()
+        # (b) identical partition over core points
+        def core_partition(labels):
+            clusters = {}
+            for i in np.flatnonzero(core):
+                clusters.setdefault(labels[i], set()).add(int(i))
+            return {frozenset(v) for v in clusters.values()}
+        assert core_partition(got) == core_partition(local)
+        # (c) differing points: non-core, and validly border in BOTH
+        got_to_local = {}
+        for i in np.flatnonzero(core):
+            got_to_local[got[i]] = local[i]
+        for i in range(len(pts)):
+            if got[i] < 0:
+                continue
+            if got_to_local[got[i]] != local[i]:
+                n_diff_total += 1
+                assert not core[i], f"core point {i} differs (seed {seed})"
+                for labels, mapped in ((got, got[i]), (local, local[i])):
+                    members = np.flatnonzero((labels == mapped) & core)
+                    assert within[i, members].any(), (
+                        f"point {i} assigned to a cluster with no core "
+                        f"within eps (seed {seed})"
+                    )
+    # the adversarial construction must actually exercise the tie-break
+    assert n_diff_total > 0

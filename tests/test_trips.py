@@ -131,3 +131,141 @@ def test_trips_partition_count_invariance(spark):
         _, _, trips = generate_trips(sp.repartition(n), tpls.repartition(n), gap_threshold=15)
         outs.append(sorted(map(str, trips.drop("geom").collect())))
     assert outs[0] == outs[1]
+
+
+def test_generate_trips_randomized_duckdb_fuzz(spark):
+    """200 independent random unit streams (one per user) x 3 gap
+    thresholds, checked against a DuckDB re-implementation of the
+    reference boundary rules (the generate_trips oracle SQL of
+    __spark_entry__.py generalized to arbitrary staypoint/tripleg
+    inputs). Random activity flags, random staypoint/tripleg
+    interleavings (consecutive sp/sp and tpl/tpl runs included), and
+    inter-unit spacings chosen to straddle every threshold in the
+    sweep — the tours fuzz pattern (which caught a real salting
+    defect in r6) applied to the trickiest vectorized port."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    sp_rows, tpl_rows = [], []
+    sp_id = tpl_id = 0
+    for u in range(200):
+        rng = random.Random(10_000 + u)
+        t = float(rng.choice((0, 3)))
+        for _ in range(25):
+            dur = rng.choice((5, 10, 30, 60))
+            if rng.random() < 0.5:
+                sp_rows.append(
+                    (sp_id, u, t, t + dur, rng.random() < 0.4)
+                )
+                sp_id += 1
+            else:
+                tpl_rows.append((tpl_id, u, t, t + dur))
+                tpl_id += 1
+            # spacings straddle the 15/60/720-minute threshold sweep
+            t += dur + rng.choice((0, 1, 5, 20, 90, 300, 800))
+
+    sp_pdf = pd.DataFrame(
+        sp_rows, columns=["id", "user_id", "start_min", "end_min", "is_activity"]
+    )
+    tpl_pdf = pd.DataFrame(tpl_rows, columns=["id", "user_id", "start_min", "end_min"])
+    for pdf in (sp_pdf, tpl_pdf):
+        pdf["started_at"] = pd.Timestamp(T0) + pd.to_timedelta(pdf["start_min"], unit="m")
+        pdf["finished_at"] = pd.Timestamp(T0) + pd.to_timedelta(pdf["end_min"], unit="m")
+
+    sp_df = _mk_sp(
+        spark,
+        [(r.id, r.user_id, r.start_min, r.end_min, bool(r.is_activity), 8.5, 47.4)
+         for r in sp_pdf.itertuples()],
+    )
+    tpl_df = _mk_tpls(
+        spark,
+        [(r.id, r.user_id, r.start_min, r.end_min, [(8.5, 47.4), (8.6, 47.5)])
+         for r in tpl_pdf.itertuples()],
+    )
+
+    con = duckdb.connect()
+    con.register("sp", sp_pdf)
+    con.register("tpl", tpl_pdf)
+
+    def oracle(gap_min: float) -> set:
+        rel = con.execute(f"""
+            WITH sp_tpls AS (
+                SELECT user_id, started_at, finished_at, 'staypoint' AS type,
+                       is_activity, id AS sp_tpls_id FROM sp
+                UNION ALL
+                SELECT user_id, started_at, finished_at, 'tripleg', FALSE, id FROM tpl
+            ),
+            staged AS (
+                SELECT *,
+                    ROW_NUMBER() OVER w = 1 AS frst,
+                    COALESCE(LEAD(is_activity) OVER w, FALSE) AS next_act,
+                    COALESCE(EPOCH(LEAD(started_at) OVER w - finished_at) > {gap_min} * 60,
+                             FALSE) AS gap
+                FROM sp_tpls
+                WINDOW w AS (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST)
+            ),
+            staged2 AS (
+                SELECT *,
+                    (frst OR (is_activity AND NOT next_act)
+                          OR COALESCE(LAG(gap) OVER w, FALSE)) AS new_trip
+                FROM staged
+                WINDOW w AS (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST)
+            ),
+            seg AS (
+                SELECT *, SUM(CASE WHEN new_trip THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST
+                                  ROWS UNBOUNDED PRECEDING) AS temp_trip
+                FROM staged2
+            ),
+            trips_raw AS (
+                SELECT user_id, temp_trip,
+                       MIN(started_at) AS started_at, MAX(finished_at) AS finished_at
+                FROM seg WHERE NOT is_activity
+                GROUP BY user_id, temp_trip
+                HAVING COUNT(*) FILTER (type = 'tripleg') > 0
+            ),
+            trips_id AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY user_id, temp_trip) - 1 AS id, *
+                FROM trips_raw
+            ),
+            inter AS (
+                SELECT user_id, started_at, 'trip' AS type,
+                       CAST(NULL AS BIGINT) AS sp_tpls_id, id AS trip_id
+                FROM trips_id
+                UNION ALL
+                SELECT user_id, started_at, 'staypoint', sp_tpls_id, CAST(NULL AS BIGINT)
+                FROM seg WHERE is_activity AND type = 'staypoint'
+                UNION ALL
+                SELECT user_id, finished_at + INTERVAL ({gap_min} / 2) MINUTE, 'gap',
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                FROM seg WHERE gap
+            ),
+            linked AS (
+                SELECT *,
+                    LAG(sp_tpls_id) OVER wi AS origin_staypoint_id,
+                    LEAD(sp_tpls_id) OVER wi AS destination_staypoint_id
+                FROM inter
+                WINDOW wi AS (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id NULLS FIRST)
+            )
+            SELECT t.user_id, t.started_at, t.finished_at,
+                   l.origin_staypoint_id, l.destination_staypoint_id
+            FROM linked l JOIN trips_id t ON l.trip_id = t.id
+            WHERE l.type = 'trip'
+        """).fetchall()
+        return {tuple(r) for r in rel}
+
+    for gap_min in (15, 60, 720):
+        _, _, trips = generate_trips(sp_df, tpl_df, gap_threshold=gap_min, add_geometry=False)
+        got = {
+            (r.user_id, r.started_at, r.finished_at,
+             r.origin_staypoint_id, r.destination_staypoint_id)
+            for r in trips.collect()
+        }
+        exp = oracle(gap_min)
+        assert len(exp) > 1000, f"vacuous fuzz at gap={gap_min}"
+        assert got == exp, (
+            f"gap={gap_min}: {len(got - exp)} extra, {len(exp - got)} missing; "
+            f"sample extra={sorted(got - exp)[:3]} missing={sorted(exp - got)[:3]}"
+        )

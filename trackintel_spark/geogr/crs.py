@@ -37,6 +37,14 @@ Anything else (Robinson-class compromise projections, ...)
 dispatches to a pyproj-backed Arrow UDF IF pyproj is importable
 (feature-flagged; not present in this container), else raises with a
 clear message.
+
+FROZEN (round 7): the nine families above cover essentially every
+national grid and world equal-area CRS a mobility dataset carries;
+the residual population (Robinson, Winkel Tripel, van der Grinten —
+world thematic cartography, not trackintel workloads) stays on the
+pyproj hook by design. New grids of an EXISTING family belong in the
+``register_*_grid`` registries; new projection FAMILIES should not be
+added here without a concrete mobility dataset that needs one.
 """
 
 from __future__ import annotations
