@@ -1036,3 +1036,27 @@ def test_equidistant_cylindrical_world(spark):
         assert abs(a.geom["lon"] - b.geom["lon"]) < 1e-9
         # the rectifying series truncates at sin(8 mu): ~2e-9 deg (0.2 mm)
         assert abs(a.geom["lat"] - b.geom["lat"]) < 5e-9
+
+
+def test_mollweide_composed_matches_staged(spark):
+    """transform_xy (composed moll_forward) and transform_points (the
+    staged Newton) must agree bit-for-bit away from the pole seed —
+    they now share the same _MOLL_ITERS iteration count (a 5-vs-7 step
+    divergence previously let the two public paths return slightly
+    different coordinates for identical input)."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.geogr.crs import transform_xy
+
+    pts = [(0, 0.0, 0.0), (1, 10.0, 52.0), (2, -120.0, -35.0),
+           (3, 7.0, 89.0), (4, 179.0, 66.5), (5, 33.0, -89.5)]
+    df = _pts(spark, pts)
+    staged = {r.id: r.geom for r in transform_points(df, 4326, 54009).collect()}
+    xy = transform_xy(F.col("geom.lon"), F.col("geom.lat"), 4326, 54009)
+    composed = {
+        r.id: (r.x, r.y)
+        for r in df.select("id", xy[0].alias("x"), xy[1].alias("y")).collect()
+    }
+    for i in composed:
+        assert composed[i][0] == staged[i]["lon"], i
+        assert composed[i][1] == staged[i]["lat"], i

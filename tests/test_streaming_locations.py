@@ -180,3 +180,41 @@ def test_null_geometry_staypoints_kept_with_null_location(spark):
     ).select("id", "user_id", "started_at", F.struct("lon", "lat").alias("geom"))
     got = {r.id: r.location_id for r in locations_stream_exact(sp, locs).collect()}
     assert got == {0: 10, 1: None, 2: None}
+
+
+def test_trained_center_matches_across_antimeridian(spark):
+    """A staypoint within eps of a trained center ACROSS the ±180°
+    dateline must take that center, not open a spurious negative-id
+    location: centers are replicated at lon ± 360° so the banded grid
+    equi-join sees numerically adjacent cells (the exact haversine
+    check was always wrap-safe). Both crossing directions, plus a
+    high-latitude band, plus a control pair far from the dateline."""
+    d50lat = 50.0 / 111194.93  # ~50 m of latitude
+    locs = _loc_df(
+        spark,
+        [
+            (10, 1, 179.9996, 0.0),    # ~45 m west of the dateline
+            (11, 1, -179.9996, 20.0),  # ~42 m east of it, different band
+            (12, 1, 179.9990, 66.5),   # high band: wider lon cells
+            (13, 1, 8.50, 47.40),      # control far from the dateline
+        ],
+    )
+    sp = _sp_df(
+        spark,
+        [
+            (0, 1, 0, -179.9996, 0.0),          # crosses east -> west center
+            (1, 1, 10, 179.9996, 20.0),         # crosses west -> east center
+            (2, 1, 20, -179.9992, 66.5),        # high-lat crossing
+            (3, 1, 30, 8.50, 47.40 + d50lat / 111194.93 * 111194.93 * 0),  # on control
+            (4, 1, 40, 0.0, 0.0),               # far from everything: opens -1
+        ],
+    )
+    got = {
+        r.id: r.location_id
+        for r in locations_stream_exact(sp, locs, epsilon_m=150.0).collect()
+    }
+    assert got[0] == 10, got
+    assert got[1] == 11, got
+    assert got[2] == 12, got
+    assert got[3] == 13, got
+    assert got[4] == -1, got

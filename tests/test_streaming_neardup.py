@@ -253,3 +253,31 @@ def test_staged_projections_digest_text_once(spark):
     )
     plan1 = single._jdf.queryExecution().optimizedPlan().toString()
     assert plan1.count("md5") >= 16  # what the staging avoids
+
+
+def test_bucket_saturation_is_observable(spark):
+    """max_bucket=1: the second and third near-identical documents hit
+    a full bucket — their verdicts carry bucket_saturated=True (matched
+    against the frozen sample, not stored), and resolve_neardup
+    surfaces the per-document saw_saturated_bucket recall-loss flag."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base), (3, "completely different words " * 4)],
+        "doc_id long, text string",
+    )
+    verdicts = neardup_stream(docs, num_perm=16, bands=8, max_bucket=1)
+    per_band = verdicts.filter("band >= 0").collect()
+    by_doc = {}
+    for r in per_band:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0 seeded its buckets un-saturated; docs 1 and 2 hit full ones
+    assert all(not r.bucket_saturated for r in by_doc[0])
+    assert all(r.bucket_saturated for r in by_doc[1])
+    assert all(r.bucket_saturated for r in by_doc[2])
+    resolved = {r.doc_id: r for r in resolve_neardup(verdicts).collect()}
+    assert resolved[0].saw_saturated_bucket is False
+    assert resolved[1].saw_saturated_bucket is True
+    assert resolved[1].is_dup and resolved[1].dup_of == 0
+    # doc 2 still matches doc 0 (the stored sample) despite saturation
+    assert resolved[2].is_dup and resolved[2].dup_of == 0
+    assert resolved[3].saw_saturated_bucket is False

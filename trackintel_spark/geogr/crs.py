@@ -1149,12 +1149,25 @@ def _moll_finish(theta: Column, dlam: Column, g: MollweideGrid) -> tuple[Column,
 
 
 def moll_forward(lon: Column, lat: Column, g: MollweideGrid) -> tuple[Column, Column]:
-    """Geodetic -> Mollweide (composed; prefer :func:`transform_points`
-    for data-sized frames — it stages the Newton iteration)."""
-    theta, target, dlam = _moll_seed(lon, lat, g)
-    for _ in range(5):  # composed form: cap the multiplicative tree
-        theta = _moll_iterate(theta, target)
-    return _moll_finish(theta, dlam, g)
+    """Geodetic -> Mollweide (composed form, for transform_xy-style
+    Column usage; :func:`transform_points` stages the same math across
+    projections).
+
+    Runs the SAME ``_MOLL_ITERS`` Newton steps as the staged path so
+    both public paths agree bit-for-bit — a 5-vs-7 step divergence
+    previously returned slightly different coordinates for identical
+    input. Naively composing 7 steps would substitute theta ~4x per
+    step (a 4^7-leaf expression tree that stalls analysis), so the
+    iteration folds through ONE ``F.aggregate`` lambda instead: the
+    accumulator is a bound variable, evaluated iteratively at runtime,
+    keeping the expression linear in ``_MOLL_ITERS``."""
+    theta0, target, dlam = _moll_seed(lon, lat, g)
+    folded = F.aggregate(
+        F.array_repeat(F.lit(1), _MOLL_ITERS),
+        F.struct(theta0.alias("t"), target.alias("tg")),
+        lambda a, _: F.struct(_moll_iterate(a["t"], a["tg"]).alias("t"), a["tg"].alias("tg")),
+    )
+    return _moll_finish(folded["t"], dlam, g)
 
 
 def _moll_forward_stages(g: MollweideGrid) -> list:

@@ -50,7 +50,12 @@ from pyspark.sql import types as T
 _SIDE_L, _SIDE_R = 0, 1
 
 # secondary-rank composite scale: |r1| <= 2 and r2 = row_number (int32),
-# so r1 * 2^32 + r2 stays exactly representable in a double (< 2^53)
+# so r1 * 2^32 + r2 stays exactly representable in a double (< 2^53).
+# The composite is ORDER-EXACT only while __rk < 2^32 — and __rk is a
+# per-(key, timestamp) row_number, a Spark IntegerType that would
+# overflow long before 2^32 rows share one timestamp under one key, so
+# the bound holds by construction (4 billion same-key same-microsecond
+# right rows would break row_number itself first).
 _SEC_SCALE = 2.0**32
 
 
@@ -93,6 +98,16 @@ def _bucket_cuts(
     merely has extreme skew (non-constant but collapsed quantiles), a
     secondary cut would interleave rank0 values across buckets and
     CORRUPT the scan — keep the single bucket there.
+
+    Residual bottleneck in the all-equal-timestamp case: the ``__rk``
+    row_number window upstream partitions BY THE TIMESTAMP, so with one
+    constant timestamp it is itself a single-task sort over the right
+    side. The secondary re-bucket restores downstream SCAN parallelism
+    but cannot parallelize that upstream rank — a degenerate input this
+    total (every right row at one instant) pays one serialized sort of
+    the right side first. Real key-less inputs (market ticks, logs)
+    never look like this; the branch exists so the answer stays exact
+    rather than fast.
     """
     cuts = _rank_cuts(u, rank0, n_buckets)
     if len(cuts) > 1:

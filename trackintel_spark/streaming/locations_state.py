@@ -91,12 +91,26 @@ def _with_cells(df: DataFrame, lon: Column, lat: Column, cell_deg: float):
 def _explode_center_cells(locations: DataFrame, cell_deg: float) -> DataFrame:
     """Static side: each trained center replicated into its 3x3 cell
     neighborhood. The lon-cell index is recomputed PER TARGET BAND
-    (bands have different widths)."""
+    (bands have different widths).
+
+    Antimeridian wraparound: ``floor(lon / w)`` puts +179.99° and
+    −179.99° in numerically distant cells even though they are within
+    eps on the sphere, so a staypoint near the dateline would miss its
+    trained center and open a spurious negative-id location. Centers
+    are therefore ALSO replicated at lon ± 360° — the wrapped copy
+    lands in cells numerically adjacent to the opposite edge — with
+    copies kept only inside a 3-cell-width dateline margin, so the
+    static side only grows where the wrap can matter. The exact
+    distance check downstream is haversine, which is periodicity-safe
+    as is."""
     base = locations.select(
         F.col("user_id"),
         F.col("id").alias("__cand_id"),
         F.col("center.lon").alias("__cand_lon"),
         F.col("center.lat").alias("__cand_lat"),
+    )
+    base = base.withColumn(
+        "__shift", F.explode(F.array(F.lit(-360.0), F.lit(0.0), F.lit(360.0)))
     )
     own_cy = F.floor(F.col("__cand_lat") / cell_deg).cast("long")
     out = base.withColumn("__cy0", own_cy).withColumn(
@@ -105,9 +119,17 @@ def _explode_center_cells(locations: DataFrame, cell_deg: float) -> DataFrame:
     cy = (F.col("__cy0") + F.col("__dy")).alias("__cy")
     _, cos_pole = _band_cos(F.col("__cy0") + F.col("__dy"), cell_deg)
     w = F.lit(cell_deg) / cos_pole
-    cx0 = F.floor(F.col("__cand_lon") / w).cast("long")
-    out = out.withColumn("__cy", cy).withColumn("__cx0", cx0).withColumn(
-        "__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    slon = F.col("__cand_lon") + F.col("__shift")
+    cx0 = F.floor(slon / w).cast("long")
+    out = (
+        out.withColumn("__cy", cy)
+        .withColumn("__w", w)
+        .withColumn("__cx0", cx0)
+        .filter(
+            (F.col("__shift") == 0.0)
+            | (F.abs(F.col("__cand_lon") + F.col("__shift")) <= 180.0 + 3.0 * F.col("__w"))
+        )
+        .withColumn("__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
     )
     return out.select(
         "user_id",

@@ -27,7 +27,14 @@ entries: a boilerplate bucket hit by millions of near-identical
 documents stops growing after the cap (new arrivals still match
 against the stored sample — exactly the right behavior for a
 saturated bucket; the cap is the documented bounded-state trade-off,
-like ``dedup_stream``'s watermark). The NUMBER of buckets grows with
+like ``dedup_stream``'s watermark). Saturation is OBSERVABLE, not
+silent: every verdict row carries ``bucket_saturated`` — true when
+the document arrived at a full bucket and was therefore matched but
+NOT stored, i.e. two near-identical documents both arriving after
+saturation can be reported as non-duplicates in that band. Monitor
+``resolve_neardup``'s ``saw_saturated_bucket`` (or the fraction of
+saturated verdict rows) to detect recall loss on boilerplate-heavy
+streams and raise ``max_bucket`` / tighten ``state_ttl_min``. The NUMBER of buckets grows with
 corpus size — cap total state on unbounded ingest with
 ``state_ttl_min`` (idle buckets evicted via processing-time timeout).
 Within a micro-batch, documents
@@ -57,6 +64,7 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("band", T.IntegerType()),
         T.StructField("dup_of", T.LongType()),
         T.StructField("jaccard_est", T.DoubleType()),
+        T.StructField("bucket_saturated", T.BooleanType()),
     ]
 )
 
@@ -120,6 +128,7 @@ def neardup_stream(
         F.lit(-1).cast("int").alias("band"),
         F.lit(None).cast("long").alias("dup_of"),
         F.lit(None).cast("double").alias("jaccard_est"),
+        F.lit(False).alias("bucket_saturated"),
     )
     band_structs = F.array(
         *[
@@ -186,8 +195,9 @@ def neardup_stream(
                     j = int(np.argmin(cand_ids))
                     dup_of = int(cand_ids[j])
                     best_est = float(est[:count][ok][j])
-            out.append((int(doc_id), int(band), dup_of, best_est))
-            if count < max_bucket:
+            saturated = count >= max_bucket
+            out.append((int(doc_id), int(band), dup_of, best_est, saturated))
+            if not saturated:
                 idbuf[count] = int(doc_id)
                 sigbuf[count] = s
                 count += 1
@@ -198,7 +208,10 @@ def neardup_stream(
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         if out:
-            yield pd.DataFrame(out, columns=["doc_id", "band", "dup_of", "jaccard_est"])
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "band", "dup_of", "jaccard_est", "bucket_saturated"],
+            )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -217,17 +230,27 @@ def resolve_neardup(verdicts: DataFrame) -> DataFrame:
     """Reduce per-band verdicts to per-document decisions: ``(doc_id,
     is_dup, dup_of, jaccard_est)`` — ``dup_of`` the smallest earlier
     document any band matched, with that match's similarity estimate.
-    A batch aggregation (run on the sink table)."""
+    A batch aggregation (run on the sink table). The extra
+    ``saw_saturated_bucket`` flag is the per-document recall-loss
+    signal: true when ANY of the document's bands hit a full bucket
+    (its verdict there compared against a frozen sample — see the
+    module doc's saturation note)."""
     matched = F.when(
         F.col("dup_of").isNotNull(), F.struct("dup_of", "jaccard_est")
     )  # NULL structs are ignored by min; a no-match band never wins
     return (
         verdicts.groupBy("doc_id")
-        .agg(F.min(matched).alias("__m"))
+        .agg(
+            F.min(matched).alias("__m"),
+            F.max(F.coalesce("bucket_saturated", F.lit(False))).alias(
+                "saw_saturated_bucket"
+            ),
+        )
         .select(
             "doc_id",
             F.col("__m").isNotNull().alias("is_dup"),
             F.col("__m.dup_of").alias("dup_of"),
             F.col("__m.jaccard_est").alias("jaccard_est"),
+            "saw_saturated_bucket",
         )
     )
