@@ -1165,3 +1165,40 @@ def test_dedup_ops_are_idempotently_chainable(spark):
     l2 = line_dedup(l1, min_count=2, min_chars=5)
     assert l2.columns.count("n_lines_removed") == 1
     assert all(r.n_lines_removed == 0 for r in l2.select("n_lines_removed").collect())
+
+
+def test_semantic_dedup_grouped_pair_mode_matches_join(spark):
+    """pair_mode='grouped' (one chunked BLAS matmul per cluster) must
+    reproduce the join path's decisions exactly across cap settings —
+    unbounded, cap smaller than clusters (capped relaxation engaged),
+    and cap larger than clusters — including the zero-vector NULL
+    branch. Random inputs keep cosines away from the float-rounding
+    boundary where the two summation orders could legitimately differ."""
+    import numpy as np
+
+    from trackintel_spark.scale import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    centers = (rng.standard_normal((12, 16)) * 3).tolist()
+    rows = []
+    for i in range(1500):
+        c = np.array(centers[i % 12])
+        noise = 0.01 if i % 3 == 0 else 1.0
+        rows.append((i, (c + rng.standard_normal(16) * noise).tolist()))
+    rows.append((99999, [0.0] * 16))  # zero vector: NULL cluster, kept
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for mc in (None, 5, 400):
+        key = lambda r: (
+            r.cluster_id, r.is_kept,
+            None if r.centroid_cosine is None else round(r.centroid_cosine, 9),
+        )
+        a = {r.vec_id: key(r) for r in semantic_dedup(
+            emb, threshold=0.9, centers=centers, max_compare=mc).collect()}
+        b = {r.vec_id: key(r) for r in semantic_dedup(
+            emb, threshold=0.9, centers=centers, max_compare=mc,
+            pair_mode="grouped").collect()}
+        assert a == b, f"max_compare={mc}"
+        assert a[99999][0] is None and a[99999][1] is True
+    # some rows actually dropped (non-vacuous)
+    assert sum(1 for v in a.values() if not v[1]) > 50

@@ -184,6 +184,15 @@ def run_semantic_dedup_defaults(spark, n: int) -> dict:
     out = semantic_dedup(inp, threshold=0.995, centers=trained)
     kept = out.filter("is_kept").count()
     t3 = time.time()
+    # contrast: the opt-in grouped-BLAS pair mode on the same centers
+    # (healthy-cluster fast path — see semantic_dedup's pair_mode docs)
+    kept_g = (
+        semantic_dedup(inp, threshold=0.995, centers=trained, pair_mode="grouped")
+        .filter("is_kept")
+        .count()
+    )
+    t4 = time.time()
+    assert kept_g == kept, f"pair_mode divergence: {kept_g} != {kept}"
     w = t3 - t0
     return {
         "op": "semantic_dedup_defaults", "rows": n, "wall_s": round(w, 1),
@@ -191,6 +200,7 @@ def run_semantic_dedup_defaults(spark, n: int) -> dict:
         "count_s": round(t1 - t0, 1),
         "kmeans_s": round(t2 - t1, 1),
         "dedup_s": round(t3 - t2, 1),
+        "dedup_grouped_s": round(t4 - t3, 1),
     }
 
 

