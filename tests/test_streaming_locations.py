@@ -218,3 +218,68 @@ def test_trained_center_matches_across_antimeridian(spark):
     assert got[2] == 12, got
     assert got[3] == 13, got
     assert got[4] == -1, got
+
+
+def test_online_clusterer_reorder_matches_in_order_run(spark, tmp_path):
+    """max_disorder: the order-dependent online clusterer produces the
+    SAME opened-center ids from a jittered stream as from the in-order
+    batch run, because the reorder buffer releases rows to the kernel
+    in event-time order. Flush staypoints (far away, beyond the bound)
+    release the tail; they open their own locations identically in
+    both runs."""
+    disorder_min = 30.0
+    rows = []
+    sid = 0
+    for u in (1, 2):
+        # three revisited places in a fixed visit order; opened ids
+        # (-1, -2, -3) depend on that order
+        for k in range(12):
+            spot = (0, 1, 2, 1, 0, 2)[k % 6]
+            rows.append((sid, u, k * 45, 8.5 + spot * 30 * DLON, 47.4))
+            sid += 1
+        rows.append((sid, u, 12 * 45 + int(disorder_min) + 60, 9.9, 49.9)); sid += 1
+        rows.append((sid, u, 12 * 45 + 2 * (int(disorder_min) + 60), 9.91, 49.91)); sid += 1
+    sp = _sp_df(spark, rows)
+    expected = {
+        r.id: r.location_id
+        for r in locations_stream_exact(sp, None, epsilon_m=100.0).collect()
+    }
+    assert min(expected.values()) <= -3  # several opened centers
+
+    rng = random.Random(99)
+    jit = sorted(rows, key=lambda r: r[2] + rng.uniform(0, disorder_min * 0.95))
+    assert [r[0] for r in jit] != [r[0] for r in rows]  # genuinely shuffled
+    src = os.path.join(str(tmp_path), "reorder_src")
+    os.makedirs(src, exist_ok=True)
+    step = (len(jit) + 2) // 3
+    for i in range(3):
+        _sp_df(spark, jit[i * step:(i + 1) * step]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+        now = time.time() + i
+        d = os.path.join(src, f"f{i}")
+        for f_ in os.listdir(d):
+            os.utime(os.path.join(d, f_), (now, now))
+    stream = (
+        spark.readStream.schema(
+            "id long, user_id long, started_at timestamp, geom struct<lon:double,lat:double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        locations_stream_exact(stream, None, epsilon_m=100.0, max_disorder=disorder_min)
+        .writeStream.format("memory").queryName("loc_reorder")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.id: r.location_id
+        for r in spark.sql("SELECT * FROM loc_reorder").collect()
+    }
+    # everything except at most the final flush staypoint (still inside
+    # the buffer at stream end) must match the in-order run exactly
+    assert len(got) >= len(expected) - 2
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])

@@ -48,7 +48,7 @@ from pyspark.sql.streaming.state import GroupState
 
 from trackintel_spark.functions.spatial import EARTH_RADIUS_M
 from trackintel_spark.operators.dbscan_distributed import _band_cos, _DEG2M
-from trackintel_spark.streaming._parity import apply_with_batch_parity
+from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -145,6 +145,8 @@ def locations_stream_exact(
     sp: DataFrame,
     locations: DataFrame | None = None,
     epsilon_m: float = 100.0,
+    max_disorder: float = 0.0,
+    late: str = "raise",
 ) -> DataFrame:
     """Assign a ``location_id`` to every (streamed) staypoint.
 
@@ -157,6 +159,13 @@ def locations_stream_exact(
 
     Works on a streaming OR batch ``sp`` (unified API). Returns
     (id, user_id, location_id).
+
+    ``max_disorder`` (minutes, default 0) opts into the bounded-
+    disorder hold-and-sort buffer
+    (:mod:`trackintel_spark.streaming.reorder`). The online clusterer
+    is arrival-order dependent (module doc) — with the buffer, any
+    within-bound jitter yields the SAME opened-center ids as the
+    in-order run; ``late`` picks raise vs drop beyond the bound.
     """
     if epsilon_m <= 0:
         raise ValueError(f"epsilon_m must be positive, got {epsilon_m}")
@@ -238,7 +247,8 @@ def locations_stream_exact(
         if rows:
             yield pd.DataFrame(rows, columns=["id", "user_id", "location_id"])
 
-    out = apply_with_batch_parity(
-        kin, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA
+    out = apply_with_reorder(
+        kin, ("user_id",), fn, _OUT_SCHEMA, _STATE_SCHEMA,
+        time_col="started_at", max_disorder_s=max_disorder * 60.0, late=late,
     )
     return out.unionByName(nullg)
