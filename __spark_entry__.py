@@ -810,6 +810,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dedup"] = q_substring_dedup
 
+    def q_gopher_quality(spark, sf):
+        from trackintel_spark.scale import gopher_quality_filter
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        out = gopher_quality_filter(docs, min_words=30, min_stop_hits=1)
+        return out.select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            _r("mean_word_len", 6).alias("mean_word_len"),
+            _r("alpha_word_frac", 6).alias("alpha_word_frac"),
+            F.col("stop_hits").cast("long").alias("stop_hits"),
+            "gopher_keep",
+        )
+
+    q["gopher_quality"] = q_gopher_quality
+
     def q_distance_matrix_chebyshev(spark, sf):
         from trackintel_spark.geogr import calculate_distance_matrix
 
@@ -1153,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-backed here and pytest-covered.
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix", "minhash",
+        # round-7 addition (oracle-backed; outside the driver prefix)
+        "gopher_quality",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1838,6 +1856,55 @@ def oracle_sql() -> dict[str, str]:
     # substring dedup: literal-chunk census (mirrors the xxhash64 census
     # exactly barring astronomically unlikely collisions), gaps-and-
     # islands span merge, complement rebuild — the dedup_substrings spec
+    o["gopher_quality"] = '''
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   CASE WHEN len(ws) > 0
+                        THEN list_sum(list_transform(ws, w -> LENGTH(w))) * 1.0 / len(ws)
+                   END AS mean_word_len,
+                   CASE WHEN len(ws) > 0
+                        THEN len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(ws)
+                   END AS alpha_word_frac,
+                   (SELECT COUNT(*) FROM (SELECT UNNEST(['the','be','to','of','and','that','have','with']) AS s)
+                    WHERE list_contains(list_transform(ws, w -> lower(w)), s)) AS stop_hits,
+                   CASE WHEN len(ws) > 0
+                        THEN (len(str_split(text, '#')) - 1
+                              + len(str_split_regex(text, '\\.\\.\\.')) - 1
+                              + len(str_split(text, chr(8230))) - 1) * 1.0 / len(ws)
+                   END AS sym_ratio,
+                   list_filter(list_transform(str_split(text, chr(10)), x -> TRIM(x)),
+                               x -> x <> '') AS lns
+            FROM base
+        ),
+        m2 AS (
+            SELECT *,
+                   CASE WHEN len(lns) > 0
+                        THEN len(list_filter(lns, l -> regexp_matches(l, '^[-*\u2022\u2023\u00b7]'))) * 1.0 / len(lns)
+                        ELSE 0.0 END AS bullet_frac,
+                   CASE WHEN len(lns) > 0
+                        THEN len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)$'))) * 1.0 / len(lns)
+                        ELSE 0.0 END AS ellipsis_frac
+            FROM m
+        )
+        SELECT doc_id, n_words,
+               ROUND(mean_word_len, 6) AS mean_word_len,
+               ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+               stop_hits,
+               COALESCE(n_words >= 30 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND sym_ratio <= 0.1
+                        AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+                        AND alpha_word_frac >= 0.8 AND stop_hits >= 1,
+                        FALSE) AS gopher_keep
+        FROM m2
+    '''
+
     _w, _st = 12, 3
     o["substring_dedup"] = f"""
         WITH base AS (

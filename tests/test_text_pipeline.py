@@ -276,3 +276,44 @@ def test_jsonl_roundtrip_and_corrupt_records(spark, tmp_path):
     back = read_documents_jsonl(spark, out_dir)
     assert back.count() == 2
     assert {r["doc_id"] for r in back.collect()} == {1, 2}
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Hand-computed Gopher rule cases (Rae et al. 2021 A1.1): each
+    rule individually kills exactly one crafted document while the
+    healthy document passes every rule at the published defaults."""
+    from trackintel_spark.scale import gopher_quality_filter
+
+    healthy = " ".join(
+        ["the quick brown fox jumps over and rests with care that day to be of note"] * 5
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, healthy),                                   # passes all
+            (1, "the and of " * 5),                         # too few words (15 < 50)
+            (2, " ".join(["ab"] * 60)),                     # mean word len 2 < 3
+            (3, healthy + " " + "#" * 1 + " #### # # # # # # #"),  # symbols
+            (4, "\n".join(["- " + healthy[:40]] * 10)),     # 100% bullet lines
+            (5, " ".join(["12345"] * 60)),                  # no alphabetic words
+            (6, " ".join(["zzz"] * 60)),                    # zero stop hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_filter(docs).collect()}
+    assert out[0].gopher_keep is True
+    assert out[0].n_words == 80 and out[0].stop_hits >= 2
+    assert out[1].gopher_keep is False and out[1].n_words == 15
+    assert out[2].gopher_keep is False and abs(out[2].mean_word_len - 2.0) < 1e-9
+    assert out[3].gopher_keep is False and out[3].symbol_word_ratio > 0.1
+    assert out[4].gopher_keep is False and out[4].bullet_line_frac == 1.0
+    assert out[5].gopher_keep is False and out[5].alpha_word_frac == 0.0
+    assert out[6].gopher_keep is False and out[6].stop_hits == 0
+
+    kept = gopher_quality_filter(docs, drop=True).collect()
+    assert [r.doc_id for r in kept] == [0]
+    assert "gopher_keep" not in kept[0].asDict()
+
+    # empty doc: no NULL leakage, keep=False
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    r = gopher_quality_filter(empty).collect()[0]
+    assert r.gopher_keep is False

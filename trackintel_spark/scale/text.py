@@ -381,3 +381,95 @@ def compression_ratio(df: DataFrame, text_col: str = "text", out_col: str = "com
         return texts.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    drop: bool = False,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1) as pure column expressions — the repetition half of
+    that appendix is :func:`repetition_signals`; this is the
+    quality-heuristic half, the standard companion to
+    :func:`c4_filters` in web-scale pipelines:
+
+    * word count in [``min_words``, ``max_words``] (whitespace words);
+    * mean word length in [``min_mean_word_len``, ``max_mean_word_len``];
+    * symbol-to-word ratio (``#`` or ``...``/``…`` occurrences per
+      word) <= ``max_symbol_word_ratio``;
+    * < ``max_bullet_line_frac`` of lines start with a bullet
+      (``-``, ``*``, ``•``, ``‣``, ``·``);
+    * < ``max_ellipsis_line_frac`` of lines end with ``...`` / ``…``;
+    * >= ``min_alpha_word_frac`` of words contain an alphabetic char;
+    * >= ``min_stop_hits`` distinct hits from the paper's stop set
+      (the, be, to, of, and, that, have, with).
+
+    Emits one flag column per rule plus ``gopher_keep``; ``drop=True``
+    filters to the keep set. Scale shape: zero shuffle, zero Python —
+    every rule is an array fold over the existing row, so the filter
+    runs at scan speed and composes with any downstream dedup."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wl = F.when(n_words > 0, total_chars / n_words)
+    n_hash = F.size(F.split(t, r"#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1 + F.size(F.split(t, r"…", -1)) - 1
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+    lines = F.filter(F.transform(F.split(t, r"\n"), F.trim), lambda ln: ln != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•‣·]"))) / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))) / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
+    )
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    stop_hits = sum(
+        [F.array_contains(low_words, s).cast("int") for s in stops[1:]],
+        F.array_contains(low_words, stops[0]).cast("int"),
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (F.coalesce(bullet_frac, F.lit(0.0)) < max_bullet_line_frac)
+        & (F.coalesce(ellipsis_frac, F.lit(0.0)) < max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits)
+        .withColumn("gopher_keep", F.coalesce(keep, F.lit(False)))
+    )
+    if drop:
+        out = out.filter(F.col("gopher_keep")).drop(
+            "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "stop_hits", "gopher_keep",
+        )
+    return out
