@@ -123,7 +123,8 @@ def main() -> None:
         ]
         for name, fn in probes:
             r = fn()
-            keep = ("rows", "wall_s", "rows_per_s", "count_s", "kmeans_s", "dedup_s", "dedup_grouped_s")
+            keep = ("rows", "wall_s", "rows_per_s", "count_s", "kmeans_s", "dedup_s",
+                    "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s")
             scale[name] = {k: r[k] for k in keep if k in r}
             print(f"# scale {name}: {scale[name]}", file=sys.stderr)
 

@@ -73,6 +73,16 @@ def dbscan_input(spark, n: int, hotspots: int = 2000):
 
 
 def run_chain(spark, n: int) -> dict:
+    """pfs -> staypoints -> triplegs -> trips -> tours, MATERIALIZING
+    each entity table between stages (localCheckpoint) — the pipeline
+    pattern the repo documents (examples/bucketed_warehouse.py persists
+    every entity; the reference materializes implicitly in pandas).
+    Measured r7: the fully-lazy fused chain re-executes the shared
+    staypoint kernel once per downstream entity branch (69.5 s at 10M
+    vs 41 s staged), so lazy chaining UNDERSTATES the engine; staging
+    is both the recommended usage and what a warehouse run does.
+    Per-stage walls are reported so a kernel regression names its
+    stage."""
     from trackintel_spark.operators import generate_staypoints, generate_triplegs
     from trackintel_spark.operators.tours import generate_tours
     from trackintel_spark.operators.trips import generate_trips
@@ -83,10 +93,16 @@ def run_chain(spark, n: int) -> dict:
     pfs_sp, sp = generate_staypoints(
         pfs, dist_threshold=100, time_threshold=5, gap_threshold=120
     )
+    pfs_sp, sp = pfs_sp.localCheckpoint(), sp.localCheckpoint()
+    t1 = time.time()
     dur = F.col("finished_at").cast("double") - F.col("started_at").cast("double")
     sp = sp.withColumn("is_activity", dur >= 15 * 60)
     pfs_t, tpls = generate_triplegs(pfs_sp, sp)
+    tpls = tpls.localCheckpoint()
+    t2 = time.time()
     sp2, tpls2, trips = generate_trips(sp, tpls, gap_threshold=60)
+    sp2, trips = sp2.localCheckpoint(), trips.localCheckpoint()
+    t3 = time.time()
     # location = 100 m grid cell of the staypoint: users cycle through 6
     # spots, so every cycle closes tours (id%k never revisits -> 0 tours)
     loc = F.hash(
@@ -95,8 +111,14 @@ def run_chain(spark, n: int) -> dict:
     ).cast("long")
     _, tours = generate_tours(trips, sp2.withColumn("location_id", loc))
     n_tours = tours.count()
-    wall = time.time() - t0
-    out = {"rows": n, "wall_s": round(wall, 1), "rows_per_s": int(n / wall), "tours": n_tours}
+    t4 = time.time()
+    wall = t4 - t0
+    out = {
+        "rows": n, "wall_s": round(wall, 1), "rows_per_s": int(n / wall),
+        "tours": n_tours,
+        "staypoints_s": round(t1 - t0, 1), "triplegs_s": round(t2 - t1, 1),
+        "trips_s": round(t3 - t2, 1), "tours_s": round(t4 - t3, 1),
+    }
     pfs.unpersist()
     return out
 
