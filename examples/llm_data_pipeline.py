@@ -80,6 +80,13 @@ def main() -> None:
     )
     print(f"after quality/lang gate: {kept.count()}")
 
+    # 1b. Gopher rules (Rae et al. 2021 A1.1) — thresholds loosened for
+    # the short synthetic docs; at web scale the published defaults apply
+    from trackintel_spark.scale import gopher_quality_filter
+
+    kept = gopher_quality_filter(kept, min_words=10, min_stop_hits=1, drop=True)
+    print(f"after gopher rules: {kept.count()}")
+
     # 2a. strip corpus-wide boilerplate lines (C4/RefinedWeb style)
     kept = line_dedup(kept, min_count=3, keep="none").persist()
     print(f"boilerplate lines removed: {kept.agg(F.sum('n_lines_removed')).collect()[0][0]}")
