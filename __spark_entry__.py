@@ -826,6 +826,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = q_gopher_quality
 
+    def q_dedup_incremental(spark, sf):
+        from trackintel_spark.scale import build_exact_index, dedup_against_index
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        index = build_exact_index(docs)
+        # synthetic daily shard: every 3rd document re-arrives verbatim
+        # (a history dup), the rest arrive revised (genuinely new text —
+        # unless two history docs shared a text, in which case their
+        # revisions collide WITHIN the shard and the min-id rule picks
+        # the survivor). Digests never cross the engine boundary — both
+        # engines digest the same text internally.
+        shard = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" [rev2]")))
+            .alias("text"),
+        )
+        out = dedup_against_index(shard, index)
+        return out.select("doc_id", "dup_of", "is_new")
+
+    q["dedup_incremental"] = q_dedup_incremental
+
     def q_distance_matrix_chebyshev(spark, sf):
         from trackintel_spark.geogr import calculate_distance_matrix
 
@@ -1169,8 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-backed here and pytest-covered.
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix", "minhash",
-        # round-7 addition (oracle-backed; outside the driver prefix)
-        "gopher_quality",
+        # round-7 additions (oracle-backed; outside the driver prefix)
+        "gopher_quality", "dedup_incremental",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1904,6 +1926,32 @@ def oracle_sql() -> dict[str, str]:
                         FALSE) AS gopher_keep
         FROM m2
     '''
+
+    o["dedup_incremental"] = """
+        WITH hist AS (
+            SELECT md5(text) AS digest, MIN(doc_id) AS first_id
+            FROM documents GROUP BY 1
+        ),
+        shard AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text
+                        ELSE text || ' [rev2]' END AS text
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, md5(text) AS digest,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS shard_first
+            FROM shard
+        )
+        SELECT d.doc_id,
+               COALESCE(h.first_id,
+                        CASE WHEN d.doc_id <> d.shard_first THEN d.shard_first END
+               ) AS dup_of,
+               COALESCE(h.first_id,
+                        CASE WHEN d.doc_id <> d.shard_first THEN d.shard_first END
+               ) IS NULL AS is_new
+        FROM d LEFT JOIN hist h USING (digest)
+    """
 
     _w, _st = 12, 3
     o["substring_dedup"] = f"""
