@@ -87,6 +87,16 @@ def main() -> None:
     kept = gopher_quality_filter(kept, min_words=10, min_stop_hits=1, drop=True)
     print(f"after gopher rules: {kept.count()}")
 
+    # 1c. fastText-style discriminative filter (GPT-3/CCNet stage):
+    # trained here on the corpus itself vs its token-shuffled copies —
+    # in production, train once on a trusted reference sample and
+    # model.save() for every later shard
+    from trackintel_spark.scale import classifier_score, train_quality_classifier
+
+    clf = train_quality_classifier(kept.select("doc_id", "text"), num_features=1 << 16)
+    kept = classifier_score(kept, clf).filter(F.col("quality_prob") > 0.5).drop("quality_prob")
+    print(f"after classifier gate: {kept.count()}")
+
     # 2a. strip corpus-wide boilerplate lines (C4/RefinedWeb style)
     kept = line_dedup(kept, min_count=3, keep="none").persist()
     print(f"boilerplate lines removed: {kept.agg(F.sum('n_lines_removed')).collect()[0][0]}")

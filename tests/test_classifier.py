@@ -1,0 +1,118 @@
+"""fastText-style quality classifier: separation, determinism, plan.
+
+The training construction (CCNet shuffled negatives) keeps the unigram
+distribution identical across classes, so ANY separation the model
+achieves must come from word order (bigram features) — a classifier
+that only learned vocabulary would score ~0.5 everywhere. The tests
+exploit that: held-out natural sentences must score high, their
+shuffles low, and a unigram-only model must fail to separate.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.scale import (
+    classifier_score,
+    ngram_tokens,
+    shuffled_negatives,
+    train_quality_classifier,
+)
+
+_SUBJ = ["the cat", "a dog", "the tired engineer", "my neighbour", "the old train"]
+_VERB = ["sat on", "ran across", "looked at", "waited near", "jumped over"]
+_OBJ = ["the mat", "a bridge", "the station", "my garden", "the quiet street"]
+_TAIL = [
+    "before breakfast",
+    "after the long meeting",
+    "during the storm",
+    "without any warning",
+    "in the early morning",
+]
+
+
+def _sentences(n, seed):
+    rng = random.Random(seed)
+    return [
+        " ".join(
+            [rng.choice(_SUBJ), rng.choice(_VERB), rng.choice(_OBJ), _TAIL[rng.randrange(5)]]
+            + [rng.choice(_SUBJ), rng.choice(_VERB), rng.choice(_OBJ)]
+        )
+        for _ in range(n)
+    ]
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    pos = _docs(spark, _sentences(400, seed=1))
+    return train_quality_classifier(pos, num_features=1 << 15, seed=3)
+
+
+def test_separates_heldout_order_from_shuffle(spark, model):
+    held = _docs(spark, _sentences(120, seed=99), start=10_000)
+    pos_scores = [r.quality_prob for r in classifier_score(held, model).collect()]
+    neg_scores = [
+        r.quality_prob
+        for r in classifier_score(shuffled_negatives(held, seed=7), model).collect()
+    ]
+    # strong separation on held-out data, both in mean and at the gate
+    assert sum(pos_scores) / len(pos_scores) > 0.8
+    assert sum(neg_scores) / len(neg_scores) < 0.2
+    assert sum(s > 0.5 for s in pos_scores) / len(pos_scores) > 0.9
+    assert sum(s < 0.5 for s in neg_scores) / len(neg_scores) > 0.9
+
+
+def test_unigrams_alone_cannot_separate_the_construction(spark):
+    """Control: with max_n=1 the two classes have IDENTICAL feature
+    vectors (a shuffle preserves token counts), so training data is
+    contradictory and scores collapse toward 0.5 — proof that the
+    separation above is word-order signal, not leakage."""
+    pos = _docs(spark, _sentences(200, seed=11))
+    m1 = train_quality_classifier(pos, num_features=1 << 15, max_n=1, seed=3)
+    held = _docs(spark, _sentences(60, seed=55), start=10_000)
+    p = [r.quality_prob for r in classifier_score(held, m1).collect()]
+    n = [
+        r.quality_prob
+        for r in classifier_score(shuffled_negatives(held, seed=7), m1).collect()
+    ]
+    gap = abs(sum(p) / len(p) - sum(n) / len(n))
+    assert gap < 0.05, f"unigram model separated shuffled classes (gap={gap})"
+
+
+def test_shuffled_negatives_deterministic_and_count_preserving(spark):
+    df = _docs(spark, _sentences(50, seed=2))
+    a = {(r.doc_id, r.text) for r in shuffled_negatives(df, seed=5).collect()}
+    b = {(r.doc_id, r.text) for r in shuffled_negatives(df, seed=5).collect()}
+    assert a == b  # deterministic across runs
+    c = {(r.doc_id, r.text) for r in shuffled_negatives(df, seed=6).collect()}
+    assert a != c  # seed matters
+    # multiset of tokens preserved per doc
+    orig = {r.doc_id: sorted(r.text.lower().split()) for r in df.collect()}
+    for doc_id, text in a:
+        assert sorted(text.split()) == orig[doc_id]
+
+
+def test_scoring_is_map_side_no_shuffle(spark, model):
+    df = _docs(spark, _sentences(30, seed=4))
+    plan = classifier_score(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_tokens_shape(spark):
+    row = spark.range(1).select(
+        ngram_tokens(F.lit("a b c d"), max_n=3).alias("t")
+    ).collect()[0]
+    assert row.t == [
+        "a", "b", "c", "d",
+        "a b", "b c", "c d",
+        "a b c", "b c d",
+    ]
