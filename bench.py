@@ -112,7 +112,7 @@ def main() -> None:
         frac = float(os.environ.get("SPARK_GRAFT_SCALE_FRACTION", "1"))
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from scale_probe import run_chain
-        from scale_probe_llm import run_asof, run_line_dedup, run_semantic_dedup_defaults
+        from scale_probe_llm import run_asof, run_incremental_dedup, run_line_dedup, run_semantic_dedup_defaults
 
         probes = [
             ("mobility_chain_10m", lambda: run_chain(spark, int(10_000_000 * frac))),
@@ -120,11 +120,14 @@ def main() -> None:
             ("asof_join_40m", lambda: run_asof(spark, int(40_000_000 * frac))),
             ("semantic_dedup_defaults_400k",
              lambda: run_semantic_dedup_defaults(spark, int(400_000 * frac))),
+            ("incremental_dedup_1m",
+             lambda: run_incremental_dedup(spark, int(1_000_000 * frac))),
         ]
         for name, fn in probes:
             r = fn()
             keep = ("rows", "wall_s", "rows_per_s", "count_s", "kmeans_s", "dedup_s",
-                    "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s")
+                    "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s",
+                    "shard_rows", "index_s", "probe_s")
             scale[name] = {k: r[k] for k in keep if k in r}
             print(f"# scale {name}: {scale[name]}", file=sys.stderr)
 

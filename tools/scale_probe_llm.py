@@ -304,6 +304,41 @@ def run_bm25(spark, n: int) -> dict:
     return {"op": "bm25_search", "rows": n, "wall_s": round(w, 1), "hits": len(out), "rows_per_s": int(n / w)}
 
 
+def run_incremental_dedup(spark, n: int) -> dict:
+    """The nightly-shard shape: history of ``n`` docs reduced to its
+    digest index ONCE (index_s — amortized across every later day),
+    then a shard of n/10 docs — half verbatim re-arrivals, half new —
+    checked against it (probe_s, the recurring nightly cost). History
+    text is never rescanned in the probe stage."""
+    from trackintel_spark.scale import build_exact_index, dedup_against_index
+
+    t0 = time.time()
+    index = build_exact_index(docs_input(spark, n)).persist()
+    index.count()
+    index_s = time.time() - t0
+
+    # half the shard re-arrives verbatim, half is genuinely new text
+    m = n // 10
+    shard = docs_input(spark, m).select(
+        (F.col("doc_id") + n * 10).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh tail "),
+                            F.xxhash64("doc_id").cast("string")))
+        .alias("text"),
+    )
+    t1 = time.time()
+    out = dedup_against_index(shard, index)
+    dups = out.filter(~F.col("is_new")).count()
+    probe_s = time.time() - t1
+    index.unpersist()
+    return {
+        "op": "incremental_dedup", "rows": n, "shard_rows": m,
+        "wall_s": round(index_s + probe_s, 1),
+        "index_s": round(index_s, 1), "probe_s": round(probe_s, 1),
+        "dups": int(dups), "rows_per_s": int(m / probe_s),
+    }
+
+
 def main():
     from trackintel_spark import get_spark
 
