@@ -50,3 +50,14 @@ def test_bucketed_warehouse_example():
         capture_output=True, text=True, timeout=300, check=True,
     )
     assert "exchange-free bucketed stages: 5/5" in out.stdout, out.stdout[-2000:]
+
+
+def test_incremental_ingest_example():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "incremental_ingest.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300, check=True,
+    )
+    assert "day 0: accepted 500 seed docs" in out.stdout
+    assert "replay day 2: newly accepted 0 (expect 0)" in out.stdout, out.stdout[-2000:]
