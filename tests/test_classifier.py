@@ -116,3 +116,28 @@ def test_ngram_tokens_shape(spark):
         "a b", "b c", "c d",
         "a b c", "b c d",
     ]
+
+
+def test_pareto_keep_rates_and_determinism(spark):
+    from trackintel_spark.scale import pareto_keep
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id"), (F.col("id") % 2 == 0).alias("hi"))
+    scored = df.withColumn("score", F.when(F.col("hi"), 0.95).otherwise(0.05))
+    kept = scored.withColumn("keep", pareto_keep(F.col("score"), F.col("id"), alpha=9.0, seed=1))
+    rates = {
+        r.hi: r.rate
+        for r in kept.groupBy("hi").agg(F.avg(F.col("keep").cast("double")).alias("rate")).collect()
+    }
+    # P(keep) = min(1, (1 - score)^-... ) analytically: P(pareto > 1-s)
+    # = (1/(2-s))^alpha for s<1 → s=0.95: 0.63; s=0.05: 0.0026
+    assert abs(rates[True] - (1 / 1.05) ** 9) < 0.02
+    assert abs(rates[False] - (1 / 1.95) ** 9) < 0.005
+    # deterministic under repartitioning
+    a = {r.id for r in kept.filter("keep").collect()}
+    b = {r.id for r in scored.repartition(13).withColumn(
+        "keep", pareto_keep(F.col("score"), F.col("id"), alpha=9.0, seed=1)
+    ).filter("keep").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        pareto_keep(F.col("score"), F.col("id"), alpha=0.0)

@@ -164,3 +164,61 @@ def test_bucketed_index_join_shuffles_only_the_shard(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_exact_incremental_fuzz_vs_global(spark, seed):
+    """Randomized: texts drawn from a small pool (forcing natural
+    collisions within history, within shard, and across) must produce
+    the same shard keep-set as one global batch dedup."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [f"pooled text variant {i} with shared words" for i in range(12)]
+    hist_rows = [
+        (i, rng.choice(pool) if rng.random() < 0.7 else f"hist unique {seed}-{i}")
+        for i in range(40)
+    ]
+    shard_rows = [
+        (1000 + i, rng.choice(pool) if rng.random() < 0.7 else f"shard unique {seed}-{i}")
+        for i in range(30)
+    ]
+    hist = _docs(spark, hist_rows)
+    shard = _docs(spark, shard_rows)
+    out = dedup_against_index(shard, build_exact_index(hist)).collect()
+    got_new = {r.doc_id for r in out if r.is_new}
+    global_kept = {
+        r.doc_id
+        for r in dedup_exact(hist.unionByName(shard)).collect()
+        if r.doc_id >= 1000
+    }
+    assert got_new == global_kept
+    # dup_of targets always carry the same text as the duplicate
+    texts = dict(hist_rows + shard_rows)
+    for r in out:
+        if r.dup_of is not None:
+            assert texts[r.dup_of] == texts[r.doc_id]
+            assert r.dup_of < r.doc_id
+
+
+def test_bucketed_neardup_index_elides_band_exchange(spark):
+    """The banded index stored bucketed on (band, bhash) joins the
+    shard probe with no exchange on the index side either."""
+    from trackintel_spark.plans.partitioning import write_bucketed
+
+    hist = _docs(spark, [(i, f"history words number {i} alpha beta gamma") for i in range(100)])
+    shard = _docs(spark, [(1000 + i, f"shard words number {i} alpha beta gamma") for i in range(30)])
+    name = "t_neardup_index_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(build_neardup_index(hist), name, ("band", "bhash"), num_buckets=4)
+        out = neardup_against_index(shard, spark.table(name), threshold=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning(band") <= 1, plan  # probe side only
+        assert out.count() == 30
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

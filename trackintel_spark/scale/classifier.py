@@ -40,6 +40,7 @@ __all__ = [
     "shuffled_negatives",
     "train_quality_classifier",
     "classifier_score",
+    "pareto_keep",
 ]
 
 _FEAT = "__features"
@@ -150,9 +151,9 @@ def classifier_score(
     """Score documents with a trained filter: ``out_col`` is
     P(reference-like) in [0, 1]. Map-side only — the coefficient vector
     rides the task closure; the plan has no exchange (pinned in
-    tests/test_classifier.py). Filter with e.g.
-    ``.filter("quality_prob > 0.5")``, or keep the Pareto-style lottery
-    of GPT-3 (keep if ``rand() < exp(-alpha * (1 - prob))``) downstream.
+    tests/test_classifier.py). Filter with a hard gate
+    (``.filter("quality_prob > 0.5")``) or GPT-3's stochastic lottery
+    (:func:`pareto_keep`) downstream.
     """
     from pyspark.ml.functions import vector_to_array
 
@@ -164,3 +165,28 @@ def classifier_score(
     return scored.withColumn(
         out_col, vector_to_array(F.col(model.getProbabilityCol()))[1]
     ).drop(_FEAT, model.getRawPredictionCol(), model.getProbabilityCol(), model.getPredictionCol())
+
+
+def pareto_keep(
+    score: Column, id_col: Column, alpha: float = 9.0, seed: int = 0
+) -> Column:
+    """GPT-3's stochastic document lottery as a boolean Column: keep a
+    document when ``pareto(alpha) > 1 - score`` (Brown et al. 2020
+    appendix A). A hard ``score > t`` gate deletes the tail of the
+    distribution outright; the lottery keeps high scorers almost
+    always and low scorers occasionally, preserving diversity.
+
+    Deterministic and partition-invariant: the Pareto draw is the
+    inverse-CDF transform of a per-document hash uniform (never
+    ``rand()``, which reshuffles with the partitioning) — the same
+    document always wins or loses the same lottery for a given seed.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    # xxhash64 → uniform in (0, 1]: shift into [0, 2^63) then scale,
+    # guarding the 0 endpoint so the Pareto transform stays finite
+    u = (F.shiftrightunsigned(F.xxhash64(id_col, F.lit(seed)), 1).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 63)
+    )
+    pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return pareto > (F.lit(1.0) - score)
