@@ -111,3 +111,54 @@ def test_decontaminate_map_side_runs_under_streaming(spark, tmp_path):
     _run(clean, "t_decon_stream")
     kept = [r["doc_id"] for r in spark.sql("SELECT * FROM t_decon_stream").collect()]
     assert kept == [2]
+
+
+def test_classifier_and_incremental_dedup_run_under_streaming(spark, tmp_path):
+    """Ingest-time composition: a pre-trained quality classifier scores
+    a document stream (model.transform is map-side, so it lifts to
+    streaming unchanged), and arrivals are checked against a STATIC
+    accepted-corpus digest index (stream-static left join). Both
+    verdicts must equal the batch run on the same rows."""
+    from trackintel_spark.scale import (
+        build_exact_index,
+        classifier_score,
+        dedup_against_index,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (1, "the tired engineer waited near the station before breakfast"),
+        (2, "a dog ran across the quiet street during the storm"),
+        (3, "station the near breakfast waited engineer tired the before"),
+        (4, "the old train stopped at the station in the early morning"),
+    ]
+    chunks = [rows[:2], rows[2:]]
+    src = _write_chunks(spark, tmp_path, chunks)
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_quality_classifier(batch.filter("doc_id != 3"), num_features=1 << 14)
+    # history already contains doc 4's text verbatim
+    index = build_exact_index(
+        spark.createDataFrame([(90, rows[3][1])], "doc_id long, text string")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = dedup_against_index(classifier_score(stream, model), index)
+    _run(out.select("doc_id", "quality_prob", "dup_of", "is_new"), "cls_stream")
+
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM cls_stream").collect()}
+    want = {
+        r.doc_id: r
+        for r in dedup_against_index(classifier_score(batch, model), index).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for k in got:
+        assert got[k].quality_prob == want[k].quality_prob
+        assert got[k].dup_of == want[k].dup_of and got[k].is_new == want[k].is_new
+    assert got[4].dup_of == 90 and not got[4].is_new  # history dup caught in-stream
+    assert got[1].is_new and got[2].is_new

@@ -104,14 +104,27 @@ def dedup_against_index(
     With the index stored bucketed on ``digest`` only the shard side
     exchanges; AQE broadcast kicks in when a day's digests fit in
     memory.
+
+    Works on a STREAMING shard too (ingest-time gating): the check
+    becomes the stream-static join against the index only — the
+    within-shard census is a streaming aggregation (not append-safe),
+    and within-STREAM duplicates are
+    :func:`trackintel_spark.streaming.dedup_stream`'s stateful job.
     """
     digested = shard.withColumn("__digest", _digest(text_col))
+    hist = index.select(
+        F.col("digest").alias("__digest"), F.col("first_id").alias("__hist_id")
+    )
+    if shard.isStreaming:
+        out = (
+            digested.join(hist, on="__digest", how="left")
+            .withColumn("dup_of", F.col("__hist_id"))
+            .withColumn("is_new", F.col("dup_of").isNull())
+        )
+        return out.drop("__digest", "__hist_id")
     # earliest occurrence within the shard (min-id rule of dedup_exact)
     shard_first = digested.groupBy("__digest").agg(
         F.min(id_col).alias("__shard_first")
-    )
-    hist = index.select(
-        F.col("digest").alias("__digest"), F.col("first_id").alias("__hist_id")
     )
     out = (
         digested.join(shard_first, on="__digest")
