@@ -72,3 +72,23 @@ def test_corpus_bpe_methods(spark, docs):
     # duplicate docs 1/2 get identical budgets
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in rows}
     assert got[1] == got[2]
+
+
+def test_corpus_incremental_gate_and_classifier(spark, docs):
+    # history = doc 1's text; gate the corpus against it
+    index = Corpus(docs.filter("doc_id = 1")).exact_index()
+    kept = Corpus(docs).dedup_against(index)
+    # 1 and 2 share a text in history -> both rejected; 3 and 4 survive
+    assert {r.doc_id for r in kept.df.collect()} == {3, 4}
+
+    # with the near index too: doc 3 near-dups itself in history
+    from trackintel_spark.scale import build_neardup_index
+
+    near = build_neardup_index(docs.filter("doc_id = 3"))
+    kept2 = Corpus(docs).dedup_against(index, near_index=near, threshold=0.9)
+    assert {r.doc_id for r in kept2.df.collect()} == {4}
+
+    # classifier veneer: self-trained demo path adds the score column
+    scored = Corpus(docs).classify_quality(num_features=1 << 12)
+    rows = scored.df.collect()
+    assert all(0.0 <= r.quality_prob <= 1.0 for r in rows) and len(rows) == 4

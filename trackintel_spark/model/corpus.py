@@ -148,6 +148,60 @@ class Corpus:
             decontaminate_map_side(self.df, bench_shingles, n=n, text_col=self.text_col, **kw)
         )
 
+    def dedup_against(self, index, near_index=None, threshold: float = 0.9, **kw) -> "Corpus":
+        """Incremental gate vs a persisted accepted-corpus index (see
+        :mod:`trackintel_spark.scale.incremental`): exact digest check
+        (plus within-corpus min-id dedup), then — when ``near_index``
+        is given — the MinHash near-dup check on the exact survivors.
+        Keeps only the accepted documents."""
+        from trackintel_spark.scale.incremental import (
+            dedup_against_index,
+            neardup_against_index,
+        )
+
+        out = (
+            dedup_against_index(self.df, index, text_col=self.text_col, id_col=self.id_col)
+            .filter("is_new")
+            .drop("dup_of", "is_new")
+        )
+        if near_index is not None:
+            out = (
+                neardup_against_index(
+                    out, near_index, threshold, text_col=self.text_col,
+                    id_col=self.id_col, **kw,
+                )
+                .filter("is_new")
+                .drop("dup_of", "jaccard_est", "is_new")
+            )
+        return self._wrap(out)
+
+    def exact_index(self):
+        """The corpus's compact digest index — persist it (bucketed on
+        ``digest``) and gate tomorrow's shard with :meth:`dedup_against`."""
+        from trackintel_spark.scale.incremental import build_exact_index
+
+        return build_exact_index(self.df, text_col=self.text_col, id_col=self.id_col)
+
+    def classify_quality(self, model=None, out_col: str = "quality_prob", **train_kw) -> "Corpus":
+        """Score with a trained fastText-style filter (see
+        :mod:`trackintel_spark.scale.classifier`); with ``model=None``
+        one is trained on this corpus vs its shuffled negatives first
+        (demo convenience — production trains once on a trusted
+        reference sample and reuses the saved model)."""
+        from trackintel_spark.scale.classifier import (
+            classifier_score,
+            train_quality_classifier,
+        )
+
+        if model is None:
+            model = train_quality_classifier(
+                self.df.select(self.id_col, self.text_col),
+                text_col=self.text_col, **train_kw,
+            )
+        return self._wrap(
+            classifier_score(self.df, model, text_col=self.text_col, out_col=out_col)
+        )
+
     def redact_pii(self, **kw) -> "Corpus":
         from trackintel_spark.scale.text import redact_pii
 
