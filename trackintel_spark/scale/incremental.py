@@ -248,6 +248,9 @@ def neardup_against_index(
     )
     matches = (
         probe.join(idx, on=["band", "bhash"])
+        # near-identical pairs collide in EVERY band — verify each
+        # (shard, hist) pair once, like the batch candidate path
+        .dropDuplicates(["__id", "__hist_id"])
         .withColumn("__est", eq.cast("double") / F.size("minhash"))
         .filter(F.col("__est") >= F.lit(float(threshold)))
         .groupBy("__id")
