@@ -1045,6 +1045,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trajectory_distances"] = q_trajectory_distances
 
+    def q_trajectory_join(spark, sf):
+        from trackintel_spark.geogr import trajectory_similarity_join
+
+        # 2-vertex movements make both DPs closed-form for the oracle
+        # (dtw = d_ss + d_ee, frechet = max(d_ss, d_ee)) while the
+        # Spark side runs the full grid/LB/refine join machinery
+        tpls = _movements(spark, sf).filter(F.col("user_id") <= 2)
+        fre = trajectory_similarity_join(tpls, 3000.0, metric="frechet").select(
+            F.lit("frechet").alias("metric"), "id_a", "id_b", _r("dist_m", 3).alias("dist_m")
+        )
+        dtw = trajectory_similarity_join(tpls, 3000.0, metric="dtw").select(
+            F.lit("dtw").alias("metric"), "id_a", "id_b", _r("dist_m", 3).alias("dist_m")
+        )
+        return fre.unionByName(dtw)
+
+    q["trajectory_join"] = q_trajectory_join
+
     def q_dbscan_distributed(spark, sf):
         from trackintel_spark.operators import dbscan_distributed
 
@@ -1192,7 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix", "minhash",
         # round-7 additions (oracle-backed; outside the driver prefix)
-        "gopher_quality", "dedup_incremental",
+        "gopher_quality", "dedup_incremental", "trajectory_join",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2468,6 +2485,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'dtw' AS metric, i, j, ROUND(c00 + c11, 3) AS dist_m FROM pairs
         UNION ALL
         SELECT 'frechet' AS metric, i, j, ROUND(GREATEST(c00, c11), 3) AS dist_m FROM pairs
+    """
+
+    o["trajectory_join"] = f"""
+        WITH mv AS (SELECT * FROM ({_movements_sql()}) WHERE user_id <= 2),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   {_hav_sql('a.o_lon', 'a.o_lat', 'b.o_lon', 'b.o_lat')} AS c00,
+                   {_hav_sql('a.d_lon', 'a.d_lat', 'b.d_lon', 'b.d_lat')} AS c11
+            FROM mv a JOIN mv b ON a.id < b.id
+        )
+        SELECT 'frechet' AS metric, id_a, id_b, ROUND(GREATEST(c00, c11), 3) AS dist_m
+        FROM pairs WHERE GREATEST(c00, c11) <= 3000.0
+        UNION ALL
+        SELECT 'dtw' AS metric, id_a, id_b, ROUND(c00 + c11, 3) AS dist_m
+        FROM pairs WHERE c00 + c11 <= 3000.0
     """
 
     # header sniffing over real magic-byte payloads (attach_media_metadata)

@@ -1,0 +1,100 @@
+"""trajectory_similarity_join == brute-force all-pairs DP under tau.
+
+The operator's exactness claim is that grid candidates + endpoint
+lower bounds lose NO qualifying pair; the randomized tests check the
+returned (id_a, id_b, dist) set against an all-pairs numpy ground
+truth for both metrics, across taus that exercise sparse and dense
+result regimes, with trajectories deliberately straddling cell
+boundaries.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.geogr import trajectory_similarity_join
+from trackintel_spark.geogr.trajectory_distance import dtw_distance, frechet_distance
+
+
+def _mk_trajs(n, seed, spread_deg=0.02):
+    """Random walks around a handful of anchor points near Zurich —
+    anchors much closer than the grid cell size, so candidate cells
+    overlap heavily and boundary-straddling pairs are guaranteed."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        ax = 8.5 + (i % 5) * spread_deg
+        ay = 47.4 + (i % 3) * spread_deg
+        length = rng.randint(2, 9)
+        lon, lat = ax + rng.uniform(-5e-3, 5e-3), ay + rng.uniform(-5e-3, 5e-3)
+        pts = []
+        for _ in range(length):
+            pts.append({"lon": lon, "lat": lat})
+            lon += rng.uniform(-2e-3, 2e-3)
+            lat += rng.uniform(-2e-3, 2e-3)
+        rows.append((i, pts))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, geom array<struct<lon:double,lat:double>>"
+    )
+
+
+def _brute(rows, fn, tau):
+    arrs = {
+        i: np.array([[p["lon"], p["lat"]] for p in pts], dtype=float) for i, pts in rows
+    }
+    out = {}
+    ids = sorted(arrs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = fn(arrs[ids[x]], arrs[ids[y]])
+            if d <= tau:
+                out[(ids[x], ids[y])] = d
+    return out
+
+
+@pytest.mark.parametrize("metric,fn", [("frechet", frechet_distance), ("dtw", dtw_distance)])
+@pytest.mark.parametrize("seed,tau", [(0, 400.0), (1, 900.0), (2, 2500.0)])
+def test_join_matches_bruteforce(spark, metric, fn, seed, tau):
+    rows = _mk_trajs(50, seed)
+    got = {
+        (r.id_a, r.id_b): r.dist_m
+        for r in trajectory_similarity_join(_df(spark, rows), tau, metric=metric).collect()
+    }
+    want = _brute(rows, fn, tau)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+    if seed == 2:
+        assert len(want) > 20  # dense regime is non-vacuous
+
+
+def test_join_plan_is_equi_not_cartesian(spark):
+    rows = _mk_trajs(30, seed=5)
+    df = trajectory_similarity_join(_df(spark, rows), 500.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_validation_and_edges(spark):
+    rows = _mk_trajs(10, seed=3)
+    with pytest.raises(ValueError):
+        trajectory_similarity_join(_df(spark, rows), 100.0, metric="hausdorff")
+    with pytest.raises(ValueError):
+        trajectory_similarity_join(_df(spark, rows), -1.0)
+    # far-apart trajectories: empty result, schema intact
+    far = [(0, [{"lon": 8.5, "lat": 47.4}]), (1, [{"lon": 9.5, "lat": 48.4}])]
+    out = trajectory_similarity_join(_df(spark, far), 50.0)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "dist_m"]
+    # identical single-vertex trajectories: one pair at distance 0
+    same = [(0, [{"lon": 8.5, "lat": 47.4}]), (1, [{"lon": 8.5, "lat": 47.4}])]
+    got = trajectory_similarity_join(_df(spark, same), 1.0).collect()
+    assert len(got) == 1 and got[0].dist_m == 0.0 and (got[0].id_a, got[0].id_b) == (0, 1)

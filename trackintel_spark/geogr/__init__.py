@@ -5,7 +5,11 @@ from trackintel_spark.geogr.distances import (
 )
 from trackintel_spark.geogr.crs import check_planar, transform_points, transform_xy
 from trackintel_spark.geogr.filter import spatial_filter
-from trackintel_spark.geogr.trajectory_distance import trajectory_distance_matrix, trajectory_topk
+from trackintel_spark.geogr.trajectory_distance import (
+    trajectory_distance_matrix,
+    trajectory_similarity_join,
+    trajectory_topk,
+)
 
 # reference-named aliases (trackintel.geogr exports these names; the
 # engine implementations live in functions/spatial.py and geogr/crs.py)
@@ -30,5 +34,6 @@ __all__ = [
     "meters_to_decimal_degrees",
     "spatial_filter",
     "trajectory_distance_matrix",
+    "trajectory_similarity_join",
     "trajectory_topk",
 ]

@@ -221,3 +221,161 @@ def trajectory_topk(
     rows = topk.collect()
     flat.unpersist()
     return tpls.sparkSession.createDataFrame(rows, f"{id_col} long, dist_m double, rank int")
+
+
+_DEG2M = 111_320.0  # meters per degree of latitude
+
+
+def trajectory_similarity_join(
+    tpls: DataFrame,
+    tau_m: float,
+    metric: str = "frechet",
+    id_col: str = "id",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """EXACT trajectory similarity self-join: all pairs ``(id_a <
+    id_b)`` with ``distance <= tau_m`` — the distributed trajectory
+    similarity JOIN problem (the ICDE'19 road-network join and SIGMOD'23
+    Ghost attack the same query; here the Spark-shaped three-phase plan,
+    the join sibling of :func:`trajectory_topk`'s search):
+
+    1. **candidates** — both DTW and discrete Fréchet couple start
+       with start and end with end, so a qualifying pair needs
+       ``d(start_a, start_b) <= tau``. Start points land on a
+       latitude-banded grid (band height = tau; per-band longitude
+       width scaled by the band's equator-near cosine, the
+       dbscan_distributed discipline), one side keeps its own cell,
+       the other probes every cell its tau-disk touches: an equi-join
+       on the cell key — never a cartesian product. Only (tid,
+       endpoints) rows shuffle here, not vertex arrays.
+    2. **lower-bound filter** — exact endpoint distances kill every
+       pair with ``LB > tau`` (``dF >= max(d_ss, d_ee)``,
+       ``DTW >= d_ss + d_ee``) as a Column predicate.
+    3. **refine** — vertex arrays join back onto the surviving pairs
+       only (two co-keyed joins), and the O(len·len) DP kernel runs in
+       Arrow batches; pairs with exact distance <= tau survive.
+
+    Exactness: phase 1 is a superset of all qualifying pairs by the
+    coupling argument (pinned against the brute-force all-pairs DP in
+    tests/test_trajectory_join.py). Longitude cells do not wrap at
+    ±180° — a pair straddling the antimeridian is missed (same
+    documented limitation as dbscan_distributed).
+
+    Returns ``(id_a, id_b, dist_m)``.
+
+    Reference: the reference engine only offers the full O(n²)
+    distance MATRIX via `similaritymeasures` per pair
+    (geogr/distances.py:156-185); a thresholded join at scale must
+    prune before it pays the DP, which is this operator.
+    """
+    fn = {"dtw": dtw_distance, "frechet": frechet_distance}.get(metric)
+    if fn is None:
+        raise ValueError(f"metric unknown, one of ('dtw', 'frechet'), got {metric!r}")
+    if tau_m < 0:
+        raise ValueError(f"tau_m must be >= 0, got {tau_m}")
+
+    from trackintel_spark.functions.spatial import haversine_m
+
+    flat = tpls.select(
+        F.col(id_col).alias("__tid"),
+        F.transform(geom_col, lambda p: p["lon"]).alias("__lons"),
+        F.transform(geom_col, lambda p: p["lat"]).alias("__lats"),
+    ).filter(F.size("__lons") > 0)
+
+    ends = flat.select(
+        "__tid",
+        F.element_at("__lons", 1).alias("s_lon"),
+        F.element_at("__lats", 1).alias("s_lat"),
+        F.element_at("__lons", -1).alias("e_lon"),
+        F.element_at("__lats", -1).alias("e_lat"),
+    )
+
+    cell_deg = max(tau_m, 1.0) / _DEG2M  # band height = tau in lat degrees
+    cy = F.floor(F.col("s_lat") / cell_deg).cast("long")
+    # per-band longitude cell width, sized by the band's equator-near
+    # edge so the physical width is >= tau everywhere in the band
+    eq_edge = F.greatest(cy, -cy - 1).cast("double") * cell_deg
+    pole_edge = F.least(eq_edge + cell_deg, F.lit(90.0))
+    cos_eq = F.greatest(F.cos(F.radians(eq_edge)), F.lit(1e-9))
+    own_w = F.lit(cell_deg) / cos_eq
+
+    a = ends.select(
+        F.col("__tid").alias("id_a"),
+        F.col("s_lon").alias("__sa_lon"), F.col("s_lat").alias("__sa_lat"),
+        F.col("e_lon").alias("__ea_lon"), F.col("e_lat").alias("__ea_lat"),
+        cy.alias("cy"),
+        F.floor(F.col("s_lon") / own_w).cast("long").alias("cx"),
+    )
+
+    # probe side: every cell the tau-disk around the start touches —
+    # dy in {-1,0,1} (band height = tau), tx range per TARGET band
+    # computed against that band's own width and SMALLEST cosine so a
+    # true neighbor is never dropped
+    def _probes(dy: int):
+        t_cy = cy + F.lit(dy)
+        t_eq = F.greatest(t_cy, -t_cy - 1).cast("double") * cell_deg
+        t_pole = F.least(t_eq + cell_deg, F.lit(90.0))
+        t_cos_eq = F.greatest(F.cos(F.radians(t_eq)), F.lit(1e-9))
+        t_cos_pole = F.greatest(F.cos(F.radians(t_pole)), F.lit(1e-9))
+        w_t = F.lit(cell_deg) / t_cos_eq
+        r_deg = F.lit(cell_deg * 1.05) / t_cos_pole
+        lo = F.floor((F.col("s_lon") - r_deg) / w_t).cast("long")
+        hi = F.floor((F.col("s_lon") + r_deg) / w_t).cast("long")
+        return F.transform(
+            F.sequence(lo, hi),
+            lambda tx: F.struct(t_cy.alias("cy"), tx.alias("cx")),
+        )
+
+    b = (
+        ends.select(
+            F.col("__tid").alias("id_b"),
+            F.col("s_lon").alias("__sb_lon"), F.col("s_lat").alias("__sb_lat"),
+            F.col("e_lon").alias("__eb_lon"), F.col("e_lat").alias("__eb_lat"),
+            F.explode(F.concat(_probes(-1), _probes(0), _probes(1))).alias("__c"),
+        )
+        .select("id_b", "__sb_lon", "__sb_lat", "__eb_lon", "__eb_lat",
+                F.col("__c.cy").alias("cy"), F.col("__c.cx").alias("cx"))
+    )
+
+    d_ss = haversine_m(F.col("__sa_lon"), F.col("__sa_lat"), F.col("__sb_lon"), F.col("__sb_lat"))
+    d_ee = haversine_m(F.col("__ea_lon"), F.col("__ea_lat"), F.col("__eb_lon"), F.col("__eb_lat"))
+    lb = F.greatest(d_ss, d_ee) if metric == "frechet" else (d_ss + d_ee)
+    cand = (
+        a.join(b, on=["cy", "cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(lb <= F.lit(float(tau_m)))
+        .select("id_a", "id_b")
+    )
+
+    # refine: vertex arrays join back onto the SURVIVING pairs only
+    arrs = flat.select("__tid", "__lons", "__lats")
+    pairs = (
+        cand.join(arrs.select(F.col("__tid").alias("id_a"),
+                              F.col("__lons").alias("la"), F.col("__lats").alias("pa")), on="id_a")
+        .join(arrs.select(F.col("__tid").alias("id_b"),
+                          F.col("__lons").alias("lb"), F.col("__lats").alias("pb")), on="id_b")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            ta = np.column_stack((row.la, row.pa))
+            tb = np.column_stack((row.lb, row.pb))
+            d = fn(ta, tb)
+            if d <= tau_m:
+                out.append((row.id_a, row.id_b, d))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "dist_m"])
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+    from trackintel_spark.plans.partitioning import kernel_partitions
+
+    return (
+        pairs.repartition(kernel_partitions(pairs))
+        .mapInPandas(lambda it: (kernel(pdf) for pdf in it), schema=schema)
+    )
