@@ -1062,6 +1062,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trajectory_join"] = q_trajectory_join
 
+    def q_trajectory_match(spark, sf):
+        from trackintel_spark.streaming import (
+            index_trajectory_corpus,
+            trajectory_match_stream,
+        )
+
+        # stream-vs-corpus matching on the unified batch path: corpus =
+        # users 1-2, probes = users 3-4 (2-vertex movements keep the
+        # oracle closed-form; the full index/LB/refine machinery runs)
+        mv = _movements(spark, sf)
+        corpus = mv.filter(F.col("user_id") <= 2).select("id", "geom")
+        probes = mv.filter(F.col("user_id").isin(3, 4)).select("id", "geom")
+        cells, arrays = index_trajectory_corpus(corpus, 8000.0)
+        out = trajectory_match_stream(probes, cells, arrays, 8000.0, metric="frechet")
+        return out.select("query_id", "match_id", _r("dist_m", 3).alias("dist_m"))
+
+    q["trajectory_match"] = q_trajectory_match
+
     def q_dbscan_distributed(spark, sf):
         from trackintel_spark.operators import dbscan_distributed
 
@@ -1210,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tracking_quality_all", "distance_matrix", "minhash",
         # round-7 additions (oracle-backed; outside the driver prefix)
         "gopher_quality", "dedup_incremental", "trajectory_join",
+        "trajectory_match",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2500,6 +2519,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'dtw' AS metric, id_a, id_b, ROUND(c00 + c11, 3) AS dist_m
         FROM pairs WHERE c00 + c11 <= 3000.0
+    """
+
+    o["trajectory_match"] = f"""
+        WITH mv AS (SELECT * FROM ({_movements_sql()})),
+        corpus AS (SELECT * FROM mv WHERE user_id <= 2),
+        probes AS (SELECT * FROM mv WHERE user_id IN (3, 4))
+        SELECT q.id AS query_id, c.id AS match_id,
+               ROUND(GREATEST({_hav_sql('q.o_lon', 'q.o_lat', 'c.o_lon', 'c.o_lat')},
+                              {_hav_sql('q.d_lon', 'q.d_lat', 'c.d_lon', 'c.d_lat')}), 3) AS dist_m
+        FROM probes q JOIN corpus c
+          ON GREATEST({_hav_sql('q.o_lon', 'q.o_lat', 'c.o_lon', 'c.o_lat')},
+                      {_hav_sql('q.d_lon', 'q.d_lat', 'c.d_lon', 'c.d_lat')}) <= 8000.0
     """
 
     # header sniffing over real magic-byte payloads (attach_media_metadata)
