@@ -127,6 +127,35 @@ def main() -> None:
 
         tpl = run(triplegs_stream_exact, "tpl_stream", **PARAMS)
         print(f"streaming triplegs emitted:  {tpl.count()}")
+
+        # ---- online route matching: arriving triplegs vs known routes ----
+        # Index the first-seen half of the triplegs as the "known route"
+        # corpus (in production: yesterday's warehouse), then match the
+        # rest against it within 500 m discrete-Frechet — stateless
+        # stream-side (one cell per arrival into a stream-static join).
+        from trackintel_spark.sources import wkt as _wkt
+        from trackintel_spark.streaming import (
+            index_trajectory_corpus,
+            trajectory_match_stream,
+        )
+
+        routes = (
+            tpl.withColumn("geom", _wkt.parse_wkt_linestring(F.col("geom_wkt")))
+            .withColumn("id", F.monotonically_increasing_id())
+            .select("id", "geom")
+            .persist()
+        )
+        half = routes.count() // 2
+        corpus = routes.filter(F.col("id") % 2 == 0)
+        probes = routes.filter(F.col("id") % 2 == 1)
+        cells, arrays = index_trajectory_corpus(corpus, 500.0)
+        matches = trajectory_match_stream(
+            probes, cells.persist(), arrays.persist(), 500.0, metric="frechet"
+        )
+        print(
+            f"online route matches (<=500m frechet): {matches.count()} "
+            f"across {half} probes vs {routes.count() - half} known routes"
+        )
         trips = run(trips_stream_exact, "trip_stream", activity_threshold=15, **PARAMS)
         n_trips = trips.count()
         nulls = trips.filter("destination_started_at is null").count()
