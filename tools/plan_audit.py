@@ -36,7 +36,7 @@ AUDIT = [
     "tpch_q1", "tpch_q3ish", "minhash_lsh_pairs", "embedding_topk", "lsh_topk",
     "spatial_filter", "trajectory_distances", "asof_join", "top_tokens",
     "line_dedup", "substring_dedup", "decontaminate", "chunk_dedup",
-    "dedup_incremental", "gopher_quality",
+    "dedup_incremental", "gopher_quality", "trajectory_join", "trajectory_match",
 ]
 
 
