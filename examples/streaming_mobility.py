@@ -129,7 +129,7 @@ def main() -> None:
         print(f"streaming triplegs emitted:  {tpl.count()}")
 
         # ---- online route matching: arriving triplegs vs known routes ----
-        # Index the first-seen half of the triplegs as the "known route"
+        # Index the even-id triplegs as the "known route"
         # corpus (in production: yesterday's warehouse), then match the
         # rest against it within 500 m discrete-Frechet — stateless
         # stream-side (one cell per arrival into a stream-static join).
@@ -145,7 +145,6 @@ def main() -> None:
             .select("id", "geom")
             .persist()
         )
-        half = routes.count() // 2
         corpus = routes.filter(F.col("id") % 2 == 0)
         probes = routes.filter(F.col("id") % 2 == 1)
         cells, arrays = index_trajectory_corpus(corpus, 500.0)
@@ -154,7 +153,7 @@ def main() -> None:
         )
         print(
             f"online route matches (<=500m frechet): {matches.count()} "
-            f"across {half} probes vs {routes.count() - half} known routes"
+            f"across {probes.count()} probes vs {corpus.count()} known routes"
         )
         trips = run(trips_stream_exact, "trip_stream", activity_threshold=15, **PARAMS)
         n_trips = trips.count()

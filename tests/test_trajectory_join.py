@@ -10,6 +10,7 @@ boundaries.
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -98,3 +99,34 @@ def test_join_validation_and_edges(spark):
     same = [(0, [{"lon": 8.5, "lat": 47.4}]), (1, [{"lon": 8.5, "lat": 47.4}])]
     got = trajectory_similarity_join(_df(spark, same), 1.0).collect()
     assert len(got) == 1 and got[0].dist_m == 0.0 and (got[0].id_a, got[0].id_b) == (0, 1)
+
+
+def test_band_boundary_near_threshold_pair_not_dropped(spark):
+    """Regression (review finding): the grid constant must match the
+    haversine sphere. Two identical-shape trajectories 999.5 m apart in
+    pure latitude, the southern start just below a band boundary with
+    tau=1000 — with a 111,320 m/deg grid the starts land two bands
+    apart and the pair silently vanishes."""
+    tau = 1000.0
+    # anchor the southern start ~0.3 m below a boundary of the WRONG
+    # (111,320 m/deg) grid: under that grid the two starts land TWO
+    # bands apart (dlat exceeds its cell height by ~0.64 m) and the
+    # pair vanishes; under the haversine-consistent grid dlat <= cell
+    # height, so the bands differ by at most one and the pair is found
+    cell_wrong = tau / 111_320.0
+    base_lat = 47.0
+    lat0 = (math.floor(base_lat / cell_wrong) + 1) * cell_wrong - 0.3 / 111_194.93
+    dlat = 999.5 / 111_194.93  # ~999.5 m north
+    rows = [
+        (0, [{"lon": 8.5, "lat": lat0}, {"lon": 8.501, "lat": lat0}]),
+        (1, [{"lon": 8.5, "lat": lat0 + dlat}, {"lon": 8.501, "lat": lat0 + dlat}]),
+    ]
+    got = trajectory_similarity_join(_df(spark, rows), tau, metric="frechet").collect()
+    assert len(got) == 1 and got[0].dist_m <= tau
+
+    # and the streaming match side shares the geometry
+    from trackintel_spark.streaming import index_trajectory_corpus, trajectory_match_stream
+
+    cells, arrays = index_trajectory_corpus(_df(spark, rows[:1]), tau)
+    m = trajectory_match_stream(_df(spark, rows[1:]), cells, arrays, tau).collect()
+    assert len(m) == 1 and m[0].match_id == 0

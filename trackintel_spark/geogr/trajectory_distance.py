@@ -16,6 +16,8 @@ Kernels are numpy ports of the standard algorithms (public knowledge):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -223,7 +225,13 @@ def trajectory_topk(
     return tpls.sparkSession.createDataFrame(rows, f"{id_col} long, dist_m double, rank int")
 
 
-_DEG2M = 111_320.0  # meters per degree of latitude
+# meters per degree of latitude under the SAME sphere haversine_m and
+# _pair_cost use (R = 6,371,000) — the grid must be sized with the
+# metric it bounds, or bands come out ~0.11% short and a
+# near-threshold pure-latitude pair straddling two band boundaries
+# would be dropped (caught in review; regression-pinned in
+# tests/test_trajectory_join.py)
+_DEG2M = math.pi / 180.0 * 6_371_000.0
 
 
 def trajectory_similarity_join(
@@ -295,7 +303,6 @@ def trajectory_similarity_join(
     # per-band longitude cell width, sized by the band's equator-near
     # edge so the physical width is >= tau everywhere in the band
     eq_edge = F.greatest(cy, -cy - 1).cast("double") * cell_deg
-    pole_edge = F.least(eq_edge + cell_deg, F.lit(90.0))
     cos_eq = F.greatest(F.cos(F.radians(eq_edge)), F.lit(1e-9))
     own_w = F.lit(cell_deg) / cos_eq
 
