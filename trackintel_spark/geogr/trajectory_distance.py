@@ -16,8 +16,6 @@ Kernels are numpy ports of the standard algorithms (public knowledge):
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -225,13 +223,7 @@ def trajectory_topk(
     return tpls.sparkSession.createDataFrame(rows, f"{id_col} long, dist_m double, rank int")
 
 
-# meters per degree of latitude under the SAME sphere haversine_m and
-# _pair_cost use (R = 6,371,000) — the grid must be sized with the
-# metric it bounds, or bands come out ~0.11% short and a
-# near-threshold pure-latitude pair straddling two band boundaries
-# would be dropped (caught in review; regression-pinned in
-# tests/test_trajectory_join.py)
-_DEG2M = math.pi / 180.0 * 6_371_000.0
+
 
 
 def trajectory_similarity_join(
@@ -298,47 +290,24 @@ def trajectory_similarity_join(
         F.element_at("__lats", -1).alias("e_lat"),
     )
 
-    cell_deg = max(tau_m, 1.0) / _DEG2M  # band height = tau in lat degrees
-    cy = F.floor(F.col("s_lat") / cell_deg).cast("long")
-    # per-band longitude cell width, sized by the band's equator-near
-    # edge so the physical width is >= tau everywhere in the band
-    eq_edge = F.greatest(cy, -cy - 1).cast("double") * cell_deg
-    cos_eq = F.greatest(F.cos(F.radians(eq_edge)), F.lit(1e-9))
-    own_w = F.lit(cell_deg) / cos_eq
+    from trackintel_spark.geogr._grid import cell_size_deg, own_cell, probe_cells
 
+    cell_deg = cell_size_deg(tau_m)
+    cy, cx = own_cell(F.col("s_lon"), F.col("s_lat"), cell_deg)
     a = ends.select(
         F.col("__tid").alias("id_a"),
         F.col("s_lon").alias("__sa_lon"), F.col("s_lat").alias("__sa_lat"),
         F.col("e_lon").alias("__ea_lon"), F.col("e_lat").alias("__ea_lat"),
-        cy.alias("cy"),
-        F.floor(F.col("s_lon") / own_w).cast("long").alias("cx"),
+        cy.alias("cy"), cx.alias("cx"),
     )
 
-    # probe side: every cell the tau-disk around the start touches —
-    # dy in {-1,0,1} (band height = tau), tx range per TARGET band
-    # computed against that band's own width and SMALLEST cosine so a
-    # true neighbor is never dropped
-    def _probes(dy: int):
-        t_cy = cy + F.lit(dy)
-        t_eq = F.greatest(t_cy, -t_cy - 1).cast("double") * cell_deg
-        t_pole = F.least(t_eq + cell_deg, F.lit(90.0))
-        t_cos_eq = F.greatest(F.cos(F.radians(t_eq)), F.lit(1e-9))
-        t_cos_pole = F.greatest(F.cos(F.radians(t_pole)), F.lit(1e-9))
-        w_t = F.lit(cell_deg) / t_cos_eq
-        r_deg = F.lit(cell_deg * 1.05) / t_cos_pole
-        lo = F.floor((F.col("s_lon") - r_deg) / w_t).cast("long")
-        hi = F.floor((F.col("s_lon") + r_deg) / w_t).cast("long")
-        return F.transform(
-            F.sequence(lo, hi),
-            lambda tx: F.struct(t_cy.alias("cy"), tx.alias("cx")),
-        )
-
+    # probe side: every cell the tau-disk around the start touches
     b = (
         ends.select(
             F.col("__tid").alias("id_b"),
             F.col("s_lon").alias("__sb_lon"), F.col("s_lat").alias("__sb_lat"),
             F.col("e_lon").alias("__eb_lon"), F.col("e_lat").alias("__eb_lat"),
-            F.explode(F.concat(_probes(-1), _probes(0), _probes(1))).alias("__c"),
+            F.explode(probe_cells(F.col("s_lon"), F.col("s_lat"), cell_deg)).alias("__c"),
         )
         .select("id_b", "__sb_lon", "__sb_lat", "__eb_lon", "__eb_lat",
                 F.col("__c.cy").alias("cy"), F.col("__c.cx").alias("cx"))

@@ -41,11 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from trackintel_spark.geogr.trajectory_distance import (
-    _DEG2M,
-    dtw_distance,
-    frechet_distance,
-)
+from trackintel_spark.geogr._grid import cell_size_deg, own_cell, probe_cells
+from trackintel_spark.geogr.trajectory_distance import dtw_distance, frechet_distance
 
 __all__ = ["index_trajectory_corpus", "trajectory_match_stream"]
 
@@ -78,30 +75,12 @@ def index_trajectory_corpus(
     ``(cells, arrays)`` — persist both (or write them as tables; the
     cells frame benefits from bucketing on ``(cy, cx)``). ``tau_m``
     must match the later match call: cell geometry is tau-derived."""
-    if tau_m < 0:
-        raise ValueError(f"tau_m must be >= 0, got {tau_m}")
-    cell_deg = max(tau_m, 1.0) / _DEG2M
+    cell_deg = cell_size_deg(tau_m)
     flat = _endpoints(_flatten(corpus, id_col, geom_col, "c_"), "c_")
-
-    cy = F.floor(F.col("c_s_lat") / cell_deg).cast("long")
-
-    def _probes(dy: int):
-        t_cy = cy + F.lit(dy)
-        t_eq = F.greatest(t_cy, -t_cy - 1).cast("double") * cell_deg
-        t_pole = F.least(t_eq + cell_deg, F.lit(90.0))
-        t_cos_eq = F.greatest(F.cos(F.radians(t_eq)), F.lit(1e-9))
-        t_cos_pole = F.greatest(F.cos(F.radians(t_pole)), F.lit(1e-9))
-        w_t = F.lit(cell_deg) / t_cos_eq
-        r_deg = F.lit(cell_deg * 1.05) / t_cos_pole
-        lo = F.floor((F.col("c_s_lon") - r_deg) / w_t).cast("long")
-        hi = F.floor((F.col("c_s_lon") + r_deg) / w_t).cast("long")
-        return F.transform(
-            F.sequence(lo, hi), lambda tx: F.struct(t_cy.alias("cy"), tx.alias("cx"))
-        )
 
     cells = flat.select(
         "c_id", "c_s_lon", "c_s_lat", "c_e_lon", "c_e_lat",
-        F.explode(F.concat(_probes(-1), _probes(0), _probes(1))).alias("__c"),
+        F.explode(probe_cells(F.col("c_s_lon"), F.col("c_s_lat"), cell_deg)).alias("__c"),
     ).select(
         F.col("__c.cy").alias("cy"), F.col("__c.cx").alias("cx"),
         "c_id", "c_s_lon", "c_s_lat", "c_e_lon", "c_e_lat",
@@ -130,15 +109,10 @@ def trajectory_match_stream(
 
     from trackintel_spark.functions.spatial import haversine_m
 
-    cell_deg = max(tau_m, 1.0) / _DEG2M
+    cell_deg = cell_size_deg(tau_m)
     q = _endpoints(_flatten(trajs, id_col, geom_col, "q_"), "q_")
-    cy = F.floor(F.col("q_s_lat") / cell_deg).cast("long")
-    eq_edge = F.greatest(cy, -cy - 1).cast("double") * cell_deg
-    cos_eq = F.greatest(F.cos(F.radians(eq_edge)), F.lit(1e-9))
-    own_w = F.lit(cell_deg) / cos_eq
-    q = q.withColumn("cy", cy).withColumn(
-        "cx", F.floor(F.col("q_s_lon") / own_w).cast("long")
-    )
+    cy, cx = own_cell(F.col("q_s_lon"), F.col("q_s_lat"), cell_deg)
+    q = q.withColumn("cy", cy).withColumn("cx", cx)
 
     d_ss = haversine_m(F.col("q_s_lon"), F.col("q_s_lat"), F.col("c_s_lon"), F.col("c_s_lat"))
     d_ee = haversine_m(F.col("q_e_lon"), F.col("q_e_lat"), F.col("c_e_lon"), F.col("c_e_lat"))
