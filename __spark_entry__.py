@@ -1212,11 +1212,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1", "tpch_q3ish", "tpch_q5ish",
         # scale: text / dedup / similarity.  r7 rotation: substring_dedup
         # (the r6 flagship Lee-et-al span-dedup operator) moves INTO the
-        # scored prefix; minhash moves out — its signature kernel is
-        # already exercised in-prefix by minhash_lsh_pairs, and it keeps
-        # its oracle here plus pytest coverage.
+        # scored prefix and minhash moves out (its signature kernel is
+        # already exercised in-prefix by minhash_lsh_pairs); the round-7
+        # flagships dedup_incremental (shard-vs-history index gate) and
+        # trajectory_join (grid/LB/refine similarity join) move in for
+        # fingerprint + simhash, whose single-expression/single-agg
+        # kernels the other in-prefix text queries already exercise.
+        # Everything rotated out keeps its oracle after position 50 plus
+        # pytest coverage.
         "dedup_exact", "token_count", "quality_score", "detect_language",
-        "fingerprint", "simhash", "substring_dedup", "ngram_jaccard",
+        "dedup_incremental", "trajectory_join", "substring_dedup", "ngram_jaccard",
         "minhash_lsh_pairs",
         "embedding_topk", "embedding_dedup", "semantic_dedup", "line_dedup",
         "lsh_topk", "multimodal_features",
@@ -1226,9 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-backed here and pytest-covered.
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix", "minhash",
+        "fingerprint", "simhash",
         # round-7 additions (oracle-backed; outside the driver prefix)
-        "gopher_quality", "dedup_incremental", "trajectory_join",
-        "trajectory_match",
+        "gopher_quality", "trajectory_match",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
