@@ -54,7 +54,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from trackintel_spark import get_spark
 
-    spark = get_spark(app_name="check_correctness", master="local[8]", shuffle_partitions=8)
+    # defaults favor fast local iteration; export SPARK_GRAFT_CPUS /
+    # SPARK_GRAFT_SHUFFLE to reproduce the driver's regime (local[32]/200)
+    import os
+    master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]" if "SPARK_GRAFT_CPUS" in os.environ else "local[8]"
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark(app_name="check_correctness", master=master, shuffle_partitions=shuffle)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
