@@ -111,7 +111,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         frac = float(os.environ.get("SPARK_GRAFT_SCALE_FRACTION", "1"))
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        from scale_probe import run_chain
+        from scale_probe import run_chain, run_trajectory_join
         from scale_probe_llm import run_asof, run_incremental_dedup, run_line_dedup, run_semantic_dedup_defaults
 
         probes = [
@@ -122,12 +122,14 @@ def main() -> None:
              lambda: run_semantic_dedup_defaults(spark, int(400_000 * frac))),
             ("incremental_dedup_1m",
              lambda: run_incremental_dedup(spark, int(1_000_000 * frac))),
+            ("trajectory_join_200k",
+             lambda: run_trajectory_join(spark, int(200_000 * frac))),
         ]
         for name, fn in probes:
             r = fn()
             keep = ("rows", "wall_s", "rows_per_s", "count_s", "kmeans_s", "dedup_s",
                     "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s",
-                    "shard_rows", "index_s", "probe_s")
+                    "shard_rows", "index_s", "probe_s", "pairs")
             scale[name] = {k: r[k] for k in keep if k in r}
             print(f"# scale {name}: {scale[name]}", file=sys.stderr)
 

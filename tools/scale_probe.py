@@ -159,3 +159,35 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_trajectory_join(spark, n: int) -> dict:
+    """Similarity self-join at probe scale: ``n`` short trajectories
+    around 20k anchor sites (so qualifying pairs exist but stay
+    bounded), tau=150 m discrete Frechet."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.geogr import trajectory_similarity_join
+
+    base = spark.range(n).select(F.col("id"), (F.col("id") % 20000).alias("site"))
+    traj = base.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 5) + F.lit(1)),
+            lambda k: F.struct(
+                (8.0 + (F.col("site") % 200) * 0.01 + k.cast("double") * 1e-4
+                 + (F.xxhash64("id", k) % 1000).cast("double") * 1e-7).alias("lon"),
+                (46.0 + F.floor(F.col("site") / 200).cast("double") * 0.01
+                 + (F.xxhash64(k, "id") % 1000).cast("double") * 1e-7).alias("lat"),
+            ),
+        ).alias("geom"),
+    ).persist()
+    traj.count()
+    t0 = time.time()
+    pairs = trajectory_similarity_join(traj, 150.0, metric="frechet").count()
+    w = time.time() - t0
+    traj.unpersist()
+    return {"op": "trajectory_join", "rows": n, "wall_s": round(w, 1),
+            "pairs": int(pairs), "rows_per_s": int(n / w)}
