@@ -1080,6 +1080,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trajectory_match"] = q_trajectory_match
 
+    def q_grid_rollup(spark, sf):
+        from trackintel_spark.analysis import grid_rollup
+
+        pfs = _pfs(spark, sf).select(
+            "user_id", F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat")
+        )
+        # users_est is an HLL estimate (mergeable, not SQL-replicable) —
+        # the oracle surface carries the exact parts: counts + centroids
+        out = grid_rollup(pfs, levels=3, base_cell_deg=0.005)
+        return out.select(
+            "level", "cy", "cx", F.col("n").cast("long").alias("n"),
+            _r("centroid_lon", 6).alias("centroid_lon"),
+            _r("centroid_lat", 6).alias("centroid_lat"),
+        )
+
+    q["grid_rollup"] = q_grid_rollup
+
     def q_dbscan_distributed(spark, sf):
         from trackintel_spark.operators import dbscan_distributed
 
@@ -1233,7 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tracking_quality_all", "distance_matrix", "minhash",
         "fingerprint", "simhash",
         # round-7 additions (oracle-backed; outside the driver prefix)
-        "gopher_quality", "trajectory_match",
+        "gopher_quality", "trajectory_match", "grid_rollup",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2536,6 +2553,21 @@ def oracle_sql() -> dict[str, str]:
         FROM probes q JOIN corpus c
           ON GREATEST({_hav_sql('q.o_lon', 'q.o_lat', 'c.o_lon', 'c.o_lat')},
                       {_hav_sql('q.d_lon', 'q.d_lat', 'c.d_lon', 'c.d_lat')}) <= 8000.0
+    """
+
+    o["grid_rollup"] = f"""
+        WITH pts AS (
+            SELECT user_id, lon, lat FROM ({_PFS_SQL})
+        ),
+        lv AS (SELECT UNNEST([0, 1, 2]) AS level)
+        SELECT lv.level,
+               CAST(FLOOR(lat / (0.005 * POW(2, lv.level))) AS BIGINT) AS cy,
+               CAST(FLOOR(lon / (0.005 * POW(2, lv.level))) AS BIGINT) AS cx,
+               COUNT(*) AS n,
+               ROUND(SUM(lon) / COUNT(*), 6) AS centroid_lon,
+               ROUND(SUM(lat) / COUNT(*), 6) AS centroid_lat
+        FROM pts CROSS JOIN lv
+        GROUP BY 1, 2, 3
     """
 
     # header sniffing over real magic-byte payloads (attach_media_metadata)

@@ -1,0 +1,100 @@
+"""grid_rollup: every level equals a direct groupBy at that cell size.
+
+The rollup identity (parent = union of 4 children; counts and
+coordinate sums associative) is the whole operator — pin it per level
+against an independent single-level aggregation, including negative
+coordinates (floor semantics via arithmetic shift) and points sitting
+exactly on cell boundaries.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.analysis import grid_rollup
+
+BASE = 0.01
+
+
+def _pts(spark, seed=0, n=400):
+    rng = random.Random(seed)
+    rows = [
+        (i % 7, rng.uniform(-0.3, 0.3), rng.uniform(-0.2, 0.2)) for i in range(n)
+    ]
+    rows += [(1, 0.02, 0.01), (2, -0.02, -0.01), (3, 0.0, 0.0)]  # exact boundaries
+    return spark.createDataFrame(rows, "user_id long, lon double, lat double")
+
+
+def _direct(df, cell):
+    return {
+        (r.cy, r.cx): (r.n, r.clon, r.clat, r.users)
+        for r in df.groupBy(
+            F.floor(F.col("lat") / cell).cast("long").alias("cy"),
+            F.floor(F.col("lon") / cell).cast("long").alias("cx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("lon").alias("clon"),
+            F.avg("lat").alias("clat"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .collect()
+    }
+
+
+def test_rollup_levels_match_direct_aggregation(spark):
+    pts = _pts(spark)
+    out = grid_rollup(pts, levels=4, base_cell_deg=BASE, user_col="user_id").collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, {})[(r.cy, r.cx)] = r
+    assert set(by_level) == {0, 1, 2, 3}
+    for lvl in range(4):
+        cell = BASE * (2 ** lvl)
+        want = _direct(pts, cell)
+        got = by_level[lvl]
+        assert set(got) == set(want)
+        for k, r in got.items():
+            n, clon, clat, users = want[k]
+            assert r.n == n
+            assert r.centroid_lon == pytest.approx(clon, abs=1e-12)
+            assert r.centroid_lat == pytest.approx(clat, abs=1e-12)
+            # HLL is exact at these tiny cardinalities (<= 7 users)
+            assert round(r.users_est) == users
+            assert r.cell_deg == pytest.approx(cell)
+    # coarser level never has more cells, total n preserved per level
+    sizes = [len(by_level[l]) for l in range(4)]
+    assert sizes == sorted(sizes, reverse=True)
+    for lvl in range(4):
+        assert sum(r.n for r in by_level[lvl].values()) == pts.count()
+
+
+def test_rollup_without_users_and_validation(spark):
+    pts = _pts(spark, seed=1, n=50)
+    out = grid_rollup(pts, levels=2, base_cell_deg=BASE)
+    assert "users_est" not in out.columns
+    assert out.filter("level = 1").count() > 0
+    with pytest.raises(ValueError):
+        grid_rollup(pts, levels=0)
+    with pytest.raises(ValueError):
+        grid_rollup(pts, base_cell_deg=0.0)
+
+
+def test_rollup_scans_and_shuffles_points_once(spark):
+    """100 TB property: every level is materialized once (eager
+    localCheckpoint), so the returned union recomputes NOTHING — no
+    exchange at all in the final plan, one cached-level scan per level.
+    Without the materialization each union branch re-derived from the
+    raw points (the point scan ran once PER level), which is the
+    L-scans plan this operator exists to avoid."""
+    pts = _pts(spark)
+    levels = 4
+    plan = (
+        grid_rollup(pts, levels=levels, base_cell_deg=BASE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Scan ExistingRDD") == levels, plan

@@ -1,0 +1,121 @@
+"""Multi-resolution spatial grid rollup — the hypertable-rollup shape.
+
+Dashboard and tile workloads ask the same question at many zoom
+levels: how many fixes / staypoints / users per cell, where is the
+cell's mass centered. Naively that is one full groupBy PER level —
+at 100 TB, L scans and L full shuffles. The OLAP rollup identity
+makes all coarser levels derivable from the finest aggregates
+(counts and coordinate SUMS are associative; a parent cell is exactly
+the union of its 4 children), so:
+
+* the DATA is scanned and shuffled ONCE, at the finest cell size
+  (map-side combine collapses the shuffle to one row per occupied
+  cell);
+* every coarser level re-aggregates the previous level's CELL ROWS —
+  input size = occupied cells, not points, shrinking ~4x per level;
+* distinct-user counts are not associative, so they ride as mergeable
+  HLL sketches (the scale/profile.py discipline) and surface as
+  ``users_est``; counts and centroids stay exact.
+
+Cells are a plain lon/lat quadtree: level 0 cells are
+``base_cell_deg`` degrees on each axis, level k cells are ``2^k``
+times larger, child (cy, cx) -> parent (cy >> 1, cx >> 1) — floor
+division keeps negative indices correct.
+
+The reference has no rollup surface (its closest tools are one-level
+``location_occupancy``-style counts); this is extension surface for
+serving mobility heatmaps out of the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["grid_rollup"]
+
+
+def grid_rollup(
+    points: DataFrame,
+    levels: int = 4,
+    base_cell_deg: float = 0.001,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    user_col: str | None = None,
+) -> DataFrame:
+    """Aggregate points onto ``levels`` nested grids in one data pass.
+
+    Returns one row per (level, occupied cell):
+    ``(level, cell_deg, cy, cx, n, centroid_lon, centroid_lat
+    [, users_est])`` where level 0 is the finest. Centroids are exact
+    (sum-rollup); ``users_est`` (only with ``user_col``) is a
+    DataSketches HLL estimate, mergeable across levels and shards.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if base_cell_deg <= 0:
+        raise ValueError(f"base_cell_deg must be > 0, got {base_cell_deg}")
+
+    base = points.select(
+        F.floor(F.col(lat_col) / base_cell_deg).cast("long").alias("cy"),
+        F.floor(F.col(lon_col) / base_cell_deg).cast("long").alias("cx"),
+        F.col(lon_col).alias("__lon"),
+        F.col(lat_col).alias("__lat"),
+        *((F.col(user_col).alias("__u"),) if user_col else ()),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__lon").alias("__slon"),
+        F.sum("__lat").alias("__slat"),
+    ]
+    if user_col:
+        aggs.append(F.hll_sketch_agg("__u").alias("__hll"))
+    finest = base.groupBy("cy", "cx").agg(*aggs)
+
+    def _finish(df: DataFrame, level: int) -> DataFrame:
+        cols = [
+            F.lit(level).alias("level"),
+            F.lit(base_cell_deg * (2 ** level)).alias("cell_deg"),
+            F.col("cy"), F.col("cx"), F.col("n"),
+            (F.col("__slon") / F.col("n")).alias("centroid_lon"),
+            (F.col("__slat") / F.col("n")).alias("centroid_lat"),
+        ]
+        if user_col:
+            cols.append(F.hll_sketch_estimate("__hll").alias("users_est"))
+        return df.select(*cols)
+
+    # child -> parent via arithmetic shift (floor semantics on negatives)
+    def _parent(df: DataFrame) -> DataFrame:
+        roll = [
+            F.sum("n").alias("n"),
+            F.sum("__slon").alias("__slon"),
+            F.sum("__slat").alias("__slat"),
+        ]
+        if user_col:
+            roll.append(F.hll_union_agg("__hll").alias("__hll"))
+        return (
+            df.select(
+                F.shiftright("cy", 1).alias("cy"),
+                F.shiftright("cx", 1).alias("cx"),
+                "n", "__slon", "__slat",
+                *(("__hll",) if user_col else ()),
+            )
+            .groupBy("cy", "cx")
+            .agg(*roll)
+        )
+
+    # MATERIALIZE each level (eager localCheckpoint, the plans/graph.py
+    # idiom): without it the union's branches re-derive from the RAW
+    # points — Spark shares no common subplan across a union, so the
+    # point scan and its shuffle would run once per level, which is
+    # exactly the L-scans plan this operator exists to avoid. With it,
+    # the points feed ONE exchange and every coarser level re-aggregates
+    # a few cached cell rows (plan-pinned in tests/test_rollup.py).
+    if points.isStreaming:
+        raise ValueError("grid_rollup is batch-only (rollup levels materialize)")
+    level_df = finest.localCheckpoint(eager=True)
+    out = _finish(level_df, 0)
+    for lvl in range(1, levels):
+        level_df = _parent(level_df).localCheckpoint(eager=True)
+        out = out.unionByName(_finish(level_df, lvl))
+    return out
