@@ -274,6 +274,8 @@ def trajectory_similarity_join(
     if tau_m < 0:
         raise ValueError(f"tau_m must be >= 0, got {tau_m}")
 
+    from pyspark import StorageLevel
+
     from trackintel_spark.functions.spatial import haversine_m
 
     flat = tpls.select(
@@ -281,6 +283,12 @@ def trajectory_similarity_join(
         F.transform(geom_col, lambda p: p["lon"]).alias("__lons"),
         F.transform(geom_col, lambda p: p["lat"]).alias("__lats"),
     ).filter(F.size("__lons") > 0)
+    # the flattened input is referenced THREE times (own-cell side,
+    # probe side, array refine) — persist it or a derived input's whole
+    # upstream pipeline re-executes per reference (plan-audit finding;
+    # trajectory_topk does the same). ContextCleaner reclaims the cache
+    # once the returned frame is unreachable.
+    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
 
     ends = flat.select(
         "__tid",
