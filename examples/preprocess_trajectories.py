@@ -51,6 +51,19 @@ def main() -> None:
     split = calculate_modal_split(modes, freq="D", metric="count")
     print("modal split buckets:", split.count())
 
+    # multi-resolution heatmap cells (one point shuffle, levels roll up)
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.analysis import grid_rollup
+
+    cells = grid_rollup(
+        pfs.df.select("user_id", F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat")),
+        levels=4, base_cell_deg=0.002, user_col="user_id",
+    )
+    per_level = {r.level: r.cells for r in
+                 cells.groupBy("level").agg(F.count(F.lit(1)).alias("cells")).collect()}
+    print("heatmap rollup cells per level:", dict(sorted(per_level.items())))
+
     layers = prepare_plot_layers(
         positionfixes=pfs.df, staypoints=sp2, locations=locs.df, max_rows_per_layer=5000
     )
