@@ -1097,6 +1097,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grid_rollup"] = q_grid_rollup
 
+    def q_time_rollup(spark, sf):
+        from trackintel_spark.analysis import time_rollup
+
+        pfs = _pfs(spark, sf).select("user_id", "tracked_at")
+        # users_est is an HLL estimate — the oracle carries the exact parts
+        out = time_rollup(pfs, ts_col="tracked_at")
+        return out.select("unit", "bucket", F.col("n").cast("long").alias("n"))
+
+    q["time_rollup"] = q_time_rollup
+
     def q_dbscan_distributed(spark, sf):
         from trackintel_spark.operators import dbscan_distributed
 
@@ -1250,7 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tracking_quality_all", "distance_matrix", "minhash",
         "fingerprint", "simhash",
         # round-7 additions (oracle-backed; outside the driver prefix)
-        "gopher_quality", "trajectory_match", "grid_rollup",
+        "gopher_quality", "trajectory_match", "grid_rollup", "time_rollup",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2568,6 +2578,14 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(lat) / COUNT(*), 6) AS centroid_lat
         FROM pts CROSS JOIN lv
         GROUP BY 1, 2, 3
+    """
+
+    o["time_rollup"] = f"""
+        WITH pts AS (SELECT tracked_at FROM ({_PFS_SQL})),
+        u AS (SELECT UNNEST(['hour', 'day', 'week', 'month']) AS unit)
+        SELECT u.unit, date_trunc(u.unit, tracked_at) AS bucket, COUNT(*) AS n
+        FROM pts CROSS JOIN u
+        GROUP BY 1, 2
     """
 
     # header sniffing over real magic-byte payloads (attach_media_metadata)

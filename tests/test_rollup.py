@@ -98,3 +98,65 @@ def test_rollup_scans_and_shuffles_points_once(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert plan.count("Scan ExistingRDD") == levels, plan
+
+
+def _events(spark, seed=3, n=500):
+    """Timestamps spanning several month boundaries, incl. weeks that
+    straddle months (the lattice trap: month is NOT derivable from
+    week)."""
+    rng = random.Random(seed)
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    rows = [
+        (i % 5, base + rng.randrange(0, 90 * 86400)) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("tracked_at")
+    )
+
+
+def test_time_rollup_matches_direct_per_unit(spark):
+    from trackintel_spark.analysis import time_rollup
+
+    ev = _events(spark)
+    out = time_rollup(ev, user_col="user_id").collect()
+    by_unit = {}
+    for r in out:
+        by_unit.setdefault(r.unit, {})[r.bucket] = r
+    assert set(by_unit) == {"hour", "day", "week", "month"}
+    for unit in by_unit:
+        want = {
+            r.bucket: (r.n, r.users)
+            for r in ev.groupBy(F.date_trunc(unit, "tracked_at").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("users"))
+            .collect()
+        }
+        got = by_unit[unit]
+        assert set(got) == set(want), unit
+        for b, r in got.items():
+            assert r.n == want[b][0]
+            assert round(r.users_est) == want[b][1]  # exact at <=5 users
+    # the month totals must cover ALL events (the week->month shortcut
+    # would drop/misplace rows whose week starts in the prior month)
+    assert sum(r.n for r in by_unit["month"].values()) == ev.count()
+
+
+def test_time_rollup_week_month_incomparable_and_validation(spark):
+    from trackintel_spark.analysis import time_rollup
+
+    ev = _events(spark, seed=4, n=200)
+    # week+month WITHOUT day/hour: month must fall back to raw events
+    out = time_rollup(ev, units=("week", "month")).collect()
+    months = {r.bucket: r.n for r in out if r.unit == "month"}
+    want = {
+        r.bucket: r.n
+        for r in ev.groupBy(F.date_trunc("month", "tracked_at").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert months == want
+    with pytest.raises(ValueError):
+        time_rollup(ev, units=("day", "hour"))  # not coarsening
+    with pytest.raises(ValueError):
+        time_rollup(ev, units=("hour", "hour"))
+    with pytest.raises(ValueError):
+        time_rollup(ev, units=("minute",))

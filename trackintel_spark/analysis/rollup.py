@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_rollup"]
+__all__ = ["grid_rollup", "time_rollup"]
 
 
 def grid_rollup(
@@ -118,4 +118,90 @@ def grid_rollup(
     for lvl in range(1, levels):
         level_df = _parent(level_df).localCheckpoint(eager=True)
         out = out.unionByName(_finish(level_df, lvl))
+    return out
+
+
+_TIME_UNITS = ("hour", "day", "week", "month")
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "tracked_at",
+    units: tuple[str, ...] = _TIME_UNITS,
+    user_col: str | None = None,
+) -> DataFrame:
+    """Temporal sibling of :func:`grid_rollup`: event counts per hour,
+    day, week, and month in ONE data pass.
+
+    Truncation only composes along the calendar lattice — ``day`` is
+    derivable from ``hour``, and ``week`` / ``month`` from ``day`` (or
+    ``hour``), but NOT from each other (a week spans month
+    boundaries, so ``date_trunc('month', week_start)`` is wrong for
+    rows whose week starts in the previous month). The rollup
+    therefore aggregates events once at the finest requested unit and
+    derives every coarser unit from the finest FINER materialized
+    level the lattice allows. Returns one row per (unit, bucket):
+    ``(unit, bucket, n [, users_est])``.
+    """
+    order = {u: i for i, u in enumerate(_TIME_UNITS)}
+    if not units or any(u not in order for u in units):
+        raise ValueError(f"units must be drawn from {_TIME_UNITS}, got {units!r}")
+    if list(units) != sorted(units, key=order.__getitem__) or len(set(units)) != len(units):
+        raise ValueError(f"units must be strictly coarsening, got {units!r}")
+    if events.isStreaming:
+        raise ValueError("time_rollup is batch-only (rollup levels materialize)")
+
+    # lattice: what each unit may be derived from (finer -> coarser)
+    derivable_from = {
+        "day": ("hour",),
+        "week": ("day", "hour"),
+        "month": ("day", "hour"),
+    }
+
+    base = events.select(
+        F.date_trunc(units[0], F.col(ts_col)).alias("bucket"),
+        *((F.col(user_col).alias("__u"),) if user_col else ()),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if user_col:
+        aggs.append(F.hll_sketch_agg("__u").alias("__hll"))
+    levels = {units[0]: base.groupBy("bucket").agg(*aggs).localCheckpoint(eager=True)}
+
+    def _finish(df: DataFrame, unit: str) -> DataFrame:
+        cols = [F.lit(unit).alias("unit"), F.col("bucket"), F.col("n")]
+        if user_col:
+            cols.append(F.hll_sketch_estimate("__hll").alias("users_est"))
+        return df.select(*cols)
+
+    out = _finish(levels[units[0]], units[0])
+    for unit in units[1:]:
+        src = next((f for f in derivable_from.get(unit, ()) if f in levels), None)
+        if src is None:
+            # no finer materialized level composes to this unit
+            # (e.g. units started at "week" and now ask for "month"):
+            # aggregate it from the raw events instead — one extra
+            # data pass, correctness over cleverness
+            lvl = (
+                events.select(
+                    F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+                    *((F.col(user_col).alias("__u"),) if user_col else ()),
+                )
+                .groupBy("bucket")
+                .agg(*aggs)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            roll = [F.sum("n").alias("n")]
+            if user_col:
+                roll.append(F.hll_union_agg("__hll").alias("__hll"))
+            lvl = (
+                levels[src]
+                .select(F.date_trunc(unit, F.col("bucket")).alias("bucket"), "n",
+                        *(("__hll",) if user_col else ()))
+                .groupBy("bucket")
+                .agg(*roll)
+                .localCheckpoint(eager=True)
+            )
+        levels[unit] = lvl
+        out = out.unionByName(_finish(lvl, unit))
     return out
