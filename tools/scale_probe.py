@@ -157,10 +157,6 @@ def main():
         print("dbscan", run_dbscan(spark, n), flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def run_trajectory_join(spark, n: int) -> dict:
     """Similarity self-join at probe scale: ``n`` short trajectories
     around 20k anchor sites (so qualifying pairs exist but stay
@@ -191,3 +187,8 @@ def run_trajectory_join(spark, n: int) -> dict:
     traj.unpersist()
     return {"op": "trajectory_join", "rows": n, "wall_s": round(w, 1),
             "pairs": int(pairs), "rows_per_s": int(n / w)}
+
+
+
+if __name__ == "__main__":
+    main()
