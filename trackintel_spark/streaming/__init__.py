@@ -1,5 +1,6 @@
 from trackintel_spark.streaming.dedup import dedup_stream
 from trackintel_spark.streaming.flows import od_flows_stream
+from trackintel_spark.streaming.heatmap import grid_counts_stream
 from trackintel_spark.streaming.locations_state import locations_stream_exact
 from trackintel_spark.streaming.neardup import neardup_stream, resolve_neardup
 from trackintel_spark.streaming.sessionize import sessionize_stream, staypoints_stream
@@ -11,6 +12,7 @@ from trackintel_spark.streaming.trips_state import trips_stream_exact
 
 __all__ = ["attach_trip_locations", "dedup_stream", "locations_stream_exact",
     "od_flows_stream",
+    "grid_counts_stream",
     "neardup_stream", "resolve_neardup",
     "sessionize_stream", "staypoints_stream",
     "staypoints_stream_exact", "tours_stream_exact",
