@@ -77,7 +77,8 @@ def test_stream_matches_batch_and_drops_late(spark, tmp_path):
         .parquet(src)
     )
     q = (
-        grid_counts_stream(stream, cell_deg=CELL, window="1 hour", watermark="2 hours")
+        grid_counts_stream(stream, cell_deg=CELL, window="1 hour",
+                           watermark="2 hours", user_col="user_id")
         .writeStream.format("memory").queryName("heatmap_stream")
         .outputMode("append").trigger(availableNow=True).start()
     )
@@ -92,6 +93,8 @@ def test_stream_matches_batch_and_drops_late(spark, tmp_path):
     # the late fix changed nothing: its cell's hour-0 count stayed 3
     h0_main = [r for r in got if r.window_start == T0 and r.cy == 4740 and r.cx == 850]
     assert len(h0_main) == 1 and h0_main[0].n == 3
+    # the sketch column is real mergeable bytes, estimable at the sink
+    assert h0_main[0].approx_users == 2 and len(h0_main[0].users_sketch) > 0
 
 
 def test_level0_rows_roll_up_to_batch_rollup(spark):
@@ -115,6 +118,27 @@ def test_level0_rows_roll_up_to_batch_rollup(spark):
         if r.level == 1
     }
     assert parents == want
+
+    # and USER sketches roll up too: unioning child sketches equals the
+    # direct distinct count (exact at these tiny cardinalities) — the
+    # whole reason the stream emits sketch bytes, not just estimates
+    lvl0u = grid_counts_stream(pfs, cell_deg=CELL, user_col="user_id")
+    got_users = {
+        (r.cy, r.cx): r.u
+        for r in lvl0u.groupBy(
+            F.shiftright("cy", 1).alias("cy"), F.shiftright("cx", 1).alias("cx")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias("u"))
+        .collect()
+    }
+    want_users = {
+        (r.cy, r.cx): r.u
+        for r in grid_rollup(pfs, levels=2, base_cell_deg=CELL, user_col="user_id")
+        .filter("level = 1")
+        .select("cy", "cx", F.round("users_est").cast("long").alias("u"))
+        .collect()
+    }
+    assert got_users == want_users
 
 
 def test_validation(spark):

@@ -12,9 +12,12 @@ The canonical watermark + tumbling-window aggregation:
   rows up to coarser tiles with the batch operator's sum identity,
   counts and coordinate sums being associative;
 * per cell the row carries ``n``, exact coordinate sums (for
-  centroids downstream) and, with ``user_col``, an ``approx_users``
-  estimate via ``approx_count_distinct`` (HLL++ — mergeable inside
-  the aggregation, estimate-only across emitted rows).
+  centroids downstream) and, with ``user_col``, the DataSketches HLL
+  sketch BYTES (``users_sketch``) plus its point estimate
+  (``approx_users``). Emitting the sketch — not just the estimate —
+  keeps user counts inside the rollup identity: a sink unions child
+  sketches (``hll_union_agg``) for coarser tiles or longer windows,
+  where summed estimates would double-count users spanning cells.
 
 Append mode emits each (window, cell) row once when the watermark
 passes the window end. On a batch frame the same groupBy runs
@@ -45,7 +48,7 @@ def grid_counts_stream(
 ) -> DataFrame:
     """Per-(window, cell) fix counts for a positionfix stream (or
     batch frame — unified API). Returns ``(window_start, window_end,
-    cy, cx, n, sum_lon, sum_lat [, approx_users])``."""
+    cy, cx, n, sum_lon, sum_lat [, users_sketch, approx_users])``."""
     if cell_deg <= 0:
         raise ValueError(f"cell_deg must be > 0, got {cell_deg}")
     src = pfs
@@ -65,14 +68,16 @@ def grid_counts_stream(
         F.sum("__lat").alias("sum_lat"),
     ]
     if user_col:
-        aggs.append(F.approx_count_distinct("__u").alias("approx_users"))
-    return (
-        keyed.groupBy(F.window("__ts", window).alias("__w"), "cy", "cx")
-        .agg(*aggs)
-        .select(
-            F.col("__w.start").alias("window_start"),
-            F.col("__w.end").alias("window_end"),
-            "cy", "cx", "n", "sum_lon", "sum_lat",
-            *(("approx_users",) if user_col else ()),
-        )
-    )
+        aggs.append(F.hll_sketch_agg("__u").alias("users_sketch"))
+    out = keyed.groupBy(F.window("__ts", window).alias("__w"), "cy", "cx").agg(*aggs)
+    cols = [
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.col("cy"), F.col("cx"), F.col("n"), F.col("sum_lon"), F.col("sum_lat"),
+    ]
+    if user_col:
+        cols += [
+            F.col("users_sketch"),
+            F.hll_sketch_estimate("users_sketch").alias("approx_users"),
+        ]
+    return out.select(*cols)
