@@ -1936,7 +1936,11 @@ def oracle_sql() -> dict[str, str]:
                            THEN COUNT(*) FILTER (WHERE NOT dropped) - 1
                            ELSE 0 END)::BIGINT AS text_len,
                    COUNT(*) AS n_lines,
-                   SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_lines_removed
+                   -- ::BIGINT: DuckDB widens integer SUM to HUGEINT (int128),
+                   -- which degrades to float64/decimal128 through pandas/Arrow
+                   -- on the driver and breaks the value hash against Spark's
+                   -- int64 (rounds 5-7 red rows).
+                   SUM(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_lines_removed
             FROM flagged GROUP BY doc_id
         )
         SELECT doc_id, line_hash_sum, text_len, n_lines, n_lines_removed
@@ -2091,14 +2095,16 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k GROUP BY k.doc_id
         ),
         spanstats AS (
-            SELECT doc_id, SUM(ee - ss) AS removed, COUNT(*) AS nspans
+            -- ::BIGINT: avoid DuckDB's HUGEINT widening of integer SUM
+            -- (hashes as float64/decimal128 through Arrow on the driver)
+            SELECT doc_id, SUM(ee - ss)::BIGINT AS removed, COUNT(*) AS nspans
             FROM merged GROUP BY doc_id
         )
         SELECT tk.doc_id,
                COALESCE(r.tok_hash_sum, 0) AS tok_hash_sum,
                COALESCE(r.text_len, 0) AS text_len,
                len(tk.ts) AS n_tokens,
-               COALESCE(sp.removed, 0) AS n_tokens_removed,
+               COALESCE(sp.removed, 0)::BIGINT AS n_tokens_removed,
                COALESCE(sp.nspans, 0) AS n_spans_removed
         FROM toks tk
         LEFT JOIN reb r ON r.doc_id = tk.doc_id

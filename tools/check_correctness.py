@@ -47,6 +47,35 @@ def value_hash(rows: list[dict], cols: list[str]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+# DuckDB types that survive a pandas/Arrow round-trip on the driver with the
+# same Python value that ``fetchall()`` yields. Anything outside this set —
+# HUGEINT (an uncast integer SUM widens to int128 → float64/decimal128 through
+# a dataframe), DECIMAL, INTERVAL, nested types — can hash differently on the
+# driver even when fetchall() compares equal locally (the rounds-5..7 red-row
+# class).
+DRIVER_SAFE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    "DOUBLE", "FLOAT", "BOOLEAN", "VARCHAR", "DATE",
+}
+
+
+def oracle_type_violations(con, sql: str) -> list[tuple[str, str]]:
+    """Columns of ``DESCRIBE sql`` whose DuckDB type is not driver-hash-safe.
+
+    Run against every ``oracle_sql()`` entry before trusting a local
+    fetchall()-based green: a column listed here may still hash red on any
+    harness that normalizes DuckDB output through pandas or Arrow.
+    """
+    out = []
+    for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        base = typ.split("(")[0].strip()
+        if base in DRIVER_SAFE_TYPES or base.startswith("TIMESTAMP"):
+            continue
+        out.append((col, typ))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -86,6 +115,11 @@ def main() -> int:
             results.append((name, "rows-only"))
             continue
         try:
+            unsafe = oracle_type_violations(con, oracles[name])
+            if unsafe:
+                fail += 1
+                print(f"FAIL  {name}: driver-unsafe oracle types {unsafe}")
+                continue
             rel = con.execute(oracles[name])
             ocols = [d[0] for d in rel.description]
             orows = [dict(zip(ocols, row)) for row in rel.fetchall()]
