@@ -1223,14 +1223,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions decontaminate + chunk_dedup.
     order = [
         # mobility: IO / segmentation / speeds / metrics
+        # r8 rotation: gopher_quality + trajectory_match (both judge-verified
+        # green locally in r7) move INTO the scored prefix so the driver
+        # scores the newest surface; activity_flag + temp_overlap move out
+        # (both long-stable single-expression kernels, green since r2,
+        # oracle-kept after position 50 plus pytest coverage).
         "pfs_ingest", "tripleg_segmentation", "speed_positionfixes", "jump_length",
-        "activity_flag", "radius_gyration",
+        "gopher_quality", "radius_gyration",
         "tracking_quality_day",
         "asof_join", "top_tokens",
         "predict_transport_mode", "modal_split", "merge_staypoints",
         "distance_matrix_chebyshev", "spatial_filter",
         "freq_method", "osna_method", "pre_filter_locations", "location_identifier",
-        "locations_grid", "temp_overlap",
+        "locations_grid", "trajectory_match",
         # §2.2 generate-operators (all oracle-backed now)
         "generate_staypoints", "generate_triplegs", "generate_trips",
         "generate_locations", "dbscan_distributed",
@@ -1259,8 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix", "minhash",
         "fingerprint", "simhash",
+        "activity_flag", "temp_overlap",
         # round-7 additions (oracle-backed; outside the driver prefix)
-        "gopher_quality", "trajectory_match", "grid_rollup", "time_rollup",
+        "grid_rollup", "time_rollup",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
