@@ -826,6 +826,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = q_gopher_quality
 
+    def q_classifier_score(spark, sf):
+        # the frozen-checkpoint deployment shape of the quality
+        # classifier: training is iterative (pytest-pinned), but scoring
+        # a frozen vector is closed-form — fastText mean-of-term-weights
+        # + sigmoid + the GPT-3 Pareto keep lottery, all engine-portable
+        # expressions, verified here against the DuckDB oracle.
+        from trackintel_spark.scale import linear_quality_score, pareto_keep, portable_uniform
+        from trackintel_spark.scale.frozen_quality_model import (
+            FROZEN_QUALITY_INTERCEPT,
+            FROZEN_QUALITY_WEIGHTS,
+        )
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        scored = linear_quality_score(docs, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT)
+        # the lottery draws on the ROUNDED score so both engines compare
+        # the identical double (the raw sigmoid differs at ~1e-16 from
+        # summation order); _r is the repo's portable floor-shift round
+        prob = _r("quality_prob", 6)
+        return scored.select(
+            "doc_id",
+            prob.alias("quality_prob"),
+            pareto_keep(
+                prob, F.col("doc_id"), alpha=9.0, u=portable_uniform(F.col("doc_id"), seed=7)
+            ).alias("keep"),
+        )
+
+    q["classifier_score"] = q_classifier_score
+
     def q_dedup_incremental(spark, sf):
         from trackintel_spark.scale import build_exact_index, dedup_against_index
 
@@ -1267,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_flag", "temp_overlap",
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
+        # round-8 addition: the classifier's frozen-checkpoint scoring
+        # path (training stays pytest-pinned; scoring is closed-form)
+        "classifier_score",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2004,6 +2035,55 @@ def oracle_sql() -> dict[str, str]:
                         FALSE) AS gopher_keep
         FROM m2
     '''
+
+    # classifier_score: the frozen fastText-style checkpoint replayed in
+    # SQL — mean of term weights over unigrams+bigrams, sigmoid, Pareto
+    # lottery on a portable md5 uniform. The VALUES table is composed
+    # from the checked-in frozen_quality_model module so SQL and Spark
+    # can never drift. The lottery compares against the ROUNDED score
+    # (both engines' only float divergence is 1e-16 summation order).
+    from trackintel_spark.scale.frozen_quality_model import (
+        FROZEN_QUALITY_INTERCEPT as _FQ_ICPT,
+        FROZEN_QUALITY_WEIGHTS as _FQ_W,
+    )
+
+    # ::DOUBLE: DuckDB parses bare decimal literals as DECIMAL and would
+    # run the whole dot product in decimal128 arithmetic (~1e-10 off the
+    # IEEE double path Spark computes)
+    _fq_vals = ", ".join(f"('{t}', {w!r}::DOUBLE)" for t, w in _FQ_W)
+    o["classifier_score"] = f"""
+        WITH w(term, wt) AS (VALUES {_fq_vals}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        terms AS (
+            SELECT doc_id,
+                   len(ts) + CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END AS nt,
+                   unnest(list_concat(
+                       ts,
+                       list_transform(generate_series(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i + 1]))) AS term
+            FROM toks
+        ),
+        z AS (
+            SELECT t.doc_id, ANY_VALUE(t.nt) AS nt, SUM(w.wt) AS s
+            FROM terms t JOIN w ON w.term = t.term
+            GROUP BY t.doc_id
+        ),
+        p AS (
+            SELECT k.doc_id,
+                   ROUND(1.0 / (1.0 + EXP(-({_FQ_ICPT!r}::DOUBLE
+                         + COALESCE(z.s / z.nt, 0.0)))), 6) AS quality_prob
+            FROM toks k LEFT JOIN z USING (doc_id)
+        )
+        SELECT doc_id, quality_prob,
+               (POW((('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT + 1.0)
+                    / 281474976710656.0, -1.0 / 9.0) - 1.0)
+               > (1.0 - quality_prob) AS keep
+        FROM p
+    """
 
     o["dedup_incremental"] = """
         WITH hist AS (

@@ -141,3 +141,128 @@ def test_pareto_keep_rates_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         pareto_keep(F.col("score"), F.col("id"), alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# frozen-checkpoint scoring path (linear_quality_score + friends)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_negatives_shape_and_validation(spark):
+    from trackintel_spark.scale import repetition_negatives
+
+    df = _docs(spark, ["a b c", "x"])
+    out = {r.doc_id: r.text for r in repetition_negatives(df, k=2).collect()}
+    assert out[0] == "a a b b c c"
+    assert out[1] == "x x"
+    with pytest.raises(ValueError):
+        repetition_negatives(df, k=1)
+
+
+def test_linear_quality_score_matches_manual_math(spark):
+    import math
+
+    from trackintel_spark.scale import linear_quality_score
+
+    weights = [("cat", 2.0), ("dog", -1.0), ("the cat", 0.5)]
+    icpt = -0.25
+    # "the cat sat" -> terms: the, cat, sat, "the cat", "cat sat"
+    # matched: cat (2.0) + "the cat" (0.5) = 2.5 over 5 terms
+    df = _docs(spark, ["the cat sat", ""])
+    got = {
+        r.doc_id: r.quality_prob
+        for r in linear_quality_score(df, weights, icpt).collect()
+    }
+    assert got[0] == pytest.approx(1 / (1 + math.exp(-(icpt + 2.5 / 5))), abs=1e-12)
+    # empty doc: no terms -> mean contributes 0, score = sigmoid(intercept)
+    assert got[1] == pytest.approx(1 / (1 + math.exp(-icpt)), abs=1e-12)
+    with pytest.raises(ValueError):
+        linear_quality_score(df, [], icpt)
+
+
+def test_linear_quality_score_is_map_side_no_shuffle(spark):
+    from trackintel_spark.scale import linear_quality_score
+    from trackintel_spark.scale.frozen_quality_model import (
+        FROZEN_QUALITY_INTERCEPT,
+        FROZEN_QUALITY_WEIGHTS,
+    )
+
+    df = _docs(spark, _sentences(20, seed=9))
+    plan = (
+        linear_quality_score(df, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_fit_portable_quality_model_separates_repetition(spark):
+    from trackintel_spark.scale import (
+        fit_portable_quality_model,
+        linear_quality_score,
+        repetition_negatives,
+    )
+
+    pos = _docs(spark, _sentences(150, seed=11))
+    weights, icpt = fit_portable_quality_model(
+        pos, negatives=repetition_negatives(pos), vocab_size=128, iters=15
+    )
+    assert len(weights) == 128 and all(isinstance(t, str) for t, _ in weights)
+    heldout = _docs(spark, _sentences(60, seed=12))
+    p_pos = (
+        linear_quality_score(heldout, weights, icpt).agg(F.avg("quality_prob")).first()[0]
+    )
+    p_neg = (
+        linear_quality_score(repetition_negatives(heldout), weights, icpt)
+        .agg(F.avg("quality_prob"))
+        .first()[0]
+    )
+    assert p_pos > 0.8 and p_neg < 0.2, (p_pos, p_neg)
+
+
+def test_frozen_checkpoint_scores_real_above_repetition(spark):
+    """The checked-in frozen model is a repetition-junk detector on the
+    driver corpus vocabulary; it must order any real-ish text above its
+    repeated copy."""
+    from trackintel_spark.scale import linear_quality_score, repetition_negatives
+    from trackintel_spark.scale.frozen_quality_model import (
+        FROZEN_QUALITY_INTERCEPT,
+        FROZEN_QUALITY_WEIGHTS,
+    )
+
+    texts = [
+        "key agg row scan slow fast table value part hash merge batch line sort window",
+        "batch window spark order data column agg join small line customer query value",
+    ]
+    real = _docs(spark, texts)
+    junk = repetition_negatives(real)
+    p_real = (
+        linear_quality_score(real, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT)
+        .agg(F.avg("quality_prob"))
+        .first()[0]
+    )
+    p_junk = (
+        linear_quality_score(junk, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT)
+        .agg(F.avg("quality_prob"))
+        .first()[0]
+    )
+    assert p_real > 0.9 and p_junk < 0.1, (p_real, p_junk)
+
+
+def test_portable_uniform_range_and_determinism(spark):
+    from trackintel_spark.scale import pareto_keep, portable_uniform
+
+    df = spark.range(5000)
+    stats = df.select(portable_uniform(F.col("id"), seed=3).alias("u")).agg(
+        F.min("u"), F.max("u"), F.avg("u"), F.count_distinct("u")
+    ).first()
+    assert 0.0 < stats[0] and stats[1] <= 1.0
+    assert abs(stats[2] - 0.5) < 0.02
+    assert stats[3] > 4990  # essentially all distinct
+    # injected-u lottery is reproducible and matches the analytic rate
+    kept = df.select(
+        pareto_keep(F.lit(0.95), F.col("id"), alpha=9.0, u=portable_uniform(F.col("id"), seed=3)).alias("k")
+    )
+    rate = kept.agg(F.avg(F.col("k").cast("double"))).first()[0]
+    assert abs(rate - (1 / 1.05) ** 9) < 0.02
