@@ -130,3 +130,95 @@ def test_band_boundary_near_threshold_pair_not_dropped(spark):
     cells, arrays = index_trajectory_corpus(_df(spark, rows[:1]), tau)
     m = trajectory_match_stream(_df(spark, rows[1:]), cells, arrays, tau).collect()
     assert len(m) == 1 and m[0].match_id == 0
+
+
+def _seam_trajs(seed, lat0=20.0):
+    """Trajectory pairs straddling the ±180° antimeridian: anchors on
+    both sides within a few hundred meters of the line, plus controls
+    well away from it."""
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for side in (-1, 1):
+        for _ in range(8):
+            # 0..400 m from the line, on `side` of it
+            off_deg = rng.uniform(0, 400.0) / (111_194.93 * math.cos(math.radians(lat0)))
+            lon = side * (180.0 - off_deg)
+            lat = lat0 + rng.uniform(-3e-3, 3e-3)
+            pts = []
+            for _ in range(rng.randint(2, 5)):
+                pts.append({"lon": lon, "lat": lat})
+                # drift that may itself cross the line
+                lon += rng.uniform(-2e-3, 2e-3)
+                if lon > 180.0:
+                    lon -= 360.0
+                elif lon < -180.0:
+                    lon += 360.0
+                lat += rng.uniform(-1e-3, 1e-3)
+            rows.append((i, pts))
+            i += 1
+    # far controls (must never pair with the seam group)
+    rows.append((i, [{"lon": 0.0, "lat": lat0}, {"lon": 0.001, "lat": lat0}]))
+    return rows
+
+
+def _brute_wrapped(rows, fn, tau):
+    """Brute force in a seam-free frame: shift lons onto a continuous
+    axis around ±180 (the DP kernels' haversine is periodic-safe, but
+    the raw-degree arrays fed to `fn` must not jump by 360)."""
+    out = {}
+    arrs = {}
+    for i, pts in rows:
+        a = np.array([[p["lon"], p["lat"]] for p in pts], dtype=float)
+        arrs[i] = a
+    ids = sorted(arrs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = arrs[ids[x]].copy(), arrs[ids[y]].copy()
+            # unwrap both onto the frame of a's first vertex
+            ref = a[0, 0]
+            for m in (a, b):
+                m[:, 0] = np.where(m[:, 0] - ref > 180.0, m[:, 0] - 360.0, m[:, 0])
+                m[:, 0] = np.where(m[:, 0] - ref < -180.0, m[:, 0] + 360.0, m[:, 0])
+            d = fn(a, b)
+            if d <= tau:
+                out[(ids[x], ids[y])] = d
+    return out
+
+
+@pytest.mark.parametrize("metric,fn", [("frechet", frechet_distance), ("dtw", dtw_distance)])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_antimeridian_pairs_not_missed(spark, metric, fn, seed):
+    """Round-8 closure of the documented ±180° miss: the grid's cx now
+    aliases modulo the band's cell count, so cross-seam candidates
+    equi-join. Ground truth brute-forces in an unwrapped frame."""
+    tau = 1500.0
+    rows = _seam_trajs(seed)
+    got = {
+        (r.id_a, r.id_b): r.dist_m
+        for r in trajectory_similarity_join(_df(spark, rows), tau, metric=metric).collect()
+    }
+    want = _brute_wrapped(rows, fn, tau)
+    # non-vacuous: some qualifying pairs must genuinely straddle the line
+    straddling = [
+        (a, b) for (a, b) in want
+        if any(p["lon"] > 179 for p in rows[a][1]) and any(p["lon"] < -179 for p in rows[b][1])
+        or any(p["lon"] < -179 for p in rows[a][1]) and any(p["lon"] > 179 for p in rows[b][1])
+    ]
+    assert straddling, "fixture failed to produce cross-seam pairs"
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_antimeridian_streaming_match(spark):
+    """The streaming matcher shares the wrapped grid: a probe on one
+    side of the line matches a corpus trajectory on the other."""
+    from trackintel_spark.streaming import index_trajectory_corpus, trajectory_match_stream
+
+    corpus = [(0, [{"lon": 179.999, "lat": 10.0}, {"lon": 179.998, "lat": 10.001}])]
+    probe = [(1, [{"lon": -179.999, "lat": 10.0}, {"lon": -179.998, "lat": 10.001}])]
+    tau = 1000.0
+    cells, arrays = index_trajectory_corpus(_df(spark, corpus), tau)
+    m = trajectory_match_stream(_df(spark, probe), cells, arrays, tau).collect()
+    assert len(m) == 1 and m[0].match_id == 0

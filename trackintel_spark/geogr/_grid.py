@@ -3,21 +3,27 @@
 One implementation of the cell geometry used by BOTH sides of the
 trajectory similarity operators (`trajectory_similarity_join`,
 `streaming.trajmatch`), so the subtle parts — the haversine-consistent
-degree constant, per-band cosine scaling, the 1.05 longitude slack —
-can never diverge between the build and probe sides again (a 111,320
-vs 111,194.93 m/deg divergence between the grid and the metric it
-bounds was a real review-caught exactness bug; see
+degree constant, per-band cosine scaling, the 1.05 longitude slack,
+antimeridian aliasing — can never diverge between the build and probe
+sides again (a 111,320 vs 111,194.93 m/deg divergence between the grid
+and the metric it bounds was a real review-caught exactness bug; see
 tests/test_trajectory_join.py::test_band_boundary_near_threshold_pair_not_dropped).
 
 Geometry: bands of height ``cell_deg`` = tau in latitude degrees under
 the haversine sphere (meridian arc is exact: two points within tau
 differ by <= cell_deg of latitude, i.e. at most one band). Within a
-band, cells of width ``cell_deg / cos(equator-near edge)`` degrees of
-longitude (physical width >= tau everywhere in the band). The probe
-side enumerates dy in {-1, 0, 1} and, per target band, the longitude
-cell range an (1.05 x tau)-disk can touch, scaled by the band's
-SMALLEST cosine so a true neighbor is never dropped. Cells do not
-wrap at +-180 degrees (the dbscan_distributed documented limitation).
+band, the circle is split into ``n = max(1, floor(360 / w_ideal))``
+EQUAL cells of width ``360 / n`` degrees, where ``w_ideal = cell_deg /
+cos(equator-near edge)``; flooring keeps every cell's physical width
+>= tau, and an integer cell count makes longitude indices EXACTLY
+periodic — ``cx`` is taken modulo ``n``, so cells alias across the
+antimeridian and a pair straddling ±180° joins like any other
+(pinned by tests/test_trajectory_join.py::test_antimeridian_*). The
+probe side enumerates dy in {-1, 0, 1} and, per target band, the
+longitude cell range an (1.05 x tau)-disk can touch, scaled by the
+band's SMALLEST cosine so a true neighbor is never dropped; when that
+range covers the whole band (near a pole) it collapses to each cell
+exactly once.
 
 ``dbscan_distributed`` keeps its own scheme (eps/2 cells, half
 neighborhood, fully-covered-cell rule) — different contract.
@@ -52,28 +58,44 @@ def _band_geometry(cy: Column, cell_deg: float) -> tuple[Column, Column]:
     return cos_eq, cos_pole
 
 
+def _band_cells(cy: Column, cell_deg: float) -> tuple[Column, Column]:
+    """(cell width in lon degrees, cell count) of a band — the count is
+    integral so the band tiles the circle exactly and indices alias
+    modulo the count across ±180°."""
+    cos_eq, _ = _band_geometry(cy, cell_deg)
+    w_ideal = F.lit(cell_deg) / cos_eq
+    n = F.greatest(F.floor(F.lit(360.0) / w_ideal), F.lit(1)).cast("long")
+    return F.lit(360.0) / n.cast("double"), n
+
+
 def own_cell(lon: Column, lat: Column, cell_deg: float) -> tuple[Column, Column]:
     """The (cy, cx) cell of a point — the lean, non-exploded side."""
     cy = F.floor(lat / cell_deg).cast("long")
-    cos_eq, _ = _band_geometry(cy, cell_deg)
-    cx = F.floor(lon / (F.lit(cell_deg) / cos_eq)).cast("long")
+    w_t, n_t = _band_cells(cy, cell_deg)
+    cx = F.pmod(F.floor((lon + F.lit(180.0)) / w_t).cast("long"), n_t)
     return cy, cx
 
 
 def probe_cells(lon: Column, lat: Column, cell_deg: float) -> Column:
     """Every cell the tau-disk around the point can touch, as one
-    ``array<struct<cy, cx>>`` — the exploded side of the equi-join."""
+    ``array<struct<cy, cx>>`` — the exploded side of the equi-join.
+    Indices are wrapped modulo the band's cell count, so probes near
+    ±180° alias onto the cells of points on the other side."""
     cy = F.floor(lat / cell_deg).cast("long")
 
     def _band(dy: int) -> Column:
         t_cy = cy + F.lit(dy)
-        t_cos_eq, t_cos_pole = _band_geometry(t_cy, cell_deg)
-        w_t = F.lit(cell_deg) / t_cos_eq
+        _, t_cos_pole = _band_geometry(t_cy, cell_deg)
+        w_t, n_t = _band_cells(t_cy, cell_deg)
         r_deg = F.lit(cell_deg * 1.05) / t_cos_pole
-        lo = F.floor((lon - r_deg) / w_t).cast("long")
-        hi = F.floor((lon + r_deg) / w_t).cast("long")
-        return F.transform(
-            F.sequence(lo, hi), lambda tx: F.struct(t_cy.alias("cy"), tx.alias("cx"))
+        lo = F.floor((lon + F.lit(180.0) - r_deg) / w_t).cast("long")
+        hi = F.floor((lon + F.lit(180.0) + r_deg) / w_t).cast("long")
+        # full-circle cap: when the disk spans the whole band, emit each
+        # cell exactly once; otherwise the consecutive range stays
+        # injective under pmod (range length < modulus), no dedup needed
+        rng = F.when(hi - lo + 1 >= n_t, F.sequence(F.lit(0).cast("long"), n_t - 1)).otherwise(
+            F.transform(F.sequence(lo, hi), lambda tx: F.pmod(tx, n_t))
         )
+        return F.transform(rng, lambda tx: F.struct(t_cy.alias("cy"), tx.alias("cx")))
 
     return F.concat(_band(-1), _band(0), _band(1))

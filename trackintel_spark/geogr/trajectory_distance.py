@@ -257,9 +257,10 @@ def trajectory_similarity_join(
 
     Exactness: phase 1 is a superset of all qualifying pairs by the
     coupling argument (pinned against the brute-force all-pairs DP in
-    tests/test_trajectory_join.py). Longitude cells do not wrap at
-    ±180° — a pair straddling the antimeridian is missed (same
-    documented limitation as dbscan_distributed).
+    tests/test_trajectory_join.py). Longitude cells alias modulo the
+    band's cell count, so pairs straddling the ±180° antimeridian join
+    like any other (test_antimeridian_pairs_not_missed; the haversine
+    LB/refine stages were always wrap-safe — only the grid needed it).
 
     Returns ``(id_a, id_b, dist_m)``.
 

@@ -26,8 +26,9 @@ multiplies before the join:
 
 Works identically on a batch probe frame (the unified-API convention
 of this package); stream == batch == brute force is pinned in
-tests/test_streaming_trajmatch.py. Longitude cells do not wrap at
-±180° (the documented dbscan_distributed limitation).
+tests/test_streaming_trajmatch.py. Longitude cells alias modulo the
+band's cell count (geogr/_grid.py), so probes straddling ±180° match
+corpus trajectories on the other side of the antimeridian.
 
 The reference engine has no streaming surface at all; its closest
 batch tool is the O(n²) distance matrix (geogr/distances.py:156-185).
