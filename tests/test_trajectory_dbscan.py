@@ -372,3 +372,50 @@ def test_dbscan_border_tie_deviation_is_bounded(spark):
                     )
     # the adversarial construction must actually exercise the tie-break
     assert n_diff_total > 0
+
+
+def test_dbscan_distributed_antimeridian_wrap(spark):
+    """Round-8 closure of the documented ±180° miss: a blob straddling
+    the antimeridian is ONE cluster and matches the exact (wrap-safe
+    spherical) kernel's partition. Mixed with a same-latitude control
+    blob away from the seam, plus seam noise."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pts = []
+    pid = 0
+    # blob A: both sides of the seam at lat 10
+    for _ in range(15):
+        lon = 179.9996 + rng.uniform(-6e-4, 6e-4)
+        if lon > 180.0:
+            lon -= 360.0
+        pts.append((pid, lon, 10.0 + rng.uniform(-3e-4, 3e-4)))
+        pid += 1
+    # blob B: same latitude, away from the seam
+    for _ in range(15):
+        pts.append((pid, 170.0 + rng.uniform(-6e-4, 6e-4), 10.0 + rng.uniform(-3e-4, 3e-4)))
+        pid += 1
+    # seam noise: isolated point on the line, far from blob A in latitude
+    pts.append((pid, -180.0 + 1e-9, 12.0))
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+
+    out = dbscan_distributed(df, epsilon_m=150, min_samples=3)
+    got = {r.id: r.location_id for r in out.collect()}
+
+    arr = np.array([(p[1], p[2]) for p in pts])
+    local = dbscan_haversine(arr[:, 0], arr[:, 1], 150 / 6371000.0, 3)
+
+    def partition(labels):
+        clusters = {}
+        for i, l in enumerate(labels):
+            if l is None or (isinstance(l, (int, np.integer)) and l == -1):
+                continue
+            clusters.setdefault(l, set()).add(i)
+        return {frozenset(v) for v in clusters.values()}
+
+    assert partition([got[i] for i in range(len(pts))]) == partition(local)
+    # blob A must be one cluster despite the seam, and distinct from B
+    labels_a = {got[i] for i in range(15)}
+    labels_b = {got[i] for i in range(15, 30)}
+    assert len(labels_a) == 1 and len(labels_b) == 1 and labels_a != labels_b
+    assert got[30] is None  # seam noise stays noise

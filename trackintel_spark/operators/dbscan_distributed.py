@@ -48,10 +48,16 @@ Semantics match DBSCAN except cluster NUMBERING and the tie-break for
 border points reachable from multiple clusters (sklearn uses scan
 order; here the minimum label wins — deterministic, order-free).
 Labels are re-densified to 0..k-1 ordered by (min core member id) for
-stability. Longitude wrap-around at ±180° is not handled (the
-reference's sklearn haversine path has the same blind spot for grid
-parity); latitudes within ±90 all work, the polar band degrades to a
-few very wide cells.
+stability. Longitude cells wrap at ±180°: each band tiles the circle
+with an integral cell count (ceil, so physical width stays <= eps/2),
+indices are taken modulo that count, the probe windows are generated
+in the prober's unwrapped frame (so farthest-corner bounds stay
+translation-correct) and wrapped on emit, and the dy=0 east half-space
+is capped at floor((n-1)/2) cells — with a lower-wrapped-index
+tie-break for the exactly-opposite cell when n is even — so no
+unordered cell pair is ever generated from both ends of a tiny polar
+band (which would double neighbor counts). Latitudes within ±90 all
+work; the polar band degrades to a few very wide cells.
 """
 
 from __future__ import annotations
@@ -84,6 +90,17 @@ def _band_cos(band: Column, cell_deg: float) -> tuple[Column, Column]:
     return cos_eq, cos_pole
 
 
+def _band_cells(band: Column, cell_deg: float) -> tuple[Column, Column]:
+    """(cell width in lon degrees, cell count) of a band. The count is
+    integral (ceil — physical width can only SHRINK below eps/2, never
+    grow) so the band tiles the circle exactly and cell indices alias
+    modulo the count across ±180°."""
+    cos_eq, _ = _band_cos(band, cell_deg)
+    w_ideal = F.lit(cell_deg) / cos_eq
+    n = F.greatest(F.ceil(F.lit(360.0) / w_ideal), F.lit(1)).cast("long")
+    return F.lit(360.0) / n.cast("double"), n
+
+
 def dbscan_distributed(
     points: DataFrame,
     epsilon_m: float = 100.0,
@@ -104,14 +121,15 @@ def dbscan_distributed(
         F.col(lon_col).cast("double").alias("lon"),
         F.col(lat_col).cast("double").alias("lat"),
     )
-    cy = F.floor(F.col("lat") / cell_deg).cast("long")
-    own_cos_eq, _ = _band_cos(cy, cell_deg)
-    own_w = F.lit(cell_deg) / own_cos_eq  # own band's cell width (lon degrees)
-    pts = (
-        pts.withColumn("cy", cy)
-        .withColumn("cx", F.floor(F.col("lon") / own_w).cast("long"))
-        .persist()
-    )
+    # anchored at lon+180 the seam is exactly a cell boundary (no cell
+    # straddles it) and pmod aliases indices across ±180°; cy is
+    # materialized first so the band subtrees below reference a leaf
+    pts = pts.withColumn("cy", F.floor(F.col("lat") / cell_deg).cast("long"))
+    own_w, own_n = _band_cells(F.col("cy"), cell_deg)
+    pts = pts.withColumn(
+        "cx",
+        F.pmod(F.floor((F.col("lon") + F.lit(180.0)) / own_w).cast("long"), own_n),
+    ).persist()
 
     # per-cell size and minimum pid: one row per occupied cell
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
@@ -134,11 +152,22 @@ def dbscan_distributed(
     # GriDBSCAN fully-covered-cell rule.
     reach = epsilon_m * 1.05
     lon_c, lat_c = F.col("lon"), F.col("lat")
-    probe_arrays = []
+    ulon = lon_c + F.lit(180.0)  # unwrapped frame: windows generated
+    # around the prober's own position, wrapped (pmod) only on emit, so
+    # the farthest-corner geometry stays translation-correct across ±180°
+    #
+    # Band geometry and raw window bounds are materialized into LEAF
+    # columns first: everything downstream is re-analyzed by ~40
+    # DataFrame operations, and expression-tree size — not execution —
+    # is what that costs (see the `full` note inside _mk). Repeating
+    # the ceil/cos subtrees at every reference tripled the suite's
+    # wall time when this was first inlined.
+    geom_cols = []
+    cosq = F.greatest(F.cos(F.radians(lat_c)), F.lit(1e-9))
     for dy in (0, 1, 2):
         ty = F.col("cy") + dy
         cos_eq_t, cos_pole_t = _band_cos(ty, cell_deg)
-        w_t = F.lit(cell_deg) / cos_eq_t
+        w_t, n_t = _band_cells(ty, cell_deg)
         # max lon-degrees the eps·1.05 disk spans at any latitude it
         # touches: the great-circle's lon extent is governed by the
         # SMALLEST cosine along the path, which can be the prober's own
@@ -146,21 +175,57 @@ def dbscan_distributed(
         # hemisphere dy>0) — within ~2 km of a pole the band-only bound
         # undershot and dropped true neighbors. Capped so the polar
         # band can't explode the candidate sequence.
-        cos_min = F.least(cos_pole_t, F.greatest(F.cos(F.radians(lat_c)), F.lit(1e-9)))
+        cos_min = F.least(cos_pole_t, cosq)
         r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_min), F.lit(360.0))
-        tx_lo = F.floor((lon_c - r_deg) / w_t).cast("long")
-        tx_hi = F.floor((lon_c + r_deg) / w_t).cast("long")
-        if dy == 0:
-            # half-space: only cells strictly east of the own cell
-            # in-band; clamp hi >= lo so sequence() never descends
-            # (worst case one spurious adjacent candidate, which the
-            # join's exact check discards)
-            tx_lo = F.greatest(tx_lo, F.col("cx") + 1)
-            tx_hi = F.greatest(tx_hi, tx_lo)
+        geom_cols += [
+            w_t.alias(f"__w{dy}"),
+            n_t.alias(f"__n{dy}"),
+            cos_eq_t.alias(f"__ce{dy}"),
+            F.floor((ulon - r_deg) / w_t).cast("long").alias(f"__lo{dy}"),
+            F.floor((ulon + r_deg) / w_t).cast("long").alias(f"__hi{dy}"),
+        ]
+    ppre = pts.select("pid", "lon", "lat", "cx", "cy", *geom_cols)
 
-        def _mk_factory(ty, w_t, cos_eq_t, cos_pole_t):
+    probe_arrays = []
+    for dy in (0, 1, 2):
+        ty = F.col("cy") + dy
+        w_t, n_t = F.col(f"__w{dy}"), F.col(f"__n{dy}")
+        cos_eq_t = F.col(f"__ce{dy}")
+        tx_lo, tx_hi = F.col(f"__lo{dy}"), F.col(f"__hi{dy}")
+        extra_tx = None
+        if dy == 0:
+            # cyclic east half-space: cells strictly east of the own
+            # cell, at most floor((n-1)/2) away — the canonical
+            # generator for unordered same-band pairs. The cap matters
+            # only when a tiny (polar) band has n <= 2*window cells:
+            # uncapped, the SAME pair would be generated east from both
+            # ends and its neighbor contribution double-counted. The
+            # exactly-opposite cell of an even band (distance n/2, east
+            # of both ends) is generated once via a lower-wrapped-index
+            # tie-break below.
+            cx_u = F.floor(ulon / w_t).cast("long")
+            half_cap = F.floor((n_t - F.lit(1)) / F.lit(2)).cast("long")
+            reach_east = tx_hi - cx_u
+            hdist = (n_t / F.lit(2)).cast("long")
+            extra_tx = (cx_u + hdist, (
+                (n_t % 2 == 0)
+                & (reach_east >= hdist)
+                & (F.col("cx") < F.pmod(cx_u + hdist, n_t))
+            ))
+            tx_lo = cx_u + 1
+            tx_hi = F.least(tx_hi, cx_u + half_cap)
+        else:
+            # full-circle cap: a window spanning the whole band emits
+            # each cell exactly once (their farthest-corner boxes may
+            # then sit a full turn away in the unwrapped frame — that
+            # only forfeits the `full` shortcut, never correctness)
+            tx_lo = F.when(tx_hi - tx_lo + 1 >= n_t, F.lit(0).cast("long")).otherwise(tx_lo)
+            tx_hi = F.least(tx_hi, tx_lo + n_t - 1)
+
+        def _mk_factory(ty, w_t, n_t, cos_eq_t, cos_pole_t):
             def _mk(tx):
-                lo_lon, hi_lon = tx.cast("double") * w_t, (tx + 1).cast("double") * w_t
+                lo_lon = tx.cast("double") * w_t - F.lit(180.0)
+                hi_lon = (tx + 1).cast("double") * w_t - F.lit(180.0)
                 lo_lat = ty.cast("double") * F.lit(cell_deg)
                 hi_lat = (ty + 1).cast("double") * F.lit(cell_deg)
                 # no per-candidate distance prune: the tx sequence range
@@ -190,14 +255,28 @@ def dbscan_distributed(
                 ub_m = F.sqrt(
                     F.pow(fdx * _DEG2M * cos_ub, F.lit(2.0)) + F.pow(fdy * _DEG2M, F.lit(2.0))
                 ) * 1.01
-                return F.struct(tx.alias("cx"), ty.alias("cy"), (ub_m <= epsilon_m).alias("full"))
+                return F.struct(
+                    F.pmod(tx, n_t).alias("cx"), ty.alias("cy"), (ub_m <= epsilon_m).alias("full")
+                )
 
             return _mk
 
-        probe_arrays.append(
-            F.transform(F.sequence(tx_lo, tx_hi), _mk_factory(ty, w_t, cos_eq_t, cos_pole_t))
-        )
-    probe = pts.select(
+        mk = _mk_factory(ty, w_t, n_t, cos_eq_t, cos_pole_t)
+        if dy == 0:
+            # the capped east window can be legitimately empty (n <= 2;
+            # sequence() would descend, so slice the guard range down to
+            # the true length), and the opposite cell rides along as a
+            # conditional extra index — the tx list is assembled FIRST
+            # so the big _mk struct tree is instantiated exactly once
+            # per band (plan-analysis cost, see the note inside _mk)
+            length = F.greatest(tx_hi - tx_lo + 1, F.lit(0)).cast("int")
+            win = F.slice(F.sequence(tx_lo, F.greatest(tx_hi, tx_lo)), F.lit(1), length)
+            opp_tx, opp_cond = extra_tx
+            opp = F.filter(F.array(opp_tx), lambda _: opp_cond)
+            probe_arrays.append(F.transform(F.concat(win, opp), mk))
+        else:
+            probe_arrays.append(F.transform(F.sequence(tx_lo, tx_hi), mk))
+    probe = ppre.select(
         F.col("pid").alias("qid"),
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
