@@ -124,6 +124,10 @@ def main() -> None:
              lambda: run_incremental_dedup(spark, int(1_000_000 * frac))),
             ("trajectory_join_200k",
              lambda: run_trajectory_join(spark, int(200_000 * frac))),
+            # real-GPS-leg regime: 10x longer trajectories, DP-refine
+            # dominated (the anti-diagonal-vectorized kernel's case)
+            ("trajectory_join_20k_long",
+             lambda: run_trajectory_join(spark, int(20_000 * frac), leg_len=50, n_sites=2000)),
         ]
         for name, fn in probes:
             r = fn()

@@ -157,23 +157,27 @@ def main():
         print("dbscan", run_dbscan(spark, n), flush=True)
 
 
-def run_trajectory_join(spark, n: int) -> dict:
-    """Similarity self-join at probe scale: ``n`` short trajectories
-    around 20k anchor sites (so qualifying pairs exist but stay
-    bounded), tau=150 m discrete Frechet."""
+def run_trajectory_join(spark, n: int, leg_len: int = 2, n_sites: int = 20000) -> dict:
+    """Similarity self-join at probe scale: ``n`` trajectories of
+    ``leg_len``..``leg_len``+5 vertices around ``n_sites`` anchor sites
+    (so qualifying pairs exist but stay bounded), tau=150 m discrete
+    Frechet. ``leg_len`` ~2 exercises the candidate/LB machinery;
+    ``leg_len`` ~50 (real GPS legs) makes the O(len²) DP refine the
+    dominant stage — the regime the anti-diagonal-vectorized kernels
+    exist for."""
     import time
 
     from pyspark.sql import functions as F
 
     from trackintel_spark.geogr import trajectory_similarity_join
 
-    base = spark.range(n).select(F.col("id"), (F.col("id") % 20000).alias("site"))
+    base = spark.range(n).select(F.col("id"), (F.col("id") % n_sites).alias("site"))
     traj = base.select(
         "id",
         F.transform(
-            F.sequence(F.lit(0), (F.col("id") % 5) + F.lit(1)),
+            F.sequence(F.lit(0), (F.col("id") % 5) + F.lit(leg_len - 1)),
             lambda k: F.struct(
-                (8.0 + (F.col("site") % 200) * 0.01 + k.cast("double") * 1e-4
+                (8.0 + (F.col("site") % 200) * 0.01 + k.cast("double") * 1e-4 / leg_len
                  + (F.xxhash64("id", k) % 1000).cast("double") * 1e-7).alias("lon"),
                 (46.0 + F.floor(F.col("site") / 200).cast("double") * 0.01
                  + (F.xxhash64(k, "id") % 1000).cast("double") * 1e-7).alias("lat"),

@@ -35,30 +35,42 @@ def _pair_cost(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """DTW cumulative cost, vectorized over anti-diagonals.
+
+    Cells on diagonal i+j=d depend only on diagonals d-1 and d-2, so
+    the DP runs in O(n+m) numpy steps instead of O(n·m) Python-level
+    iterations — at real GPS leg lengths (hundreds of vertices) the
+    interpreter loop, not the arithmetic, dominated the refine stage
+    of trajectory_similarity_join. Identical arithmetic to the scalar
+    recursion (min of the same three operands, then add), so results
+    are bit-equal.
+    """
     cost = _pair_cost(a, b)
     n, m = cost.shape
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, n + 1):
-        acc[i, 1 : m + 1] = cost[i - 1]
-        for j in range(1, m + 1):
-            acc[i, j] += min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+    for d in range(2, n + m + 1):  # i + j = d over the padded accumulator
+        i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+        j = d - i
+        prev = np.minimum(np.minimum(acc[i - 1, j], acc[i, j - 1]), acc[i - 1, j - 1])
+        acc[i, j] = cost[i - 1, j - 1] + prev
     return float(acc[n, m])
 
 
 def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
-    """Discrete Fréchet (Eiter & Mannila 1994), iterative DP."""
+    """Discrete Fréchet (Eiter & Mannila 1994), the coupling DP
+    vectorized over anti-diagonals (same wavefront argument and
+    bit-equality as :func:`dtw_distance`)."""
     cost = _pair_cost(a, b)
     n, m = cost.shape
     ca = np.full((n, m), np.inf)
-    ca[0, 0] = cost[0, 0]
-    for i in range(1, n):
-        ca[i, 0] = max(ca[i - 1, 0], cost[i, 0])
-    for j in range(1, m):
-        ca[0, j] = max(ca[0, j - 1], cost[0, j])
-    for i in range(1, n):
-        for j in range(1, m):
-            ca[i, j] = max(min(ca[i - 1, j], ca[i, j - 1], ca[i - 1, j - 1]), cost[i, j])
+    ca[:, 0] = np.maximum.accumulate(cost[:, 0])
+    ca[0, :] = np.maximum.accumulate(cost[0, :])
+    for d in range(2, n + m - 1):  # i + j = d over the interior
+        i = np.arange(max(1, d - m + 1), min(n - 1, d - 1) + 1)
+        j = d - i
+        mn = np.minimum(np.minimum(ca[i - 1, j], ca[i, j - 1]), ca[i - 1, j - 1])
+        ca[i, j] = np.maximum(mn, cost[i, j])
     return float(ca[n - 1, m - 1])
 
 
