@@ -61,3 +61,13 @@ def test_incremental_ingest_example():
     )
     assert "day 0: accepted 500 seed docs" in out.stdout
     assert "replay day 2: newly accepted 0 (expect 0)" in out.stdout, out.stdout[-2000:]
+
+
+def test_heatmap_tiles_example():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "heatmap_tiles.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=420, check=True,
+    )
+    assert "merge identity holds" in out.stdout, out.stdout[-2000:]

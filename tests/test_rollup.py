@@ -160,3 +160,83 @@ def test_time_rollup_week_month_incomparable_and_validation(spark):
         time_rollup(ev, units=("hour", "hour"))
     with pytest.raises(ValueError):
         time_rollup(ev, units=("minute",))
+
+
+def test_stream_merge_equals_batch_rollup_of_everything(spark, tmp_path):
+    """The serving story (round-8 directive): historical tiles built by
+    grid_rollup(emit_state=True), live fixes replayed through a REAL
+    grid_counts_stream query, the emitted level-0 cell rows (with HLL
+    sketch bytes) folded in via merge_grid_tiles — and the merged table
+    equals grid_rollup over the full history. Users appearing in BOTH
+    halves prove the sketch union does not double-count."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from trackintel_spark.analysis import merge_grid_tiles
+    from trackintel_spark.streaming import grid_counts_stream
+
+    CELL, LEVELS = 0.01, 3
+    t0 = datetime(2024, 1, 1)
+    all_pts = _pts(spark, seed=5, n=300).collect()
+    hist_rows, live_rows = all_pts[:200], all_pts[200:]  # users overlap (i % 7)
+    hist = spark.createDataFrame(hist_rows, "user_id long, lon double, lat double")
+
+    tiles = grid_rollup(
+        hist, levels=LEVELS, base_cell_deg=CELL, user_col="user_id", emit_state=True
+    )
+
+    # replay the live half as a file stream, two arrival chunks
+    schema = "user_id long, lon double, lat double, tracked_at timestamp"
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    for i, chunk in enumerate([live_rows[:50], live_rows[50:]]):
+        d = os.path.join(src, f"f{i}")
+        spark.createDataFrame(
+            [(r.user_id, r.lon, r.lat, t0 + timedelta(minutes=i)) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        now = time.time() + i
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now, now))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        grid_counts_stream(stream, cell_deg=CELL, window="1 hour",
+                           watermark="0 seconds", user_col="user_id")
+        .writeStream.format("memory").queryName("tile_updates")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    updates = spark.sql(
+        # sum windows away; sketches union across windows
+        """SELECT cy, cx, SUM(n) AS n, SUM(sum_lon) AS sum_lon, SUM(sum_lat) AS sum_lat,
+                  hll_union_agg(users_sketch) AS users_sketch
+           FROM tile_updates GROUP BY cy, cx"""
+    )
+
+    merged = merge_grid_tiles(tiles, updates, levels=LEVELS, base_cell_deg=CELL)
+    full = spark.createDataFrame(all_pts, "user_id long, lon double, lat double")
+    want = grid_rollup(full, levels=LEVELS, base_cell_deg=CELL, user_col="user_id")
+
+    got = {(r.level, r.cy, r.cx): r for r in merged.collect()}
+    exp = {(r.level, r.cy, r.cx): r for r in want.collect()}
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        g = got[k]
+        assert g.n == e.n, k
+        assert g.centroid_lon == pytest.approx(e.centroid_lon, abs=1e-9)
+        assert g.centroid_lat == pytest.approx(e.centroid_lat, abs=1e-9)
+        # HLL is exact at these cardinalities (<= 7 users): union of
+        # history+stream sketches == single-pass sketch estimate
+        assert round(g.users_est) == round(e.users_est), k
+    # non-vacuous double-count exposure: some merged cell saw the same
+    # user in both halves yet estimates exactly the distinct count
+    hist_cells = {(0, r.cy, r.cx) for r in tiles.collect()}
+    upd_cells = {(0, r.cy, r.cx) for r in updates.select("cy", "cx").collect()}
+    assert hist_cells & upd_cells, "fixture: no cell saw both history and stream rows"
+    # merged output is closed under composition: schema carries state
+    assert {"sum_lon", "sum_lat", "users_sketch"} <= set(merged.columns)

@@ -8,7 +8,7 @@ from trackintel_spark.analysis.location_identification import (
     pre_filter_locations,
 )
 from trackintel_spark.analysis.metrics import jump_length, radius_gyration
-from trackintel_spark.analysis.rollup import grid_rollup, time_rollup
+from trackintel_spark.analysis.rollup import grid_rollup, merge_grid_tiles, time_rollup
 from trackintel_spark.analysis.modal_split import calculate_modal_split
 from trackintel_spark.analysis.tracking_quality import split_overlaps, temporal_tracking_quality
 
@@ -18,6 +18,7 @@ __all__ = [
     "predict_transport_mode",
     "radius_gyration",
     "grid_rollup",
+    "merge_grid_tiles",
     "time_rollup",
     "jump_length",
     "origin_destination_matrix",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_rollup", "time_rollup"]
+__all__ = ["grid_rollup", "merge_grid_tiles", "time_rollup"]
 
 
 def grid_rollup(
@@ -42,6 +42,7 @@ def grid_rollup(
     lon_col: str = "lon",
     lat_col: str = "lat",
     user_col: str | None = None,
+    emit_state: bool = False,
 ) -> DataFrame:
     """Aggregate points onto ``levels`` nested grids in one data pass.
 
@@ -50,6 +51,13 @@ def grid_rollup(
     [, users_est])`` where level 0 is the finest. Centroids are exact
     (sum-rollup); ``users_est`` (only with ``user_col``) is a
     DataSketches HLL estimate, mergeable across levels and shards.
+
+    With ``emit_state=True`` each row additionally carries the
+    MERGEABLE aggregation state — ``sum_lon``, ``sum_lat`` and (with
+    ``user_col``) the HLL ``users_sketch`` bytes — so a serving layer
+    can fold later cell updates (e.g. rows emitted by
+    ``streaming.grid_counts_stream``) into the tile table with
+    :func:`merge_grid_tiles` instead of rescanning history.
     """
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
@@ -82,6 +90,10 @@ def grid_rollup(
         ]
         if user_col:
             cols.append(F.hll_sketch_estimate("__hll").alias("users_est"))
+        if emit_state:
+            cols += [F.col("__slon").alias("sum_lon"), F.col("__slat").alias("sum_lat")]
+            if user_col:
+                cols.append(F.col("__hll").alias("users_sketch"))
         return df.select(*cols)
 
     # child -> parent via arithmetic shift (floor semantics on negatives)
@@ -119,6 +131,70 @@ def grid_rollup(
         level_df = _parent(level_df).localCheckpoint(eager=True)
         out = out.unionByName(_finish(level_df, lvl))
     return out
+
+
+def merge_grid_tiles(
+    tiles: DataFrame,
+    updates: DataFrame,
+    levels: int = 4,
+    base_cell_deg: float = 0.001,
+) -> DataFrame:
+    """Fold level-0 cell updates into an existing tile table — the
+    serve-time half of the rollup story.
+
+    ``tiles`` is a :func:`grid_rollup(..., emit_state=True)` result
+    (historical tiles at every level, carrying sums and HLL sketch
+    bytes); ``updates`` is finest-cell delta rows ``(cy, cx, n,
+    sum_lon, sum_lat[, users_sketch])`` — exactly what a
+    ``streaming.grid_counts_stream`` query emits (windows already
+    summed away, or kept upstream for time-sliced tiles). Every
+    statistic merges by the rollup identity: counts and coordinate
+    sums add, user sketches union (``hll_union_agg``) — so users seen
+    both in history and in the stream are never double-counted, which
+    summed estimates would get wrong. The updates are lifted to each
+    coarser level by index shift; one shuffle keyed on (level, cy, cx)
+    touches only tile rows and deltas, never history points.
+
+    Returns the merged table in the same ``emit_state=True`` schema, so
+    merging is closed under composition (tonight's tiles + tomorrow's
+    deltas + ...). Stream-merge == batch-rollup-of-everything is pinned
+    in tests/test_rollup.py.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    has_users = "users_sketch" in tiles.columns
+    if has_users != ("users_sketch" in updates.columns):
+        raise ValueError("tiles and updates must both (or neither) carry users_sketch")
+
+    state = ["n", "sum_lon", "sum_lat"] + (["users_sketch"] if has_users else [])
+    lifted = None
+    for lvl in range(levels):
+        lv = updates.select(
+            F.lit(lvl).alias("level"),
+            F.lit(base_cell_deg * (2 ** lvl)).alias("cell_deg"),
+            F.shiftright("cy", lvl).alias("cy"),
+            F.shiftright("cx", lvl).alias("cx"),
+            *state,
+        )
+        lifted = lv if lifted is None else lifted.unionByName(lv)
+    both = tiles.select("level", "cell_deg", "cy", "cx", *state).unionByName(lifted)
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("sum_lon").alias("sum_lon"),
+        F.sum("sum_lat").alias("sum_lat"),
+    ]
+    if has_users:
+        aggs.append(F.hll_union_agg("users_sketch").alias("users_sketch"))
+    merged = both.groupBy("level", "cell_deg", "cy", "cx").agg(*aggs)
+    cols = [
+        "level", "cell_deg", "cy", "cx", "n",
+        (F.col("sum_lon") / F.col("n")).alias("centroid_lon"),
+        (F.col("sum_lat") / F.col("n")).alias("centroid_lat"),
+    ]
+    if has_users:
+        cols.append(F.hll_sketch_estimate("users_sketch").alias("users_est"))
+    cols += ["sum_lon", "sum_lat"] + (["users_sketch"] if has_users else [])
+    return merged.select(*cols)
 
 
 _TIME_UNITS = ("hour", "day", "week", "month")
