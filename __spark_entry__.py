@@ -1200,8 +1200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from trackintel_spark.plans.ids import dense_id_by_user
 
-        mv = dense_id_by_user(mv, order_by=["started_at"], id_col="id")
+        # plan-truncate both entity inputs (same r7 watch item as the
+        # dbscan query: the trips->tours chain re-inlines every upstream
+        # branch, ~700 scans in the printed plan without this)
+        sp = sp.localCheckpoint(eager=True)
+        mv = dense_id_by_user(mv, order_by=["started_at"], id_col="id").localCheckpoint(eager=True)
         _, _, trips = generate_trips(sp, mv, gap_threshold=720, add_geometry=False)
+        trips = trips.localCheckpoint(eager=True)
         _, tours = generate_tours(trips, staypoints=sp, max_time=1440)
         return tours.select(
             "id", "user_id", "started_at", "finished_at", "location_id", F.size("trips").alias("n_trips")

