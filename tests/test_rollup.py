@@ -240,3 +240,40 @@ def test_stream_merge_equals_batch_rollup_of_everything(spark, tmp_path):
     assert hist_cells & upd_cells, "fixture: no cell saw both history and stream rows"
     # merged output is closed under composition: schema carries state
     assert {"sum_lon", "sum_lat", "users_sketch"} <= set(merged.columns)
+
+
+def test_time_bucket_merge_equals_rollup_of_everything(spark):
+    """Temporal serving symmetry: hourly deltas fold into a
+    time_rollup(emit_state=True) history — counts add, sketches union,
+    week/month lifted straight from the finest unit (lattice-safe) —
+    and the merged table equals time_rollup over the full history."""
+    from trackintel_spark.analysis import merge_time_buckets, time_rollup
+
+    ev = _events(spark, seed=9, n=600).collect()
+    hist = spark.createDataFrame(ev[:400], "user_id long, tracked_at timestamp")
+    live = spark.createDataFrame(ev[400:], "user_id long, tracked_at timestamp")
+
+    rollup = time_rollup(hist, user_col="user_id", emit_state=True)
+    updates = (
+        live.groupBy(F.date_trunc("hour", "tracked_at").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.hll_sketch_agg("user_id").alias("users_sketch"))
+    )
+    merged = merge_time_buckets(rollup, updates)
+    full = spark.createDataFrame(ev, "user_id long, tracked_at timestamp")
+    want = {
+        (r.unit, r.bucket): (r.n, round(r.users_est))
+        for r in time_rollup(full, user_col="user_id").collect()
+    }
+    got = {(r.unit, r.bucket): (r.n, round(r.users_est)) for r in merged.collect()}
+    assert got == want
+    # users overlapping the split must have been union-merged somewhere
+    hist_buckets = {(r.unit, r.bucket) for r in rollup.collect()}
+    upd_hours = {("hour", r.bucket) for r in updates.select("bucket").collect()}
+    assert hist_buckets & upd_hours, "fixture: no bucket saw both halves"
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_time_buckets(rollup, updates.drop("users_sketch"))
+    with _pytest.raises(ValueError):
+        merge_time_buckets(rollup, updates, units=("hour", "decade"))

@@ -8,7 +8,12 @@ from trackintel_spark.analysis.location_identification import (
     pre_filter_locations,
 )
 from trackintel_spark.analysis.metrics import jump_length, radius_gyration
-from trackintel_spark.analysis.rollup import grid_rollup, merge_grid_tiles, time_rollup
+from trackintel_spark.analysis.rollup import (
+    grid_rollup,
+    merge_grid_tiles,
+    merge_time_buckets,
+    time_rollup,
+)
 from trackintel_spark.analysis.modal_split import calculate_modal_split
 from trackintel_spark.analysis.tracking_quality import split_overlaps, temporal_tracking_quality
 
@@ -19,6 +24,7 @@ __all__ = [
     "radius_gyration",
     "grid_rollup",
     "merge_grid_tiles",
+    "merge_time_buckets",
     "time_rollup",
     "jump_length",
     "origin_destination_matrix",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_rollup", "merge_grid_tiles", "time_rollup"]
+__all__ = ["grid_rollup", "merge_grid_tiles", "time_rollup", "merge_time_buckets"]
 
 
 def grid_rollup(
@@ -205,6 +205,7 @@ def time_rollup(
     ts_col: str = "tracked_at",
     units: tuple[str, ...] = _TIME_UNITS,
     user_col: str | None = None,
+    emit_state: bool = False,
 ) -> DataFrame:
     """Temporal sibling of :func:`grid_rollup`: event counts per hour,
     day, week, and month in ONE data pass.
@@ -218,6 +219,10 @@ def time_rollup(
     derives every coarser unit from the finest FINER materialized
     level the lattice allows. Returns one row per (unit, bucket):
     ``(unit, bucket, n [, users_est])``.
+
+    With ``emit_state=True`` (and ``user_col``) each row also carries
+    the HLL ``users_sketch`` bytes, so later finest-unit deltas fold
+    in via :func:`merge_time_buckets` without a history rescan.
     """
     order = {u: i for i, u in enumerate(_TIME_UNITS)}
     if not units or any(u not in order for u in units):
@@ -247,6 +252,8 @@ def time_rollup(
         cols = [F.lit(unit).alias("unit"), F.col("bucket"), F.col("n")]
         if user_col:
             cols.append(F.hll_sketch_estimate("__hll").alias("users_est"))
+            if emit_state:
+                cols.append(F.col("__hll").alias("users_sketch"))
         return df.select(*cols)
 
     out = _finish(levels[units[0]], units[0])
@@ -281,3 +288,52 @@ def time_rollup(
         levels[unit] = lvl
         out = out.unionByName(_finish(lvl, unit))
     return out
+
+
+def merge_time_buckets(
+    rollup: DataFrame,
+    updates: DataFrame,
+    units: tuple[str, ...] = _TIME_UNITS,
+) -> DataFrame:
+    """Temporal counterpart of :func:`merge_grid_tiles`: fold
+    finest-unit bucket deltas into an existing :func:`time_rollup`
+    result.
+
+    ``rollup`` is a ``time_rollup(..., emit_state=True)`` output;
+    ``updates`` is delta rows ``(bucket, n[, users_sketch])`` already
+    truncated to ``units[0]`` (e.g. hourly counts a streaming query
+    emitted). Lifting the deltas straight from the finest unit to
+    EVERY coarser unit via ``date_trunc`` is lattice-safe — the
+    week/month incomparability only bites when deriving one COARSE
+    unit from another, never from the finest. Counts add, sketches
+    union (users in both history and the delta count once). Output
+    keeps the state schema, so merges compose.
+    """
+    order = {u: i for i, u in enumerate(_TIME_UNITS)}
+    if not units or any(u not in order for u in units):
+        raise ValueError(f"units must be drawn from {_TIME_UNITS}, got {units!r}")
+    has_users = "users_sketch" in rollup.columns
+    if has_users != ("users_sketch" in updates.columns):
+        raise ValueError("rollup and updates must both (or neither) carry users_sketch")
+
+    state = ["n"] + (["users_sketch"] if has_users else [])
+    lifted = None
+    for unit in units:
+        lv = updates.select(
+            F.lit(unit).alias("unit"),
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            *state,
+        )
+        lifted = lv if lifted is None else lifted.unionByName(lv)
+    both = rollup.select("unit", "bucket", *state).unionByName(lifted)
+    aggs = [F.sum("n").alias("n")]
+    if has_users:
+        aggs.append(F.hll_union_agg("users_sketch").alias("users_sketch"))
+    merged = both.groupBy("unit", "bucket").agg(*aggs)
+    cols = ["unit", "bucket", "n"]
+    if has_users:
+        cols += [
+            F.hll_sketch_estimate("users_sketch").alias("users_est"),
+            "users_sketch",
+        ]
+    return merged.select(*cols)
