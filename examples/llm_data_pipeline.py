@@ -97,6 +97,26 @@ def main() -> None:
     kept = classifier_score(kept, clf).filter(F.col("quality_prob") > 0.5).drop("quality_prob")
     print(f"after classifier gate: {kept.count()}")
 
+    # 1c'. the deployment shape of the same stage: a FROZEN checkpoint
+    # (checked-in term->weight vocabulary) scored map-side with plan
+    # literals, gated by GPT-3's Pareto keep lottery instead of a hard
+    # threshold — train once, score every shard forever, no model
+    # object to ship. Scores here only (the synthetic corpus is all
+    # "real", so the lottery keeps nearly everything — shown, not used
+    # as a filter).
+    from trackintel_spark.scale import linear_quality_score, pareto_keep, portable_uniform
+    from trackintel_spark.scale.frozen_quality_model import (
+        FROZEN_QUALITY_INTERCEPT,
+        FROZEN_QUALITY_WEIGHTS,
+    )
+
+    frozen = linear_quality_score(kept, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT)
+    lottery_kept = frozen.filter(
+        pareto_keep(F.col("quality_prob"), F.col("doc_id"),
+                    u=portable_uniform(F.col("doc_id"), seed=7))
+    ).count()
+    print(f"frozen-checkpoint lottery keeps: {lottery_kept}")
+
     # 2a. strip corpus-wide boilerplate lines (C4/RefinedWeb style)
     kept = line_dedup(kept, min_count=3, keep="none").persist()
     print(f"boilerplate lines removed: {kept.agg(F.sum('n_lines_removed')).collect()[0][0]}")

@@ -162,3 +162,46 @@ def test_classifier_and_incremental_dedup_run_under_streaming(spark, tmp_path):
         assert got[k].dup_of == want[k].dup_of and got[k].is_new == want[k].is_new
     assert got[4].dup_of == 90 and not got[4].is_new  # history dup caught in-stream
     assert got[1].is_new and got[2].is_new
+
+
+def test_frozen_linear_score_and_lottery_run_under_streaming(spark, tmp_path):
+    """The frozen-checkpoint scoring path (plan-literal weights, md5
+    lottery) is pure map work, so it lifts to a document stream
+    unchanged — stream rows must equal the batch run bit-for-bit."""
+    from trackintel_spark.scale import linear_quality_score, pareto_keep, portable_uniform
+    from trackintel_spark.scale.frozen_quality_model import (
+        FROZEN_QUALITY_INTERCEPT,
+        FROZEN_QUALITY_WEIGHTS,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "key agg row scan slow fast table value part hash merge batch line"),
+        (2, "table table table table table table table table"),
+        (3, "batch window spark order data column agg join small line customer"),
+        (4, "x"),
+    ]
+    src = _write_chunks(spark, tmp_path, [rows[:2], rows[2:]])
+
+    def scored(df):
+        s = linear_quality_score(df, FROZEN_QUALITY_WEIGHTS, FROZEN_QUALITY_INTERCEPT)
+        return s.select(
+            "doc_id",
+            "quality_prob",
+            pareto_keep(
+                F.col("quality_prob"), F.col("doc_id"),
+                u=portable_uniform(F.col("doc_id"), seed=7),
+            ).alias("keep"),
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    _run(scored(stream), "frozen_stream")
+    got = {r.doc_id: (r.quality_prob, r.keep) for r in spark.sql("SELECT * FROM frozen_stream").collect()}
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r.doc_id: (r.quality_prob, r.keep) for r in scored(batch).collect()}
+    assert got == want and set(got) == {1, 2, 3, 4}
