@@ -854,6 +854,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classifier_score"] = q_classifier_score
 
+    def q_bm25_search(spark, sf):
+        # index-free BM25 over the full corpus: k exceeds the corpus so
+        # no top-k boundary exists (a cutoff could flip on sub-ulp score
+        # ties); rank is computed on the UNROUNDED score in both engines
+        # — exact ties (identical tf-vector and length) tie-break by id
+        # identically, and distinct tf/dl tuples are separated far above
+        # float noise.
+        from trackintel_spark.scale.search import bm25_search
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        out = bm25_search(docs, "spark table merge stream", k=1_000_000)
+        return out.select("doc_id", _r("score", 6).alias("score"), "rank")
+
+    q["bm25_search"] = q_bm25_search
+
     def q_dedup_incremental(spark, sf):
         from trackintel_spark.scale import build_exact_index, dedup_against_index
 
@@ -1301,9 +1316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_flag", "temp_overlap",
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
-        # round-8 addition: the classifier's frozen-checkpoint scoring
+        # round-8 additions: the classifier's frozen-checkpoint scoring
         # path (training stays pytest-pinned; scoring is closed-form)
-        "classifier_score",
+        # and full-corpus BM25 scoring (previously pytest-only)
+        "classifier_score", "bm25_search",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2089,6 +2105,39 @@ def oracle_sql() -> dict[str, str]:
                     / 281474976710656.0, -1.0 / 9.0) - 1.0)
                > (1.0 - quality_prob) AS keep
         FROM p
+    """
+
+    # bm25_search: Okapi BM25 replayed in SQL. Float literals are e0-
+    # suffixed — bare 0.5/1.2 parse as DECIMAL in DuckDB and would run
+    # the idf/tf arithmetic in decimal128 (the classifier_score lesson).
+    # Operation ORDER mirrors scale/search.py exactly so both engines
+    # compute the same doubles modulo summation order (ROUND 6 absorbs).
+    o["bm25_search"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+            FROM documents
+        ),
+        st AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM toks),
+        tf AS (
+            SELECT t.doc_id, len(t.ts) AS dl, u.term, COUNT(*) AS tf
+            FROM toks t, UNNEST(t.ts) AS u(term)
+            WHERE u.term IN ('merge', 'spark', 'stream', 'table')
+            GROUP BY t.doc_id, len(t.ts), u.term
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        sc AS (
+            SELECT tf.doc_id,
+                   SUM(LN(1.0e0 + (st.n_docs - dfq.df + 0.5e0) / (dfq.df + 0.5e0))
+                       * (tf.tf * 2.2e0)
+                       / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * tf.dl / st.avgdl))
+                   ) AS score
+            FROM tf JOIN dfq USING (term), st
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(score, 6) AS score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM sc
     """
 
     o["dedup_incremental"] = """
