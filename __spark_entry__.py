@@ -994,6 +994,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["generate_trips"] = q_trips_oracle
 
+    def q_od_flows(spark, sf):
+        from trackintel_spark.analysis import origin_destination_matrix
+        from trackintel_spark.analysis import create_activity_flag
+        from trackintel_spark.operators import generate_trips
+
+        sp = create_activity_flag(_sessions(spark, sf), time_threshold=5)
+        tpls = _movements(spark, sf)
+        _, _, trips = generate_trips(sp, tpls, gap_threshold=180, add_geometry=False)
+        od = origin_destination_matrix(trips)
+        # flow_share is an exact-integer division — identical doubles in
+        # both engines, no rounding surface needed
+        return od.select("origin", "destination", "n_trips", "flow_share")
+
+    q["od_flows"] = q_od_flows
+
+    def q_location_entropy(spark, sf):
+        from trackintel_spark.analysis import location_entropy
+
+        sp = _sessions(spark, sf).withColumn(
+            "location_id",
+            (F.floor(F.col("geom.lon") * 20) * 1000 + F.floor(F.col("geom.lat") * 20)).cast("long"),
+        )
+        out = location_entropy(sp, method="uncorrelated")
+        return out.select(
+            "user_id", _r("entropy", 6).alias("entropy"), "n_visits", "n_locations"
+        )
+
+    q["location_entropy"] = q_location_entropy
+
     # -- linestring length + tripleg speed -----------------------------------
     def q_tripleg_length(spark, sf):
         from trackintel_spark.functions import linestring_length_m
@@ -1317,9 +1346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
         # round-8 additions: the classifier's frozen-checkpoint scoring
-        # path (training stays pytest-pinned; scoring is closed-form)
-        # and full-corpus BM25 scoring (previously pytest-only)
-        "classifier_score", "bm25_search",
+        # path (training stays pytest-pinned; scoring is closed-form),
+        # full-corpus BM25 scoring, the OD flow matrix, and Song-et-al
+        # location entropy (all previously pytest-only)
+        "classifier_score", "bm25_search", "od_flows", "location_entropy",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2402,8 +2432,9 @@ def oracle_sql() -> dict[str, str]:
     # (reference preprocessing/triplegs.py:12-232) — union, last-activity
     # / gap / user-change triggers, running-sum temp ids, empty-trip drop,
     # dense re-id, origin/destination via lag/lead over the interleaved
-    # trips + activities + gap-buffer sequence.
-    o["generate_trips"] = f"""
+    # trips + activities + gap-buffer sequence. Kept in a local so the
+    # od_flows oracle can aggregate the same trips.
+    _trips_oracle = f"""
         WITH sessions AS ({_sessions_sql()}),
         sp AS (
             SELECT *, EPOCH(finished_at - started_at) > 5 * 60 AS is_activity
@@ -2468,6 +2499,46 @@ def oracle_sql() -> dict[str, str]:
                l.origin_staypoint_id, l.destination_staypoint_id
         FROM linked l JOIN trips_id t ON l.trip_id = t.id
         WHERE l.type = 'trip'
+    """
+    o["generate_trips"] = _trips_oracle
+
+    # od_flows: the OD matrix is a groupBy over the SAME trips the
+    # generate_trips oracle emits; flow_share is an exact-integer
+    # division (no rounding needed — both engines divide the identical
+    # BIGINTs). SUM(n_trips) is ::BIGINT-cast against HUGEINT widening.
+    o["od_flows"] = f"""
+        WITH trips AS ({_trips_oracle}),
+        od AS (
+            SELECT origin_staypoint_id AS origin,
+                   destination_staypoint_id AS destination,
+                   COUNT(*) AS n_trips
+            FROM trips GROUP BY 1, 2
+        )
+        SELECT origin, destination, n_trips,
+               n_trips / (SELECT SUM(n_trips)::BIGINT FROM od) AS flow_share
+        FROM od
+    """
+
+    # location_entropy (uncorrelated estimator): Shannon entropy of the
+    # per-user visit histogram over hotspot-grid locations —
+    # log2(n) - sum(c*log2 c)/n, pure two-level aggregation both sides.
+    o["location_entropy"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (
+            SELECT user_id,
+                   CAST(FLOOR(lon * 20) * 1000 + FLOOR(lat * 20) AS BIGINT) AS loc
+            FROM sessions
+        ),
+        per_loc AS (SELECT user_id, loc, COUNT(*) AS c FROM sp GROUP BY 1, 2),
+        per_user AS (
+            SELECT user_id, SUM(c)::BIGINT AS n_visits, COUNT(*) AS n_locations,
+                   SUM(c * LOG2(c)) AS clogc
+            FROM per_loc GROUP BY user_id
+        )
+        SELECT user_id,
+               ROUND(LOG2(n_visits) - clogc / n_visits, 6) AS entropy,
+               n_visits, n_locations
+        FROM per_user
     """
 
     # -- §2.2 generate-operators on the hotspot grid (see _PFS_CELL_SQL) ------
