@@ -242,6 +242,71 @@ def test_multimodal_plumbing(spark):
         sample_video_frames(df, decode_stub=False).collect()
 
 
+def test_multimodal_real_decode(spark):
+    """PPM and PCM WAV need no codec library, so their decode path is
+    REAL: pixel means, nearest-neighbor resize round-trips, and audio
+    statistics must match values computed directly from the payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import (
+        attach_media_metadata,
+        audio_features,
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        resize_images,
+    )
+
+    img0 = np.zeros((2, 3, 3), dtype=np.uint8)
+    img0[..., 0] = 200  # pure red-ish
+    img1 = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    sig = (np.sin(2 * np.pi * 440 * np.arange(1600) / 16000) * 16000).astype("<i2")
+    w.writeframes(sig.tobytes())
+    w.close()
+    rows = [
+        (0, bytearray(encode_ppm(img0))),
+        (1, bytearray(encode_ppm(img1))),
+        (2, bytearray(buf.getvalue())),
+        (3, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    meta = {r.doc_id: r.media_meta for r in attach_media_metadata(df).collect()}
+    assert meta[0].format == "ppm" and meta[0].media_type == "image"
+    assert meta[2].format == "riff" and meta[3].format is None
+
+    feats = {r.doc_id: r for r in image_features(df).collect()}
+    assert (feats[0].width, feats[0].height) == (3, 2)
+    assert feats[0].mean_r == pytest.approx(200.0) and feats[0].mean_b == pytest.approx(0.0)
+    assert feats[1].mean_r == pytest.approx(float(img1[..., 0].mean()))
+    assert feats[2].width is None and feats[3].width is None  # non-images: NULLs
+
+    # resize: 4x4 -> 2x2 nearest-neighbor picks rows/cols 0 and 2
+    resized = {r.doc_id: bytes(r.payload) for r in resize_images(df, 2, 2).collect()}
+    got = decode_ppm(resized[1])
+    assert (got == img1[[0, 2]][:, [0, 2]]).all()
+    assert resized[3] == b"not media at all"  # non-PPM passes through
+
+    au = {r.doc_id: r for r in audio_features(df).collect()}
+    a = au[2]
+    assert a.sample_rate == 16000 and a.n_samples == 1600
+    assert a.duration_s == pytest.approx(0.1)
+    assert a.rms == pytest.approx(float(np.sqrt(np.mean((sig / 32768.0) ** 2))), abs=1e-12)
+    assert 0.05 < a.zero_cross_rate < 0.06  # 440 Hz at 16 kHz: ~0.055
+    assert au[0].sample_rate is None  # images: NULLs
+
+    with pytest.raises(ValueError):
+        resize_images(df, 0, 2)
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     from pyspark.sql import functions as F
 
