@@ -1023,6 +1023,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["location_entropy"] = q_location_entropy
 
+    def q_next_location(spark, sf):
+        # first-order Markov argmax predictor over hotspot-grid visits;
+        # prob is an exact-integer division, no rounding surface needed
+        from trackintel_spark.analysis import (
+            location_transition_matrix,
+            predict_next_location,
+        )
+
+        sp = _sessions(spark, sf).withColumn(
+            "location_id",
+            (F.floor(F.col("geom.lon") * 20) * 1000 + F.floor(F.col("geom.lat") * 20)).cast("long"),
+        )
+        pred = predict_next_location(location_transition_matrix(sp))
+        return pred.select("user_id", "from_loc", "predicted_loc", "prob", "n_obs")
+
+    q["next_location"] = q_next_location
+
     # -- linestring length + tripleg speed -----------------------------------
     def q_tripleg_length(spark, sf):
         from trackintel_spark.functions import linestring_length_m
@@ -1350,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-corpus BM25 scoring, the OD flow matrix, and Song-et-al
         # location entropy (all previously pytest-only)
         "classifier_score", "bm25_search", "od_flows", "location_entropy",
+        "next_location",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2539,6 +2557,39 @@ def oracle_sql() -> dict[str, str]:
                ROUND(LOG2(n_visits) - clogc / n_visits, 6) AS entropy,
                n_visits, n_locations
         FROM per_user
+    """
+
+    # next_location: the Markov argmax predictor. Counts are exact ints;
+    # prob = n/total is the identical double in both engines. Ordering of
+    # visits: started_at is unique per user in the sessions view (gap
+    # sessionization), so LEAD is unambiguous.
+    o["next_location"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        sp AS (
+            SELECT user_id, started_at,
+                   CAST(FLOOR(lon * 20) * 1000 + FLOOR(lat * 20) AS BIGINT) AS loc
+            FROM sessions
+        ),
+        pairs AS (
+            SELECT user_id, loc AS from_loc,
+                   LEAD(loc) OVER (PARTITION BY user_id ORDER BY started_at) AS to_loc
+            FROM sp
+        ),
+        counts AS (
+            SELECT user_id, from_loc, to_loc, COUNT(*) AS n_trans
+            FROM pairs WHERE to_loc IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, from_loc
+                                      ORDER BY n_trans DESC, to_loc ASC) AS r,
+                   SUM(n_trans) OVER (PARTITION BY user_id, from_loc)::BIGINT AS n_obs
+            FROM counts
+        )
+        SELECT user_id, from_loc, to_loc AS predicted_loc,
+               n_trans / n_obs AS prob, n_obs
+        FROM ranked WHERE r = 1
     """
 
     # -- §2.2 generate-operators on the hotspot grid (see _PFS_CELL_SQL) ------

@@ -426,3 +426,56 @@ def test_lz_entropy_reference_values():
     a = _lz_entropy_bits(np.array([0, 1] * 128))
     assert r > a
     assert _lz_entropy_bits(np.array([1])) is None
+
+
+def test_markov_next_location(spark):
+    """Hand-computed first-order Markov fixture: visit sequence per
+    user -> transition counts, row-normalized probabilities, argmax
+    prediction with smaller-id tie-break, noise visits bridged."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.analysis import (
+        location_transition_matrix,
+        predict_next_location,
+    )
+
+    rows = []
+    # user 0: a->b->a->c->a->b  (from a: b x2, c x1 -> predict b 2/3)
+    seq0 = ["a", "b", "a", "c", "a", "b"]
+    # user 1: a->noise->b->b (noise dropped: a->b, b->b)
+    seq1 = ["a", None, "b", "b"]
+    for u, seq in ((0, seq0), (1, seq1)):
+        for i, loc in enumerate(seq):
+            rows.append((u, loc, i))
+    sp = spark.createDataFrame(rows, "user_id long, location_id string, started_at long")
+
+    tm = {
+        (r.user_id, r.from_loc, r.to_loc): (r.n_trans, r.prob)
+        for r in location_transition_matrix(sp).collect()
+    }
+    assert tm[(0, "a", "b")] == (2, 2 / 3)
+    assert tm[(0, "a", "c")] == (1, 1 / 3)
+    assert tm[(0, "b", "a")] == (1, 1.0)
+    assert tm[(1, "a", "b")] == (1, 1.0)  # noise bridged
+    assert tm[(1, "b", "b")] == (1, 1.0)
+    assert (0, "c", "a") in tm and len(tm) == 6
+
+    pred = {
+        (r.user_id, r.from_loc): (r.predicted_loc, r.prob, r.n_obs)
+        for r in predict_next_location(location_transition_matrix(sp)).collect()
+    }
+    assert pred[(0, "a")] == ("b", 2 / 3, 3)
+    assert pred[(0, "b")] == ("a", 1.0, 1)
+    # tie-break: user 2 sees a->b and a->c once each -> smaller id "b"
+    sp2 = spark.createDataFrame(
+        [(2, "a", 0), (2, "b", 1), (2, "a", 2), (2, "c", 3)],
+        "user_id long, location_id string, started_at long",
+    )
+    p2 = predict_next_location(location_transition_matrix(sp2)).collect()
+    tie = [r for r in p2 if r.from_loc == "a"][0]
+    assert tie.predicted_loc == "b" and tie.prob == 0.5 and tie.n_obs == 2
+    # self-loop drop
+    tm2 = location_transition_matrix(sp, drop_self_loops=True)
+    assert (1, "b", "b") not in {
+        (r.user_id, r.from_loc, r.to_loc) for r in tm2.collect()
+    }

@@ -1,4 +1,8 @@
 from trackintel_spark.analysis.entropy import location_entropy
+from trackintel_spark.analysis.prediction import (
+    location_transition_matrix,
+    predict_next_location,
+)
 from trackintel_spark.analysis.flows import origin_destination_matrix
 from trackintel_spark.analysis.labelling import create_activity_flag, predict_transport_mode
 from trackintel_spark.analysis.location_identification import (
@@ -29,6 +33,8 @@ __all__ = [
     "jump_length",
     "origin_destination_matrix",
     "location_entropy",
+    "location_transition_matrix",
+    "predict_next_location",
     "calculate_modal_split",
     "temporal_tracking_quality",
     "location_identifier",
