@@ -1040,6 +1040,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["next_location"] = q_next_location
 
+    def q_anonymize_grid(spark, sf):
+        # k-anonymous quadtree publication over session centroids
+        from trackintel_spark.analysis import anonymize_grid
+
+        sp = _sessions(spark, sf).select(
+            "user_id", F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat")
+        )
+        out = anonymize_grid(sp, k=25, levels=3, base_cell_deg=0.01)
+        return out.select("level", "cy", "cx", "n_users", "n_points")
+
+    q["anonymize_grid"] = q_anonymize_grid
+
     # -- linestring length + tripleg speed -----------------------------------
     def q_tripleg_length(spark, sf):
         from trackintel_spark.functions import linestring_length_m
@@ -1367,7 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-corpus BM25 scoring, the OD flow matrix, and Song-et-al
         # location entropy (all previously pytest-only)
         "classifier_score", "bm25_search", "od_flows", "location_entropy",
-        "next_location",
+        "next_location", "anonymize_grid",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2590,6 +2602,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, from_loc, to_loc AS predicted_loc,
                n_trans / n_obs AS prob, n_obs
         FROM ranked WHERE r = 1
+    """
+
+    # anonymize_grid: the top-down quadtree descent unrolled into one
+    # CTE per level (levels=3, k=25). All integers — counts, floor
+    # division (non-negative anchored indices) — so no float surface.
+    o["anonymize_grid"] = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        p0 AS (
+            SELECT user_id,
+                   CAST(FLOOR((lat + 90.0) / 0.01) AS BIGINT) AS cy,
+                   CAST(FLOOR((lon + 180.0) / 0.01) AS BIGINT) AS cx
+            FROM sessions
+        ),
+        pts0 AS (SELECT cy, cx, COUNT(*) AS n_points FROM p0 GROUP BY 1, 2),
+        pr0 AS (SELECT DISTINCT user_id, cy, cx FROM p0),
+        u0 AS (SELECT cy, cx, COUNT(*) AS n_users FROM pr0 GROUP BY 1, 2),
+        u1 AS (SELECT cy // 2 AS cy, cx // 2 AS cx, COUNT(DISTINCT user_id) AS n_users
+               FROM pr0 GROUP BY 1, 2),
+        u2 AS (SELECT cy // 4 AS cy, cx // 4 AS cx, COUNT(DISTINCT user_id) AS n_users
+               FROM pr0 GROUP BY 1, 2),
+        active2 AS (SELECT * FROM u2 WHERE n_users >= 25),
+        split2 AS (
+            SELECT cy // 2 AS cy, cx // 2 AS cx
+            FROM u1 GROUP BY 1, 2 HAVING MIN(CASE WHEN n_users >= 25 THEN 1 ELSE 0 END) = 1
+        ),
+        pub2 AS (SELECT a.* FROM active2 a ANTI JOIN split2 s USING (cy, cx)),
+        active1 AS (
+            SELECT c.* FROM u1 c
+            SEMI JOIN (SELECT a.cy, a.cx FROM active2 a SEMI JOIN split2 s USING (cy, cx)) d
+              ON c.cy // 2 = d.cy AND c.cx // 2 = d.cx
+        ),
+        split1 AS (
+            SELECT cy // 2 AS cy, cx // 2 AS cx
+            FROM u0 GROUP BY 1, 2 HAVING MIN(CASE WHEN n_users >= 25 THEN 1 ELSE 0 END) = 1
+        ),
+        pub1 AS (SELECT a.* FROM active1 a ANTI JOIN split1 s USING (cy, cx)),
+        active0 AS (
+            SELECT c.* FROM u0 c
+            SEMI JOIN (SELECT a.cy, a.cx FROM active1 a SEMI JOIN split1 s USING (cy, cx)) d
+              ON c.cy // 2 = d.cy AND c.cx // 2 = d.cx
+        ),
+        n2 AS (SELECT cy // 4 AS cy, cx // 4 AS cx, SUM(n_points)::BIGINT AS n_points
+               FROM pts0 GROUP BY 1, 2),
+        n1 AS (SELECT cy // 2 AS cy, cx // 2 AS cx, SUM(n_points)::BIGINT AS n_points
+               FROM pts0 GROUP BY 1, 2)
+        SELECT 2 AS level, p.cy, p.cx, p.n_users, n2.n_points
+        FROM pub2 p JOIN n2 USING (cy, cx)
+        UNION ALL
+        SELECT 1, p.cy, p.cx, p.n_users, n1.n_points
+        FROM pub1 p JOIN n1 USING (cy, cx)
+        UNION ALL
+        SELECT 0, p.cy, p.cx, p.n_users, pts0.n_points
+        FROM active0 p JOIN pts0 USING (cy, cx)
     """
 
     # -- §2.2 generate-operators on the hotspot grid (see _PFS_CELL_SQL) ------

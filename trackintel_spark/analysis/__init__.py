@@ -1,4 +1,5 @@
 from trackintel_spark.analysis.entropy import location_entropy
+from trackintel_spark.analysis.privacy import anonymize_grid
 from trackintel_spark.analysis.prediction import (
     location_transition_matrix,
     predict_next_location,
@@ -35,6 +36,7 @@ __all__ = [
     "location_entropy",
     "location_transition_matrix",
     "predict_next_location",
+    "anonymize_grid",
     "calculate_modal_split",
     "temporal_tracking_quality",
     "location_identifier",
