@@ -857,15 +857,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25_search(spark, sf):
         # index-free BM25 over the full corpus: k exceeds the corpus so
         # no top-k boundary exists (a cutoff could flip on sub-ulp score
-        # ties); rank is computed on the UNROUNDED score in both engines
-        # — exact ties (identical tf-vector and length) tie-break by id
-        # identically, and distinct tf/dl tuples are separated far above
-        # float noise.
+        # ties). The comparison rank is recomputed over the ROUNDED
+        # score + id: mathematically-tied documents sum their per-term
+        # scores in a nondeterministic order inside Spark, so the
+        # operator's unrounded-score rank legitimately flips between
+        # runs — rounding first makes the tie explicit and the id
+        # tie-break total. (Global 492-row window: fine for a check.)
+        from pyspark.sql import Window
+
         from trackintel_spark.scale.search import bm25_search
 
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
         out = bm25_search(docs, "spark table merge stream", k=1_000_000)
-        return out.select("doc_id", _r("score", 6).alias("score"), "rank")
+        r6 = _r("score", 6)
+        w = Window.orderBy(r6.desc(), F.col("doc_id").asc())
+        return out.select(
+            "doc_id", r6.alias("score"), F.row_number().over(w).alias("rank")
+        )
 
     q["bm25_search"] = q_bm25_search
 
@@ -2196,7 +2204,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
         )
         SELECT doc_id, ROUND(score, 6) AS score,
-               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
         FROM sc
     """
 
