@@ -116,6 +116,22 @@ def main() -> None:
         assert got == want, "stream-merge != batch rollup of full history"
         print(f"merge identity holds on {len(got)} tiles: "
               "history tiles + streamed sketch deltas == full-history rollup")
+
+        # 4. publication gate: before the tiles leave the system,
+        # k-anonymize — report each area at the finest level whose
+        # cell still covers >= k distinct users (exact census, not the
+        # HLL estimates the tiles carry), suppress what never does
+        from trackintel_spark.analysis import anonymize_grid
+
+        published = anonymize_grid(
+            pfs, k=10, levels=LEVELS, base_cell_deg=CELL, user_col="user_id"
+        ).persist()
+        assert published.filter(F.col("n_users") < 10).count() == 0
+        n_pub = published.count()
+        n_covered = published.agg(F.sum("n_points")).first()[0] or 0
+        total = pfs.count()
+        print(f"k-anonymous publication: {n_pub} disjoint cells cover "
+              f"{n_covered}/{total} fixes (rest suppressed), all >= 10 users")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
