@@ -7,6 +7,11 @@ compares row count, sorted column names, and an order-insensitive
 value hash. Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_REPEAT=n`` to run each Spark query n times and
+compare EVERY run — a single pass can miss nondeterminism (the
+round-8 bm25 rank flake only surfaced on repeated sweeps: two
+mathematically-tied scores summed in different orders across runs).
 """
 
 from __future__ import annotations
@@ -97,6 +102,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     results = []
     fail = 0
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -106,6 +112,12 @@ def main() -> int:
             cols = sorted(sdf.columns)
             srows = [r.asDict(recursive=True) for r in sdf.collect()]
             shash = value_hash(srows, cols)
+            for rerun in range(1, repeat):
+                rrows = [r.asDict(recursive=True) for r in fn(spark, sf_dir).collect()]
+                if value_hash(rrows, cols) != shash:
+                    raise AssertionError(
+                        f"nondeterministic Spark result: run {rerun + 1} hashed differently"
+                    )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             fail += 1
