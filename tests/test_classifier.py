@@ -266,3 +266,22 @@ def test_portable_uniform_range_and_determinism(spark):
     )
     rate = kept.agg(F.avg(F.col("k").cast("double"))).first()[0]
     assert abs(rate - (1 / 1.05) ** 9) < 0.02
+
+
+def test_fit_counts_duplicate_documents_individually(spark):
+    """Round-9 regression (ADVICE r8): rid was a content hash, so
+    duplicate (text, label) documents collapsed into ONE training row —
+    a term carried by a 30×-duplicated doc got document frequency 1 and
+    never made the df-ordered vocabulary. With per-duplicate ids it has
+    df=30 and must dominate a df-desc vocab over 40 singleton terms."""
+    from trackintel_spark.scale import fit_portable_quality_model
+
+    pos = spark.createDataFrame(
+        [(f"a{i}x a{i}y",) for i in range(40)], "text string"
+    )
+    neg = spark.createDataFrame([("dupx dupy",)] * 30, "text string")
+    weights, _ = fit_portable_quality_model(pos, negatives=neg, vocab_size=4, iters=5)
+    terms = {t for t, _ in weights}
+    # under the collapse every term had df<=2 and the tie-break is
+    # term-asc, so the a*-terms would fill all 4 slots
+    assert "dupx" in terms and "dupy" in terms, terms

@@ -1267,3 +1267,32 @@ def test_semantic_dedup_grouped_pair_mode_matches_join(spark):
         assert a[99999][0] is None and a[99999][1] is True
     # some rows actually dropped (non-vacuous)
     assert sum(1 for v in a.values() if not v[1]) > 50
+
+
+def test_audio_features_malformed_wav_emits_nulls(spark):
+    """Round-9 regression (ADVICE r8): a structurally-valid RIFF with
+    sample_rate=0 (or n_channels=0) raised ZeroDivisionError inside the
+    kernel and killed the whole task instead of emitting the documented
+    NULL-field row."""
+    import struct
+
+    from trackintel_spark.scale.multimodal import audio_features, decode_wav_pcm
+
+    def wav(n_channels, sample_rate):
+        fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                          sample_rate * n_channels * 2, n_channels * 2, 16)
+        data = b"\x00\x01" * 8
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for bad in (wav(1, 0), wav(0, 16000)):
+        with pytest.raises(ValueError):
+            decode_wav_pcm(bad)
+
+    rows = [(0, bytearray(wav(1, 0))), (1, bytearray(wav(0, 16000))),
+            (2, bytearray(wav(1, 8000)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    au = {r.doc_id: r for r in audio_features(df).collect()}
+    assert au[0].sample_rate is None and au[1].sample_rate is None
+    assert au[2].sample_rate == 8000 and au[2].n_samples == 8

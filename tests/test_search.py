@@ -66,3 +66,31 @@ def test_bm25_length_normalization_prefers_short_docs(spark):
     docs = spark.createDataFrame(list(CORPUS.items()), "doc_id long, text string")
     got = {r["doc_id"]: r["score"] for r in bm25_search(docs, "spark", k=10).collect()}
     assert got[0] > got[5]
+
+
+def test_bm25_tied_scores_rank_stable_across_runs(spark):
+    """Round-9 (VERDICT r8 item 4): documents with identical token
+    multisets are EXACT score ties; the raw float sum of their per-term
+    scores can differ by sub-ulp noise depending on aggregation order,
+    which used to defeat the id tie-break. The library now ranks on the
+    1e-9-rounded score, so ties must come out id-ascending on every run
+    and under every input partitioning."""
+    base = "spark shuffle broadcast join partition executor"
+    perms = [
+        "spark shuffle broadcast join partition executor",
+        "executor partition join broadcast shuffle spark",
+        "join spark executor shuffle partition broadcast",
+        "broadcast executor spark partition shuffle join",
+    ]
+    rows = [(i, t) for i, t in enumerate(perms)] + [
+        (100 + i, f"filler document number {i} about nothing") for i in range(20)
+    ]
+    runs = []
+    for nparts in (1, 3, 7, 32, 5):
+        docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(nparts)
+        got = bm25_search(docs, base, k=10).collect()
+        runs.append([(r["doc_id"], r["rank"]) for r in got])
+    assert all(r == runs[0] for r in runs[1:]), runs
+    # the four permuted (mathematically tied) docs occupy ranks 1..4
+    # in id order
+    assert runs[0][:4] == [(0, 1), (1, 2), (2, 3), (3, 4)]

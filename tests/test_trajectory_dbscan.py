@@ -419,3 +419,23 @@ def test_dbscan_distributed_antimeridian_wrap(spark):
     labels_b = {got[i] for i in range(15, 30)}
     assert len(labels_a) == 1 and len(labels_b) == 1 and labels_a != labels_b
     assert got[30] is None  # seam noise stays noise
+
+
+def test_dbscan_polar_band_partial_window_wrap(spark):
+    """Round-9 regression (ADVICE r8): a dy>0 probe window that wraps
+    west past the seam (unwrapped lo < 0) while the unwrapped hi stays
+    below n_t-1, with hi-lo+1 >= n_t. The old full-circle cap reset
+    only lo to 0, so residues hi+1..n_t-1 — covered by the wrapped-west
+    part of the window — were never probed, and since cross-band pairs
+    are generated only from the lower band the neighbor was lost for
+    good. Config (eps=10 km): prober lat 89.8894 (band 1999), neighbor
+    lat 89.95 in band 2000 (n_t=10, w=36°, r_deg≈236.5°, window cells
+    -7..6 → buggy 0..6 missed cells 7-9); the neighbor sits in cell 9
+    at haversine 8.07 km < eps."""
+    pts = spark.createDataFrame(
+        [(0, -178.817, 89.8894), (1, 150.0, 89.95)],
+        "id long, lon double, lat double",
+    )
+    out = dbscan_distributed(pts, epsilon_m=10_000, min_samples=2).collect()
+    got = {r.id: r.location_id for r in out}
+    assert got[0] is not None and got[0] == got[1]

@@ -226,9 +226,15 @@ def dbscan_distributed(
             # full-circle cap: a window spanning the whole band emits
             # each cell exactly once (their farthest-corner boxes may
             # then sit a full turn away in the unwrapped frame — that
-            # only forfeits the `full` shortcut, never correctness)
-            tx_lo = F.when(tx_hi - tx_lo + 1 >= n_t, F.lit(0).cast("long")).otherwise(tx_lo)
-            tx_hi = F.least(tx_hi, tx_lo + n_t - 1)
+            # only forfeits the `full` shortcut, never correctness).
+            # BOTH bounds must come from the same full-band predicate:
+            # resetting only lo to 0 while hi stays at the (unwrapped,
+            # < n_t-1) original drops the residues the wrapped-west part
+            # of the window covered — near-pole bands then miss
+            # cross-band neighbors entirely.
+            full_band = tx_hi - tx_lo + 1 >= n_t
+            tx_lo = F.when(full_band, F.lit(0).cast("long")).otherwise(tx_lo)
+            tx_hi = F.when(full_band, (n_t - 1).cast("long")).otherwise(tx_hi)
 
         def _mk_factory(ty, w_t, n_t, cos_eq_t, cos_pole_t):
             def _mk(tx):

@@ -214,6 +214,11 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"only 8/16-bit PCM supported (format {audio_format}, {bits} bits)")
+    # a zero here would surface as ZeroDivisionError in the channel
+    # fold / duration math and kill the whole task instead of the
+    # documented NULL-field row
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError(f"invalid channel count/sample rate ({n_channels}, {sample_rate})")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     else:

@@ -100,12 +100,21 @@ def bm25_search(
         .groupBy("__did")
         .agg(F.sum("__s").alias("score"))
     )
+    # rank (and the top-k cutoff) on the ROUNDED score: two
+    # mathematically-tied documents sum their per-term scores in a
+    # nondeterministic order inside Spark, so raw-float ordering lets
+    # sub-ulp noise (~1e-15) defeat the id tie-break and swap ranks
+    # run-to-run (the round-8 driver flake, commit fc103f7). Rounding
+    # at 1e-9 — six orders above the noise floor — makes true ties
+    # explicit and the (score, id) order total; the returned `score`
+    # stays unrounded.
+    r9 = F.round(F.col("score"), 9)
     top = (
-        scored.orderBy(F.col("score").desc(), F.col("__did").asc())
+        scored.orderBy(r9.desc(), F.col("__did").asc())
         .limit(k)
         .select(F.col("__did").alias(id_col), "score")
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    w = Window.orderBy(F.round(F.col("score"), 9).desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
