@@ -326,6 +326,7 @@ def test_semantic_dedup_joins_on_cluster_only(spark):
             emb.withColumn("embedding", F.slice("embedding", 1, 8)),
             threshold=0.9,
             centers=centers,
+            pair_mode="join",
         )
     )
     assert "CartesianProduct" not in plan

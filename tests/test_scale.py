@@ -1259,7 +1259,8 @@ def test_semantic_dedup_grouped_pair_mode_matches_join(spark):
             None if r.centroid_cosine is None else round(r.centroid_cosine, 9),
         )
         a = {r.vec_id: key(r) for r in semantic_dedup(
-            emb, threshold=0.9, centers=centers, max_compare=mc).collect()}
+            emb, threshold=0.9, centers=centers, max_compare=mc,
+            pair_mode="join").collect()}
         b = {r.vec_id: key(r) for r in semantic_dedup(
             emb, threshold=0.9, centers=centers, max_compare=mc,
             pair_mode="grouped").collect()}
@@ -1296,3 +1297,45 @@ def test_audio_features_malformed_wav_emits_nulls(spark):
     au = {r.doc_id: r for r in audio_features(df).collect()}
     assert au[0].sample_rate is None and au[1].sample_rate is None
     assert au[2].sample_rate == 8000 and au[2].n_samples == 8
+
+
+def test_semantic_dedup_auto_routes_and_matches_join(spark):
+    """pair_mode='auto' (the round-9 default): clusters at or under the
+    balloon cut go through the grouped BLAS path, ballooned clusters
+    through the splittable join — and the combined decisions must match
+    a pure 'join' run exactly on random (tie-free) inputs, including
+    the zero-vector NULL branch. The mixture here forces BOTH branches:
+    one 60-member cluster balloons past max_compare+1=9 while the
+    other clusters stay under it."""
+    import numpy as np
+
+    from trackintel_spark.scale import semantic_dedup
+
+    rng = np.random.RandomState(9)
+    centers = (rng.standard_normal((6, 12)) * 4).tolist()
+    rows = []
+    i = 0
+    for c_idx, size in enumerate([60, 8, 8, 7, 6, 5]):
+        c = np.array(centers[c_idx])
+        for _ in range(size):
+            noise = 0.01 if i % 3 == 0 else 0.8
+            rows.append((i, (c + rng.standard_normal(12) * noise).tolist()))
+            i += 1
+    rows.append((99999, [0.0] * 12))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    key = lambda r: (
+        r.cluster_id, r.is_kept,
+        None if r.centroid_cosine is None else round(r.centroid_cosine, 9),
+    )
+    auto = {r.vec_id: key(r) for r in semantic_dedup(
+        emb, threshold=0.9, centers=centers, max_compare=8).collect()}
+    join = {r.vec_id: key(r) for r in semantic_dedup(
+        emb, threshold=0.9, centers=centers, max_compare=8,
+        pair_mode="join").collect()}
+    assert auto == join
+    assert auto[99999][0] is None and auto[99999][1] is True
+    assert sum(1 for v in auto.values() if not v[1]) > 3  # non-vacuous
+
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, threshold=0.9, centers=centers, pair_mode="nope")

@@ -439,3 +439,53 @@ def test_dbscan_polar_band_partial_window_wrap(spark):
     out = dbscan_distributed(pts, epsilon_m=10_000, min_samples=2).collect()
     got = {r.id: r.location_id for r in out}
     assert got[0] is not None and got[0] == got[1]
+
+
+@pytest.mark.parametrize("metric,fn", [("dtw", dtw_distance), ("frechet", frechet_distance)])
+def test_trajectory_distance_matrix_cross_set(spark, metric, fn):
+    """Round-9 (VERDICT r8 item 3): calculate_distance_matrix(X, Y) —
+    the FULL len(X) x len(Y) combination set (reference
+    geogr/distances.py:182-186), ids independent (overlapping id values
+    are cross-set pairs, not self-pairs), no i<j triangle filter."""
+    xs = _random_trajs(5, seed=21)
+    ys = _random_trajs(4, seed=22)  # ids 0..3 overlap X's 0..4 on purpose
+    schema = "id long, geom array<struct<lon:double,lat:double>>"
+    X = spark.createDataFrame(xs, schema)
+    Y = spark.createDataFrame(ys, schema)
+
+    got = {(r.i, r.j): r.dist_m
+           for r in trajectory_distance_matrix(X, Y=Y, metric=metric).collect()}
+    assert len(got) == 5 * 4  # full product, including i == j id collisions
+
+    def arr(pts):
+        return np.array([[p["lon"], p["lat"]] for p in pts])
+
+    for i, xp in xs:
+        for j, yp in ys:
+            assert got[(i, j)] == pytest.approx(fn(arr(xp), arr(yp)), rel=1e-12), (i, j)
+
+
+def test_triplegs_accessor_cross_set_matrix(spark):
+    from trackintel_spark.model.accessors import Triplegs
+
+    def tpls(n, seed):
+        rows = [
+            (i, 7, "2023-01-01 10:00:00", "2023-01-01 11:00:00", pts)
+            for i, pts in _random_trajs(n, seed=seed)
+        ]
+        return Triplegs(
+            spark.createDataFrame(
+                rows,
+                "id long, user_id long, started_at string, finished_at string, "
+                "geom array<struct<lon:double,lat:double>>",
+            )
+            .withColumn("started_at", F.to_timestamp("started_at"))
+            .withColumn("finished_at", F.to_timestamp("finished_at"))
+        )
+
+    X, Y = tpls(3, 30), tpls(2, 31)
+    out = X.calculate_distance_matrix(Y, metric="frechet").collect()
+    assert len(out) == 6
+    # self case still upper-triangle
+    self_out = X.calculate_distance_matrix(metric="frechet").collect()
+    assert len(self_out) == 3 and all(r.i < r.j for r in self_out)

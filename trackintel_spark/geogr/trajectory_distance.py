@@ -104,11 +104,19 @@ _PAIR_SCHEMA = T.StructType(
 
 def trajectory_distance_matrix(
     tpls: DataFrame,
+    Y: DataFrame | None = None,
     metric: str = "dtw",
     id_col: str = "id",
     geom_col: str = "geom",
 ) -> DataFrame:
-    """All-pairs trajectory distances in long form (i, j, dist_m), i < j.
+    """Trajectory distances in long form (i, j, dist_m).
+
+    Without ``Y``: all pairs within ``tpls``, upper triangle (i < j) —
+    the reference's X-only case (geogr/distances.py:176-181). With
+    ``Y``: the FULL len(X) x len(Y) combination set (reference
+    geogr/distances.py:182-186) — i comes from ``tpls``, j from ``Y``,
+    ids are independent namespaces (an (i, j) row with i == j is a
+    cross-set pair, not a self-pair), and no symmetry is implied.
 
     Pairs shuffle-partition by i so the O(len^2) dynamic programs run in
     parallel; at scale pre-filter pairs (e.g. by bbox overlap or an LSH
@@ -118,17 +126,24 @@ def trajectory_distance_matrix(
     if fn is None:
         raise ValueError(f"metric unknown, one of ('dtw', 'frechet'), got {metric!r}")
 
-    # consumed by both sides of the self-join, but it is a projection
+    def _flat(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__tid"),
+            F.transform(geom_col, lambda p: p["lon"]).alias("__lons"),
+            F.transform(geom_col, lambda p: p["lat"]).alias("__lats"),
+        )
+
+    # consumed by both sides of the join, but it is a projection
     # cheap to recompute — persisting here would leak cached blocks for
     # the session lifetime (the caller's action runs after we return)
-    flat = tpls.select(
-        F.col(id_col).alias("__tid"),
-        F.transform(geom_col, lambda p: p["lon"]).alias("__lons"),
-        F.transform(geom_col, lambda p: p["lat"]).alias("__lats"),
-    )
+    flat = _flat(tpls)
     a = flat.select(F.col("__tid").alias("i"), F.col("__lons").alias("la"), F.col("__lats").alias("ya"))
-    b = flat.select(F.col("__tid").alias("j"), F.col("__lons").alias("lb"), F.col("__lats").alias("yb"))
-    pairs = a.join(b, on=F.col("i") < F.col("j"), how="inner")
+    bsrc = flat if Y is None else _flat(Y)
+    b = bsrc.select(F.col("__tid").alias("j"), F.col("__lons").alias("lb"), F.col("__lats").alias("yb"))
+    if Y is None:
+        pairs = a.join(b, on=F.col("i") < F.col("j"), how="inner")
+    else:
+        pairs = a.crossJoin(b)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []

@@ -195,14 +195,12 @@ class Triplegs(_Entity):
     def calculate_distance_matrix(
         self, Y: "_Entity | DataFrame | None" = None, **kwargs
     ) -> DataFrame:
+        """reference geogr/distances.py:89-186: X-only → upper-triangle
+        self-pairs; with Y → the full len(X) x len(Y) combination set."""
         from trackintel_spark.geogr.trajectory_distance import trajectory_distance_matrix
 
-        if Y is not None:
-            raise NotImplementedError(
-                "cross-set tripleg distance matrices are not supported; "
-                "union the tripleg sets (distinct ids) and filter the i/j pairs"
-            )
-        return trajectory_distance_matrix(self.df, **kwargs)
+        other = Y.df if isinstance(Y, _Entity) else Y
+        return trajectory_distance_matrix(self.df, Y=other, **kwargs)
 
     def spatial_filter(self, areas: DataFrame, method: str = "within") -> "Triplegs":
         from trackintel_spark.geogr.filter import spatial_filter

@@ -157,6 +157,15 @@ def nearest_center_expr(
     norms = [float(np.linalg.norm(ctr)) or 1.0 for ctr in centers]
     dim = len(centers[0])
     if k * dim <= codegen_max_terms:
+        # zero-norm guard: callers filter zero vectors out semantically,
+        # but a pushed-down predicate on the output (e.g. a cluster_id
+        # routing filter pushed through the rank window into the same
+        # Filter as the norm>0 conjunct) can evaluate this expression on
+        # a zero row first — under ANSI mode that's a task-killing
+        # DIVIDE_BY_ZERO. Dividing by +inf instead yields ccos=0 for a
+        # row whose output is discarded anyway, and leaves norm>0 rows
+        # bit-identical. (The BLAS path below guards with nm[nm==0]=1.)
+        norm = F.when(norm > 0, norm).otherwise(F.lit(float("inf")))
         lits = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
         best = F.array_max(
             F.array(*[
