@@ -45,16 +45,29 @@ def merge_staypoints(
         raise ValueError("Staypoints must contain column location_id")
     gap_s = max_time_gap * 60.0
 
-    # next_type: what follows each staypoint in the interleaved timeline
-    sp_t = sp.select("user_id", "started_at", F.lit("staypoint").alias("type"), F.col("id").alias("__sid"))
-    tpl_t = tpls.select("user_id", "started_at", F.lit("tripleg").alias("type"), F.lit(None).cast("long").alias("__sid"))
-    timeline = sp_t.unionByName(tpl_t)
-    w_t = Window.partitionBy("user_id").orderBy("started_at", "type", "__sid")
-    next_type = timeline.withColumn("next_type", F.lead("type").over(w_t)).filter(
-        F.col("type") == "staypoint"
-    ).select(F.col("__sid").alias("id"), "next_type")
-
-    spx = sp.join(next_type, on="id", how="left")
+    # single-pass interleave: tripleg rows ride along as NULL-padded
+    # staypoint-shaped rows, so what-follows-each-staypoint is one lead
+    # over the SAME user_id exchange the merge windows below reuse. An
+    # earlier shape computed next_type on a narrow timeline frame and
+    # joined it back on id — two more exchanges and a hash join that
+    # profiling (r8→r9) showed were ~40% of the operator's wall.
+    # Ordering mirrors the old (started_at, type, __sid): staypoints
+    # sort before triplegs at equal timestamps (False < True), tripleg
+    # ids are nulled out of the tie-break.
+    passthru = [c for c in sp.columns if c not in ("user_id", "started_at")]
+    tpl_rows = tpls.select(
+        "user_id",
+        "started_at",
+        *[F.lit(None).cast(sp.schema[c].dataType).alias(c) for c in passthru],
+        F.lit(True).alias("__is_tpl"),
+    )
+    tl = sp.select(
+        "user_id", "started_at", *passthru, F.lit(False).alias("__is_tpl")
+    ).unionByName(tpl_rows)
+    w_t = Window.partitionBy("user_id").orderBy("started_at", "__is_tpl", "id")
+    spx = tl.withColumn(
+        "__next_is_tpl", F.coalesce(F.lead("__is_tpl").over(w_t), F.lit(False))
+    ).filter(~F.col("__is_tpl"))
 
     w = Window.partitionBy("user_id").orderBy("started_at", "id")
     # merge-with-next flag on each row, then break = NOT lag(flag)
@@ -62,7 +75,7 @@ def merge_staypoints(
         (F.lead("started_at").over(w).cast("double") - F.col("finished_at").cast("double") <= gap_s)
         & F.col("location_id").eqNullSafe(F.lead("location_id").over(w))
         & F.col("location_id").isNotNull()
-        & (F.coalesce(F.col("next_type"), F.lit("none")) != "tripleg")
+        & ~F.col("__next_is_tpl")
     )
     spx = spx.withColumn("__merge_next", F.coalesce(merge_next, F.lit(False)))
     spx = spx.withColumn("__break", ~F.coalesce(F.lag("__merge_next").over(w), F.lit(False)))
