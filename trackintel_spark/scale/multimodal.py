@@ -6,12 +6,13 @@ kernels so a 100 TB corpus streams through Python in bounded-memory
 batches.
 
 Decode is REAL wherever the format needs no codec library: PPM (P6)
-images and PCM WAV audio parse with numpy alone (:func:`decode_ppm`,
-:func:`decode_wav_pcm`), feeding genuine pixel/sample statistics
-(:func:`image_features`, :func:`audio_features`) and a real
-nearest-neighbor :func:`resize_images` transform. Compressed codecs
-(PIL/ffmpeg/librosa for JPEG/PNG/MP3/MP4) are NOT available in this
-environment, so for those the decode step is stubbed:
+and 8-bit PNG images and PCM WAV audio parse with stdlib zlib + numpy
+alone (:func:`decode_ppm`, :func:`decode_png`, :func:`decode_wav_pcm`),
+feeding genuine pixel/sample statistics (:func:`image_features`,
+:func:`audio_features`) and a real nearest-neighbor
+:func:`resize_images` transform. Compressed codecs (PIL/ffmpeg/librosa
+for JPEG/MP3/MP4) are NOT available in this environment, so for those
+the decode step is stubbed:
 ``decode_stub=True`` yields deterministic fake features
 (shape-correct, content-derived), while ``decode_stub=False`` raises
 ``NotImplementedError`` at the point a real codec would be invoked.
@@ -190,6 +191,142 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit, non-interlaced PNG payload to an (h, w, c)
+    uint8 array (c = 1 gray / 2 gray+alpha / 3 RGB / 4 RGBA; palette
+    images come back expanded to RGB). Pure stdlib zlib + numpy — PNG
+    needs no codec library: the raster is zlib-compressed scanlines,
+    each prefixed by one of five per-line filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6), undone here. Raises ValueError on
+    anything else (16-bit, interlaced, truncated, non-PNG)."""
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth {depth})")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard compression/filter method")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown color type {ctype}")
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated raster")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if f == 0:  # None
+            row = line.astype(np.int32)
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            row = np.cumsum(line.reshape(w, nch).astype(np.int64), axis=0).reshape(stride)
+            row = (row & 0xFF).astype(np.int32)
+        elif f == 2:  # Up
+            row = (line.astype(np.int32) + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            row = line.astype(np.int32)
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = int(prev[x])
+                if f == 3:
+                    row[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {f}")
+        out[y] = row.astype(np.uint8)
+        prev = row
+
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette image without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    return out.reshape(h, w, nch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png` for 8-bit (h, w[, c]) arrays with
+    c in {1, 2, 3, 4}: filter-0 scanlines, one zlib stream, CRC'd
+    chunks. Stdlib-only — the real PNG encoder this container can run."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise ValueError(f"expected 1/2/3/4 channels, got {c}")
+    body = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * c)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_image_rgb(payload: bytes) -> np.ndarray:
+    """Decode any REAL-decodable image payload (PPM or PNG) to (h, w, 3)
+    uint8: gray replicates across channels, alpha is dropped. Raises
+    ValueError for formats needing a codec library (JPEG etc.)."""
+    try:
+        return decode_ppm(payload)
+    except ValueError:
+        pass
+    img = decode_png(payload)
+    c = img.shape[2]
+    if c >= 3:
+        return img[:, :, :3]
+    return np.repeat(img[:, :, :1], 3, axis=2)
+
+
 def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE PCM payload (8- or 16-bit, any channel count)
     to (mono float64 samples in [-1, 1], sample_rate). Pure
@@ -232,10 +369,11 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL per-image statistics for P6 PPM payloads via ``mapInPandas``:
-    (id, width, height, mean_r, mean_g, mean_b). Non-PPM payloads emit
-    NULL fields (route them to :func:`extract_features`' stub or a real
-    codec instead)."""
+    """REAL per-image statistics for P6 PPM and 8-bit PNG payloads via
+    ``mapInPandas``: (id, width, height, mean_r, mean_g, mean_b) —
+    gray/alpha PNGs are normalized to RGB first (:func:`_decode_image_rgb`).
+    Payloads needing a codec library (JPEG etc.) emit NULL fields (route
+    them to :func:`extract_features`' stub or a real codec instead)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -252,7 +390,7 @@ def image_features(
             rows = []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    img = decode_ppm(payload)
+                    img = _decode_image_rgb(payload)
                     m = img.reshape(-1, 3).mean(axis=0)
                     rows.append((pid, img.shape[1], img.shape[0], m[0], m[1], m[2]))
                 except ValueError:
@@ -269,10 +407,12 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """REAL nearest-neighbor resize of P6 PPM payloads: (id, payload)
-    with the payload re-encoded at (height, width). Non-PPM payloads
-    pass through unchanged (caller filters by format beforehand —
-    ``attach_media_metadata`` sniffs headers without decoding)."""
+    """REAL nearest-neighbor resize of P6 PPM and 8-bit PNG payloads:
+    (id, payload) with the payload re-encoded at (height, width) in its
+    own format (PPM -> PPM, PNG -> PNG, channels preserved). Payloads
+    needing a codec library pass through unchanged (caller filters by
+    format beforehand — ``attach_media_metadata`` sniffs headers
+    without decoding)."""
     if height < 1 or width < 1:
         raise ValueError(f"target size must be >= 1x1, got {height}x{width}")
     schema = T.StructType(
@@ -285,11 +425,17 @@ def resize_images(
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     img = decode_ppm(payload)
-                    ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
-                    xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
-                    out.append((pid, encode_ppm(img[ys][:, xs])))
+                    enc = encode_ppm
                 except ValueError:
-                    out.append((pid, payload))
+                    try:
+                        img = decode_png(payload)
+                        enc = encode_png
+                    except ValueError:
+                        out.append((pid, payload))
+                        continue
+                ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
+                xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
+                out.append((pid, enc(img[ys][:, xs])))
             yield pd.DataFrame(out, columns=[id_col, payload_col])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
