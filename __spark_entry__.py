@@ -1060,6 +1060,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anonymize_grid"] = q_anonymize_grid
 
+    def q_anonymize_time(spark, sf):
+        # k-anonymous temporal publication along hour->day->month; k=8
+        # exercises a mixed output at sf0.01 (some days split into
+        # hours, the rest publish as days; the single month splits)
+        from trackintel_spark.analysis import anonymize_time
+
+        ev = load_table(spark, sf, "events").select(
+            "user_id", F.col("ts").alias("tracked_at")
+        )
+        out = anonymize_time(ev, k=8)
+        return out.select("unit", "bucket", "n_users", "n_events")
+
+    q["anonymize_time"] = q_anonymize_time
+
     # -- linestring length + tripleg speed -----------------------------------
     def q_tripleg_length(spark, sf):
         from trackintel_spark.functions import linestring_length_m
@@ -1386,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_flag", "temp_overlap",
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
+        # round-9 addition: k-anonymity along the calendar lattice
+        "anonymize_time",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2661,6 +2677,55 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 0, p.cy, p.cx, p.n_users, pts0.n_points
         FROM active0 p JOIN pts0 USING (cy, cx)
+    """
+
+    # anonymize_time: the calendar-lattice descent (hour->day->month,
+    # k=8) unrolled into one CTE per level, mirroring anonymize_grid's
+    # shape with date_trunc instead of index halving.
+    o["anonymize_time"] = """
+        WITH p0 AS (
+            SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b FROM events
+        ),
+        pts0 AS (SELECT b, COUNT(*) AS n_events FROM p0 GROUP BY 1),
+        pr0 AS (SELECT DISTINCT user_id, b FROM p0),
+        u0 AS (SELECT b, COUNT(*) AS n_users FROM pr0 GROUP BY 1),
+        u1 AS (SELECT date_trunc('day', b) AS b, COUNT(DISTINCT user_id) AS n_users
+               FROM pr0 GROUP BY 1),
+        u2 AS (SELECT date_trunc('month', b) AS b, COUNT(DISTINCT user_id) AS n_users
+               FROM pr0 GROUP BY 1),
+        active2 AS (SELECT * FROM u2 WHERE n_users >= 8),
+        split2 AS (
+            SELECT date_trunc('month', b) AS b
+            FROM u1 GROUP BY 1 HAVING MIN(CASE WHEN n_users >= 8 THEN 1 ELSE 0 END) = 1
+        ),
+        pub2 AS (SELECT a.* FROM active2 a ANTI JOIN split2 s USING (b)),
+        active1 AS (
+            SELECT c.* FROM u1 c
+            SEMI JOIN (SELECT a.b FROM active2 a SEMI JOIN split2 s USING (b)) d
+              ON date_trunc('month', c.b) = d.b
+        ),
+        split1 AS (
+            SELECT date_trunc('day', b) AS b
+            FROM u0 GROUP BY 1 HAVING MIN(CASE WHEN n_users >= 8 THEN 1 ELSE 0 END) = 1
+        ),
+        pub1 AS (SELECT a.* FROM active1 a ANTI JOIN split1 s USING (b)),
+        active0 AS (
+            SELECT c.* FROM u0 c
+            SEMI JOIN (SELECT a.b FROM active1 a SEMI JOIN split1 s USING (b)) d
+              ON date_trunc('day', c.b) = d.b
+        ),
+        n2 AS (SELECT date_trunc('month', b) AS b, SUM(n_events)::BIGINT AS n_events
+               FROM pts0 GROUP BY 1),
+        n1 AS (SELECT date_trunc('day', b) AS b, SUM(n_events)::BIGINT AS n_events
+               FROM pts0 GROUP BY 1)
+        SELECT 'month' AS unit, p.b AS bucket, p.n_users, n2.n_events
+        FROM pub2 p JOIN n2 USING (b)
+        UNION ALL
+        SELECT 'day', p.b, p.n_users, n1.n_events
+        FROM pub1 p JOIN n1 USING (b)
+        UNION ALL
+        SELECT 'hour', p.b, p.n_users, pts0.n_events
+        FROM active0 p JOIN pts0 USING (b)
     """
 
     # -- §2.2 generate-operators on the hotspot grid (see _PFS_CELL_SQL) ------

@@ -1,5 +1,5 @@
 from trackintel_spark.analysis.entropy import location_entropy
-from trackintel_spark.analysis.privacy import anonymize_grid
+from trackintel_spark.analysis.privacy import anonymize_grid, anonymize_time
 from trackintel_spark.analysis.prediction import (
     location_transition_matrix,
     predict_next_location,
@@ -37,6 +37,7 @@ __all__ = [
     "location_transition_matrix",
     "predict_next_location",
     "anonymize_grid",
+    "anonymize_time",
     "calculate_modal_split",
     "temporal_tracking_quality",
     "location_identifier",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["anonymize_grid"]
+__all__ = ["anonymize_grid", "anonymize_time"]
 
 
 def anonymize_grid(
@@ -133,6 +133,116 @@ def anonymize_grid(
                 F.lit(lvl).alias("level"),
                 F.lit(base_cell_deg * (2 ** lvl)).alias("cell_deg"),
                 "cy", "cx", "n_users", "n_points",
+            )
+        )
+        out = joined if out is None else out.unionByName(joined)
+    return out
+
+
+# consecutive (finer, coarser) unit pairs where the coarser bucket is
+# date_trunc-derivable from the finer bucket value — week and month are
+# incomparable (a week spans month boundaries), so neither may follow
+# the other in a descent chain (the analysis/rollup.py lattice)
+_TIME_CHAIN_OK = {
+    ("hour", "day"), ("hour", "week"), ("hour", "month"),
+    ("day", "week"), ("day", "month"),
+}
+
+
+def anonymize_time(
+    events: DataFrame,
+    k: int = 5,
+    units: tuple[str, ...] = ("hour", "day", "month"),
+    ts_col: str = "tracked_at",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """k-anonymous TEMPORAL publication — the calendar-lattice sibling
+    of :func:`anonymize_grid`: a time bucket published with < k
+    distinct users leaks presence the same way a sparse grid cell does
+    (Gruteser & Grunwald 2003's temporal cloaking axis).
+
+    Top-down descent along ``units`` (finest first, strictly
+    coarsening, each consecutive pair ``date_trunc``-derivable — week
+    and month are mutually incomparable and may not be chained): a
+    coarse bucket splits into its children only while EVERY occupied
+    child still covers >= ``k`` distinct users, and is published where
+    descent stops. Published buckets are DISJOINT (no nesting — a
+    nested publication lets a reader subtract intervals), every row
+    has ``n_users >= k``, sparse children fold into their published
+    parent, and only time whose coarsest bucket never reaches ``k`` is
+    suppressed outright.
+
+    Distinct-user counts are EXACT (pair-dedup census, not sketches):
+    one ``(user, finest-bucket)`` distinct pass over the events, after
+    which every coarser level re-dedups the shrinking pair frame.
+
+    Returns one row per published bucket:
+    ``(unit, bucket, n_users, n_events)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not units:
+        raise ValueError("units must be non-empty")
+    for a, b in zip(units, units[1:]):
+        if (a, b) not in _TIME_CHAIN_OK:
+            raise ValueError(
+                f"units must be strictly coarsening along the calendar "
+                f"lattice (week/month are incomparable); bad pair ({a!r}, {b!r})"
+            )
+
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(units[0], F.col(ts_col)).alias("b"),
+    )
+    pts0 = base.groupBy("b").agg(F.count(F.lit(1)).alias("n_events")).localCheckpoint(
+        eager=True
+    )
+    pairs = base.distinct().localCheckpoint(eager=True)
+
+    levels = len(units)
+    users_at = []
+    for lvl in range(levels):
+        bucket = F.col("b") if lvl == 0 else F.date_trunc(units[lvl], F.col("b"))
+        users_at.append(
+            pairs.select(bucket.alias("b"), "__u")
+            .distinct()
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .localCheckpoint(eager=True)
+        )
+
+    published = []  # (level, frame of (b, n_users))
+    active = users_at[levels - 1].filter(F.col("n_users") >= k)
+    for lvl in range(levels - 1, 0, -1):
+        child = users_at[lvl - 1].select(
+            "b", "n_users", F.date_trunc(units[lvl], F.col("b")).alias("__p")
+        )
+        splittable = (
+            child.groupBy("__p")
+            .agg(F.min((F.col("n_users") >= k).cast("int")).alias("__all_ok"))
+            .filter(F.col("__all_ok") == 1)
+            .select(F.col("__p").alias("b"))
+        )
+        published.append((lvl, active.join(splittable, on="b", how="left_anti")))
+        descend = active.join(splittable, on="b", how="left_semi")
+        active = child.join(
+            descend.select(F.col("b").alias("__p")), on="__p"
+        ).select("b", "n_users")
+    published.append((0, active))
+
+    out = None
+    for lvl, cells in published:
+        bucket = F.col("b") if lvl == 0 else F.date_trunc(units[lvl], F.col("b"))
+        joined = (
+            pts0.select(bucket.alias("b"), "n_events")
+            .groupBy("b")
+            .agg(F.sum("n_events").alias("n_events"))
+            .join(cells, on="b")
+            .select(
+                F.lit(units[lvl]).alias("unit"),
+                F.col("b").alias("bucket"),
+                "n_users",
+                "n_events",
             )
         )
         out = joined if out is None else out.unionByName(joined)
