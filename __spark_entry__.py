@@ -1260,11 +1260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["location_identifier"] = q_location_identifier
 
     # -- tours: event-anchored activity staypoints (oracle: argmax reduction) --
-    def q_generate_tours(spark, sf):
+    def _tours_pipeline(spark, sf):
         """Each event becomes a 20-min ACTIVITY staypoint at its hotspot;
         movements bridge consecutive events (<= 12 h apart). Every trip
         then has known origin/destination activities, so tours close on
-        hotspot revisits — exercising the full stack-scan kernel."""
+        hotspot revisits — exercising the full stack-scan kernel.
+        Returns (sp, tours)."""
         from trackintel_spark.operators import generate_tours, generate_trips
 
         pfs = _pfs(spark, sf)
@@ -1304,11 +1305,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mv = dense_id_by_user(mv, order_by=["started_at"], id_col="id")
         _, _, trips = generate_trips(sp, mv, gap_threshold=720, add_geometry=False)
         _, tours = generate_tours(trips, staypoints=sp, max_time=1440)
+        return sp, tours
+
+    def q_generate_tours(spark, sf):
+        _, tours = _tours_pipeline(spark, sf)
         return tours.select(
             "id", "user_id", "started_at", "finished_at", "location_id", F.size("trips").alias("n_trips")
         )
 
     q["generate_tours"] = q_generate_tours
+
+    def q_journey_flag(spark, sf):
+        """The reference model's optional ``journey`` column (reference
+        model/tours.py:25,30): FREQ home labels over the same activity
+        staypoints, then tours anchored at the user's home flag True."""
+        from trackintel_spark.analysis import freq_method
+        from trackintel_spark.operators import flag_journeys
+
+        sp, tours = _tours_pipeline(spark, sf)
+        labeled = freq_method(sp)
+        out = flag_journeys(tours, labeled)
+        return out.select("id", "user_id", "location_id", "journey")
+
+    q["journey_flag"] = q_journey_flag
 
     # -- benchmark decontamination (full oracle: shingle join mirrored) -------
     def q_decontaminate(spark, sf):
@@ -1400,8 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_flag", "temp_overlap",
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
-        # round-9 addition: k-anonymity along the calendar lattice
-        "anonymize_time",
+        # round-9 additions: k-anonymity along the calendar lattice;
+        # the reference model's optional tours.journey column
+        "anonymize_time", "journey_flag",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2870,8 +2890,8 @@ def oracle_sql() -> dict[str, str]:
     # fail the time check anyway, and closing never pops the stack, so
     # the argmax is exact. Every staypoint is an activity, so each trip
     # is exactly one inter-event movement.
-    o["generate_tours"] = """
-        WITH pfs AS (
+    _tours_ctes = """
+        pfs AS (
             SELECT event_id AS id, user_id, CAST(ts AS TIMESTAMP) AS sa,
                    8.5 + FLOOR(value % 3) * 0.05 + value / 1000000 AS lon,
                    47.4 + FLOOR(value % 2) * 0.05 AS lat
@@ -2917,11 +2937,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.brk = 0 OR i.pos = 1
         ),
         best AS (SELECT user_id, i_pos, MAX(j_pos) AS j_pos FROM cand GROUP BY user_id, i_pos)
+    """
+
+    o["generate_tours"] = f"""
+        WITH {_tours_ctes}
         SELECT ROW_NUMBER() OVER (ORDER BY c.user_id, c.i_pos) - 1 AS id,
                c.user_id, c.j_start AS started_at, c.tour_end AS finished_at,
                c.loc AS location_id, c.i_pos - c.j_pos + 1 AS n_trips
         FROM cand c JOIN best b
           ON b.user_id = c.user_id AND b.i_pos = c.i_pos AND b.j_pos = c.j_pos
+    """
+
+    # journey flag: FREQ rank-1 location per user (all staypoints dwell
+    # exactly 1200 s, so duration-sum == 1200 * visit count; ties break
+    # on location id ascending, exactly the freq_method rule) marks a
+    # tour's anchor location as home.
+    o["journey_flag"] = f"""
+        WITH {_tours_ctes},
+        tours AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY c.user_id, c.i_pos) - 1 AS id,
+                   c.user_id, c.loc AS location_id
+            FROM cand c JOIN best b
+              ON b.user_id = c.user_id AND b.i_pos = c.i_pos AND b.j_pos = c.j_pos
+        ),
+        homes AS (
+            SELECT user_id, loc FROM (
+                SELECT user_id, loc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY SUM(EPOCH(se) - EPOCH(sa)) DESC, loc ASC
+                       ) AS r
+                FROM sp GROUP BY user_id, loc
+            ) WHERE r = 1
+        )
+        SELECT t.id, t.user_id, t.location_id,
+               (h.user_id IS NOT NULL) AS journey
+        FROM tours t LEFT JOIN homes h
+          ON h.user_id = t.user_id AND h.loc = t.location_id
     """
 
     # DTW / discrete Fréchet over the 2-vertex movement linestrings: the

@@ -422,3 +422,102 @@ def test_tours_salting_fuzz_randomized_streams(spark):
         finally:
             spark.conf.unset(SALT_MIN_USER_ROWS_CONF)
         assert got == base, f"max_nr_gaps={gaps}"
+
+
+# -- journey flag (reference model/tours.py:25,30) -----------------------------
+
+
+def _mk_tours(spark, rows):
+    """(id, user, loc_or_None)"""
+    data = [(i, u, T0, T0 + timedelta(minutes=60), loc) for i, u, loc in rows]
+    return spark.createDataFrame(
+        data,
+        "id long, user_id long, started_at timestamp, finished_at timestamp, location_id long",
+    )
+
+
+def _mk_labeled_sp(spark, rows):
+    """(id, user, loc, purpose)"""
+    sp = _sp_with_locs(spark, [(i, loc) for i, _, loc, _ in rows])
+    pmap = {i: p for i, _, loc, p in rows}
+    umap = {i: u for i, u, _, _ in rows}
+    return sp.withColumn("purpose", F.udf(lambda i: pmap.get(i), "string")(F.col("id"))).withColumn(
+        "user_id", F.udf(lambda i: umap.get(i), "long")(F.col("id"))
+    )
+
+
+def test_flag_journeys_home_anchor(spark):
+    from trackintel_spark.operators import flag_journeys
+
+    # user 1 home = loc 100, user 2 home = loc 300
+    sp = _mk_labeled_sp(
+        spark,
+        [
+            (0, 1, 100, "home"),
+            (1, 1, 200, "work"),
+            (2, 1, 100, "home"),  # duplicate home staypoint: distinct() collapses
+            (3, 2, 300, "home"),
+            (4, 2, 100, None),  # loc 100 is NOT user 2's home
+        ],
+    )
+    tours = _mk_tours(
+        spark,
+        [
+            (0, 1, 100),  # anchored at user 1's home -> True
+            (1, 1, 200),  # work anchor -> False
+            (2, 2, 100),  # user 2 at loc 100: home only for user 1 -> False
+            (3, 2, 300),  # user 2's home -> True
+            (4, 2, None),  # geometry-mode tour -> NULL
+        ],
+    )
+    out = {r.id: r.journey for r in flag_journeys(tours, sp).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: None}
+    # row count preserved (left join against a distinct home set)
+    assert flag_journeys(tours, sp).count() == 5
+
+
+def test_flag_journeys_requires_purpose(spark):
+    from trackintel_spark.operators import flag_journeys
+
+    tours = _mk_tours(spark, [(0, 1, 100)])
+    sp = _sp_with_locs(spark, [(0, 100)])  # no purpose column
+    with pytest.raises(AssertionError, match="purpose"):
+        flag_journeys(tours, sp)
+    with pytest.raises(AssertionError, match="location_id"):
+        flag_journeys(tours.drop("location_id"), sp.withColumn("purpose", F.lit("home")))
+
+
+def test_flag_journeys_end_to_end(spark):
+    """generate_tours -> freq_method -> flag_journeys composition: the
+    most-dwelled location becomes home, and only tours anchored there
+    are journeys."""
+    from trackintel_spark.operators import flag_journeys
+
+    # home=100 (long dwells), shop=200. Tours: [home->shop->home] and a
+    # nested shop loop [shop->shop].
+    sp = _mk_sp(
+        spark,
+        [
+            (0, 1, 0, 600, 8.5, 47.4),     # home, 10 h
+            (1, 1, 660, 720, 8.6, 47.5),   # shop, 1 h
+            (2, 1, 780, 840, 8.6, 47.5),   # shop again
+            (3, 1, 900, 1500, 8.5, 47.4),  # home, 10 h
+        ],
+    ).withColumn("location_id", F.when(F.col("id").isin(0, 3), 100).otherwise(200).cast("long"))
+    trips = _mk_trips(
+        spark,
+        [(0, 1, 600, 660, 0, 1), (1, 1, 720, 780, 1, 2), (2, 1, 840, 900, 2, 3)],
+    )
+    _, tours = generate_tours(trips, staypoints=sp)
+    labeled = freq_method(sp)
+    got = {tuple(r.trips): r.journey for r in flag_journeys(tours, labeled).collect()}
+    assert got == {(1,): False, (0, 1, 2): True}
+
+
+def test_flag_journeys_accessor(spark):
+    from trackintel_spark.model.accessors import Tours
+
+    sp = _mk_labeled_sp(spark, [(0, 1, 100, "home")])
+    tours = _mk_tours(spark, [(0, 1, 100)])
+    out = Tours(tours).flag_journeys(sp)
+    assert out.df.collect()[0].journey is True

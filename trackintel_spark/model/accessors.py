@@ -282,3 +282,11 @@ class Tours(_Entity):
     """reference model/tours.py:15-70."""
 
     entity = "tours"
+
+    def flag_journeys(self, staypoints) -> "Tours":
+        """Add the model's optional ``journey`` column (reference
+        model/tours.py:25,30) from purpose-labeled staypoints."""
+        from trackintel_spark.operators.tours import flag_journeys
+
+        sp = staypoints.df if isinstance(staypoints, _Entity) else staypoints
+        return Tours(flag_journeys(self.df, sp), validate_schema=False)

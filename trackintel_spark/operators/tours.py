@@ -410,6 +410,51 @@ def generate_tours(
     return trips_out, tours
 
 
+def flag_journeys(tours: DataFrame, staypoints: DataFrame) -> DataFrame:
+    """Add the reference model's optional ``journey`` flag to tours.
+
+    Reference model/tours.py:25,30 documents ``journey`` — "Tours
+    starting and ending at home (=journey) are especially important" —
+    but ships no generator for it; this composes it from the
+    ``location_identifier`` output: a tour is a journey when its anchor
+    ``location_id`` is one of the user's home locations.
+
+    ``staypoints`` must carry ``location_id`` and ``purpose`` (run
+    ``location_identifier`` / ``freq_method`` / ``osna_method`` first).
+    Tours without a ``location_id`` anchor (geometry-mode tours, where
+    closure is a ``max_dist`` radius rather than a shared location) get
+    NULL — there is no location to test against.
+
+    Scale shape: the home set is one DISTINCT over the labeled
+    staypoints — at most a couple of rows per user — so the flag join
+    is an equi-join on (user_id, location_id) against a frame ~|users|
+    in size; AQE broadcast-plans it whenever it fits, and it never
+    re-shuffles more than the tours table once.
+    """
+    for c in ("location_id", "purpose"):
+        if c not in staypoints.columns:
+            raise AssertionError(
+                f"staypoints must contain column '{c}' (run location_identifier first)"
+            )
+    if "location_id" not in tours.columns:
+        raise AssertionError("tours must contain column 'location_id'")
+    homes = (
+        staypoints.filter(F.col("purpose") == F.lit("home"))
+        .select("user_id", "location_id")
+        .distinct()
+        .withColumn("__home", F.lit(True))
+    )
+    out = tours.drop(*[c for c in ("journey",) if c in tours.columns]).join(
+        homes, on=["user_id", "location_id"], how="left"
+    )
+    return out.withColumn(
+        "journey",
+        F.when(F.col("location_id").isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(F.col("__home"), F.lit(False))
+        ),
+    ).drop("__home")
+
+
 def get_trips_grouped(trips: DataFrame, tours: DataFrame) -> DataFrame:
     """All (tour_id, trip) rows — each tour's full member trips, incl.
     trips whose own ``tour_id`` points at a smaller nested tour.
