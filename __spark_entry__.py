@@ -1359,6 +1359,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup"] = q_chunk_dedup
 
+    # -- web plumbing: URL canonicalization dedup + HTML stripping -----------
+    def q_url_dedup(spark, sf):
+        """Synthesized crawl URLs with planted duplicate groups: ids
+        sharing doc_id%400 and variant in {0,1,2} differ only in
+        canonically-irrelevant parts (case, default port, tracking
+        params, duplicate slashes, trailing slash, param order);
+        variant 3 is unique per document."""
+        from trackintel_spark.scale import dedup_url
+
+        docs = load_table(spark, sf, "documents")
+        base = (F.col("doc_id") % 400).cast("string")
+        v = F.col("doc_id") % 4
+        url = (
+            F.when(v == 0, F.concat(F.lit("https://www.site"), base, F.lit(".com:443/docs/page/?utm_source=feed&b=2&a=1#sec")))
+            .when(v == 1, F.concat(F.lit("HTTPS://SITE"), base, F.lit(".com/docs//page?a=1&b=2")))
+            .when(v == 2, F.concat(F.lit("https://site"), base, F.lit(".com/docs/page?b=2&fbclid=x&a=1")))
+            .otherwise(F.concat(F.lit("https://site"), base, F.lit(".com:8080/other/"), F.col("doc_id").cast("string")))
+        )
+        out = dedup_url(docs.select("doc_id", url.alias("url")))
+        return out.select("doc_id", "canonical_url", "url_dup_count")
+
+    q["url_dedup"] = q_url_dedup
+
+    def q_strip_html(spark, sf):
+        """Documents wrapped in deterministic HTML (title/style/script/
+        comment/entities), stripped by the codegen chain; compare via
+        digest + length (raw multi-KB strings stay out of the
+        cross-engine value hash, same policy as line_dedup)."""
+        from trackintel_spark.scale import strip_html_expr
+
+        docs = load_table(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit("</title><style>p{margin:0}</style></head><body><h1>Doc "), did,
+            F.lit("</h1><p>"),
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp;the&nbsp;")),
+            F.lit('</p><script>var x = 1 < 2;</script><a href="/n">next</a>'
+                  "<!-- hidden <b>x</b> --></body></html>"),
+        )
+        out = docs.select("doc_id", strip_html_expr(html).alias("t"))
+        return out.select("doc_id", F.md5("t").alias("text_md5"), F.length("t").alias("n_chars2"))
+
+    q["strip_html"] = q_strip_html
+
     # Every registered query is oracle-backed. The driver evaluates a
     # 50-query prefix, so the first 50 entries below are the ones scored.
     # Five implementation-redundant queries sit after position 50
@@ -1420,8 +1465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions (oracle-backed; outside the driver prefix)
         "grid_rollup", "time_rollup",
         # round-9 additions: k-anonymity along the calendar lattice;
-        # the reference model's optional tours.journey column
-        "anonymize_time", "journey_flag",
+        # the reference model's optional tours.journey column; web-corpus
+        # plumbing (URL canonicalization dedup, HTML stripping)
+        "anonymize_time", "journey_flag", "url_dedup", "strip_html",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -1994,6 +2040,90 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COALESCE(dup.dup, 0) AS DOUBLE) / len(c.chunks), 6)
                ELSE NULL END AS dup_chunk_fraction
         FROM c LEFT JOIN dup USING (doc_id)
+    """
+
+    # URL canonicalization mirrored step-by-step (RE2-safe patterns only:
+    # the Spark side deliberately avoids backrefs/lookbehind so the SAME
+    # regexes run in both engines).
+    o["url_dedup"] = r"""
+        WITH urls AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 'https://www.site' || CAST(doc_id % 400 AS VARCHAR) || '.com:443/docs/page/?utm_source=feed&b=2&a=1#sec'
+              WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id % 400 AS VARCHAR) || '.com/docs//page?a=1&b=2'
+              WHEN 2 THEN 'https://site' || CAST(doc_id % 400 AS VARCHAR) || '.com/docs/page?b=2&fbclid=x&a=1'
+              ELSE 'https://site' || CAST(doc_id % 400 AS VARCHAR) || '.com:8080/other/' || CAST(doc_id AS VARCHAR)
+            END AS url
+          FROM documents
+        ),
+        p2 AS (
+          SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM urls
+        ),
+        p3 AS (
+          SELECT doc_id, nofrag,
+            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+          FROM p2
+        ),
+        p4 AS (
+          SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+            regexp_extract(after, '^[^/?]*([^?]*)', 1) AS rawpath,
+            regexp_extract(nofrag, '\?([^#]*)', 1) AS query
+          FROM p3
+        ),
+        p5 AS (
+          SELECT *,
+            regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+            regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+            regexp_replace(rawpath, '/{2,}', '/', 'g') AS squashed
+          FROM p4
+        ),
+        p6 AS (
+          SELECT *,
+            CASE WHEN (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') OR port = ''
+                 THEN '' ELSE ':' || port END AS portpart,
+            CASE WHEN squashed = '' THEN '/'
+                 WHEN squashed = '/' THEN '/'
+                 ELSE regexp_replace(squashed, '/$', '') END AS path,
+            list_sort(list_filter(string_split(query, '&'),
+                x -> x <> '' AND NOT regexp_matches(lower(x), '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|dclid|mc_cid|mc_eid|igshid|spm|ref|ref_src|_ga|_gl)(=.*)?$'))) AS params
+          FROM p5
+        ),
+        canon AS (
+          SELECT doc_id,
+            scheme || '://' || host || portpart || path ||
+            CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+          FROM p6
+        )
+        SELECT MIN(doc_id) AS doc_id, canonical_url, COUNT(*) AS url_dup_count
+        FROM canon GROUP BY canonical_url
+    """
+
+    # HTML strip: the identical (?is)/(?s) RE2-safe pattern chain, with
+    # DuckDB's 'g' flag standing in for Spark's always-global
+    # regexp_replace; entity decode order mirrored (&amp; last).
+    o["strip_html"] = r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+            '</title><style>p{margin:0}</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+            '</h1><p>' || replace(text, ' the ', ' &amp;the&nbsp;') ||
+            '</p><script>var x = 1 < 2;</script><a href="/n">next</a><!-- hidden <b>x</b> --></body></html>' AS h
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM wrapped),
+        s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(t, '(?is)<template\b[^>]*>.*?</template\s*>', ' ', 'g') AS t FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s3),
+        s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+        ents AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(replace(t,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', CHR(39)), '&apos;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+          FROM s5
+        ),
+        fin AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM ents)
+        SELECT doc_id, md5(t) AS text_md5, length(t) AS n_chars2 FROM fin
     """
 
     o["embedding_topk"] = """

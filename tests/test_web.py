@@ -1,0 +1,154 @@
+"""URL canonicalization / URL dedup / HTML extraction (scale/web.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackintel_spark.scale import (
+    canonicalize_url,
+    dedup_url,
+    extract_html_text,
+    strip_html_expr,
+    url_host,
+)
+from trackintel_spark.scale._htmlkernel import parse_html
+
+CANON_CASES = [
+    # (input, expected canonical with strip_www=True)
+    ("HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&b=2&a=1#frag", "https://example.com/a/b?a=1&b=2"),
+    ("https://example.com/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+    ("http://example.com:8080/path/", "http://example.com:8080/path"),
+    ("https://example.com", "https://example.com/"),
+    ("http://Example.com:80/", "http://example.com/"),
+    ("https://example.com/a/b?b=2&a=1&fbclid=XYZ", "https://example.com/a/b?a=1&b=2"),
+    ("https://example.com/?UTM_CAMPAIGN=x", "https://example.com/"),  # tracking match is case-insensitive
+    ("https://example.com/p?ref=abc&q=1", "https://example.com/p?q=1"),
+    ("https://example.com/p?refresh=1", "https://example.com/p?refresh=1"),  # prefix must not over-match
+    ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),  # only LEADING www. strips
+    ("  https://example.com/x  ", "https://example.com/x"),
+    ("not a url", "not a url"),
+    ("ftp://example.com/x", "ftp://example.com/x"),  # non-http(s) untouched
+    ("https://example.com:444/x", "https://example.com:444/x"),  # non-default port kept
+]
+
+
+def _urls_df(spark, pairs):
+    return spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(pairs)], "doc_id long, url string"
+    )
+
+
+def test_canonicalize_url_rules(spark):
+    df = _urls_df(spark, CANON_CASES)
+    got = {r.doc_id: r.c for r in df.select("doc_id", canonicalize_url("url").alias("c")).collect()}
+    for i, (inp, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{inp!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_idempotent(spark):
+    df = _urls_df(spark, CANON_CASES)
+    once = df.select("doc_id", canonicalize_url("url").alias("c"))
+    twice = once.select("doc_id", canonicalize_url("c").alias("c2"), "c")
+    assert twice.filter(F.col("c") != F.col("c2")).count() == 0
+
+
+def test_canonicalize_keep_www(spark):
+    df = _urls_df(spark, [("https://www.example.com/x", None)])
+    got = df.select(canonicalize_url("url", strip_www=False).alias("c")).collect()[0].c
+    assert got == "https://www.example.com/x"
+
+
+def test_url_host(spark):
+    df = _urls_df(
+        spark,
+        [
+            ("https://WWW.Example.com:8443/a?b=1", None),
+            ("http://foo.bar.baz/", None),
+        ],
+    )
+    got = [r.h for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["example.com", "foo.bar.baz"]
+
+
+def test_dedup_url_keeps_min_id_and_counts(spark):
+    rows = [
+        (10, "https://www.example.com/a/?utm_source=t"),
+        (3, "https://example.com/a"),
+        (7, "HTTPS://EXAMPLE.COM:443/a"),
+        (5, "https://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in dedup_url(df).collect()}
+    assert set(out) == {3, 5}
+    assert out[3].url_dup_count == 3 and out[3].canonical_url == "https://example.com/a"
+    assert out[5].url_dup_count == 1
+
+
+def test_dedup_url_single_exchange(spark):
+    df = spark.createDataFrame([(1, "https://example.com/a")], "doc_id long, url string")
+    plan = dedup_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+HTML_DOC = (
+    "<html><head><title>The Title</title><style>p {color: red}</style></head>"
+    "<body><h1>Head&nbsp;line</h1><p>First paragraph with <b>bold</b> text.</p>"
+    "<script type='text/javascript'>var x = '<p>not text</p>';</script>"
+    "<!-- a comment with <p>markup</p> -->"
+    "<ul><li>item one</li><li>item two</li></ul>"
+    "<a href='/next'>next page</a> trailing &amp; done</body></html>"
+)
+HTML_BODY_WORDS = (
+    "Head line First paragraph with bold text. item one item two next page trailing & done"
+)
+
+
+def test_strip_html_expr(spark):
+    df = spark.createDataFrame([(0, HTML_DOC)], "doc_id long, html string")
+    got = df.select(strip_html_expr("html").alias("t")).collect()[0].t
+    # the codegen path keeps <title> text (documented contract)
+    assert got == "The Title " + HTML_BODY_WORDS
+
+
+def test_strip_html_expr_is_codegen_only(spark):
+    df = spark.createDataFrame([(0, HTML_DOC)], "doc_id long, html string")
+    out = df.select(strip_html_expr("html").alias("t"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan
+
+
+def test_extract_html_text_kernel(spark):
+    df = spark.createDataFrame(
+        [(0, HTML_DOC), (1, "<p>broken <b>markup"), (2, None)], "doc_id long, html string"
+    )
+    got = {r.doc_id: r for r in extract_html_text(df).collect()}
+    assert got[0].text == HTML_BODY_WORDS
+    assert got[0].title == "The Title"
+    assert got[0].n_links == 1
+    assert 0.0 < got[0].link_density < 0.5
+    assert got[1].text == "broken markup"  # tolerant of unclosed tags
+    assert got[2].text == "" and got[2].n_links == 0
+
+
+def test_extract_html_text_no_shuffle(spark):
+    df = spark.createDataFrame([(0, HTML_DOC)], "doc_id long, html string")
+    out = extract_html_text(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_parse_html_full_entity_table():
+    text, title, links, tags, dens = parse_html("<p>caf&eacute; &copy; 2024 &#x2713;</p>")
+    assert text == "café © 2024 ✓"
+
+
+def test_strip_vs_kernel_word_parity(spark):
+    """On entity-light, title-less fragments the fast path and the exact
+    parser agree word-for-word."""
+    frags = [
+        (i, f"<div><p>alpha {i} beta</p><script>no();</script><span>gamma</span></div>")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(frags, "doc_id long, html string")
+    fast = {r.doc_id: r.t for r in df.select("doc_id", strip_html_expr("html").alias("t")).collect()}
+    exact = {r.doc_id: r.text for r in extract_html_text(df).collect()}
+    assert fast == exact

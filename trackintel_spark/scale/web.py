@@ -1,0 +1,210 @@
+"""Web-corpus plumbing: URL canonicalization / URL-level dedup and
+HTML -> text extraction.
+
+Both are standard first stages of a web-scale training-data pipeline
+(C4 / RefinedWeb / CCNet dedup by canonical URL before any content
+pass; boilerplate stripping before quality scoring). Everything on the
+hot path is pure Column expressions — whole-stage codegen, zero Python
+— so a 100 TB crawl pays one projection, not an Arrow round-trip. The
+lossless-fidelity HTML parse (`extract_html_text`, stdlib
+``html.parser``) is the slow-path sibling for callers who need link
+structure, run as an Arrow-batched ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tracking parameters dropped during canonicalization: the industry-
+# standard analytics/click identifiers that vary per impression while
+# the landing document does not. Kept minimal and well-known so the
+# same list is trivially mirrored in SQL oracles.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|dclid|mc_cid|mc_eid|igshid|"
+    "spm|ref|ref_src|_ga|_gl)(=.*)?$"
+)
+
+
+def canonicalize_url(url: Column | str, strip_www: bool = True) -> Column:
+    """Canonical form of an absolute http(s) URL, as one codegen
+    expression.
+
+    Rules (the common web-dedup normalization set):
+
+    * scheme and host lowercased; ``www.`` prefix dropped
+      (``strip_www=False`` keeps it);
+    * fragment (``#...``) removed;
+    * default ports dropped (``:80`` for http, ``:443`` for https;
+      other ports kept);
+    * tracking query parameters removed (``TRACKING_PARAM_RE``);
+    * remaining query parameters sorted byte-lexicographically (crawl
+      frontiers emit them in arbitrary order);
+    * empty path becomes ``/``; a trailing slash on a non-root path is
+      dropped; repeated slashes collapse.
+
+    Rows that do not look like an absolute http(s) URL come back
+    unchanged apart from trimming — canonicalization must never
+    manufacture collisions out of garbage.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    is_url = u.rlike("^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+")
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, "^([^/?]*)", 1))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.regexp_replace(hostport, ":[0-9]+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, "^www\\.", "")
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(default_port | (port == ""), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    rawpath = F.regexp_extract(after, "^[^/?]*([^?]*)", 1)
+    squashed = F.regexp_replace(rawpath, "/{2,}", "/")
+    path = F.when(squashed == "", F.lit("/")).otherwise(
+        # root "/" is exempt from trailing-slash stripping via the guard
+        F.when(squashed == "/", squashed).otherwise(F.regexp_replace(squashed, "/$", ""))
+    )
+    query = F.regexp_extract(nofrag, "\\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+    return F.when(is_url, canon).otherwise(u)
+
+
+def url_host(url: Column | str, strip_www: bool = True) -> Column:
+    """The registrable-host-ish key used for host-level curation:
+    lowercased netloc without port (and without ``www.`` by default)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    after = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(after, "^([^/:?#]*)", 1))
+    if strip_www:
+        host = F.regexp_replace(host, "^www\\.", "")
+    return host
+
+
+def dedup_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id", strip_www: bool = True
+) -> DataFrame:
+    """Keep one row (smallest id) per canonical URL; adds
+    ``canonical_url`` and ``url_dup_count``.
+
+    Same shuffle discipline as ``dedup_exact`` (scale/dedup.py:30): the
+    exchange key is the canonical string itself — URLs are short and
+    near-uniform, so no digest indirection is needed — and one
+    repartition satisfies both windows.
+    """
+    d = df.withColumn("canonical_url", canonicalize_url(url_col, strip_www=strip_www))
+    d = d.repartition(F.col("canonical_url"))
+    w = Window.partitionBy("canonical_url")
+    return (
+        d.withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .withColumn("url_dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -- HTML -> text ------------------------------------------------------------
+
+# Entity subset decoded by the codegen path: the named entities that
+# dominate real-world HTML plus decimal/hex numeric escapes for the
+# same five characters. Everything rarer survives verbatim (documented
+# contract; the parser path decodes the full table).
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # MUST be last: earlier decodes may expose &amp;-escaped entities
+]
+
+
+def strip_html_expr(html: Column | str) -> Column:
+    """Visible text of an HTML fragment as one codegen expression chain.
+
+    Drops ``<script>``/``<style>``/``<template>`` blocks and comments,
+    removes every remaining tag, decodes the common entities
+    (``_ENTITIES``), and collapses whitespace runs. This is the
+    100 TB fast path: a RefinedWeb-style first pass that needs "the
+    words, roughly" for quality scoring and dedup — NOT a DOM parse.
+    ``extract_html_text`` is the exact sibling.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    # (?is): dot-matches-newline + case-insensitive — same flags in RE2
+    # (DuckDB oracles) and java.util.regex. One pattern per container
+    # tag rather than a <(script|style)>...</\1> backreference: RE2
+    # (the oracle engine) has no backrefs, and the mirrored SQL must
+    # run the SAME pattern.
+    out = h
+    for tag in ("script", "style", "template"):
+        out = F.regexp_replace(out, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", " ")
+    out = F.regexp_replace(out, "(?s)<!--.*?-->", " ")
+    # block-level boundaries become spaces via the tag replacement itself
+    out = F.regexp_replace(out, "(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, "\\s+", " ")
+    return F.trim(out)
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact HTML text extraction + link structure, Arrow-batched.
+
+    stdlib ``html.parser`` walk per document: skips script/style/
+    template/noscript subtrees, concatenates text nodes with the full
+    entity table decoded, counts ``<a href>`` links and captures
+    ``<title>``. Returns ``id_col, text, title, n_links, n_tags,
+    link_density`` (link_density = chars inside <a> / total chars, the
+    classic boilerplate signal). Malformed markup never raises —
+    ``html.parser`` is tolerant by construction.
+
+    Plan shape: ``mapInPandas`` — no shuffle, no state; scales as a map
+    stage over whatever partitioning the scan produced.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("text", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("n_links", T.IntegerType()),
+            T.StructField("n_tags", T.IntegerType()),
+            T.StructField("link_density", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from trackintel_spark.scale._htmlkernel import parse_html
+
+        for pdf in batches:
+            rows = [parse_html(h) for h in pdf[html_col].astype(object)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "text": [r[0] for r in rows],
+                    "title": [r[1] for r in rows],
+                    "n_links": [r[2] for r in rows],
+                    "n_tags": [r[3] for r in rows],
+                    "link_density": [r[4] for r in rows],
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)
