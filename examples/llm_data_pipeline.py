@@ -3,7 +3,8 @@
 Drives the scale stack the way a data-curation job would, on the
 driver's synthetic documents/embeddings parquet:
 
-    corpus profile (sketches)
+    canonical-URL dedup + HTML -> text (crawl stage 0)
+    -> corpus profile (sketches)
     -> quality + language filtering
     -> cross-corpus boilerplate line dedup
     -> exact dedup
@@ -62,6 +63,31 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     print(f"documents: {docs.count()}")
+
+    # -1. crawl stage 0 (synthesized here: the driver tables carry no
+    # URLs/markup): canonical-URL dedup, then HTML -> text. Both are
+    # codegen-only projections — at 100 TB this is a single map stage
+    # plus one short-string shuffle for the URL census.
+    from trackintel_spark.scale import dedup_url, strip_html_expr
+
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW.Crawl"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(".org/page?utm_source=x&v="), (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("<html><body><p>"), "text",
+                 F.lit("</p><script>t()</script></body></html>")).alias("html"),
+    )
+    fetched = dedup_url(crawl)
+    print(f"after canonical-URL dedup: {fetched.count()}")
+    docs = docs.join(fetched.select("doc_id"), "doc_id", "left_semi").withColumn(
+        "text", strip_html_expr(
+            F.concat(F.lit("<html><body><p>"), "text",
+                     F.lit("</p><script>t()</script></body></html>"))
+        )
+    )
+    print(f"extracted text docs: {docs.count()}")
 
     # 0. one-pass corpus profile (quantile + HLL sketches)
     prof = corpus_profile(docs, group_by="lang").collect()
