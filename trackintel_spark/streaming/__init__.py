@@ -1,4 +1,4 @@
-from trackintel_spark.streaming.dedup import dedup_stream
+from trackintel_spark.streaming.dedup import dedup_stream, url_dedup_stream
 from trackintel_spark.streaming.flows import od_flows_stream
 from trackintel_spark.streaming.heatmap import grid_counts_stream
 from trackintel_spark.streaming.locations_state import locations_stream_exact
@@ -10,7 +10,7 @@ from trackintel_spark.streaming.trajmatch import index_trajectory_corpus, trajec
 from trackintel_spark.streaming.triplegs_state import triplegs_stream_exact
 from trackintel_spark.streaming.trips_state import trips_stream_exact
 
-__all__ = ["attach_trip_locations", "dedup_stream", "locations_stream_exact",
+__all__ = ["attach_trip_locations", "dedup_stream", "url_dedup_stream", "locations_stream_exact",
     "od_flows_stream",
     "grid_counts_stream",
     "neardup_stream", "resolve_neardup",

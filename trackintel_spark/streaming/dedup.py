@@ -59,3 +59,44 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["__key"])
         .drop("__key")
     )
+
+
+def url_dedup_stream(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Online canonical-URL deduplication — crawl-frontier stage 0.
+
+    The streaming counterpart of :func:`trackintel_spark.scale.dedup_url`:
+    each arriving fetch gets its ``canonical_url``
+    (:func:`trackintel_spark.scale.canonicalize_url` — the SAME codegen
+    expression the batch pass runs, so a page kept online is the page
+    the batch census would keep) and the first fetch per canonical URL
+    within the watermark passes. Same bounded-state contract as
+    :func:`dedup_stream`: re-fetches farther apart than the watermark
+    may both pass; run the batch ``dedup_url`` census for full-corpus
+    guarantees.
+
+    100 TB design: state is one (canonical_url -> timestamp) entry per
+    distinct in-window URL — short near-uniform strings, hash-partitioned
+    by the state store; the canonicalization itself is a map-side
+    projection, no Python, no extra shuffle.
+    """
+    from trackintel_spark.scale.web import canonicalize_url
+
+    out = docs.withColumn("canonical_url", canonicalize_url(url_col, strip_www=strip_www))
+    if not out.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("canonical_url").orderBy(F.col(ts_col).asc())
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )
