@@ -1328,14 +1328,24 @@ def test_semantic_dedup_auto_routes_and_matches_join(spark):
         r.cluster_id, r.is_kept,
         None if r.centroid_cosine is None else round(r.centroid_cosine, 9),
     )
+    # auto_group_max_bytes=4096 -> balloon cut = max(9, 4096/(8*12)) = 42
+    # members: the 60-member cluster takes the join branch, the rest the
+    # grouped branch (<= max_compare+1, judged exactly by both paths)
     auto = {r.vec_id: key(r) for r in semantic_dedup(
-        emb, threshold=0.9, centers=centers, max_compare=8).collect()}
+        emb, threshold=0.9, centers=centers, max_compare=8,
+        auto_group_max_bytes=4096).collect()}
     join = {r.vec_id: key(r) for r in semantic_dedup(
         emb, threshold=0.9, centers=centers, max_compare=8,
         pair_mode="join").collect()}
     assert auto == join
     assert auto[99999][0] is None and auto[99999][1] is True
     assert sum(1 for v in auto.values() if not v[1]) > 3  # non-vacuous
+
+    # default task bound: every cluster here fits one grouped task, so
+    # the default-auto decisions must also match (tie-free inputs)
+    auto_default = {r.vec_id: key(r) for r in semantic_dedup(
+        emb, threshold=0.9, centers=centers, max_compare=8).collect()}
+    assert auto_default == join
 
     with pytest.raises(ValueError):
         semantic_dedup(emb, threshold=0.9, centers=centers, pair_mode="nope")

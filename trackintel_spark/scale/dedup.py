@@ -594,6 +594,7 @@ def semantic_dedup(
     max_compare: int | None = 1024,
     materialize_ranked: bool = False,
     pair_mode: str = "auto",
+    auto_group_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
@@ -641,16 +642,20 @@ def semantic_dedup(
 
     * ``'auto'`` (default): ONE cluster-size histogram aggregate
       (bounded at the cluster count, <= 4096 rows pre-collect) routes
-      each cluster by size — clusters at or under the balloon cut
-      (``max_compare + 1`` members, the range the cap judges EXACTLY;
-      4096 when ``max_compare=None``) take the ``'grouped'`` BLAS
-      path, ballooned clusters take the AQE-splittable ``'join'``
-      path. Healthy SemDeDup clusterings (the ~500-member contract)
-      route everything through BLAS — measured ~9x faster on the 400k
-      probe — while one corpus-sized cluster can never serialize a
-      task. Costs one extra pass over the assignment scan for the
-      histogram (pass ``materialize_ranked=True`` to pay it from
-      storage instead when the input lineage is heavy).
+      each cluster by the single-task cost of its grouped BLAS block —
+      clusters whose vectors fit ``auto_group_max_bytes`` in one task
+      (members <= bytes / (8 * dim), never below ``max_compare + 1``)
+      take the ``'grouped'`` path, genuinely corpus-sized clusters
+      take the AQE-splittable ``'join'`` path. The cut is a TASK
+      bound, not the cap: a capped mid-size cluster (say 2k members)
+      is ~20x cheaper as one chunked matmul than as a pair join
+      (the join evaluates a zip_with/aggregate fold per pair,
+      allocating per-pair arrays — measured 29.5 s vs 1.6 s over
+      32 x ~1.5k-member clusters on the 400k probe), so only clusters
+      that would blow a task's memory ever pay the join. auto mode
+      eagerly localCheckpoints the assigned+ranked frame (the
+      histogram plus both routed branches then read storage instead of
+      re-running the assignment scan per branch).
     * ``'join'``: the ranked self-join above — every pair's
       dot is a codegen fold, the shuffle is AQE-splittable, and a
       BALLOONED cluster's pair partition gets split across tasks.
@@ -737,16 +742,28 @@ def semantic_dedup(
             ranked, id_col, threshold, max_compare
         ).unionByName(zero_out)
     if pair_mode == "auto":
-        # the balloon cut is the exact-judgment boundary: clusters of
-        # <= max_compare+1 members are decided EXACTLY by both paths,
-        # so routing them to BLAS changes nothing but wall time; bigger
-        # clusters go to the splittable join, where the cap bounds them
-        balloon = (max_compare + 1) if max_compare is not None else 4096
-        # histogram over `assigned`, not `ranked`: same sizes, but skips
-        # executing the rank window's shuffle+sort for this one action
-        # (unless the ranked frame was checkpointed — then it's the
-        # cheaper source)
-        sizes = (ranked if materialize_ranked else assigned).groupBy("cluster_id").count()
+        # auto mode ALWAYS materializes the ranked frame first: the
+        # histogram action would otherwise execute the center
+        # assignment (a BLAS pandas UDF past codegen_max_terms — the
+        # expensive stage) once for the routing decision and AGAIN per
+        # routed branch. One eager localCheckpoint computes
+        # assignment+rank exactly once and the histogram plus both
+        # branches read the stored blocks. Storage cost is the frame
+        # itself — the same bytes either branch's shuffle would carry.
+        if not materialize_ranked:
+            ranked = ranked.localCheckpoint()
+        # the balloon cut is a single-TASK bound, not the cap: the
+        # grouped kernel loads one cluster (members * dim * 8 bytes)
+        # into one task and runs a chunked matmul — far cheaper per
+        # pair than the join's zip_with fold — so only clusters whose
+        # block would blow auto_group_max_bytes go to the splittable
+        # join. Never cut below max_compare+1 (those are judged
+        # EXACTLY by both paths, so BLAS changes nothing but wall).
+        first = ranked.select(F.size("__v").alias("d")).first()  # cheap: storage-backed
+        dim = int(first["d"]) if first is not None else 1
+        exact_bound = (max_compare + 1) if max_compare is not None else 4096
+        balloon = max(exact_bound, auto_group_max_bytes // (8 * max(dim, 1)))
+        sizes = ranked.groupBy("cluster_id").count()
         big_ids = [
             r["cluster_id"]
             for r in sizes.filter(F.col("count") > balloon).collect()
