@@ -152,3 +152,80 @@ def test_strip_vs_kernel_word_parity(spark):
     fast = {r.doc_id: r.t for r in df.select("doc_id", strip_html_expr("html").alias("t")).collect()}
     exact = {r.doc_id: r.text for r in extract_html_text(df).collect()}
     assert fast == exact
+
+
+# -- differential fuzz: Spark canonicalization vs a urllib reference ----------
+
+
+def _py_canonicalize(u, strip_www=True):
+    """Independent reference implementation on Python stdlib parsing."""
+    import re
+    from urllib.parse import urlsplit
+
+    u = u.strip()
+    if not re.match(r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+", u):
+        return u
+    nofrag = re.sub(r"#.*$", "", u)
+    parts = urlsplit(nofrag)
+    scheme = parts.scheme.lower()
+    hostport = parts.netloc.lower()
+    m = re.search(r":(\d+)$", hostport)
+    port = m.group(1) if m else ""
+    host = re.sub(r":\d+$", "", hostport)
+    if strip_www:
+        host = re.sub(r"^www\.", "", host)
+    if (scheme == "http" and port == "80") or (scheme == "https" and port == "443") or not port:
+        portpart = ""
+    else:
+        portpart = ":" + port
+    path = re.sub(r"/{2,}", "/", parts.path)
+    if path == "":
+        path = "/"
+    elif path != "/" and path.endswith("/"):
+        path = path[:-1]
+    track = re.compile(
+        r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|dclid|mc_cid|mc_eid|igshid|"
+        r"spm|ref|ref_src|_ga|_gl)(=.*)?$"
+    )
+    params = sorted(p for p in parts.query.split("&") if p and not track.match(p.lower()))
+    q = ("?" + "&".join(params)) if params else ""
+    return f"{scheme}://{host}{portpart}{path}{q}"
+
+
+def test_canonicalize_url_differential_fuzz(spark):
+    """Random URLs assembled from parts: the Spark expression chain and
+    the urllib-based reference must agree exactly, and the result must
+    be a fixed point."""
+    import random
+
+    rng = random.Random(20260816)
+    schemes = ["http", "https", "HTTP", "Https"]
+    hosts = ["Example.com", "www.Example.com", "sub.www.host.ORG", "a-b.c0.net"]
+    ports = ["", ":80", ":443", ":8080", ":65535"]
+    paths = ["", "/", "/a", "/a/", "/a//b", "/a/b/c/", "//x", "/%7Euser"]
+    params = ["", "a=1", "b=2", "utm_source=x", "UTM_MEDIUM=y", "fbclid=1", "z", "ref=5", "refx=6"]
+    frags = ["", "#f", "#a/b?c=1"]
+    urls = []
+    for i in range(300):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        u = (
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + (("?" + q) if q else "") + rng.choice(frags)
+        )
+        urls.append((i, u))
+    # plus hostile non-URLs that must pass through untouched (mod trim)
+    for j, junk in enumerate(["", "   ", "no scheme here", "http:/half", "mailto:x@y.z"]):
+        urls.append((1000 + j, junk))
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.c, r.c2)
+        for r in df.select(
+            "doc_id",
+            canonicalize_url("url").alias("c"),
+        ).withColumn("c2", canonicalize_url(F.col("c"))).collect()
+    }
+    for i, u in urls:
+        want = _py_canonicalize(u)
+        c, c2 = got[i]
+        assert c == want, f"{u!r}: spark={c!r} ref={want!r}"
+        assert c2 == c, f"not idempotent: {u!r} -> {c!r} -> {c2!r}"
