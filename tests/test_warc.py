@@ -1,0 +1,113 @@
+"""WARC/WET crawl-archive reader (sources/warc.py)."""
+
+import gzip
+import os
+
+from trackintel_spark.sources import read_warc, read_warc_responses, read_wet
+from trackintel_spark.sources.warc import parse_warc_bytes
+
+
+def _record(rtype, url, body: bytes, ctype="text/html", date="2024-01-01T00:00:00Z"):
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        + (f"WARC-Target-URI: {url}\r\n" if url else "")
+        + f"WARC-Date: {date}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+HTML_BODY = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    b"<html><body><p>hello crawl</p><script>x()</script></body></html>"
+)
+
+
+def _warc_bytes():
+    return (
+        _record("warcinfo", None, b"software: test\r\n", ctype="application/warc-fields")
+        + _record("response", "https://www.Example.com/a/?utm_source=t", HTML_BODY)
+        + _record("conversion", "https://example.com/a", b"hello crawl extracted",
+                  ctype="text/plain")
+        + _record("response", "https://example.com/b", b"no http envelope here")
+    )
+
+
+def test_parse_warc_bytes_plain_and_gzip():
+    raw = _warc_bytes()
+    for data in (raw, gzip.compress(raw)):
+        recs = list(parse_warc_bytes(data))
+        assert [r[0] for r in recs] == ["warcinfo", "response", "conversion", "response"]
+        assert recs[1][1] == "https://www.Example.com/a/?utm_source=t"
+        assert recs[1][5] == HTML_BODY
+        assert recs[2][4] == len(b"hello crawl extracted")
+
+
+def test_parse_warc_bytes_multimember_gzip_and_truncation():
+    # CC-style per-record gzip members concatenated
+    raw = _warc_bytes()
+    members = b"".join(gzip.compress(_record("conversion", f"https://h/{i}", b"t" * i,
+                                             ctype="text/plain")) for i in range(1, 4))
+    assert [r[4] for r in parse_warc_bytes(members)] == [1, 2, 3]
+    # truncated tail must not raise
+    recs = list(parse_warc_bytes(raw[: len(raw) - len(HTML_BODY) // 2 - 40]))
+    assert len(recs) >= 1
+
+
+def _write(tmp_path, name, data):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    _write(tmp_path, "seg-00000.warc", _warc_bytes())
+    _write(tmp_path, "seg-00001.warc.gz", gzip.compress(_warc_bytes()))
+    df = read_warc(spark, str(tmp_path))
+    got = df.collect()
+    assert len(got) == 8  # 4 records x 2 files
+    types = {r.record_type for r in got}
+    assert types == {"warcinfo", "response", "conversion"}
+    # type pre-filter keeps unwanted payloads out of Arrow
+    assert read_warc(spark, str(tmp_path), record_types=["conversion"]).count() == 2
+
+
+def test_read_wet_text(spark, tmp_path):
+    _write(tmp_path, "a.warc.gz", gzip.compress(_warc_bytes()))
+    got = read_wet(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].text == "hello crawl extracted"
+    assert got[0].url == "https://example.com/a"
+
+
+def test_read_warc_responses_splits_http_envelope(spark, tmp_path):
+    _write(tmp_path, "a.warc", _warc_bytes())
+    got = {r.url: r for r in read_warc_responses(spark, str(tmp_path)).collect()}
+    r = got["https://www.Example.com/a/?utm_source=t"]
+    assert r.http_headers.startswith("HTTP/1.1 200 OK")
+    assert r.html.startswith("<html>")
+    # a payload without an HTTP envelope keeps everything as html
+    assert got["https://example.com/b"].html == "no http envelope here"
+
+
+def test_warc_to_stage0_composition(spark, tmp_path):
+    """The crawl chain: read_warc_responses -> canonicalize_url ->
+    strip_html_expr, all engine-side."""
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import canonicalize_url, strip_html_expr
+
+    _write(tmp_path, "a.warc", _warc_bytes())
+    out = (
+        read_warc_responses(spark, str(tmp_path))
+        .withColumn("canonical_url", canonicalize_url("url"))
+        .withColumn("text", strip_html_expr("html"))
+        .filter(F.col("text") != "")
+        .collect()
+    )
+    by_url = {r.canonical_url: r.text for r in out}
+    assert by_url["https://example.com/a"] == "hello crawl"
