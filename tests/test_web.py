@@ -229,3 +229,39 @@ def test_canonicalize_url_differential_fuzz(spark):
         c, c2 = got[i]
         assert c == want, f"{u!r}: spark={c!r} ref={want!r}"
         assert c2 == c, f"not idempotent: {u!r} -> {c!r} -> {c2!r}"
+
+
+def test_url_dedup_incremental_composition(spark):
+    """Nightly crawl-frontier dedup: canonicalize, then reuse the exact
+    incremental index keyed on the canonical string (scale/incremental.py
+    generalizes over its text_col). History wins over the shard; a
+    re-fetch under fresh tracking params is recognized."""
+    from trackintel_spark.scale import canonicalize_url
+    from trackintel_spark.scale.incremental import (
+        build_exact_index,
+        dedup_against_index,
+        merge_exact_index,
+    )
+
+    day1 = spark.createDataFrame(
+        [(0, "https://example.com/a"), (1, "https://example.com/b")],
+        "doc_id long, url string",
+    ).withColumn("canonical_url", canonicalize_url("url"))
+    index = build_exact_index(day1, text_col="canonical_url")
+
+    day2 = spark.createDataFrame(
+        [
+            (10, "https://WWW.example.com/a/?utm_source=mail"),  # re-fetch of 0
+            (11, "https://example.com/c"),
+            (12, "https://example.com/c?fbclid=x"),  # within-shard dup of 11
+        ],
+        "doc_id long, url string",
+    ).withColumn("canonical_url", canonicalize_url("url"))
+    out = {r.doc_id: r for r in dedup_against_index(day2, index, text_col="canonical_url").collect()}
+    assert out[10].dup_of == 0 and not out[10].is_new
+    assert out[11].is_new and out[11].dup_of is None
+    assert out[12].dup_of == 11 and not out[12].is_new
+
+    kept = dedup_against_index(day2, index, text_col="canonical_url").filter("is_new")
+    merged = merge_exact_index(index, build_exact_index(kept, text_col="canonical_url"))
+    assert merged.count() == 3  # a, b, c

@@ -103,6 +103,14 @@ def dedup_url(
     exchange key is the canonical string itself — URLs are short and
     near-uniform, so no digest indirection is needed — and one
     repartition satisfies both windows.
+
+    Nightly-crawl shape: for shard-vs-history dedup, reuse the exact
+    incremental index keyed on this column —
+    ``build_exact_index(df, text_col="canonical_url")`` /
+    ``dedup_against_index(shard, index, text_col="canonical_url")``
+    (scale/incremental.py; composition pinned in tests/test_web.py).
+    The online sibling is
+    :func:`trackintel_spark.streaming.url_dedup_stream`.
     """
     d = df.withColumn("canonical_url", canonicalize_url(url_col, strip_www=strip_www))
     d = d.repartition(F.col("canonical_url"))
