@@ -1471,3 +1471,96 @@ def test_image_features_and_resize_route_png(spark):
     assert (out == rgb[[0, 2]][:, [0, 2]]).all()
     assert decode_png(resized[1]).shape == (2, 2, 1)  # format+channels kept
     assert resized[2] == bytes(rows[2][1])  # junk passes through
+
+
+# -- baseline JPEG: the last common web image format, real-decoded -------------
+
+
+def _jpeg_test_image(h=24, w=40, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)], axis=2
+    )
+    return np.clip(img + rng.standard_normal(img.shape) * 2, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """Every decoder path: 4:4:4, 4:2:0 chroma upsampling, restart
+    markers, grayscale — reconstruction error bounded by the Annex K
+    quantization tables on a smooth gradient."""
+    import numpy as np
+
+    from trackintel_spark.scale._jpeg import decode_jpeg, encode_jpeg
+
+    img = _jpeg_test_image()
+    for kwargs, tol_mean, tol_max in [
+        ({}, 4.0, 20),
+        ({"subsample": True}, 6.0, 30),
+        ({"restart_interval": 2}, 4.0, 20),
+        ({"subsample": True, "restart_interval": 3}, 6.0, 30),
+    ]:
+        dec = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert dec.shape == img.shape, kwargs
+        err = np.abs(dec.astype(float) - img.astype(float))
+        assert err.mean() < tol_mean and err.max() < tol_max, (kwargs, err.mean(), err.max())
+
+    gray = _jpeg_test_image()[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(gray))
+    assert dec.shape == (24, 40, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicates
+    err = np.abs(dec[:, :, 0].astype(float) - gray.astype(float))
+    assert err.mean() < 4.0
+
+    # uniform color survives almost exactly (pure-DC blocks)
+    u = np.full((17, 19, 3), [200, 30, 90], dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(u, subsample=True))
+    assert np.abs(dec.astype(float) - u.astype(float)).max() <= 3
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as _pytest
+
+    from trackintel_spark.scale._jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    data = bytearray(encode_jpeg(_jpeg_test_image(8, 8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(encode_jpeg(_jpeg_test_image(8, 8))[: 40]))  # truncated pre-SOS
+
+
+def test_jpeg_through_spark_image_kernels(spark):
+    """image_features and resize_images run REAL decode on JPEG
+    payloads via mapInPandas; media metadata sniffs the magic."""
+    import numpy as np
+
+    from trackintel_spark.scale._jpeg import decode_jpeg, encode_jpeg
+    from trackintel_spark.scale.multimodal import (
+        attach_media_metadata,
+        image_features,
+        resize_images,
+    )
+
+    img = _jpeg_test_image(16, 16)
+    flat = np.full((16, 16, 3), [10, 200, 60], dtype=np.uint8)
+    rows = [(1, bytearray(encode_jpeg(img))), (2, bytearray(encode_jpeg(flat, subsample=True)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    meta = {r.doc_id: r.media_meta for r in attach_media_metadata(df).collect()}
+    assert meta[1]["format"] == "jpeg" and meta[1]["media_type"] == "image"
+
+    feats = {r.doc_id: r for r in image_features(df).collect()}
+    assert feats[1].width == 16 and feats[1].height == 16
+    assert abs(feats[2].mean_g - 200) < 4 and abs(feats[2].mean_r - 10) < 4
+
+    resized = {r.doc_id: bytes(r.payload) for r in resize_images(df, 8, 8).collect()}
+    out = decode_jpeg(resized[2])
+    assert out.shape == (8, 8, 3)
+    assert abs(float(out[:, :, 1].mean()) - 200) < 6

@@ -5,14 +5,17 @@ structs; heavy per-item work runs in Arrow-batched ``mapInPandas``
 kernels so a 100 TB corpus streams through Python in bounded-memory
 batches.
 
-Decode is REAL wherever the format needs no codec library: PPM (P6)
-and 8-bit PNG images and PCM WAV audio parse with stdlib zlib + numpy
-alone (:func:`decode_ppm`, :func:`decode_png`, :func:`decode_wav_pcm`),
-feeding genuine pixel/sample statistics (:func:`image_features`,
-:func:`audio_features`) and a real nearest-neighbor
-:func:`resize_images` transform. Compressed codecs (PIL/ffmpeg/librosa
-for JPEG/MP3/MP4) are NOT available in this environment, so for those
-the decode step is stubbed:
+Decode is REAL wherever the format needs no codec library: PPM (P6),
+8-bit PNG and baseline JPEG images and PCM WAV audio parse with stdlib
+zlib + numpy alone (:func:`decode_ppm`, :func:`decode_png`,
+:func:`trackintel_spark.scale._jpeg.decode_jpeg` — Huffman + dequantize
++ vectorized 8x8 IDCT + chroma upsample, restart-interval aware —
+and :func:`decode_wav_pcm`), feeding genuine pixel/sample statistics
+(:func:`image_features`, :func:`audio_features`) and a real
+nearest-neighbor :func:`resize_images` transform. Codec-library-bound
+formats (ffmpeg/librosa for MP3/MP4/progressive-JPEG) are NOT
+available in this environment, so for those the decode step is
+stubbed:
 ``decode_stub=True`` yields deterministic fake features
 (shape-correct, content-derived), while ``decode_stub=False`` raises
 ``NotImplementedError`` at the point a real codec would be invoked.
@@ -313,13 +316,18 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def _decode_image_rgb(payload: bytes) -> np.ndarray:
-    """Decode any REAL-decodable image payload (PPM or PNG) to (h, w, 3)
-    uint8: gray replicates across channels, alpha is dropped. Raises
-    ValueError for formats needing a codec library (JPEG etc.)."""
+    """Decode any REAL-decodable image payload (PPM, PNG or baseline
+    JPEG) to (h, w, 3) uint8: gray replicates across channels, alpha is
+    dropped. Raises ValueError for formats needing a codec library
+    (progressive JPEG, video frames etc.)."""
     try:
         return decode_ppm(payload)
     except ValueError:
         pass
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from trackintel_spark.scale._jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     img = decode_png(payload)
     c = img.shape[2]
     if c >= 3:
@@ -369,11 +377,12 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL per-image statistics for P6 PPM and 8-bit PNG payloads via
-    ``mapInPandas``: (id, width, height, mean_r, mean_g, mean_b) —
-    gray/alpha PNGs are normalized to RGB first (:func:`_decode_image_rgb`).
-    Payloads needing a codec library (JPEG etc.) emit NULL fields (route
-    them to :func:`extract_features`' stub or a real codec instead)."""
+    """REAL per-image statistics for P6 PPM, 8-bit PNG and baseline
+    JPEG payloads via ``mapInPandas``: (id, width, height, mean_r,
+    mean_g, mean_b) — gray/alpha images are normalized to RGB first
+    (:func:`_decode_image_rgb`). Payloads needing a codec library
+    (MP4 frames etc.) emit NULL fields (route them to
+    :func:`extract_features`' stub or a real codec instead)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -407,9 +416,10 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """REAL nearest-neighbor resize of P6 PPM and 8-bit PNG payloads:
-    (id, payload) with the payload re-encoded at (height, width) in its
-    own format (PPM -> PPM, PNG -> PNG, channels preserved). Payloads
+    """REAL nearest-neighbor resize of P6 PPM, 8-bit PNG and baseline
+    JPEG payloads: (id, payload) with the payload re-encoded at
+    (height, width) in its own format (PPM -> PPM, PNG -> PNG,
+    JPEG -> 4:4:4 baseline JPEG with the Annex K tables). Payloads
     needing a codec library pass through unchanged (caller filters by
     format beforehand — ``attach_media_metadata`` sniffs headers
     without decoding)."""
@@ -427,12 +437,22 @@ def resize_images(
                     img = decode_ppm(payload)
                     enc = encode_ppm
                 except ValueError:
-                    try:
-                        img = decode_png(payload)
-                        enc = encode_png
-                    except ValueError:
-                        out.append((pid, payload))
-                        continue
+                    if payload is not None and payload[:2] == b"\xff\xd8":
+                        from trackintel_spark.scale._jpeg import decode_jpeg, encode_jpeg
+
+                        try:
+                            img = decode_jpeg(payload)
+                            enc = encode_jpeg
+                        except ValueError:
+                            out.append((pid, payload))
+                            continue
+                    else:
+                        try:
+                            img = decode_png(payload)
+                            enc = encode_png
+                        except ValueError:
+                            out.append((pid, payload))
+                            continue
                 ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
                 xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
                 out.append((pid, enc(img[ys][:, xs])))
