@@ -1564,3 +1564,71 @@ def test_jpeg_through_spark_image_kernels(spark):
     out = decode_jpeg(resized[2])
     assert out.shape == (8, 8, 3)
     assert abs(float(out[:, :, 1].mean()) - 200) < 6
+
+
+# -- MP4 container probe (duration/resolution/codec without a frame decode) ---
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_fixture(duration_s=12.5, timescale=1000, w=640, h=360, v1=False):
+    import struct
+
+    if v1:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(">I", timescale) \
+            + struct.pack(">Q", int(duration_s * timescale)) + b"\x00" * 80
+    else:
+        mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">I", timescale) \
+            + struct.pack(">I", int(duration_s * timescale)) + b"\x00" * 80
+    tkhd_video = b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52 \
+        + struct.pack(">II", w << 16, h << 16)
+    tkhd_audio = b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52 + struct.pack(">II", 0, 0)
+    stsd_v = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + _box(b"avc1", b"\x00" * 70))
+    stsd_a = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + _box(b"mp4a", b"\x00" * 20))
+    trak_v = _box(b"trak", _box(b"tkhd", tkhd_video)
+                  + _box(b"mdia", _box(b"minf", _box(b"stbl", stsd_v))))
+    trak_a = _box(b"trak", _box(b"tkhd", tkhd_audio)
+                  + _box(b"mdia", _box(b"minf", _box(b"stbl", stsd_a))))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak_v + trak_a)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_probe_mp4_box_tree():
+    from trackintel_spark.scale.multimodal import probe_mp4
+
+    for v1 in (False, True):
+        m = probe_mp4(_mp4_fixture(v1=v1))
+        assert m["duration_s"] == 12.5, m
+        assert (m["width"], m["height"]) == (640, 360)
+        assert m["n_tracks"] == 2
+        assert m["codecs"] == ["avc1", "mp4a"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe_mp4(b"\x89PNG not an mp4")
+    # malformed box size must raise, not loop or overread
+    bad = bytearray(_mp4_fixture())
+    bad[0:4] = (10**9).to_bytes(4, "big")
+    with _pytest.raises(ValueError):
+        probe_mp4(bytes(bad))
+
+
+def test_video_metadata_kernel(spark):
+    from trackintel_spark.scale.multimodal import video_metadata
+
+    rows = [
+        (1, bytearray(_mp4_fixture())),
+        (2, bytearray(b"not a container")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in video_metadata(df).collect()}
+    assert got[1].duration_s == 12.5 and got[1].width == 640
+    assert got[1].codecs == "avc1,mp4a" and got[1].n_tracks == 2
+    assert got[2].duration_s is None and got[2].codecs is None
+    plan = video_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -496,3 +496,116 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+# -- video containers ---------------------------------------------------------
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container metadata without decoding a frame:
+    walk the box tree for mvhd (timescale/duration), tkhd
+    (presentation width/height, 16.16 fixed point) and stsd (sample
+    codec fourcc per track). Frame DECODE needs ffmpeg and stays on the
+    stub path; duration/resolution/codec — what a curation filter
+    actually keys on — need only the box structure (ISO 14496-12).
+    Raises ValueError on non-MP4 or a malformed box tree."""
+    import struct as _struct
+
+    if payload is None or len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp box)")
+
+    out = {"duration_s": None, "width": None, "height": None, "n_tracks": 0, "codecs": []}
+    _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos : pos + 4], "big")
+            typ = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"malformed box {typ!r}")
+            body = pos + hdr
+            if typ in _CONTAINERS:
+                if typ == b"trak":
+                    out["n_tracks"] += 1
+                walk(data, body, pos + size)
+            elif typ == b"mvhd":
+                ver = data[body]
+                if ver == 1:
+                    ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(data[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(data[body + 16 : body + 20], "big")
+                if ts > 0:
+                    out["duration_s"] = round(dur / ts, 6)
+            elif typ == b"tkhd":
+                ver = data[body]
+                # v0: ver+flags 4 + times 8 + track_ID 4 + reserved 4 +
+                # duration 4 = 24; v1 widens the three times to 8 bytes
+                # (= 36); then reserved/layer/volume/matrix = 52 more
+                off = body + (24 if ver == 0 else 36) + 52
+                if off + 8 <= pos + size:
+                    w = int.from_bytes(data[off : off + 4], "big") / 65536.0
+                    h = int.from_bytes(data[off + 4 : off + 8], "big") / 65536.0
+                    if w and h:  # audio tracks carry 0x0
+                        out["width"] = int(w)
+                        out["height"] = int(h)
+            elif typ == b"stsd":
+                n = int.from_bytes(data[body + 4 : body + 8], "big")
+                p = body + 8
+                for _ in range(n):
+                    if p + 8 > pos + size:
+                        break
+                    esz = int.from_bytes(data[p : p + 4], "big")
+                    fourcc = data[p + 4 : p + 8].decode("ascii", "replace")
+                    out["codecs"].append(fourcc)
+                    p += max(esz, 8)
+            pos += size
+
+    walk(payload, 0, len(payload))
+    return out
+
+
+def video_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL MP4 container metadata via ``mapInPandas``: (id, duration_s,
+    width, height, n_tracks, codecs). Non-MP4 payloads emit NULL
+    fields. Map-only — no shuffle, no state (see :func:`probe_mp4`)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("codecs", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = probe_mp4(bytes(payload) if payload is not None else None)
+                    rows.append(
+                        (pid, m["duration_s"], m["width"], m["height"],
+                         m["n_tracks"], ",".join(m["codecs"]) or None)
+                    )
+                except ValueError:
+                    rows.append((pid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "duration_s", "width", "height", "n_tracks", "codecs"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
