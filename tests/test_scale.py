@@ -1632,3 +1632,50 @@ def test_video_metadata_kernel(spark):
     assert got[2].duration_s is None and got[2].codecs is None
     plan = video_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _mp3_fixture(n_frames=38, br_idx=9, sr_idx=0, id3=False, vbr=False):
+    """CBR (or alternating-bitrate) MPEG-1 Layer III frame train."""
+    out = bytearray()
+    if id3:
+        tag = b"junkjunkjunk"  # 12 bytes -> syncsafe 12
+        out += b"ID3\x03\x00\x00" + bytes([0, 0, 0, len(tag)]) + tag
+    rates = [44100, 48000, 32000]
+    brs = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    for i in range(n_frames):
+        bi = br_idx if not vbr or i % 2 == 0 else br_idx + 2
+        hdr = bytes([0xFF, 0xFB, (bi << 4) | (sr_idx << 2), 0x00])
+        frame_len = 144 * brs[bi] * 1000 // rates[sr_idx]
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def test_probe_mp3_frame_walk():
+    import pytest as _pytest
+
+    from trackintel_spark.scale.multimodal import probe_mp3
+
+    m = probe_mp3(_mp3_fixture())
+    assert m["n_frames"] == 38 and m["sample_rate"] == 44100
+    assert abs(m["duration_s"] - 38 * 1152 / 44100) < 1e-6
+    assert m["bitrate_kbps"] == 128.0 and not m["vbr"]
+
+    m = probe_mp3(_mp3_fixture(id3=True, vbr=True))
+    assert m["n_frames"] == 38 and m["vbr"]
+
+    with _pytest.raises(ValueError):
+        probe_mp3(b"RIFFxxxxWAVE")
+    with _pytest.raises(ValueError):
+        probe_mp3(None)
+
+
+def test_mp3_metadata_kernel(spark):
+    from trackintel_spark.scale.multimodal import mp3_metadata
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp3_fixture())), (2, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in mp3_metadata(df).collect()}
+    assert got[1].n_frames == 38 and got[1].sample_rate == 44100
+    assert got[2].duration_s is None

@@ -12,10 +12,13 @@ zlib + numpy alone (:func:`decode_ppm`, :func:`decode_png`,
 + vectorized 8x8 IDCT + chroma upsample, restart-interval aware —
 and :func:`decode_wav_pcm`), feeding genuine pixel/sample statistics
 (:func:`image_features`, :func:`audio_features`) and a real
-nearest-neighbor :func:`resize_images` transform. Codec-library-bound
-formats (ffmpeg/librosa for MP3/MP4/progressive-JPEG) are NOT
-available in this environment, so for those the decode step is
-stubbed:
+nearest-neighbor :func:`resize_images` transform. MP4 containers and
+MP3 streams get REAL metadata without any codec — :func:`probe_mp4`
+walks the ISO-BMFF box tree (duration, resolution, codec fourccs) and
+:func:`probe_mp3` walks MPEG frame headers (duration, bitrate, VBR) —
+which is what curation filters actually key on. Only SAMPLE/FRAME
+decode of codec-bound formats (ffmpeg/librosa for MP3 audio, MP4
+frames, progressive JPEG) is stubbed:
 ``decode_stub=True`` yields deterministic fake features
 (shape-correct, content-derived), while ``decode_stub=False`` raises
 ``NotImplementedError`` at the point a real codec would be invoked.
@@ -606,6 +609,91 @@ def video_metadata(
                     rows.append((pid, None, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=[id_col, "duration_s", "width", "height", "n_tracks", "codecs"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """REAL MPEG-1 Layer III stream metadata by walking frame headers
+    (no decoder): each frame declares its bitrate/samplerate, frame
+    length = 144 * bitrate / samplerate (+ padding), and every frame
+    carries 1152 samples. ID3v2 prefixes are skipped. Returns
+    duration_s, n_frames, sample_rate, bitrate_kbps (mean), vbr flag.
+    Raises ValueError when no valid frame sequence is found."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("not an MP3 payload")
+    pos = 0
+    if payload[:3] == b"ID3":  # ID3v2 header: syncsafe 28-bit size at 6..10
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    n_frames = 0
+    rates = set()
+    bitrates = []
+    while pos + 4 <= len(payload):
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        # MPEG-1 Layer III sync: 11 set bits, version 11, layer 01
+        if not (b0 == 0xFF and (b1 & 0xFE) == 0xFA):
+            break
+        br_idx, sr_idx, padding = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format/bad header
+        bitrate = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        frame_len = 144 * bitrate * 1000 // rate + padding
+        n_frames += 1
+        rates.add(rate)
+        bitrates.append(bitrate)
+        pos += frame_len
+    if not n_frames or len(rates) != 1:
+        raise ValueError("no consistent MPEG-1 Layer III frame sequence")
+    rate = rates.pop()
+    return {
+        "duration_s": round(n_frames * 1152 / rate, 6),
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "bitrate_kbps": round(sum(bitrates) / len(bitrates), 3),
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
+def mp3_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL MP3 stream metadata via ``mapInPandas``: (id, duration_s,
+    n_frames, sample_rate, bitrate_kbps, vbr). Non-MP3 payloads emit
+    NULL fields. Map-only (see :func:`probe_mp3`); sample DECODE would
+    need a codec library and stays on the stub path."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("bitrate_kbps", T.DoubleType()),
+            T.StructField("vbr", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = probe_mp3(bytes(payload) if payload is not None else None)
+                    rows.append((pid, m["duration_s"], m["n_frames"], m["sample_rate"],
+                                 m["bitrate_kbps"], m["vbr"]))
+                except ValueError:
+                    rows.append((pid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "duration_s", "n_frames", "sample_rate", "bitrate_kbps", "vbr"],
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
