@@ -3187,12 +3187,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         sniff AS (SELECT doc_id, substring(hex(payload), 1, 8) AS head FROM payloads)
         SELECT doc_id,
-               CASE WHEN head LIKE '89504E47%' OR head LIKE 'FFD8FF%' THEN 'image'
+               CASE WHEN head LIKE '89504E47%' OR head LIKE 'FFD8FF%'
+                         OR head LIKE '47494638%' THEN 'image'
                     WHEN head LIKE '52494646%' THEN 'audio'
                     ELSE NULL END AS media_type,
                CASE WHEN head LIKE '89504E47%' THEN 'png'
                     WHEN head LIKE 'FFD8FF%' THEN 'jpeg'
                     WHEN head LIKE '52494646%' THEN 'riff'
+                    WHEN head LIKE '47494638%' THEN 'gif'
                     ELSE NULL END AS format
         FROM sniff
     """

@@ -1679,3 +1679,110 @@ def test_mp3_metadata_kernel(spark):
     got = {r.doc_id: r for r in mp3_metadata(df).collect()}
     assert got[1].n_frames == 38 and got[1].sample_rate == 44100
     assert got[2].duration_s is None
+
+
+# -- GIF: third web image format, real LZW decode -------------------------------
+
+
+def test_gif_roundtrip_uncompressed_lzw():
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    # 6 distinct colors over a 23x17 canvas (odd sizes cross sub-block edges)
+    pal = rng.randint(0, 256, (6, 3)).astype(np.uint8)
+    idx = rng.randint(0, 6, (17, 23))
+    img = pal[idx]
+    out = decode_gif(encode_gif(img))
+    assert out.shape == (17, 23, 3)
+    assert (out == img).all()  # palette round-trip is EXACT
+
+    # grayscale input replicates; > 256 colors refused
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+    assert (decode_gif(encode_gif(g))[:, :, 0] == g).all()
+    import pytest as _pytest
+
+    i = np.arange(17 * 16)
+    many = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1).astype(np.uint8).reshape(17, 16, 3)
+    with _pytest.raises(ValueError):
+        encode_gif(many)  # 272 unique colors
+    with _pytest.raises(ValueError):
+        decode_gif(b"\x89PNG nope")
+
+
+def test_gif_kwkwk_and_width_growth():
+    """Hand-packed LZW stream exercising the KwKwK special case (code ==
+    table length) and the code-width bump the uncompressed encoder
+    never emits. Pixels: [1,1,1,1,1] -> codes clear,1,6,6,eoi with the
+    final eoi read at width 4."""
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import _lzw_decode
+
+    def pack(codes_widths):
+        acc = bits = 0
+        out = bytearray()
+        for code, width in codes_widths:
+            acc |= code << bits
+            bits += width
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # min_code=2: clear=4, eoi=5. table len after clear = 6.
+    # read 1 (w3, len 6), read 6 (w3, KwKwK -> len 7), read 6 (w3 -> len 8
+    # -> width bumps to 4), read eoi at w4.
+    stream = pack([(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)])
+    assert _lzw_decode(stream, 2, 10) == [1, 1, 1, 1, 1]
+
+
+def test_gif_interlaced_frame():
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (13, 9))
+    img = pal[idx]
+    data = bytearray(encode_gif(img))
+    # set the interlace bit on the image descriptor and permute rows the
+    # way an interlaced encoder would store them
+    h = 13
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    permuted = img[order]
+    data2 = bytearray(encode_gif(permuted))
+    i = data2.find(b"\x2c")
+    data2[i + 9] |= 0x40  # interlace flag
+    out = decode_gif(bytes(data2))
+    assert (out == img).all()
+
+
+def test_gif_through_image_kernels(spark):
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import (
+        attach_media_metadata,
+        decode_gif,
+        encode_gif,
+        image_features,
+        resize_images,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 1] = 200
+    df = spark.createDataFrame([(1, bytearray(encode_gif(img)))], "doc_id long, payload binary")
+    meta = attach_media_metadata(df).collect()[0].media_meta
+    assert meta["format"] == "gif" and meta["media_type"] == "image"
+    f = image_features(df).collect()[0]
+    assert f.width == 8 and f.mean_g == 200.0 and f.mean_r == 0.0
+    resized = resize_images(df, 4, 4).collect()[0]
+    assert decode_gif(bytes(resized.payload)).shape == (4, 4, 3)

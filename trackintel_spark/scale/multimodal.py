@@ -57,11 +57,12 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8FF"), F.lit("jpeg"))
         .when(head.startswith("52494646"), F.lit("riff"))
+        .when(head.startswith("47494638"), F.lit("gif"))  # GIF8 — decodable HERE (decode_gif)
         .when(head.startswith("5036"), F.lit("ppm"))  # "P6" — decodable HERE (decode_ppm)
         .otherwise(F.lit(None))
     )
     media_type = (
-        F.when(fmt.isin("png", "jpeg", "ppm"), F.lit("image"))
+        F.when(fmt.isin("png", "jpeg", "ppm", "gif"), F.lit("image"))
         .when(fmt == "riff", F.lit("audio"))
         .otherwise(F.lit(None))
     )
@@ -331,6 +332,8 @@ def _decode_image_rgb(payload: bytes) -> np.ndarray:
         from trackintel_spark.scale._jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload is not None and payload[:4] == b"GIF8":
+        return decode_gif(payload)
     img = decode_png(payload)
     c = img.shape[2]
     if c >= 3:
@@ -446,6 +449,13 @@ def resize_images(
                         try:
                             img = decode_jpeg(payload)
                             enc = encode_jpeg
+                        except ValueError:
+                            out.append((pid, payload))
+                            continue
+                    elif payload is not None and payload[:4] == b"GIF8":
+                        try:
+                            img = decode_gif(payload)
+                            enc = encode_gif
                         except ValueError:
                             out.append((pid, payload))
                             continue
@@ -697,3 +707,184 @@ def mp3_metadata(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a payload to (h, w, 3)
+    uint8 — the third of the three web image formats, again without a
+    codec library: GIF is palette indices under LZW, both plain
+    Python. Interlaced frames are de-interlaced; animated GIFs yield
+    frame 0 (curation features don't replay animations). Raises
+    ValueError on non-GIF or malformed streams."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    def skip_subblocks(p):
+        while p < len(payload) and payload[p]:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x7)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated LZW stream")
+            img = np.array(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            if int(img.max()) >= len(pal):
+                raise ValueError("palette index out of range")
+            # compose onto the logical screen (frame may be a sub-rect)
+            full = np.zeros((sh, sw), dtype=np.uint8)
+            full[iy : iy + ih, ix : ix + iw] = img
+            return pal[full]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> list:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/EOI codes,
+    12-bit max width)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    table = [[i] for i in range(clear)] + [None, None]
+    width = min_code + 1
+    out = []
+    prev = None
+    while len(out) < limit:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            width = min_code + 1
+            prev = None
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Fixture sibling of :func:`decode_gif`: GIF89a with a global
+    palette built from the image's unique colors (<= 256) and the
+    classic "uncompressed LZW" packing — root codes only, with a CLEAR
+    emitted before the code width would ever grow. Valid LZW, zero
+    compression; the decoder is the product surface."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif needs <= 256 unique colors")
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    psize = 1 << bits
+    pal_full = np.zeros((psize, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    group = clear - 2  # root codes per CLEAR before width would grow
+
+    acc = bitbuf = 0
+    out = bytearray()
+
+    def put(code):
+        nonlocal acc, bitbuf
+        bitbuf |= code << acc
+        acc += width
+        while acc >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            acc -= 8
+
+    put(clear)
+    for i, px in enumerate(inv):
+        if i and i % group == 0:
+            put(clear)
+        put(int(px))
+    put(eoi)
+    if acc:
+        out.append(bitbuf & 0xFF)
+
+    data = bytearray()
+    data += b"GIF89a"
+    data += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    data += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, size 2^bits
+    data += pal_full.tobytes()
+    data += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    data += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    data += bytes([0x00, min_code])
+    for s in range(0, len(out), 255):
+        chunk = out[s : s + 255]
+        data += bytes([len(chunk)]) + chunk
+    data += b"\x00\x3b"
+    return bytes(data)
