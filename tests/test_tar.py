@@ -1,0 +1,80 @@
+"""WebDataset-style TAR shard reader (sources/tar.py)."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from trackintel_spark.sources import read_tar_members, read_webdataset
+
+
+def _tar_bytes(members, gz=False):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz" if gz else "w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def _write_shards(tmp_path):
+    from trackintel_spark.scale.multimodal import encode_gif
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, :, 2] = 250
+    s0 = _tar_bytes(
+        [
+            ("000000.gif", encode_gif(img)),
+            ("000000.txt", b"a blue square"),
+            ("000000.json", b'{"w": 4}'),
+            ("000001.txt", b"text-only sample"),
+            ("dir/000002.seg.txt", b"nested, multi-dot ext"),
+            ("dir/000002.txt", b"same key as the seg file"),
+        ]
+    )
+    s1 = _tar_bytes([("000100.txt", b"second shard")], gz=True)
+    p0 = os.path.join(str(tmp_path), "shard-000.tar")
+    p1 = os.path.join(str(tmp_path), "shard-001.tar.gz")
+    open(p0, "wb").write(s0)
+    open(p1, "wb").write(s1)
+    return img
+
+
+def test_read_tar_members(spark, tmp_path):
+    _write_shards(tmp_path)
+    got = read_tar_members(spark, str(tmp_path)).collect()
+    assert len(got) == 7
+    by = {(r.key.split("/")[-1], r.ext): r for r in got}
+    assert by[("000000", "txt")].payload == bytearray(b"a blue square")
+    assert by[("000002", "seg.txt")].key == "dir/000002"  # first-dot split
+    # extension prefilter
+    only_txt = read_tar_members(spark, str(tmp_path), extensions=["txt"]).collect()
+    assert {r.ext for r in only_txt} == {"txt"} and len(only_txt) == 4
+
+
+def test_read_webdataset_groups_samples(spark, tmp_path):
+    img = _write_shards(tmp_path)
+    samples = {r.key: r for r in read_webdataset(spark, str(tmp_path)).collect()}
+    assert len(samples) == 4
+    s = samples["000000"]
+    assert s.n_parts == 3 and set(s.parts.keys()) == {"gif", "txt", "json"}
+    # the grouped payload feeds the multimodal kernels directly
+    from trackintel_spark.scale.multimodal import decode_gif
+
+    assert (decode_gif(bytes(s.parts["gif"])) == img).all()
+    assert samples["dir/000002"].n_parts == 2
+
+
+def test_webdataset_to_image_features(spark, tmp_path):
+    _write_shards(tmp_path)
+    from trackintel_spark.scale.multimodal import image_features
+
+    wds = read_webdataset(spark, str(tmp_path)).filter(F.col("parts")["gif"].isNotNull())
+    df = wds.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("parts")["gif"].alias("payload")
+    )
+    feats = image_features(df).collect()
+    assert len(feats) == 1 and feats[0].mean_b == 250.0
