@@ -73,3 +73,13 @@ def test_heatmap_tiles_example():
         capture_output=True, text=True, timeout=420, check=True,
     )
     assert "merge identity holds" in out.stdout, out.stdout[-2000:]
+
+
+def test_multimodal_shards_example():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "multimodal_shards.py")],
+        capture_output=True, text=True, timeout=600, check=True,
+    )
+    assert "samples: 5 across 2 shards" in out.stdout
+    assert "video: 4.0s 320x240 codecs=avc1" in out.stdout
