@@ -1786,3 +1786,25 @@ def test_gif_through_image_kernels(spark):
     assert f.width == 8 and f.mean_g == 200.0 and f.mean_r == 0.0
     resized = resize_images(df, 4, 4).collect()[0]
     assert decode_gif(bytes(resized.payload)).shape == (4, 4, 3)
+
+
+def test_probe_gif_block_walk():
+    import numpy as np
+    import pytest as _pytest
+
+    from trackintel_spark.scale.multimodal import encode_gif, probe_gif
+
+    img = np.zeros((6, 9, 3), dtype=np.uint8)
+    m = probe_gif(encode_gif(img))
+    assert (m["width"], m["height"], m["n_frames"]) == (9, 6, 1)
+    assert not m["animated"]
+
+    # splice a second image block in -> animated
+    data = bytearray(encode_gif(img))
+    one_frame = bytes(data[data.find(b"\x2c") : -1])  # descriptor..before trailer
+    data = data[:-1] + one_frame + b"\x3b"
+    m = probe_gif(bytes(data))
+    assert m["n_frames"] == 2 and m["animated"]
+
+    with _pytest.raises(ValueError):
+        probe_gif(b"nope")

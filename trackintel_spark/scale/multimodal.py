@@ -888,3 +888,47 @@ def encode_gif(img: np.ndarray) -> bytes:
         data += bytes([len(chunk)]) + chunk
     data += b"\x00\x3b"
     return bytes(data)
+
+
+def probe_gif(payload: bytes) -> dict:
+    """GIF container metadata without LZW-decoding any frame: logical
+    screen size, frame count, animation flag, loop extension presence —
+    a block-structure walk only (image data sub-blocks are skipped by
+    their length prefixes). Raises ValueError on non-GIF."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 0x7)) * 3
+    n_frames = 0
+    has_netscape = False
+
+    def skip_subblocks(p):
+        while p < len(payload) and payload[p]:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            if payload[pos + 1 : pos + 2] == b"\xff" and payload[pos + 3 : pos + 11] == b"NETSCAPE":
+                has_netscape = True
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += (2 << (iflags & 0x7)) * 3
+            pos = skip_subblocks(pos + 1)  # skip LZW min code + data blocks
+            n_frames += 1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    return {
+        "width": w, "height": h, "n_frames": n_frames,
+        "animated": n_frames > 1 or has_netscape,
+    }
