@@ -1808,3 +1808,68 @@ def test_probe_gif_block_walk():
 
     with _pytest.raises(ValueError):
         probe_gif(b"nope")
+
+
+def test_bmp_roundtrip_and_variants():
+    import numpy as np
+    import pytest as _pytest
+
+    from trackintel_spark.scale.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)  # odd width -> row padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    g = rng.randint(0, 256, (5, 6)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(g))[:, :, 0] == g).all()
+
+    # top-down negative-height variant
+    data = bytearray(encode_bmp(img))
+    flipped = bytearray(encode_bmp(img[::-1]))
+    flipped[22:26] = (-9).to_bytes(4, "little", signed=True)
+    assert (decode_bmp(bytes(flipped)) == img).all()
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG nope")
+    data[30] = 1  # BI_RLE8
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(data))
+
+
+def test_probe_webp_variants():
+    import pytest as _pytest
+
+    from trackintel_spark.scale.multimodal import probe_webp
+
+    def riff(fourcc, chunk):
+        body = fourcc + len(chunk).to_bytes(4, "little") + chunk
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+    # lossy keyframe: frame tag (3) + 9D012A + 14-bit dims
+    vp8 = b"\x00" * 3 + b"\x9d\x01\x2a" + (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00" * 8
+    m = probe_webp(riff(b"VP8 ", vp8))
+    assert (m["width"], m["height"], m["variant"]) == (320, 240, "lossy")
+
+    bits = (127 - 1) | ((63 - 1) << 14) | (1 << 28)
+    vp8l = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+    m = probe_webp(riff(b"VP8L", vp8l))
+    assert (m["width"], m["height"], m["has_alpha"], m["variant"]) == (127, 63, True, "lossless")
+
+    vp8x = bytes([0x10]) + b"\x00" * 3 + (799).to_bytes(3, "little") + (599).to_bytes(3, "little") + b"\x00" * 4
+    m = probe_webp(riff(b"VP8X", vp8x))
+    assert (m["width"], m["height"], m["has_alpha"]) == (800, 600, True)
+
+    with _pytest.raises(ValueError):
+        probe_webp(b"RIFFxxxxWAVEdata")
+
+
+def test_bmp_through_image_kernels(spark):
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import decode_bmp, encode_bmp, image_features, resize_images
+
+    img = np.full((8, 8, 3), [5, 100, 250], dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(img)))], "doc_id long, payload binary")
+    f = image_features(df).collect()[0]
+    assert (f.mean_r, f.mean_g, f.mean_b) == (5.0, 100.0, 250.0)
+    out = resize_images(df, 2, 2).collect()[0]
+    assert decode_bmp(bytes(out.payload)).shape == (2, 2, 3)

@@ -334,6 +334,8 @@ def _decode_image_rgb(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if payload is not None and payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
     img = decode_png(payload)
     c = img.shape[2]
     if c >= 3:
@@ -456,6 +458,13 @@ def resize_images(
                         try:
                             img = decode_gif(payload)
                             enc = encode_gif
+                        except ValueError:
+                            out.append((pid, payload))
+                            continue
+                    elif payload is not None and payload[:2] == b"BM":
+                        try:
+                            img = decode_bmp(payload)
+                            enc = encode_bmp
                         except ValueError:
                             out.append((pid, payload))
                             continue
@@ -932,3 +941,96 @@ def probe_gif(payload: bytes) -> dict:
         "width": w, "height": h, "n_frames": n_frames,
         "animated": n_frames > 1 or has_netscape,
     }
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) 24/32-bit BMP payload to
+    (h, w, 3) uint8 — Windows-era but still common in scraped corpora;
+    stored bottom-up, BGR, rows padded to 4 bytes. 8-bit paletted
+    BMPs decode via their color table. Raises ValueError on RLE/16-bit
+    and other compressions."""
+    if payload is None or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp not in (0, 3) or bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    topdown = h < 0
+    h = abs(h)
+    if w < 1 or h < 1:
+        raise ValueError("invalid dimensions")
+    stride = (w * bpp // 8 + 3) & ~3
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated raster")
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    if not topdown:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload, np.uint8, n_colors * 4, pal_off).reshape(n_colors, 4)
+        idx = rows[:, :w]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("palette index out of range")
+        return pal[idx][:, :, [2, 1, 0]].copy()  # BGRA table -> RGB
+    ch = bpp // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, alpha dropped
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Fixture sibling of :func:`decode_bmp`: bottom-up 24-bit BI_RGB."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    data = raster.tobytes()
+    off = 14 + 40
+    hdr = b"BM" + (off + len(data)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+    dib = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + b"\x00" * 4
+        + len(data).to_bytes(4, "little") + b"\x00" * 16
+    )
+    return hdr + dib + data
+
+
+def probe_webp(payload: bytes) -> dict:
+    """WebP dimensions + variant without any VP8 decode: lossy 'VP8 '
+    keyframes carry 14-bit dims at a fixed offset, lossless 'VP8L'
+    packs them in the first 28 bits, extended 'VP8X' in a 24-bit
+    canvas field. Raises ValueError on non-WebP."""
+    if payload is None or len(payload) < 30 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":
+        # keyframe: 3-byte frame tag, then 3-byte start code 9D 01 2A
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("not a VP8 keyframe")
+        w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+        h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+        return {"width": w, "height": h, "variant": "lossy", "has_alpha": False}
+    if fourcc == b"VP8L":
+        if payload[20] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return {"width": w, "height": h, "variant": "lossless",
+                "has_alpha": bool((bits >> 28) & 1)}
+    if fourcc == b"VP8X":
+        flags = payload[20]
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return {"width": w, "height": h, "variant": "extended",
+                "has_alpha": bool(flags & 0x10)}
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
