@@ -111,3 +111,48 @@ def test_warc_to_stage0_composition(spark, tmp_path):
     )
     by_url = {r.canonical_url: r.text for r in out}
     assert by_url["https://example.com/a"] == "hello crawl"
+
+
+def test_read_warc_stream_online_url_dedup(spark, tmp_path):
+    """Streaming crawl ingest: new segments arrive as micro-batches,
+    parse with the batch kernel, and the online stage-0 chain
+    (canonical-URL dedup) runs on top."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trackintel_spark.scale import canonicalize_url
+    from trackintel_spark.sources import read_warc_stream
+
+    src = os.path.join(str(tmp_path), "segs")
+    os.makedirs(src)
+    seg0 = _record("response", "https://www.Example.com/a/?utm_source=x", HTML_BODY) \
+        + _record("response", "https://example.com/b", b"x")
+    seg1 = _record("response", "https://EXAMPLE.com:443/a", b"re-fetch") \
+        + _record("response", "https://example.com/c", b"y")
+    _write(src, "seg-0.warc", seg0)
+    now = time.time()
+    os.utime(os.path.join(src, "seg-0.warc"), (now, now))
+    _write(src, "seg-1.warc.gz", gzip.compress(seg1))
+    os.utime(os.path.join(src, "seg-1.warc.gz"), (now + 1, now + 1))
+
+    stream = read_warc_stream(spark, src, record_types=["response"])
+    assert stream.isStreaming
+    out = (
+        stream.withColumn("canonical_url", canonicalize_url("url"))
+        .withColumn("ts", F.to_timestamp(F.col("date")))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    q = (
+        out.writeStream.format("memory").queryName("warcstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT canonical_url FROM warcstream").collect()
+    urls = sorted(r.canonical_url for r in got)
+    assert urls == [
+        "https://example.com/a",
+        "https://example.com/b",
+        "https://example.com/c",
+    ]

@@ -20,7 +20,7 @@ from trackintel_spark.sources.geolife import (
 from trackintel_spark.sources.postgis import *  # noqa: F401,F403 — per-entity read/write_*_postgis + read_*_gpd
 from trackintel_spark.sources.gpx import read_gpx
 from trackintel_spark.sources.tar import read_tar_members, read_webdataset
-from trackintel_spark.sources.warc import read_warc, read_warc_responses, read_wet
+from trackintel_spark.sources.warc import read_warc, read_warc_responses, read_warc_stream, read_wet
 from trackintel_spark.sources.jdbc import read_entity_jdbc, write_entity_jdbc
 from trackintel_spark.sources.jsonl import read_documents_jsonl, write_documents_jsonl
 from trackintel_spark.sources.mzmv import read_mzmv
@@ -34,6 +34,7 @@ __all__ = [
     "read_tar_members",
     "read_webdataset",
     "read_warc",
+    "read_warc_stream",
     "read_warc_responses",
     "read_wet",
     "read_mzmv",

@@ -101,6 +101,30 @@ def read_warc(spark: SparkSession, path: str, record_types: list[str] | None = N
     Columns: ``file, record_id (per-file ordinal), record_type, url,
     date, content_type, content_length, payload (binary)``.
     """
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _parse_warc_files(files, record_types)
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, record_types: list[str] | None = None
+) -> DataFrame:
+    """Streaming sibling of :func:`read_warc`: watch ``<path>`` for new
+    crawl segments with the file stream source (binaryFile needs its
+    schema pinned up front in streaming mode) and parse each arriving
+    segment with the SAME kernel — an online ingest pipeline composes
+    this with :func:`trackintel_spark.streaming.url_dedup_stream` and
+    the codegen stage-0 ops. One micro-batch task per new segment; the
+    kernel carries no state."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+        .select("path", "content")
+    )
+    return _parse_warc_files(files, record_types)
+
+
+def _parse_warc_files(files: DataFrame, record_types: list[str] | None) -> DataFrame:
     wanted = set(record_types) if record_types else None
 
     def run(batches):
@@ -127,7 +151,6 @@ def read_warc(spark: SparkSession, path: str, record_types: list[str] | None = N
                     out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(run, schema=_WARC_SCHEMA)
 
 
