@@ -265,3 +265,57 @@ def test_url_dedup_incremental_composition(spark):
     kept = dedup_against_index(day2, index, text_col="canonical_url").filter("is_new")
     merged = merge_exact_index(index, build_exact_index(kept, text_col="canonical_url"))
     assert merged.count() == 3  # a, b, c
+
+
+# -- robots.txt gate ------------------------------------------------------------
+
+
+ROBOTS = """
+# crawler policy
+User-agent: specialbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/public/
+Disallow:
+"""
+
+
+def test_parse_robots_txt_groups():
+    from trackintel_spark.scale import parse_robots_txt
+
+    rules = parse_robots_txt(ROBOTS)
+    assert rules == [(False, "/private/"), (False, "/tmp"), (True, "/private/public/")]
+    # exact agent group beats *
+    assert parse_robots_txt(ROBOTS, agent="specialbot") == [(False, "/")]
+    assert parse_robots_txt(ROBOTS, agent="otherbot") == rules
+    assert parse_robots_txt("") == []
+    # empty Disallow line adds no rule (allow-all)
+    assert parse_robots_txt("User-agent: *\nDisallow:") == []
+
+
+def test_filter_by_robots_longest_match(spark):
+    from trackintel_spark.scale import filter_by_robots
+
+    robots = spark.createDataFrame(
+        [("example.com", ROBOTS), ("closed.org", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://example.com/open/page"),          # no rule -> allowed
+            (1, "https://example.com/private/secret"),     # disallow /private/
+            (2, "https://example.com/private/public/x"),   # longest match ALLOW
+            (3, "https://example.com/tmpfile"),            # prefix match (no slash needed)
+            (4, "https://closed.org/anything"),            # blanket disallow
+            (5, "https://norobots.net/x"),                 # no robots row
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.robots_allowed for r in filter_by_robots(urls, robots).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: False, 5: True}
+    strict = {r.doc_id: r.robots_allowed
+              for r in filter_by_robots(urls, robots, keep_unmatched=False).collect()}
+    assert strict[5] is False and strict[0] is True and strict[2] is True

@@ -216,3 +216,118 @@ def extract_html_text(
             )
 
     return df.select(id_col, html_col).mapInPandas(run, schema=schema)
+
+
+# -- robots.txt ----------------------------------------------------------------
+
+
+def parse_robots_txt(text: str, agent: str = "*") -> list:
+    """Rules for ``agent`` from one robots.txt body: [(allow, prefix)],
+    RFC 9309 group semantics — the most specific matching user-agent
+    group applies (exact product token beats ``*``), later groups for
+    the same agent merge. Wildcard bodies (``*``/``$`` inside a path)
+    are kept as literal text and therefore never match — the
+    conservative reading for a prefix matcher. Pure function (the
+    kernel below maps it over a host frame)."""
+    groups: dict[str, list] = {}
+    current: list[str] = []
+    saw_rule = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if saw_rule:
+                current = []
+                saw_rule = False
+            current.append(val.lower())
+            for ua in (val.lower(),):
+                groups.setdefault(ua, [])
+        elif key in ("allow", "disallow"):
+            saw_rule = True
+            if not current:
+                continue
+            if key == "disallow" and val == "":
+                continue  # empty Disallow = allow all (no rule)
+            for ua in current:
+                groups.setdefault(ua, []).append((key == "allow", val))
+    a = agent.lower()
+    if a in groups:
+        return groups[a]
+    return groups.get("*", [])
+
+
+def filter_by_robots(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """Gate a URL frame by robots.txt rules — the politeness stage of a
+    crawl pipeline.
+
+    ``robots`` carries one row per host: (host, robots_txt). Parsing
+    runs once per host in an Arrow kernel (robots bodies are small and
+    |hosts| << |urls|); the verdict on the URL side is pure array
+    expressions after one equi-join on host: keep the LONGEST rule
+    prefix matching the URL path, allow winning length ties (RFC
+    9309 §2.2.2), no matching rule (or no robots row, when
+    ``keep_unmatched``) = allowed.
+
+    Adds ``robots_allowed`` boolean; filter on it to enforce. 100 TB
+    shape: the rules frame is host-cardinality — AQE broadcasts it —
+    and the URL table shuffles at most once.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rule_t = T.ArrayType(
+        T.StructType(
+            [T.StructField("allow", T.BooleanType()), T.StructField("prefix", T.StringType())]
+        )
+    )
+
+    schema = T.StructType(
+        [T.StructField("host", T.StringType()), T.StructField("__rules", rule_t)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "__rules": [parse_robots_txt(t, agent) for t in pdf["robots_txt"]],
+                }
+            )
+
+    rules = robots.select("host", "robots_txt").mapInPandas(kernel, schema=schema)
+
+    u = urls.withColumn("__host", url_host(url_col, strip_www=False))
+    path = F.regexp_extract(
+        F.regexp_replace(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        "^[^/?#]*([^#]*)",
+        1,
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    joined = u.join(rules.withColumnRenamed("host", "__rhost"),
+                    F.col("__host") == F.col("__rhost"), "left")
+    matching = F.filter(
+        F.coalesce(F.col("__rules"), F.array()),
+        lambda r: path.startswith(r["prefix"]),
+    )
+    # longest prefix wins; allow beats disallow on equal length
+    best = F.array_max(
+        F.transform(matching, lambda r: F.struct(
+            F.length(r["prefix"]).alias("l"), r["allow"].alias("allow")
+        ))
+    )
+    allowed = F.coalesce(best["allow"], F.lit(bool(keep_unmatched)))
+    if not keep_unmatched:
+        allowed = F.when(F.col("__rhost").isNull(), F.lit(False)).otherwise(
+            F.coalesce(best["allow"], F.lit(True))
+        )
+    return joined.withColumn("robots_allowed", allowed).drop("__host", "__rhost", "__rules")
