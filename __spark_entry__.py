@@ -1404,6 +1404,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["strip_html"] = q_strip_html
 
+    def q_robots_gate(spark, sf):
+        """RFC 9309 longest-match verdicts over synthesized hosts/paths:
+        4 hosts with distinct rule sets (blanket disallow, nested
+        allow-under-disallow, no-match, and a host with no robots row),
+        paths fanned out from doc_id so every rule arm fires."""
+        from trackintel_spark.scale import filter_by_robots
+
+        docs = load_table(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".com"))
+        seg = (
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/a"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("/private/public/b"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("/tmpfile"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("/open/c"))
+            .otherwise(F.lit("/"))
+        )
+        urls = docs.select(
+            "doc_id", F.concat(F.lit("https://"), host, seg).alias("url")
+        )
+        robots_rows = [
+            ("h0.com", "User-agent: *\nDisallow: /"),
+            ("h1.com", "User-agent: *\nDisallow: /private/\nAllow: /private/public/\nDisallow: /tmp"),
+            ("h2.com", "User-agent: *\nDisallow: /elsewhere/"),
+            # h3.com has NO robots row -> keep_unmatched applies
+        ]
+        robots = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+        out = filter_by_robots(urls, robots)
+        return out.select("doc_id", "url", "robots_allowed")
+
+    q["robots_gate"] = q_robots_gate
+
     # Every registered query is oracle-backed. The driver evaluates a
     # 50-query prefix, so the first 50 entries below are the ones scored.
     # Five implementation-redundant queries sit after position 50
@@ -1468,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference model's optional tours.journey column; web-corpus
         # plumbing (URL canonicalization dedup, HTML stripping)
         "anonymize_time", "journey_flag", "url_dedup", "strip_html",
+        "robots_gate",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2125,6 +2157,42 @@ def oracle_sql() -> dict[str, str]:
         fin AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM ents)
         SELECT doc_id, md5(t) AS text_md5, length(t) AS n_chars2 FROM fin
     """
+
+    # robots gate: same synthesized hosts/paths; rules as a literal
+    # VALUES table, verdict = longest matching prefix with allow
+    # winning ties (ROW_NUMBER over (len DESC, allow DESC)), no match
+    # or no robots row = allowed — the exact filter_by_robots rule.
+    o["robots_gate"] = """
+        WITH urls AS (
+          SELECT doc_id,
+            'h' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host,
+            CASE CAST(doc_id % 5 AS INT)
+              WHEN 0 THEN '/private/a' WHEN 1 THEN '/private/public/b'
+              WHEN 2 THEN '/tmpfile' WHEN 3 THEN '/open/c' ELSE '/' END AS path
+          FROM documents
+        ),
+        rules(host, allow, prefix) AS (VALUES
+          ('h0.com', FALSE, '/'),
+          ('h1.com', FALSE, '/private/'),
+          ('h1.com', TRUE,  '/private/public/'),
+          ('h1.com', FALSE, '/tmp'),
+          ('h2.com', FALSE, '/elsewhere/')
+        ),
+        m AS (
+          SELECT u.doc_id, r.allow,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY u.doc_id
+                     ORDER BY length(r.prefix) DESC, r.allow DESC
+                 ) AS rk
+          FROM urls u JOIN rules r
+            ON r.host = u.host AND starts_with(u.path, r.prefix)
+        )
+        SELECT u.doc_id, 'https://' || u.host || u.path AS url,
+               COALESCE(b.allow, TRUE) AS robots_allowed
+        FROM urls u LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) b
+          USING (doc_id)
+    """
+
 
     o["embedding_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
