@@ -230,6 +230,21 @@ def test_multimodal_plumbing(spark):
     assert meta[0].format == "png" and meta[0].media_type == "image"
     assert meta[1].format == "riff" and meta[1].media_type == "audio"
 
+    # RIFF disambiguation + BMP sniff (ADVICE r9): WEBP is RIFF-contained
+    # and must be an image; WAVE stays audio; "BM" is bmp.
+    df2 = spark.createDataFrame(
+        [
+            (10, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"z" * 32)),
+            (11, bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt " + b"z" * 32)),
+            (12, bytearray(b"BM" + b"\x00" * 40)),
+        ],
+        "doc_id long, payload binary",
+    )
+    meta2 = {r.doc_id: r.media_meta for r in attach_media_metadata(df2).collect()}
+    assert meta2[10].format == "webp" and meta2[10].media_type == "image"
+    assert meta2[11].format == "wav" and meta2[11].media_type == "audio"
+    assert meta2[12].format == "bmp" and meta2[12].media_type == "image"
+
     feats = extract_features(df, feature_dim=16).collect()
     assert len(feats) == 2 and all(len(r.features) == 16 for r in feats)
     # determinism
@@ -281,7 +296,8 @@ def test_multimodal_real_decode(spark):
 
     meta = {r.doc_id: r.media_meta for r in attach_media_metadata(df).collect()}
     assert meta[0].format == "ppm" and meta[0].media_type == "image"
-    assert meta[2].format == "riff" and meta[3].format is None
+    assert meta[2].format == "wav" and meta[2].media_type == "audio"
+    assert meta[3].format is None
 
     feats = {r.doc_id: r for r in image_features(df).collect()}
     assert (feats[0].width, feats[0].height) == (3, 2)

@@ -68,6 +68,25 @@ def test_read_webdataset_groups_samples(spark, tmp_path):
     assert samples["dir/000002"].n_parts == 2
 
 
+def test_webdataset_duplicate_members_last_wins(spark, tmp_path):
+    # Real corpora contain duplicate tar entries (re-appended samples);
+    # tar extraction semantics keep the LAST one. Must not throw under
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION.
+    data = _tar_bytes(
+        [
+            ("d.txt", b"first version"),
+            ("d.json", b"{}"),
+            ("d.txt", b"second version wins"),
+        ]
+    )
+    open(os.path.join(str(tmp_path), "dup.tar"), "wb").write(data)
+    rows = read_webdataset(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert bytes(r.parts["txt"]) == b"second version wins"
+    assert r.n_parts == 3  # members seen, including the overridden one
+
+
 def test_webdataset_to_image_features(spark, tmp_path):
     _write_shards(tmp_path)
     from trackintel_spark.scale.multimodal import image_features

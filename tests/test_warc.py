@@ -46,6 +46,33 @@ def test_parse_warc_bytes_plain_and_gzip():
         assert recs[2][4] == len(b"hello crawl extracted")
 
 
+def test_parse_warc_bytes_lf_headers_with_crlf_payload():
+    # ADVICE r9: a WARC with LF-terminated headers whose payload contains
+    # a CRLF blank line (any HTTP envelope) must pick the FIRST blank
+    # line as the header terminator, not the payload's \r\n\r\n —
+    # otherwise Content-Length is mis-read and the rest of the file's
+    # records are silently dropped.
+    def lf_record(rtype, url, body: bytes, ctype="text/html"):
+        hdr = (
+            f"WARC/1.0\n"
+            f"WARC-Type: {rtype}\n"
+            + (f"WARC-Target-URI: {url}\n" if url else "")
+            + "WARC-Date: 2024-01-01T00:00:00Z\n"
+            f"Content-Type: {ctype}\n"
+            f"Content-Length: {len(body)}\n"
+            f"\n"
+        ).encode()
+        return hdr + body + b"\n\n"
+
+    raw = lf_record("response", "https://h/1", HTML_BODY) + lf_record(
+        "conversion", "https://h/2", b"plain text", ctype="text/plain"
+    )
+    recs = list(parse_warc_bytes(raw))
+    assert [r[0] for r in recs] == ["response", "conversion"]
+    assert recs[0][5] == HTML_BODY  # full envelope payload, intact
+    assert recs[1][5] == b"plain text"
+
+
 def test_parse_warc_bytes_multimember_gzip_and_truncation():
     # CC-style per-record gzip members concatenated
     raw = _warc_bytes()

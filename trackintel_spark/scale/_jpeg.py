@@ -279,6 +279,16 @@ def _decode_scan(payload, pos, sof, sel, qt, huff, restart):
         raise ValueError("invalid dimensions")
     maxh = max(c["h"] for c in comps)
     maxv = max(c["v"] for c in comps)
+    for c in comps:
+        # integer-replication upsampling only handles factors that
+        # divide the max (1:1, 2:1, 4:1, ...) — non-divisible combos
+        # (e.g. 3:2) would build mis-sized planes and die in np.stack
+        # with an opaque shape error, so reject them up front.
+        if maxh % c["h"] != 0 or maxv % c["v"] != 0:
+            raise ValueError(
+                "unsupported sampling factors: %dx%d vs max %dx%d"
+                % (c["h"], c["v"], maxh, maxv)
+            )
     mcux = -(-w // (8 * maxh))
     mcuy = -(-h // (8 * maxv))
     for c in comps:

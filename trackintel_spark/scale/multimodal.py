@@ -53,17 +53,26 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     """Cheap header sniffing as pure expressions: recognizes PNG/JPEG/RIFF
     magic bytes without decoding. Unknown formats get NULL fields."""
     head = F.hex(F.substring(F.col(payload_col), 1, 4))
+    # RIFF is a container: bytes 8-12 name the form — WAVE → audio,
+    # WEBP → image (mirrors probe_webp / the wav decoder).
+    riff_form = F.hex(F.substring(F.col(payload_col), 9, 4))
     fmt = (
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8FF"), F.lit("jpeg"))
-        .when(head.startswith("52494646"), F.lit("riff"))
+        .when(
+            head.startswith("52494646"),
+            F.when(riff_form == "57454250", F.lit("webp"))       # "WEBP"
+            .when(riff_form == "57415645", F.lit("wav"))          # "WAVE"
+            .otherwise(F.lit("riff")),
+        )
         .when(head.startswith("47494638"), F.lit("gif"))  # GIF8 — decodable HERE (decode_gif)
+        .when(head.startswith("424D"), F.lit("bmp"))  # "BM" — decodable HERE (decode_bmp)
         .when(head.startswith("5036"), F.lit("ppm"))  # "P6" — decodable HERE (decode_ppm)
         .otherwise(F.lit(None))
     )
     media_type = (
-        F.when(fmt.isin("png", "jpeg", "ppm", "gif"), F.lit("image"))
-        .when(fmt == "riff", F.lit("audio"))
+        F.when(fmt.isin("png", "jpeg", "ppm", "gif", "bmp", "webp"), F.lit("image"))
+        .when(fmt.isin("wav", "riff"), F.lit("audio"))
         .otherwise(F.lit(None))
     )
     meta = F.struct(

@@ -26,6 +26,7 @@ _MEMBER_SCHEMA = T.StructType(
         T.StructField("key", T.StringType()),       # basename before the FIRST dot
         T.StructField("ext", T.StringType()),        # everything after the first dot
         T.StructField("member", T.StringType()),     # full member path
+        T.StructField("idx", T.LongType()),          # member ordinal within the shard
         T.StructField("size", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ]
@@ -51,10 +52,10 @@ def read_tar_members(spark: SparkSession, path: str, extensions: list[str] | Non
         import pandas as pd
 
         for pdf in batches:
-            rows = {k: [] for k in ("shard", "key", "ext", "member", "size", "payload")}
+            rows = {k: [] for k in ("shard", "key", "ext", "member", "idx", "size", "payload")}
             for shard, data in zip(pdf["path"], pdf["content"]):
                 with tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:*") as tf:
-                    for m in tf:
+                    for idx, m in enumerate(tf):
                         if not m.isreg():
                             continue
                         name = m.name
@@ -71,6 +72,7 @@ def read_tar_members(spark: SparkSession, path: str, extensions: list[str] | Non
                         rows["key"].append(prefix + stem)
                         rows["ext"].append(ext)
                         rows["member"].append(name)
+                        rows["idx"].append(idx)
                         rows["size"].append(m.size)
                         rows["payload"].append(f.read() if f is not None else b"")
             yield pd.DataFrame(rows)
@@ -92,13 +94,27 @@ def read_webdataset(
     tiny partitions the groupBy produces.
     """
     members = read_tar_members(spark, path, extensions=extensions)
+    # Real corpora contain duplicate tar entries (re-appended samples); tar
+    # extraction semantics say the LAST entry wins. Dedupe per (key, ext)
+    # with max_by on the member ordinal INSIDE the same (shard, key)
+    # aggregation — map_from_entries would otherwise throw under the
+    # default spark.sql.mapKeyDedupPolicy=EXCEPTION and fail the job.
+    last_per_ext = (
+        members.groupBy("shard", "key", "ext")
+        .agg(
+            F.max_by(F.struct("payload", "size"), F.col("idx")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("shard", "key", "ext", F.col("m.payload").alias("payload"),
+                F.col("m.size").alias("size"), "n")
+    )
     return (
-        members.groupBy("shard", "key")
+        last_per_ext.groupBy("shard", "key")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("ext"), F.col("payload")))
             ).alias("parts"),
-            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n").alias("n_parts"),
             F.sum("size").alias("total_bytes"),
         )
     )

@@ -55,18 +55,26 @@ def parse_warc_bytes(data: bytes):
     pos = 0
     n = len(data)
     while pos < n:
-        # skip inter-record blank lines
-        while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n\n"):
+        # skip inter-record blank lines (CRLF or bare-LF WARCs)
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
             pos += 2 if data[pos : pos + 2] == b"\r\n" else 1
         if not data[pos : pos + 5] == b"WARC/":
             break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end == -1:
+        # Take whichever blank-line terminator occurs FIRST from pos: an
+        # LF-terminated WARC header block whose payload contains a CRLF
+        # blank line (any HTTP envelope does) must not pick the payload's
+        # \r\n\r\n as the header terminator — that mis-reads
+        # Content-Length and silently drops the rest of the file.
+        crlf_end = data.find(b"\r\n\r\n", pos)
+        lf_end = data.find(b"\n\n", pos)
+        if crlf_end == -1 and lf_end == -1:
             break
+        if lf_end == -1 or (crlf_end != -1 and crlf_end <= lf_end):
+            # note crlf "\r\n\r\n" contains "\n\n" at offset+1, so when both
+            # match the same blank line lf_end == crlf_end + 1: prefer CRLF.
+            hdr_end, sep = crlf_end, 4
+        else:
+            hdr_end, sep = lf_end, 2
         headers = {}
         for line in data[pos:hdr_end].split(b"\n")[1:]:
             line = line.strip(b"\r")
