@@ -185,12 +185,40 @@ def dbscan_distributed(
         # band can't explode the candidate sequence.
         cos_min = F.least(cos_pole_t, cosq)
         r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_min), F.lit(360.0))
+        raw_lo = F.floor((ulon - r_deg) / w_t).cast("long")
+        raw_hi = F.floor((ulon + r_deg) / w_t).cast("long")
+        # The FINAL window bounds (east-half cap for dy=0, full-band
+        # clamp for dy>0) are leaf-ified here too — the r9 polar fix
+        # (55ad419) rebuilt them as conditional expressions referenced
+        # from the sequence/transform trees, and that extra expression
+        # depth inside the plan-heaviest operator showed up as a +42%
+        # bench cell (r9 VERDICT watch item). Same leaf-column pattern
+        # as the band geometry above.
+        if dy == 0:
+            cx_u = F.floor(ulon / w_t).cast("long")
+            half_cap = F.floor((n_t - F.lit(1)) / F.lit(2)).cast("long")
+            hdist = (n_t / F.lit(2)).cast("long")
+            bound_cols = [
+                (cx_u + 1).alias("__flo0"),
+                F.least(raw_hi, cx_u + half_cap).alias("__fhi0"),
+                (cx_u + hdist).alias("__opp0"),
+                (
+                    (n_t % 2 == 0)
+                    & (raw_hi - cx_u >= hdist)
+                    & (F.col("cx") < F.pmod(cx_u + hdist, n_t))
+                ).alias("__oppc0"),
+            ]
+        else:
+            full_band = raw_hi - raw_lo + 1 >= n_t
+            bound_cols = [
+                F.when(full_band, F.lit(0).cast("long")).otherwise(raw_lo).alias(f"__flo{dy}"),
+                F.when(full_band, (n_t - 1).cast("long")).otherwise(raw_hi).alias(f"__fhi{dy}"),
+            ]
         geom_cols += [
             w_t.alias(f"__w{dy}"),
             n_t.alias(f"__n{dy}"),
             cos_eq_t.alias(f"__ce{dy}"),
-            F.floor((ulon - r_deg) / w_t).cast("long").alias(f"__lo{dy}"),
-            F.floor((ulon + r_deg) / w_t).cast("long").alias(f"__hi{dy}"),
+            *bound_cols,
         ]
     ppre = pts.select("pid", "lon", "lat", "cx", "cy", *geom_cols)
 
@@ -199,42 +227,19 @@ def dbscan_distributed(
         ty = F.col("cy") + dy
         w_t, n_t = F.col(f"__w{dy}"), F.col(f"__n{dy}")
         cos_eq_t = F.col(f"__ce{dy}")
-        tx_lo, tx_hi = F.col(f"__lo{dy}"), F.col(f"__hi{dy}")
-        extra_tx = None
-        if dy == 0:
-            # cyclic east half-space: cells strictly east of the own
-            # cell, at most floor((n-1)/2) away — the canonical
-            # generator for unordered same-band pairs. The cap matters
-            # only when a tiny (polar) band has n <= 2*window cells:
-            # uncapped, the SAME pair would be generated east from both
-            # ends and its neighbor contribution double-counted. The
-            # exactly-opposite cell of an even band (distance n/2, east
-            # of both ends) is generated once via a lower-wrapped-index
-            # tie-break below.
-            cx_u = F.floor(ulon / w_t).cast("long")
-            half_cap = F.floor((n_t - F.lit(1)) / F.lit(2)).cast("long")
-            reach_east = tx_hi - cx_u
-            hdist = (n_t / F.lit(2)).cast("long")
-            extra_tx = (cx_u + hdist, (
-                (n_t % 2 == 0)
-                & (reach_east >= hdist)
-                & (F.col("cx") < F.pmod(cx_u + hdist, n_t))
-            ))
-            tx_lo = cx_u + 1
-            tx_hi = F.least(tx_hi, cx_u + half_cap)
-        else:
-            # full-circle cap: a window spanning the whole band emits
-            # each cell exactly once (their farthest-corner boxes may
-            # then sit a full turn away in the unwrapped frame — that
-            # only forfeits the `full` shortcut, never correctness).
-            # BOTH bounds must come from the same full-band predicate:
-            # resetting only lo to 0 while hi stays at the (unwrapped,
-            # < n_t-1) original drops the residues the wrapped-west part
-            # of the window covered — near-pole bands then miss
-            # cross-band neighbors entirely.
-            full_band = tx_hi - tx_lo + 1 >= n_t
-            tx_lo = F.when(full_band, F.lit(0).cast("long")).otherwise(tx_lo)
-            tx_hi = F.when(full_band, (n_t - 1).cast("long")).otherwise(tx_hi)
+        # FINAL bounds, pre-computed as leaf columns in ppre:
+        # dy == 0 — cyclic east half-space: cells strictly east of the
+        # own cell, at most floor((n-1)/2) away — the canonical
+        # generator for unordered same-band pairs; the exactly-opposite
+        # cell of an even band rides along behind a lower-wrapped-index
+        # tie-break (__opp0/__oppc0).
+        # dy > 0 — full-circle cap: a window spanning the whole band
+        # emits each cell exactly once; BOTH bounds come from the same
+        # full-band predicate (resetting only lo would drop the
+        # residues the wrapped-west part covered — near-pole bands then
+        # miss cross-band neighbors entirely).
+        tx_lo, tx_hi = F.col(f"__flo{dy}"), F.col(f"__fhi{dy}")
+        extra_tx = (F.col("__opp0"), F.col("__oppc0")) if dy == 0 else None
 
         def _mk_factory(ty, w_t, n_t, cos_eq_t, cos_pole_t):
             def _mk(tx):
