@@ -215,12 +215,24 @@ def _asof_one(
     # arrival rank, used ONLY to order right rows that share (key,
     # timestamp): pandas resolves duplicate-timestamp matches by input
     # position (backward takes the last such row, forward the first).
-    # Partitioning the rank window by the timestamp itself keeps it a
-    # small per-group sort — never a global single-task window.
-    wr = Window.partitionBy(*by_cols, t_r).orderBy("__in")
-    r = right.withColumn("__in", F.monotonically_increasing_id()).withColumn(
-        "__rk", F.row_number().over(wr)
-    ).select(
+    # Keyed path: the raw monotonically_increasing_id IS that rank —
+    # row_number over it is order-isomorphic within any (key, t) group,
+    # and skipping the rank window removes a whole exchange + sort of
+    # the right table (it hash-partitioned on (key, t), which the
+    # union's (key) exchange can't reuse — measured ~15% of the 40M
+    # probe's wall). Key-less path keeps the dense rank: its bucketed
+    # global scan folds __rk into a double rank_sec whose precision
+    # budget needs small values.
+    if by_cols:
+        rbase = right.withColumn("__rk", F.monotonically_increasing_id())
+    else:
+        wr = Window.partitionBy(*by_cols, t_r).orderBy("__in")
+        rbase = (
+            right.withColumn("__in", F.monotonically_increasing_id())
+            .withColumn("__rk", F.row_number().over(wr).cast("long"))
+            .drop("__in")
+        )
+    r = rbase.select(
         *by_cols,
         t_r.alias("__t"),
         "__rk",
@@ -233,7 +245,7 @@ def _asof_one(
     l_ = left.select(
         *by_cols,
         t_l.alias("__t"),
-        F.lit(0).alias("__rk"),
+        F.lit(0).cast("long").alias("__rk"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         F.lit(_SIDE_L).alias("__side"),
         F.struct(*left.columns).alias("__l"),
@@ -354,10 +366,19 @@ def asof_join(
     out_names = {c: c + suffix if c in left.columns else c for c in r_payload_cols}
     payload = [out_names[c] for c in r_payload_cols]
 
-    wr = Window.partitionBy(*by_cols, t_r).orderBy("__in")
-    rbase = right.withColumn("__in", F.monotonically_increasing_id()).withColumn(
-        "__rk", F.row_number().over(wr)
-    )
+    # same rank economics as _asof_one: keyed mode tie-breaks on the raw
+    # monotonic id (no rank window, no extra right-side exchange);
+    # key-less mode needs the small dense rank for its double-packed
+    # bucket rank (see rank_f below).
+    if by_cols:
+        rbase = right.withColumn("__rk", F.monotonically_increasing_id())
+    else:
+        wr = Window.partitionBy(*by_cols, t_r).orderBy("__in")
+        rbase = (
+            right.withColumn("__in", F.monotonically_increasing_id())
+            .withColumn("__rk", F.row_number().over(wr).cast("long"))
+            .drop("__in")
+        )
     rstruct = F.struct(
         t_r.cast("double").alias("__rt"),
         *[F.col(c).alias(out_names[c]) for c in r_payload_cols],
@@ -378,7 +399,7 @@ def asof_join(
     ltype_df = left.select(F.struct(*left.columns).alias("__l"))
     ltype = ltype_df.schema["__l"].dataType
     l_ = left.select(
-        *by_cols, t_l.alias("__t"), F.lit(1).alias("__ord"), F.lit(0).alias("__rk"),
+        *by_cols, t_l.alias("__t"), F.lit(1).alias("__ord"), F.lit(0).cast("long").alias("__rk"),
         F.lit(None).cast(rtype).alias("__rb"), F.lit(None).cast(rtype).alias("__rf"),
         F.struct(*left.columns).alias("__l"),
     )
