@@ -708,7 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from trackintel_spark.scale import dedup_embedding_cosine
 
         emb = load_table(spark, sf, "embeddings")
-        out = dedup_embedding_cosine(emb, threshold=0.5)
+        # threshold 0.3 (r10, VERDICT r9 #4): 0.5 matched exactly ONE
+        # pair at sf0.01 — too thin to guard the PCA-banding +
+        # exact-verify recall path; 0.3 scores ~990 pairs.
+        out = dedup_embedding_cosine(emb, threshold=0.3)
         return out.select("id_a", "id_b", _r("cosine", 5).alias("cosine"))
 
     q["embedding_dedup"] = q_embedding_dedup
@@ -2230,7 +2233,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, ROUND(cosine, 5) AS cosine
-        FROM pairs WHERE cosine >= 0.5
+        FROM pairs WHERE cosine >= 0.3
     """
 
     _c_lits = [
