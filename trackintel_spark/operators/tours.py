@@ -265,6 +265,10 @@ def generate_tours(
     ``max_nr_gaps > 0`` (found by the randomized fuzz test).
     """
     validate(trips, "trips")
+    # size-aware lineage boundary — see generate_trips / plans/checkpoint.py
+    from trackintel_spark.plans.checkpoint import truncate_if_rescan_heavy
+
+    trips = truncate_if_rescan_heavy(trips)
     use_locations = staypoints is not None
     if use_locations:
         if "location_id" not in staypoints.columns:

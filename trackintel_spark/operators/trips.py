@@ -51,6 +51,16 @@ def generate_trips(
 
     gap_s = gap_threshold * 60.0
 
+    # size-aware lineage boundary: this operator embeds each input in
+    # several branches, so a chained upstream plan multiplies through —
+    # truncate exactly when the duplicated re-scans outweigh one
+    # materialization (plans/checkpoint.py; conf-tunable, no-op at
+    # bench scale, pays off at probe/cluster scale like dbscan's flip).
+    from trackintel_spark.plans.checkpoint import truncate_if_rescan_heavy
+
+    staypoints = truncate_if_rescan_heavy(staypoints)
+    triplegs = truncate_if_rescan_heavy(triplegs)
+
     sp_base = staypoints.drop(*[c for c in ("trip_id", "prev_trip_id", "next_trip_id") if c in staypoints.columns])
     tpls_base = triplegs.drop(*[c for c in ("trip_id",) if c in triplegs.columns])
 

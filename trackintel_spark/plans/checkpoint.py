@@ -1,0 +1,88 @@
+"""Size-aware lineage truncation for chained entity pipelines.
+
+Chained generate-operators (events -> staypoints -> triplegs -> trips
+-> tours) embed their inputs several times each, so subtree copies
+multiply down the chain: the composed tours DAG re-references the base
+scan hundreds of times. Whether truncating that lineage with an eager
+``localCheckpoint`` pays is DATA-DEPENDENT:
+
+* small inputs (the sf0.1 bench tier, ~2 MB of events): re-scans are
+  warm and nearly free, while materializing a checkpoint costs a real
+  job — measured as a net LOSS (SCALE.md);
+* probe/cluster scale (10M+ rows): every duplicated leaf is real I/O
+  and recompute, and the same flip already paid off 29x for dbscan.
+
+The decision metric is **redundant scan bytes**: the sum of the
+analyzed plan's leaf size estimates minus the same sum over distinct
+leaves (semantic-hash dedup) — i.e. the extra bytes one evaluation of
+the plan re-reads because of lineage duplication. Leaf statistics come
+from the relations themselves (parquet file sizes, range row counts),
+so the metric scales with the data while identical plan SHAPES at
+different scales decide differently — exactly the knob a constant
+choice can't provide.
+
+Tunable via ``spark.trackintel.checkpoint.minRedundantBytes`` (default
+1 GiB; ``<= 0`` disables truncation entirely). Streaming frames and
+frames below the threshold pass through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MIN_REDUNDANT_BYTES_CONF = "spark.trackintel.checkpoint.minRedundantBytes"
+_DEFAULT_MIN_REDUNDANT_BYTES = 1 << 30  # 1 GiB of duplicated leaf scans
+_UNKNOWN_SIZE_FLOOR = 1 << 62  # Catalyst's defaultSizeInBytes sentinel range
+
+
+def redundant_scan_bytes(df: DataFrame) -> tuple[int, int]:
+    """(redundant_bytes, leaf_count) for ``df``'s analyzed plan.
+
+    ``redundant_bytes`` = sum of leaf size estimates over ALL leaf
+    occurrences minus the sum over semantically-distinct leaves: the
+    extra input bytes one evaluation re-reads due to duplicated
+    lineage. Leaves with unknown statistics (Catalyst's huge default,
+    e.g. an already-checkpointed LogicalRDD) count as zero — garbage
+    estimates must never force a materialization.
+    """
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    n = leaves.size()
+    total = 0
+    distinct: dict[int, int] = {}
+    for i in range(n):
+        leaf = leaves.apply(i)
+        try:
+            size = int(leaf.stats().sizeInBytes())
+        except Exception:
+            size = 0
+        if size >= _UNKNOWN_SIZE_FLOOR:
+            size = 0
+        total += size
+        distinct.setdefault(leaf.semanticHash(), size)
+    return total - sum(distinct.values()), n
+
+
+def truncate_if_rescan_heavy(df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` ``df`` when re-evaluating its lineage
+    would re-read more than ``spark.trackintel.checkpoint.
+    minRedundantBytes`` of duplicated leaf input; otherwise return it
+    unchanged. Called by the generate-operators at their input
+    boundaries so chained pipelines reset plan growth between stages
+    exactly when the re-scans outweigh one materialization.
+    """
+    if df.isStreaming:
+        return df
+    try:
+        threshold = int(
+            df.sparkSession.conf.get(
+                MIN_REDUNDANT_BYTES_CONF, str(_DEFAULT_MIN_REDUNDANT_BYTES)
+            )
+        )
+    except ValueError:
+        threshold = _DEFAULT_MIN_REDUNDANT_BYTES
+    if threshold <= 0:
+        return df
+    redundant, _ = redundant_scan_bytes(df)
+    if redundant > threshold:
+        return df.localCheckpoint(eager=True)
+    return df
