@@ -1442,6 +1442,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_gate"] = q_robots_gate
 
+    def q_warc_stage0(spark, sf):
+        """Full crawl stage-0 composition exercising the REAL WARC
+        record-split kernel (sources/warc.py:parse_warc_bytes), not just
+        the codegen tail: documents are wrapped in HTTP envelopes inside
+        multi-record WARC segment images built with pure codegen string
+        expressions (8 records per segment, CRLF headers,
+        Content-Length in bytes), then parse_warc_frame — the same
+        Arrow kernel behind read_warc — re-splits the records, a
+        codegen substring peels the HTTP envelope, canonicalize_url
+        normalizes the crawl URL and strip_html_expr extracts the text.
+        The DuckDB oracle recomputes the expected envelope directly
+        from documents, so any kernel mis-split (header terminator,
+        Content-Length accounting, record advance) surfaces as a
+        row-count or hash mismatch."""
+        from trackintel_spark.scale import canonicalize_url, strip_html_expr
+        from trackintel_spark.sources import parse_warc_frame
+
+        docs = load_table(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        url = F.concat(
+            F.lit("https://www.h"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".com:443/p/"), did, F.lit("?utm_source=crawl&x=1"),
+        )
+        body = F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit("</title></head><body><p>"), F.col("text"),
+            F.lit("</p><script>no()</script></body></html>"),
+        )
+        http = F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
+        rec = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+            F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+                  "Content-Type: application/http\r\nContent-Length: "),
+            F.octet_length(http).cast("string"),
+            F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+        )
+        segs = (
+            docs.select(
+                (F.col("doc_id") % 8).alias("seg"),
+                F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+            )
+            .groupBy("seg")
+            .agg(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")), lambda x: x["rec"]), ""
+                ).alias("img")
+            )
+        )
+        files = segs.select(
+            F.concat(F.lit("seg-"), F.col("seg").cast("string")).alias("path"),
+            F.encode("img", "utf-8").alias("content"),
+        )
+        recs = parse_warc_frame(files, record_types=["response"])
+        payload = F.col("payload").cast("string")
+        html = F.regexp_replace(payload, "(?s)^.*?(\r\n\r\n|\n\n)", "")
+        return recs.select(
+            F.regexp_extract("url", "/p/([0-9]+)", 1).cast("long").alias("doc_id"),
+            canonicalize_url("url").alias("canonical_url"),
+            F.col("content_length").cast("long").alias("content_length"),
+            F.md5(strip_html_expr(html)).alias("text_md5"),
+        )
+
+    q["warc_stage0"] = q_warc_stage0
+
+    def q_dsir_weights(spark, sf):
+        """DSIR importance log-weights (Xie et al. 2023) with a full SQL
+        oracle: target = every 10th document, raw = the corpus; both
+        bucket models fitted with the engine-portable md5 n-gram hash
+        (hash_fn='md5', same 60-bit trick as the minhash oracle) so
+        DuckDB replays featurization bit-for-bit. The scored value is
+        the per-document weight in integer MICRO-nats — the per-bucket
+        log-ratio quantized with the repo's floor-shift rounding, then
+        summed as BIGINTs — because integer sums are exactly
+        commutative across engines while float sums are not (the same
+        policy as line_dedup's per-line integer counts). The library's
+        float path (dsir_log_weights) keeps full precision and stays
+        parity-tested in pytest."""
+        import math as _math
+
+        from trackintel_spark.scale import fit_ngram_model
+        from trackintel_spark.scale.mixing import hashed_ngram_buckets
+
+        B = 512
+        docs = load_table(spark, sf, "documents")
+        target = docs.filter(F.col("doc_id") % 10 == 0)
+        t_lp = fit_ngram_model(target, buckets=B, hash_fn="md5")
+        r_lp = fit_ngram_model(docs, buckets=B, hash_fn="md5")
+        micro = [
+            (b, int(_math.floor((float(t_lp[b]) - float(r_lp[b])) * 1e6 + 0.5)))
+            for b in range(B)
+        ]
+        ratio_df = spark.createDataFrame(micro, "b long, rmicro long")
+        feats = docs.select(
+            "doc_id",
+            F.explode_outer(
+                hashed_ngram_buckets(F.col("text"), B, 2, hash_fn="md5")
+            ).alias("b"),
+        )
+        return (
+            feats.join(F.broadcast(ratio_df), on="b", how="left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce("rmicro", F.lit(0))).alias("lw_micro"))
+        )
+
+    q["dsir_weights"] = q_dsir_weights
+
     # Every registered query is oracle-backed. The driver evaluates a
     # 50-query prefix, so the first 50 entries below are the ones scored.
     # Five implementation-redundant queries sit after position 50
@@ -1502,10 +1608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup", "semantic_dedup", "line_dedup",
         "lsh_topk", "multimodal_features",
         "robots_gate", "generate_tours",
-        "decontaminate", "chunk_dedup",
+        "decontaminate", "warc_stage0",
         "classifier_score", "bm25_search",
         # after the 50-prefix: kernels shared with an in-prefix sibling —
-        # all still oracle-backed here and pytest-covered.
+        # all still oracle-backed here and pytest-covered. (r10:
+        # chunk_dedup rotated out for warc_stage0 — its md5-census shape
+        # rides in-prefix via line_dedup and substring_dedup.)
+        "chunk_dedup",
         "trajectory_match", "trajectory_distances", "dedup_exact",
         "top_tokens", "repetition_signals",
         "jump_length", "tripleg_length", "locations_grid", "token_count",
@@ -1515,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint", "simhash",
         "activity_flag", "temp_overlap",
         "grid_rollup", "time_rollup",
+        # round-10 addition: DSIR weights with a full SQL oracle
+        "dsir_weights",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2209,6 +2320,78 @@ def oracle_sql() -> dict[str, str]:
           USING (doc_id)
     """
 
+    # WARC stage-0: the oracle recomputes the expected crawl envelope
+    # directly from documents (body bytes, canonical URL, strip chain) —
+    # the Spark side must recover EXACTLY these rows through the real
+    # record-split kernel, so any mis-split shows as a mismatch.
+    o["warc_stage0"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+            '</title></head><body><p>' || text ||
+            '</p><script>no()</script></body></html>' AS body
+          FROM documents
+        ),
+        env AS (
+          SELECT doc_id, body,
+            CAST(octet_length(encode(e'HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n' || body)) AS BIGINT) AS content_length
+          FROM base
+        ),
+        s1 AS (SELECT doc_id, content_length, regexp_replace(body, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM env),
+        s2 AS (SELECT doc_id, content_length, regexp_replace(t, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, content_length, regexp_replace(t, '(?is)<template\b[^>]*>.*?</template\s*>', ' ', 'g') AS t FROM s2),
+        s4 AS (SELECT doc_id, content_length, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s3),
+        s5 AS (SELECT doc_id, content_length, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+        ents AS (
+          SELECT doc_id, content_length,
+            replace(replace(replace(replace(replace(replace(replace(t,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', CHR(39)), '&apos;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+          FROM s5
+        ),
+        fin AS (SELECT doc_id, content_length, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM ents)
+        SELECT doc_id,
+               'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) || '?x=1' AS canonical_url,
+               content_length, md5(t) AS text_md5
+        FROM fin
+    """
+
+    # DSIR importance weights in integer micro-nats: featurization
+    # (md5 n-gram hash), both bucket models, the floor-shift-quantized
+    # log-ratio and the per-doc BIGINT sum all recomputed in SQL.
+    o["dsir_weights"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 512 AS b
+          FROM (
+            SELECT doc_id, UNNEST(list_concat(tk,
+              list_transform(range(1, GREATEST(len(tk) - 1, 0) + 1),
+                             i -> array_to_string(list_slice(tk, i, i + 1), ' ')))) AS g
+            FROM toks
+          )
+        ),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id % 10 = 0 GROUP BY b),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+        tt AS (SELECT COALESCE(SUM(c), 0) AS t FROM tc),
+        rt AS (SELECT COALESCE(SUM(c), 0) AS t FROM rc),
+        ratio AS (
+          SELECT bs.b,
+                 CAST(FLOOR((ln(COALESCE(tc.c, 0) + 1.0) - ln(tt.t + 512.0)
+                           - ln(COALESCE(rc.c, 0) + 1.0) + ln(rt.t + 512.0)) * 1000000 + 0.5) AS BIGINT) AS rmicro
+          FROM (SELECT UNNEST(range(0, 512)) AS b) bs
+          LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tt, rt
+        ),
+        sums AS (
+          SELECT f.doc_id, SUM(r.rmicro) AS lw
+          FROM feats f JOIN ratio r USING (b)
+          GROUP BY f.doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(s.lw, 0) AS BIGINT) AS lw_micro
+        FROM documents d LEFT JOIN sums s USING (doc_id)
+    """
 
     o["embedding_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -91,6 +91,40 @@ def test_dsir_log_weights_exact_vs_numpy(spark):
     assert got[3] == 0.0
 
 
+def test_portable_md5_hash_matches_duckdb(spark):
+    """hash_fn='md5' buckets equal DuckDB's concat('0x', substr(md5, 1,
+    15))::BIGINT % B — the cross-engine contract the dsir_weights
+    oracle rides on — and the full DSIR path accepts the option."""
+    import duckdb
+
+    rows = [(0, "the Query optimizer"), (1, "cats chase the red dot"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B = 64
+    got = {
+        r["doc_id"]: list(r["b"])
+        for r in df.select(
+            "doc_id", hashed_ngram_buckets(F.col("text"), B, 2, hash_fn="md5").alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for did, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = [
+            con.execute(
+                "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT) % ?", [g, B]
+            ).fetchone()[0]
+            for g in grams
+        ]
+        assert got[did] == want
+    # the float DSIR path runs unchanged under the portable hash
+    t_lp = fit_ngram_model(df.filter("doc_id = 0"), buckets=B, hash_fn="md5")
+    w = dsir_log_weights(df, t_lp, hash_fn="md5").collect()
+    assert len(w) == 3
+    with pytest.raises(ValueError, match="hash_fn"):
+        df.select(hashed_ngram_buckets(F.col("text"), B, 2, hash_fn="sha9"))
+
+
 def test_dsir_select_deterministic_and_biased(spark):
     """Gumbel top-k: reproducible for a salt, different across salts,
     and strongly biased toward high-weight rows."""

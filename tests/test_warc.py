@@ -46,6 +46,19 @@ def test_parse_warc_bytes_plain_and_gzip():
         assert recs[2][4] == len(b"hello crawl extracted")
 
 
+def test_parse_warc_frame_matches_file_reader(spark, tmp_path):
+    """parse_warc_frame over a pre-loaded (path, content) frame yields
+    the same records as read_warc over the same bytes on disk."""
+    from trackintel_spark.sources import parse_warc_frame
+
+    raw = _warc_bytes()
+    p = _write(tmp_path, "seg.warc", raw)
+    from_files = read_warc(spark, str(tmp_path)).drop("file").collect()
+    frame = spark.createDataFrame([("seg", bytearray(raw))], "path string, content binary")
+    from_frame = parse_warc_frame(frame, record_types=None).drop("file").collect()
+    assert sorted(map(tuple, from_files)) == sorted(map(tuple, from_frame))
+
+
 def test_parse_warc_bytes_lf_headers_with_crlf_payload():
     # ADVICE r9: a WARC with LF-terminated headers whose payload contains
     # a CRLF blank line (any HTTP envelope) must pick the FIRST blank

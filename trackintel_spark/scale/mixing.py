@@ -42,21 +42,33 @@ from trackintel_spark.scale.text import tokens
 DEFAULT_BUCKETS = 10_000
 
 
-def hashed_ngram_buckets(text: Column, buckets: int = DEFAULT_BUCKETS, max_n: int = 2) -> Column:
+def hashed_ngram_buckets(
+    text: Column, buckets: int = DEFAULT_BUCKETS, max_n: int = 2, hash_fn: str = "xxhash64"
+) -> Column:
     """Bag of hashed word n-grams as ``array<bigint>`` bucket ids
     (repeats kept — bag, not set, semantics; DSIR counts occurrences).
 
     Unigrams through ``max_n``-grams (n-grams joined with a single
-    space) hash with ``xxhash64 % buckets``. Pure expressions; the
-    shifted-slice ``zip_with`` builds n-grams in O(tokens) without an
-    explode.
+    space) hash with ``xxhash64 % buckets`` (default) or, with
+    ``hash_fn='md5'``, the engine-portable 60-bit md5-prefix hash
+    (``conv(substr(md5(x),1,15),16,10) % buckets``) that ANSI-SQL
+    oracles can replay bit-for-bit — same trick the minhash oracle
+    uses. Pure expressions either way; the shifted-slice ``zip_with``
+    builds n-grams in O(tokens) without an explode.
     """
     if not 1 <= max_n <= 3:
         raise ValueError(f"max_n must be 1..3, got {max_n}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64/md5, got {hash_fn!r}")
     toks = tokens(text)
 
-    def _hash(c: Column) -> Column:
-        return F.pmod(F.xxhash64(c), F.lit(buckets))
+    if hash_fn == "md5":
+        def _hash(c: Column) -> Column:
+            h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+            return F.pmod(h, F.lit(buckets))
+    else:
+        def _hash(c: Column) -> Column:
+            return F.pmod(F.xxhash64(c), F.lit(buckets))
 
     parts = [F.transform(toks, _hash)]
     if max_n >= 2:
@@ -89,6 +101,7 @@ def fit_ngram_model(
     buckets: int = DEFAULT_BUCKETS,
     max_n: int = 2,
     alpha: float = 1.0,
+    hash_fn: str = "xxhash64",
 ) -> np.ndarray:
     """Laplace-smoothed bucket log-probabilities, length ``buckets``.
 
@@ -101,7 +114,9 @@ def fit_ngram_model(
     """
     rows = (
         df.select(
-            F.explode(hashed_ngram_buckets(F.col(text_col), buckets, max_n)).alias("b")
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, max_n, hash_fn=hash_fn)
+            ).alias("b")
         )
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -121,6 +136,7 @@ def dsir_log_weights(
     text_col: str = "text",
     max_n: int = 2,
     out_col: str = "log_weight",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Add ``out_col`` = Σ_features (log p_target[b] − log p_raw[b]).
 
@@ -132,7 +148,9 @@ def dsir_log_weights(
     """
     buckets = len(target_logprobs)
     if raw_logprobs is None:
-        raw_logprobs = fit_ngram_model(raw, text_col=text_col, buckets=buckets, max_n=max_n)
+        raw_logprobs = fit_ngram_model(
+            raw, text_col=text_col, buckets=buckets, max_n=max_n, hash_fn=hash_fn
+        )
     if len(raw_logprobs) != buckets:
         raise ValueError(
             f"model sizes differ: target {buckets} vs raw {len(raw_logprobs)}"
@@ -156,7 +174,7 @@ def dsir_log_weights(
         )
 
     return raw.withColumn(
-        out_col, _score(hashed_ngram_buckets(F.col(text_col), buckets, max_n))
+        out_col, _score(hashed_ngram_buckets(F.col(text_col), buckets, max_n, hash_fn=hash_fn))
     )
 
 

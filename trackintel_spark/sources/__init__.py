@@ -20,7 +20,7 @@ from trackintel_spark.sources.geolife import (
 from trackintel_spark.sources.postgis import *  # noqa: F401,F403 — per-entity read/write_*_postgis + read_*_gpd
 from trackintel_spark.sources.gpx import read_gpx
 from trackintel_spark.sources.tar import read_tar_members, read_webdataset
-from trackintel_spark.sources.warc import read_warc, read_warc_responses, read_warc_stream, read_wet
+from trackintel_spark.sources.warc import parse_warc_frame, read_warc, read_warc_responses, read_warc_stream, read_wet
 from trackintel_spark.sources.jdbc import read_entity_jdbc, write_entity_jdbc
 from trackintel_spark.sources.jsonl import read_documents_jsonl, write_documents_jsonl
 from trackintel_spark.sources.mzmv import read_mzmv
@@ -33,6 +33,7 @@ __all__ = [
     "read_gpx",
     "read_tar_members",
     "read_webdataset",
+    "parse_warc_frame",
     "read_warc",
     "read_warc_stream",
     "read_warc_responses",

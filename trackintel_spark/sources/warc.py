@@ -132,6 +132,16 @@ def read_warc_stream(
     return _parse_warc_files(files, record_types)
 
 
+def parse_warc_frame(files: DataFrame, record_types: list[str] | None = None) -> DataFrame:
+    """Record-split a DataFrame of pre-loaded WARC images — columns
+    ``path string, content binary`` — with the same Arrow kernel
+    :func:`read_warc` uses on files. For archives that arrive as bytes
+    rather than paths (message queues, object-store range reads, or a
+    synthesized fixture column); one kernel, two entry points.
+    """
+    return _parse_warc_files(files.select("path", "content"), record_types)
+
+
 def _parse_warc_files(files: DataFrame, record_types: list[str] | None) -> DataFrame:
     wanted = set(record_types) if record_types else None
 
