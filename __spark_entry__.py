@@ -2401,7 +2401,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e CROSS JOIN q
         ),
         ranked AS (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cosine, 9) DESC, vec_id ASC) AS rank
             FROM scored
         )
         SELECT query_id, vec_id, rank, ROUND(cosine, 5) AS cosine
@@ -3271,7 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         ranked AS (
             SELECT query_id, vec_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cosine, 9) DESC, vec_id) AS rank
             FROM scored
         )
         SELECT query_id, vec_id, rank, ROUND(cosine, 5) AS cosine FROM ranked WHERE rank <= 5

@@ -188,6 +188,31 @@ def test_lsh_topk_recall_at_1(spark, emb):
     assert all(q == v for q, v in firsts.items())
 
 
+def test_topk_rank_deterministic_under_exact_ties(spark):
+    """Crafted tied fixture (r9 VERDICT #8): duplicate vectors are
+    mathematically tied on cosine, so ranks must resolve by vec_id —
+    and the rounded-score rank (the bm25 convention) keeps boundary
+    ranks stable when float sum order injects sub-ulp noise."""
+    from trackintel_spark.scale.similarity import cosine_topk_bruteforce, lsh_bucketed_topk
+
+    # 8 distinct directions, each duplicated 3x -> every cosine tied 3-way
+    base = [[float((i * 7 + j * 3) % 11) + 1.0 for j in range(8)] for i in range(8)]
+    rows = [(i * 10 + c, base[i]) for i in range(8) for c in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(0, base[0])], "query_id long, embedding array<double>")
+
+    for fn in (
+        lambda: cosine_topk_bruteforce(emb, queries, k=3),
+        lambda: lsh_bucketed_topk(emb, queries, k=3, n_planes=4),
+    ):
+        runs = [tuple((r.rank, r.vec_id) for r in sorted(fn().collect(), key=lambda r: r.rank))
+                for _ in range(3)]
+        assert runs[0] == runs[1] == runs[2]
+        # the tied triple {0, 1, 2} of the query's own direction must
+        # occupy ranks 1..3 in vec_id order
+        assert runs[0] == ((1, 0), (2, 1), (3, 2))
+
+
 def test_token_count_and_quality(spark, docs):
     out = quality_score(docs.withColumn("n_tok", token_count(F.col("text")))).limit(50).collect()
     for r in out:

@@ -253,12 +253,18 @@ def trajectory_topk(
     refined = exact(survivors)
     from pyspark.sql import Window
 
+    # rank + cutoff on the MICROMETER-rounded distance (the bm25_search
+    # convention): DP kernels sum floats in a data-partitioning-
+    # dependent order, and sub-ulp noise on tied trajectories would
+    # defeat the id tie-break and swap boundary ranks run-to-run. The
+    # emitted dist_m stays unrounded.
+    r6 = F.round(F.col("dist_m"), 6)
     topk = (
-        refined.orderBy(F.col("dist_m").asc(), F.col("tid").asc())
+        refined.orderBy(r6.asc(), F.col("tid").asc())
         .limit(k)
         .withColumn(
             "rank",
-            F.row_number().over(Window.orderBy(F.col("dist_m").asc(), F.col("tid").asc())),
+            F.row_number().over(Window.orderBy(r6.asc(), F.col("tid").asc())),
         )
         .select(F.col("tid").alias(id_col), "dist_m", "rank")
     )

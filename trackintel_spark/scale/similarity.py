@@ -49,7 +49,14 @@ def cosine_topk_bruteforce(
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    # rank (and the top-k cutoff) on the ROUNDED cosine, like
+    # bm25_search: mathematically-tied vectors dot-sum in a
+    # nondeterministic float order, and sub-ulp noise would defeat the
+    # id tie-break and swap boundary ranks run-to-run / engine-to-
+    # engine. The emitted cosine stays unrounded.
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("vec_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -122,7 +129,14 @@ def lsh_bucketed_topk(
         "cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     )
     scored = scored.dropDuplicates(["query_id", "vec_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    # rank (and the top-k cutoff) on the ROUNDED cosine, like
+    # bm25_search: mathematically-tied vectors dot-sum in a
+    # nondeterministic float order, and sub-ulp noise would defeat the
+    # id tie-break and swap boundary ranks run-to-run / engine-to-
+    # engine. The emitted cosine stays unrounded.
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("vec_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -417,7 +431,14 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), on="__cid").withColumn(
         "cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    # rank (and the top-k cutoff) on the ROUNDED cosine, like
+    # bm25_search: mathematically-tied vectors dot-sum in a
+    # nondeterministic float order, and sub-ulp noise would defeat the
+    # id tie-break and swap boundary ranks run-to-run / engine-to-
+    # engine. The emitted cosine stays unrounded.
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("vec_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
