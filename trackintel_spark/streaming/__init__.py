@@ -9,6 +9,7 @@ from trackintel_spark.streaming.tours_state import attach_trip_locations, tours_
 from trackintel_spark.streaming.trajmatch import index_trajectory_corpus, trajectory_match_stream
 from trackintel_spark.streaming.triplegs_state import triplegs_stream_exact
 from trackintel_spark.streaming.trips_state import trips_stream_exact
+from trackintel_spark.streaming.web import robots_gate_stream
 
 __all__ = ["attach_trip_locations", "dedup_stream", "url_dedup_stream", "locations_stream_exact",
     "od_flows_stream",
@@ -17,4 +18,5 @@ __all__ = ["attach_trip_locations", "dedup_stream", "url_dedup_stream", "locatio
     "sessionize_stream", "staypoints_stream",
     "staypoints_stream_exact", "tours_stream_exact",
     "index_trajectory_corpus", "trajectory_match_stream",
-    "triplegs_stream_exact", "trips_stream_exact"]
+    "triplegs_stream_exact", "trips_stream_exact",
+    "robots_gate_stream"]
