@@ -345,6 +345,13 @@ def _decode_image_rgb(payload: bytes) -> np.ndarray:
         return decode_gif(payload)
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from trackintel_spark.scale._vp8l import decode_webp
+
+        try:
+            return decode_webp(payload)[:, :, :3]  # VP8L real decode
+        except NotImplementedError as e:  # lossy VP8: codec-library territory
+            raise ValueError(str(e))
     img = decode_png(payload)
     c = img.shape[2]
     if c >= 3:
@@ -476,6 +483,22 @@ def resize_images(
                             enc = encode_bmp
                         except ValueError:
                             out.append((pid, payload))
+                            continue
+                    elif (
+                        payload is not None
+                        and payload[:4] == b"RIFF"
+                        and payload[8:12] == b"WEBP"
+                    ):
+                        from trackintel_spark.scale._vp8l import (
+                            decode_webp as _dw,
+                            encode_webp as _ew,
+                        )
+
+                        try:
+                            img = _dw(payload)[:, :, :3]
+                            enc = _ew
+                        except (ValueError, NotImplementedError):
+                            out.append((pid, payload))  # lossy VP8 passes through
                             continue
                     else:
                         try:
