@@ -536,3 +536,58 @@ def test_partitioned_bucketed_table_prunes_and_elides(spark):
         assert daily.count() == df.filter(F.col("event_date") == F.lit(one_day)).count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_asof_keyed_right_side_has_no_rank_exchange(spark):
+    """The keyed merge-scan tie-breaks duplicate-timestamp right rows
+    on the raw monotonic id (r10): the plan must carry exactly ONE
+    hash exchange (the union's by-key shuffle) — a second exchange
+    means the (key, t) rank window crept back in."""
+    from trackintel_spark.operators import asof_join
+
+    left = spark.range(100).selectExpr("id AS lid", "id % 7 AS k", "CAST(id AS DOUBLE) AS t")
+    right = spark.range(50).selectExpr("id % 7 AS k", "CAST(id * 2 AS DOUBLE) AS t", "id AS rv")
+    plan = _plan(asof_join(left, right, on="t", by="k"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dsir_weights_ratio_table_broadcasts(spark):
+    """The B-row micro-ratio table must broadcast onto the exploded
+    features — a shuffled join on the bucket id would reshuffle the
+    corpus by a 512-value key (murderous skew at scale)."""
+    from trackintel_spark.scale import fit_ngram_model
+    from trackintel_spark.scale.mixing import hashed_ngram_buckets
+
+    docs = load_table(spark, SF, "documents")
+    B = 64
+    ratio = spark.createDataFrame([(b, b) for b in range(B)], "b long, rmicro long")
+    feats = docs.select(
+        "doc_id", F.explode_outer(hashed_ngram_buckets(F.col("text"), B, 2, hash_fn="md5")).alias("b")
+    )
+    out = (
+        feats.join(F.broadcast(ratio), on="b", how="left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("rmicro", F.lit(0))).alias("lw"))
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_warc_frame_parse_is_map_only(spark):
+    """parse_warc_frame must stay a pure map stage — record splitting
+    is per-file work; any exchange before the kernel would shuffle
+    gigabyte segment blobs."""
+    from trackintel_spark.sources import parse_warc_frame
+
+    body = b"HTTP/1.1 200 OK\r\n\r\nx"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h/1\r\n"
+        b"WARC-Date: d\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    frame = spark.createDataFrame([("s", bytearray(rec))], "path string, content binary")
+    plan = _plan(parse_warc_frame(frame, record_types=["response"]))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan

@@ -318,3 +318,19 @@ def test_webp_through_image_kernels(spark):
     assert f.width == 8 and f.mean_b == 180.0 and f.mean_r == 0.0
     resized = resize_images(df, 4, 4).collect()[0]
     assert dw(bytes(resized.payload)).shape == (4, 4, 4)
+
+
+def test_decoder_rejects_garbage_without_hanging():
+    """Malformed streams must raise promptly (truncation, bad codes,
+    out-of-range LZ77) — a crawl decode kernel cannot hang a task."""
+    import itertools
+
+    rng = np.random.RandomState(0)
+    rejected = 0
+    for n in itertools.chain([0, 1, 2, 5], [16] * 8, [64] * 8):
+        blob = bytes([0x2F]) + rng.bytes(n)
+        try:
+            decode_vp8l(blob)
+        except (ValueError, NotImplementedError):
+            rejected += 1
+    assert rejected >= 18  # essentially everything random must reject
