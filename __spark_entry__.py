@@ -2225,7 +2225,7 @@ def oracle_sql() -> dict[str, str]:
           FROM p2
         ),
         p4 AS (
-          SELECT *, lower(regexp_replace(regexp_extract(after, '^([^/?]*)', 1), '^[^/@]*@', '')) AS hostport,
+          SELECT *, lower(regexp_replace(regexp_extract(after, '^([^/?]*)', 1), '^.*@', '')) AS hostport,
             regexp_extract(after, '^[^/?]*([^?]*)', 1) AS rawpath,
             regexp_extract(nofrag, '\?([^#]*)', 1) AS query
           FROM p3
