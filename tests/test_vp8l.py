@@ -334,3 +334,36 @@ def test_decoder_rejects_garbage_without_hanging():
         except (ValueError, NotImplementedError):
             rejected += 1
     assert rejected >= 18  # essentially everything random must reject
+
+
+def test_distance_map_matches_spec_table_prefix():
+    """The 2D distance map's tie order is LARGER y first, then positive
+    x before negative — the spec's published table, pinned here against
+    its first 22 entries (a generated (d2, y, x)-ascending order passes
+    far-distance tests but breaks every close LZ77 reference)."""
+    from trackintel_spark.scale._vp8l import _DIST_MAP
+
+    want = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2),
+    ]
+    assert _DIST_MAP[:22] == want
+    assert len(_DIST_MAP) == 120
+
+
+def test_crafted_lz77_close_distance_via_map():
+    # plane code 2 -> map entry (1, 0) -> distance 1: a run of the
+    # previous pixel. 4x1: one literal then a length-3 run.
+    bw = _BitWriter()
+    _header(bw, 4, 1)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    g, r, b, a, d = _literal_trees(
+        bw, greens=[8, 256 + 2], reds=[7], blues=[6], alphas=[255], with_dist=[1]
+    )
+    _emit(bw, g, 8); _emit(bw, r, 7); _emit(bw, b, 6)
+    _emit(bw, g, 256 + 2)   # length prefix code 2 -> 3
+    _emit(bw, d, 1)         # distance prefix code 1 -> plane 2 -> map (1,0) -> dist 1
+    out = decode_vp8l(bw.bytes())
+    want = np.tile(np.array([7, 8, 6, 255], dtype=np.uint8), (1, 4, 1))
+    assert (out == want).all()

@@ -220,16 +220,18 @@ def _prefix_decode(br: _BitReader, code: int) -> int:
 
 
 def _build_distance_map() -> list[tuple[int, int]]:
-    # the 120 closest (x, y) neighbors, y in 0..7, x in -8..7, ordered by
-    # (distance, y, x) exactly as the spec's table
+    # the 120 closest (x, y) neighbors, ordered by squared distance with
+    # ties broken by LARGER y first, then larger x (positive before
+    # negative) — reproduces the spec's published table exactly:
+    # (0,1), (1,0), (1,1), (-1,1), (0,2), (2,0), (1,2), (-1,2), (2,1), ...
     pts = []
-    for y in range(8):
-        for x in range(-8, 8):
+    for y in range(9):
+        for x in range(-8, 9):
             if y == 0 and x <= 0:
                 continue
-            pts.append((x * x + y * y, y, x))
+            pts.append((x * x + y * y, -y, -x))
     pts.sort()
-    return [(x, y) for _, y, x in pts[:120]]
+    return [(-x, -y) for _, y, x in pts[:120]]
 
 
 _DIST_MAP = _build_distance_map()
