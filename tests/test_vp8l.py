@@ -367,3 +367,33 @@ def test_crafted_lz77_close_distance_via_map():
     out = decode_vp8l(bw.bytes())
     want = np.tile(np.array([7, 8, 6, 255], dtype=np.uint8), (1, 4, 1))
     assert (out == want).all()
+
+
+def test_crafted_predictor_mode13_truncating_division():
+    """ClampAddSubtractHalf uses C's truncate-toward-zero division;
+    floor division differs on negative odd deltas (avg=4, TL=7 ->
+    trunc(-3/2) = -1, floor = -2)."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2)   # predictor transform
+    bw.write(0, 3)                   # size_bits = 2 (one block)
+    bw.write(0, 1)                   # mode sub-image cache bit
+    mg, mr, mb, ma, _ = _literal_trees(bw, greens=[13], reds=[0], blues=[0], alphas=[0])
+    _emit(bw, mg, 13); _emit(bw, mr, 0); _emit(bw, mb, 0)
+    bw.write(0, 1)                   # no more transforms
+    bw.write(0, 1); bw.write(0, 1)   # no cache, no meta
+    # residuals (r,g,b,a): p00 = 7 (TL), p01 = 5 (T), p10 = 4 (L)
+    res = [(7, 7, 7, 0), (254, 254, 254, 0), (253, 253, 253, 0), (0, 0, 0, 0)]
+    g, r, b, a, _ = _literal_trees(
+        bw,
+        greens=[x[1] for x in res], reds=[x[0] for x in res],
+        blues=[x[2] for x in res], alphas=[x[3] for x in res],
+    )
+    for rr, gg, bb, aa in res:
+        _emit(bw, g, gg); _emit(bw, r, rr); _emit(bw, b, bb); _emit(bw, a, aa)
+    out = decode_vp8l(bw.bytes())
+    assert tuple(out[0, 0][:3]) == (7, 7, 7)
+    assert tuple(out[0, 1][:3]) == (5, 5, 5)
+    assert tuple(out[1, 0][:3]) == (4, 4, 4)
+    # avg2(4,5)=4; pred = clamp(4 + trunc((4-7)/2)) = 3; +res 0
+    assert tuple(out[1, 1][:3]) == (3, 3, 3)

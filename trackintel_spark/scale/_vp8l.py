@@ -386,7 +386,11 @@ def _inverse_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndar
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:  # ClampAddSubtractHalf
                     avg = _avg2(L, T).astype(np.int32)
-                    pred = np.clip(avg + (avg - TL) // 2, 0, 255)
+                    # C's (a - b) / 2 truncates toward zero; numpy //
+                    # floors — they differ on negative odd deltas
+                    d = avg - TL
+                    half = np.sign(d) * (np.abs(d) // 2)
+                    pred = np.clip(avg + half, 0, 255)
                 else:
                     raise ValueError(f"VP8L: predictor mode {mode}")
             out[y, x] = (out[y, x] + pred) & 0xFF
