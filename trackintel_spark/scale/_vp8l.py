@@ -18,6 +18,15 @@ kernels decode real web image bytes without any codec library in the
 container. VP8 (lossy) stays env-gated — it needs a full DCT video
 intra decoder, out of scope.
 
+Performance envelope: correctness-first. Huffman decode and the
+predictor inverse are inherently sequential per pixel and run in plain
+Python (~80k px/s; a 128x128 image decodes in ~0.2 s), which is fine
+for fixtures, metadata-driven curation and spot decodes inside the
+Arrow kernels. A throughput deployment decoding full crawl images
+swaps in a native codec behind the same ``decode_webp`` signature —
+the Spark-side plumbing (schema, batching, routing) is the part this
+repo owns.
+
 No counterpart in the reference repo (mie-lab/trackintel has no media
 handling); this supports the LLM-pipeline extension surface only.
 """
