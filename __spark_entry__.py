@@ -1548,6 +1548,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir_weights
 
+    def q_embedding_match(spark, sf):
+        """Online stream-vs-corpus embedding matcher (streaming/
+        embmatch.py) run in its batch mode: sign-LSH bucket equi-join
+        (+ the 6 single-bit-flip multiprobes) then exact-cosine
+        threshold — the stateless plan that is append-mode streaming-
+        legal. The DuckDB oracle replays the seeded hyperplanes as
+        literals, the probe expansion and the threshold."""
+        from trackintel_spark.streaming import (
+            embedding_match_stream,
+            index_embedding_corpus,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        index = index_embedding_corpus(emb, n_planes=6, seed=42, dim=64)
+        queries = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = embedding_match_stream(
+            queries, index, min_cosine=0.3, n_planes=6, seed=42, dim=64
+        )
+        return out.select("query_id", "vec_id", _r("cosine", 5).alias("cosine"))
+
+    q["embedding_match"] = q_embedding_match
+
     # Every registered query is oracle-backed. The driver evaluates a
     # 50-query prefix, so the first 50 entries below are the ones scored.
     # Five implementation-redundant queries sit after position 50
@@ -1624,8 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint", "simhash",
         "activity_flag", "temp_overlap",
         "grid_rollup", "time_rollup",
-        # round-10 addition: DSIR weights with a full SQL oracle
-        "dsir_weights",
+        # round-10 additions: DSIR weights and the online embedding
+        # matcher (batch mode), both with full SQL oracles
+        "dsir_weights", "embedding_match",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -3275,6 +3300,31 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, vec_id, rank, ROUND(cosine, 5) AS cosine FROM ranked WHERE rank <= 5
+    """
+
+    # streaming embedding matcher in batch mode: same plane/probe
+    # machinery, threshold instead of rank
+    o["embedding_match"] = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        hashed AS (
+            SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm, {bits} AS bucket
+            FROM base
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS b0 FROM hashed WHERE vec_id < 20),
+        probes AS (
+            SELECT query_id, qv, qn, unnest([b0, {flips}]) AS bucket
+            FROM q
+        ),
+        scored AS (
+            SELECT p.query_id, h.vec_id,
+                   list_dot_product(h.v, p.qv) / (h.nrm * p.qn) AS cosine
+            FROM hashed h JOIN probes p ON h.bucket = p.bucket
+        )
+        SELECT query_id, vec_id, ROUND(cosine, 5) AS cosine
+        FROM scored WHERE cosine >= 0.3
     """
 
     # Tours over the event-anchored session construction. With

@@ -1,4 +1,5 @@
 from trackintel_spark.streaming.dedup import dedup_stream, url_dedup_stream
+from trackintel_spark.streaming.embmatch import embedding_match_stream, index_embedding_corpus
 from trackintel_spark.streaming.flows import od_flows_stream
 from trackintel_spark.streaming.heatmap import grid_counts_stream
 from trackintel_spark.streaming.locations_state import locations_stream_exact
@@ -19,4 +20,5 @@ __all__ = ["attach_trip_locations", "dedup_stream", "url_dedup_stream", "locatio
     "staypoints_stream_exact", "tours_stream_exact",
     "index_trajectory_corpus", "trajectory_match_stream",
     "triplegs_stream_exact", "trips_stream_exact",
-    "robots_gate_stream"]
+    "robots_gate_stream",
+    "embedding_match_stream", "index_embedding_corpus"]
