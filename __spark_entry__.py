@@ -1108,6 +1108,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tracking_quality_week"] = q_tracking_quality_week
 
+    def q_tracking_quality_weekday(spark, sf):
+        """The span-scaled granularity: extent = 86400 s x the number of
+        tracked weeks (global-min-anchored), buckets = pandas weekday
+        (Monday=0)."""
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        return temporal_tracking_quality(sp, "weekday").select(
+            "user_id", "weekday", _r("quality", 8).alias("quality")
+        )
+
+    q["tracking_quality_weekday"] = q_tracking_quality_weekday
+
+    def q_tracking_quality_hour(spark, sf):
+        """Hour-of-day buckets over HOUR-boundary splits; extent =
+        3600 s x the number of tracked days (global-min-anchored)."""
+        from trackintel_spark.analysis import temporal_tracking_quality
+
+        sp = _sessions(spark, sf)
+        return temporal_tracking_quality(sp, "hour").select(
+            "user_id", "hour", _r("quality", 8).alias("quality")
+        )
+
+    q["tracking_quality_hour"] = q_tracking_quality_hour
+
     # -- as-of (point-in-time) join -------------------------------------------
     def q_asof_join(spark, sf):
         """Merge-scan as-of join (operators/asof.py): every event picks
@@ -1644,7 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jump_length", "tripleg_length", "locations_grid", "token_count",
         "tpch_q5ish", "embedding_topk",
         "radius_gyration_duration", "tracking_quality_week", "speed_triplegs",
-        "tracking_quality_all", "distance_matrix", "minhash",
+        "tracking_quality_all", "tracking_quality_weekday", "tracking_quality_hour",
+        "distance_matrix", "minhash",
         "fingerprint", "simhash",
         "activity_flag", "temp_overlap",
         "grid_rollup", "time_rollup",
@@ -2815,6 +2841,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(s AS DATE) + ((7 - dayofweek(CAST(s AS DATE))) % 7) * INTERVAL 1 DAY AS TIMESTAMP) AS week_monday,
                ROUND(SUM(EPOCH(e) - EPOCH(s)) / 604800.0, 8) AS quality
         FROM pieces GROUP BY 1, 2
+    """
+
+    # weekday/hour: span-scaled extents — unit seconds x the number of
+    # tracked weeks (weekday) / days (hour) since the GLOBAL first
+    # tracked day, exactly the Spark operator's integer-microsecond math
+    o["tracking_quality_weekday"] = f"""
+        {_day_split},
+        anchored AS (
+            SELECT p.*,
+                   FLOOR(FLOOR((epoch_us(p.s) - (SELECT epoch_us(date_trunc('day', MIN(s))) FROM pieces))
+                               / 86400000000.0) / 7.0) AS wk
+            FROM pieces p
+        )
+        SELECT user_id,
+               CAST((dayofweek(s) + 6) % 7 AS INT) AS weekday,
+               ROUND(SUM(EPOCH(e) - EPOCH(s)) / (86400.0 * (MAX(wk) - MIN(wk) + 1)), 8) AS quality
+        FROM anchored GROUP BY 1, 2
+    """
+
+    _hour_split = f"""
+        WITH sessions AS ({_sessions_sql()}),
+        pos AS (SELECT user_id, started_at, finished_at FROM sessions
+                WHERE EPOCH(finished_at) - EPOCH(started_at) > 0),
+        cuts AS (
+            SELECT user_id, started_at, finished_at,
+                   list_sort(list_distinct(
+                     [started_at]
+                     || CASE WHEN date_trunc('hour', started_at) + INTERVAL 1 HOUR <= finished_at
+                             THEN generate_series(date_trunc('hour', started_at) + INTERVAL 1 HOUR,
+                                                  finished_at, INTERVAL 1 HOUR)
+                             ELSE [] END
+                     || [finished_at])) AS cut
+            FROM pos
+        ),
+        pieces AS (
+            SELECT user_id, cut[i] AS s, cut[i+1] AS e
+            FROM cuts, UNNEST(generate_series(1, len(cut) - 1)) AS t(i)
+        )
+    """
+
+    o["tracking_quality_hour"] = f"""
+        {_hour_split},
+        anchored AS (
+            SELECT p.*,
+                   FLOOR((epoch_us(p.s) - (SELECT epoch_us(date_trunc('day', MIN(s))) FROM pieces))
+                         / 86400000000.0) AS dayn
+            FROM pieces p
+        )
+        SELECT user_id,
+               CAST(hour(s) AS INT) AS hour,
+               ROUND(SUM(EPOCH(e) - EPOCH(s)) / (3600.0 * (MAX(dayn) - MIN(dayn) + 1)), 8) AS quality
+        FROM anchored GROUP BY 1, 2
     """
 
     o["asof_join"] = """
