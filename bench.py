@@ -112,12 +112,13 @@ def main() -> None:
         frac = float(os.environ.get("SPARK_GRAFT_SCALE_FRACTION", "1"))
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from scale_probe import run_chain, run_trajectory_join
-        from scale_probe_llm import run_asof, run_incremental_dedup, run_line_dedup, run_semantic_dedup_defaults
+        from scale_probe_llm import run_asof, run_incremental_dedup, run_line_dedup, run_semantic_dedup_defaults, run_web_stage0
 
         probes = [
             ("mobility_chain_10m", lambda: run_chain(spark, int(10_000_000 * frac))),
             ("line_dedup_1m", lambda: run_line_dedup(spark, int(1_000_000 * frac))),
             ("asof_join_40m", lambda: run_asof(spark, int(40_000_000 * frac))),
+            ("web_stage0_1m", lambda: run_web_stage0(spark, int(1_000_000 * frac))),
             ("semantic_dedup_defaults_400k",
              lambda: run_semantic_dedup_defaults(spark, int(400_000 * frac))),
             ("incremental_dedup_1m",
@@ -136,7 +137,7 @@ def main() -> None:
         for name, fn in probes:
             r1, r2 = fn(), fn()
             r = r1 if r1["wall_s"] <= r2["wall_s"] else r2
-            keep = ("rows", "wall_s", "rows_per_s", "count_s", "kmeans_s", "dedup_s",
+            keep = ("rows", "wall_s", "rows_per_s", "kept", "count_s", "kmeans_s", "dedup_s",
                     "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s",
                     "shard_rows", "index_s", "probe_s", "pairs")
             scale[name] = {k: r[k] for k in keep if k in r}

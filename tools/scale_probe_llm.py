@@ -256,6 +256,41 @@ def run_embedding_dedup(
     }
 
 
+def run_web_stage0(spark, n: int) -> dict:
+    """Crawl stage 0 throughput: n synthetic frontier URLs (25% dup
+    groups with case/port/tracking-param/userinfo variants, hosts drawn
+    from 50k sites with a 1k-host robots table) through canonicalize ->
+    robots gate -> URL dedup — the codegen-only pipeline, one exchange
+    on the canonical string plus the broadcast host join."""
+    from trackintel_spark.scale import dedup_url
+    from trackintel_spark.scale.web import filter_by_robots
+
+    ids = spark.range(n)
+    host = F.concat(F.lit("site"), (F.col("id") % 50_000).cast("string"), F.lit(".com"))
+    variant = F.col("id") % 4
+    base = (F.col("id") % (n // 4 if n >= 4 else 1)).cast("string")
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://www."), host, F.lit(":443/p/"), base, F.lit("/?utm_source=x&b=2&a=1")))
+        .when(variant == 1, F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/p//"), base, F.lit("?a=1&b=2")))
+        .when(variant == 2, F.concat(F.lit("https://u:p@"), host, F.lit("/p/"), base, F.lit("?b=2&fbclid=z&a=1")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/q/"), F.col("id").cast("string")))
+    )
+    urls = ids.select(F.col("id").alias("doc_id"), url.alias("url"))
+    robots = spark.range(1_000).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias("host"),
+        F.when(F.col("id") % 2 == 0, F.lit("User-agent: *\nDisallow: /q/"))
+        .otherwise(F.lit("User-agent: *\nAllow: /")).alias("robots_txt"),
+    )
+    t0 = time.time()
+    gated = filter_by_robots(urls, robots).filter("robots_allowed")
+    kept = dedup_url(gated).count()
+    w = time.time() - t0
+    return {
+        "op": "web_stage0", "rows": n, "wall_s": round(w, 1), "kept": int(kept),
+        "rows_per_s": int(n / w),
+    }
+
+
 def run_asof(spark, n: int, direction: str = "backward") -> dict:
     from trackintel_spark.operators import asof_join
 
@@ -379,6 +414,9 @@ def main():
     for n in take("--dedup-stack", []):
         if n:
             print(run_embedding_dedup_stack(spark, n), flush=True)
+    for n in take("--web", [1_000_000, 4_000_000]):
+        if n:
+            print(run_web_stage0(spark, n), flush=True)
     for n in asof_ns:
         if n:
             print(run_asof(spark, n), flush=True)
