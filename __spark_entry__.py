@@ -1597,6 +1597,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_match"] = q_embedding_match
 
+    def q_train_shuffle(spark, sf):
+        """Deterministic global training-order shuffle
+        (scale/sampling.py:shuffle_deterministic, hash_fn='md5' so the
+        oracle replays the exact order): shuffle_pos = rank of the
+        60-bit md5-prefix hash of (doc_id, salt), computed by the
+        range-partitioned exclusive prefix count — one range exchange,
+        never a single-task global window (plan pinned in
+        tests/test_plan_quality.py for the ids machinery)."""
+        from trackintel_spark.scale import shuffle_deterministic
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        out = shuffle_deterministic(docs, "doc_id", salt="epoch0", hash_fn="md5")
+        return out.select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+    q["train_shuffle"] = q_train_shuffle
+
     # Every registered query is oracle-backed. The driver evaluates a
     # 50-query prefix, so the first 50 entries below are the ones scored.
     # Five implementation-redundant queries sit after position 50
@@ -1674,9 +1690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint", "simhash",
         "activity_flag", "temp_overlap",
         "grid_rollup", "time_rollup",
-        # round-10 additions: DSIR weights and the online embedding
-        # matcher (batch mode), both with full SQL oracles
-        "dsir_weights", "embedding_match",
+        # round-10 additions: DSIR weights, the online embedding
+        # matcher (batch mode), the deterministic training shuffle and
+        # the last two tracking-quality granularities — all with full
+        # SQL oracles
+        "dsir_weights", "embedding_match", "train_shuffle",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -3403,6 +3421,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, ROUND(cosine, 5) AS cosine
         FROM scored WHERE cosine >= 0.3
+    """
+
+    # deterministic training shuffle: rank of the 60-bit md5-prefix
+    # hash of (key, salt), key-string tie-break — the exact order the
+    # Spark range-partitioned prefix count produces
+    o["train_shuffle"] = """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'epoch0'), 1, 15)) AS BIGINT),
+                            CAST(doc_id AS VARCHAR)
+               ) - 1 AS BIGINT) AS shuffle_pos
+        FROM documents
     """
 
     # Tours over the event-anchored session construction. With

@@ -462,6 +462,34 @@ def test_dedup_clusters_longest_policy(spark):
     assert out[7] == (7, True)  # singleton keeps itself
 
 
+def test_shuffle_deterministic_is_a_stable_permutation(spark, docs):
+    from trackintel_spark.scale import shuffle_deterministic
+
+    base = docs.select("doc_id", "text").limit(200)
+    out = {r.doc_id: r.shuffle_pos for r in shuffle_deterministic(base, "doc_id").collect()}
+    # a permutation of 0..n-1
+    assert sorted(out.values()) == list(range(200))
+    # partitioning-invariant and rerun-stable
+    again = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_deterministic(base.repartition(7), "doc_id").collect()
+    }
+    assert again == out
+    # salt re-deals, md5 variant is its own (portable) order
+    salted = {r.doc_id: r.shuffle_pos for r in shuffle_deterministic(base, "doc_id", salt="x").collect()}
+    assert salted != out and sorted(salted.values()) == list(range(200))
+    md5 = {r.doc_id: r.shuffle_pos for r in shuffle_deterministic(base, "doc_id", hash_fn="md5").collect()}
+    assert sorted(md5.values()) == list(range(200))
+    # duplicate keys still get distinct positions (tie-break is total)
+    dup = base.unionByName(base.limit(5))
+    dd = shuffle_deterministic(dup, "doc_id").collect()
+    assert sorted(r.shuffle_pos for r in dd) == list(range(205))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hash_fn"):
+        shuffle_deterministic(base, "doc_id", hash_fn="crc")
+
+
 def test_split_by_hash_deterministic_and_proportional(spark, docs):
     from trackintel_spark.scale import split_by_hash
 

@@ -54,6 +54,47 @@ def split_by_hash(
     return df.withColumn(split_col, expr.otherwise(F.lit(last)))
 
 
+def shuffle_deterministic(
+    df: DataFrame,
+    key_col: str | Column,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Assign each row its position in a reproducible global training
+    order: ``out_col`` = 0-based rank of ``xxhash64(key, salt)`` (or
+    the engine-portable md5-prefix hash with ``hash_fn='md5'``), ties
+    broken by the key string.
+
+    The standard pretraining shuffle, but deterministic — unchanged
+    across runs, clusters, partition counts and input orderings, and
+    re-dealt by changing ``salt``. Write the result partitioned/sorted
+    by ``out_col`` and a training reader streams the epoch order
+    directly.
+
+    Scale shape: the rank comes from the range-partitioned exclusive
+    prefix count (plans/ids.py) — one range exchange + per-partition
+    window + a broadcast of the p-row partition bases, never a
+    single-task global window.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64/md5, got {hash_fn!r}")
+    from trackintel_spark.plans.ids import exclusive_prefix_sum
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    ks = key.cast("string")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.concat(ks, F.lit(salt))), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(ks, F.lit(salt))
+    # one string order key: zero-padded hash then the key as tie-break,
+    # so equal keys (duplicate rows) still order deterministically
+    order = F.concat(F.lpad(F.conv(h.cast("string"), 10, 16), 16, "0"), F.lit("|"), ks)
+    d = df.withColumn("__shuffle_k", order).withColumn("__one", F.lit(1))
+    out = exclusive_prefix_sum(d, "__shuffle_k", "__one", out_col=out_col, lazy=True)
+    return out.drop("__shuffle_k", "__one")
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",
