@@ -15,6 +15,7 @@ driver's synthetic documents/embeddings parquet:
     -> DSIR importance weighting toward a target corpus
     -> embedding ANN sanity probe (IVF with a k-means quantizer)
     -> deterministic train/val/test split -> sequence packing
+    -> reproducible epoch shuffle -> online embedding-match probe
 
 Every stage is a lazy DataFrame transformation; the only actions are
 the stage-count prints. Run:
@@ -49,7 +50,8 @@ from trackintel_spark.scale.dedup import (
 )
 from trackintel_spark.scale.mixing import dsir_log_weights, dsir_select, fit_ngram_model
 from trackintel_spark.scale.profile import corpus_profile
-from trackintel_spark.scale.sampling import pack_sequences, split_by_hash
+from trackintel_spark.scale.sampling import pack_sequences, shuffle_deterministic, split_by_hash
+from trackintel_spark.streaming import embedding_match_stream, index_embedding_corpus
 from trackintel_spark.scale.text import detect_language, quality_score, token_count
 from trackintel_spark.sources import load_table
 
@@ -209,12 +211,25 @@ def main() -> None:
     }
     print(f"IVF recall@5 (3/8 probes): {len(exact & approx) / len(exact):.2f}")
 
-    # 6. deterministic split + sequence packing
+    # 6. deterministic split + sequence packing + epoch shuffle
     split = split_by_hash(clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     train = split.filter(F.col("split") == "train").withColumn("n_tokens", F.col("n_tok"))
     packed = pack_sequences(train, max_tokens=2048)
     counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
     print(f"splits: {counts}; packed train sequences: {packed.count()}")
+    # reproducible global training order — write sorted by shuffle_pos
+    # and the reader streams the epoch; re-deal with salt="epoch1"
+    shuffled = shuffle_deterministic(train, "doc_id", salt="epoch0")
+    first = shuffled.orderBy("shuffle_pos").select("doc_id").limit(3).collect()
+    print(f"epoch0 order starts: {[r.doc_id for r in first]}")
+
+    # 7. online ingest sibling: the SAME corpus as a match index — a
+    # stream of freshly-embedded docs dedups against it statelessly
+    # (batch mode here; streaming/embmatch.py for readStream frames)
+    index = index_embedding_corpus(emb, n_planes=6)
+    probes = emb.limit(50).select(F.col("vec_id").alias("query_id"), "embedding")
+    hits = embedding_match_stream(probes, index, min_cosine=0.9, n_planes=6)
+    print(f"online near-dup hits at cosine>=0.9: {hits.count()}")
 
 
 if __name__ == "__main__":
