@@ -2448,8 +2448,12 @@ def oracle_sql() -> dict[str, str]:
         rt AS (SELECT COALESCE(SUM(c), 0) AS t FROM rc),
         ratio AS (
           SELECT bs.b,
-                 CAST(FLOOR((ln(COALESCE(tc.c, 0) + 1.0) - ln(tt.t + 512.0)
-                           - ln(COALESCE(rc.c, 0) + 1.0) + ln(rt.t + 512.0)) * 1000000 + 0.5) AS BIGINT) AS rmicro
+                 -- parenthesized to the SAME float association the Spark
+                 -- side uses — fl(ln(a)-ln(b)) - fl(ln(c)-ln(d)) — so a
+                 -- value ~1 ulp from a FLOOR(x*1e6+0.5) boundary cannot
+                 -- quantize differently between the engines.
+                 CAST(FLOOR(((ln(COALESCE(tc.c, 0) + 1.0) - ln(tt.t + 512.0))
+                           - (ln(COALESCE(rc.c, 0) + 1.0) - ln(rt.t + 512.0))) * 1000000 + 0.5) AS BIGINT) AS rmicro
           FROM (SELECT UNNEST(range(0, 512)) AS b) bs
           LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tt, rt
         ),

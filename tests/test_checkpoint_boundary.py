@@ -51,10 +51,42 @@ def test_truncation_is_threshold_and_conf_gated(spark):
             spark.conf.set(MIN_REDUNDANT_BYTES_CONF, old)
 
 
-def test_generate_trips_resets_chain_growth_when_forced(spark):
-    """End-to-end: with a tiny threshold the trips/tours boundary
-    truncates and the downstream plan stops compounding; with the
-    default it stays lazy at test scale (no checkpoint jobs)."""
+def test_persisted_lineage_counts_zero_redundant(spark):
+    """A persisted frame's duplicated lineage is NOT redundant I/O:
+    cache substitution replaces it with an InMemoryRelation leaf whose
+    re-scan is a warm block read, so the metric must not charge it (and
+    must not trigger a localCheckpoint that only duplicates the cache
+    while dropping recompute lineage)."""
+    df = _chained(spark)
+    red_cold, _ = redundant_scan_bytes(df)
+    assert red_cold > 0
+    base = spark.range(200_000).select("id", (F.col("id") % 97).alias("k")).persist()
+    try:
+        out = base
+        for _ in range(6):
+            out = out.unionByName(base)
+        red_cached, n_cached = redundant_scan_bytes(out)
+        assert red_cached == 0 and n_cached == 7
+        old = spark.conf.get(MIN_REDUNDANT_BYTES_CONF, None)
+        try:
+            spark.conf.set(MIN_REDUNDANT_BYTES_CONF, "1")
+            # even a 1-byte threshold leaves cached lineage untouched
+            assert truncate_if_rescan_heavy(out) is out
+        finally:
+            if old is None:
+                spark.conf.unset(MIN_REDUNDANT_BYTES_CONF)
+            else:
+                spark.conf.set(MIN_REDUNDANT_BYTES_CONF, old)
+    finally:
+        base.unpersist()
+
+
+def test_generate_trips_cached_lineage_stays_lazy(spark):
+    """End-to-end: the generate-operator chain's inputs are cache-backed
+    (the ids.py dense-id persists), so the boundary sees zero redundant
+    COLD bytes and stays lazy even with a 1-byte threshold — measured
+    cheaper than re-materializing the already-cached lineage (SCALE.md
+    r11 A/B). Results are identical either way."""
     from trackintel_spark.analysis import create_activity_flag
     from trackintel_spark.operators import (
         generate_staypoints,
@@ -78,7 +110,7 @@ def test_generate_trips_resets_chain_growth_when_forced(spark):
     old = spark.conf.get(MIN_REDUNDANT_BYTES_CONF, None)
     try:
         spark.conf.set(MIN_REDUNDANT_BYTES_CONF, "1")
-        _, _, trips_cut = generate_trips(sp, tpls, gap_threshold=120)
+        _, _, trips_tiny = generate_trips(sp, tpls, gap_threshold=120)
         spark.conf.set(MIN_REDUNDANT_BYTES_CONF, str(1 << 40))
         _, _, trips_lazy = generate_trips(sp, tpls, gap_threshold=120)
     finally:
@@ -87,7 +119,9 @@ def test_generate_trips_resets_chain_growth_when_forced(spark):
         else:
             spark.conf.set(MIN_REDUNDANT_BYTES_CONF, old)
 
-    assert _leaves(trips_cut) < _leaves(trips_lazy)
-    a = sorted(map(tuple, trips_cut.select("user_id", "started_at").collect()))
+    # cached lineage exempts the chain from truncation at any threshold
+    assert _leaves(trips_tiny) == _leaves(trips_lazy)
+    assert redundant_scan_bytes(trips_lazy)[0] == 0
+    a = sorted(map(tuple, trips_tiny.select("user_id", "started_at").collect()))
     b = sorted(map(tuple, trips_lazy.select("user_id", "started_at").collect()))
-    assert a == b  # truncation never changes results
+    assert a == b

@@ -84,7 +84,11 @@ def test_webdataset_duplicate_members_last_wins(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert bytes(r.parts["txt"]) == b"second version wins"
-    assert r.n_parts == 3  # members seen, including the overridden one
+    # n_parts counts the deduped winners — the same row set parts and
+    # total_bytes describe — not raw tar entries.
+    assert r.n_parts == 2
+    assert r.n_parts == len(r.parts)
+    assert r.total_bytes == len(b"second version wins") + len(b"{}")
 
 
 def test_webdataset_to_image_features(spark, tmp_path):

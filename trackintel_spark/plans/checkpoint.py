@@ -23,7 +23,19 @@ choice can't provide.
 
 Tunable via ``spark.trackintel.checkpoint.minRedundantBytes`` (default
 1 GiB; ``<= 0`` disables truncation entirely). Streaming frames and
-frames below the threshold pass through untouched.
+frames below the threshold pass through untouched. Lineage the user
+already ``persist()``-ed is exempt: the metric reads the
+cache-substituted plan, so ``InMemoryRelation`` segments count zero
+(see :func:`redundant_scan_bytes`).
+
+Fault-tolerance tradeoff: ``localCheckpoint`` stores the materialized
+blocks on the executors WITHOUT the lineage needed to recompute them —
+if an executor is lost after truncation, the job FAILS instead of
+recomputing the lost partitions. That is the price of cutting a
+multi-hundred-leaf DAG; on clusters with preemptible/spot executors
+set ``spark.trackintel.checkpoint.minRedundantBytes=0`` (keep full
+lineage) or give the session a reliable ``spark.checkpoint.dir`` and
+checkpoint explicitly at the pipeline level instead.
 """
 
 from __future__ import annotations
@@ -36,7 +48,7 @@ _UNKNOWN_SIZE_FLOOR = 1 << 62  # Catalyst's defaultSizeInBytes sentinel range
 
 
 def redundant_scan_bytes(df: DataFrame) -> tuple[int, int]:
-    """(redundant_bytes, leaf_count) for ``df``'s analyzed plan.
+    """(redundant_bytes, leaf_count) for ``df``'s cache-substituted plan.
 
     ``redundant_bytes`` = sum of leaf size estimates over ALL leaf
     occurrences minus the sum over semantically-distinct leaves: the
@@ -44,22 +56,39 @@ def redundant_scan_bytes(df: DataFrame) -> tuple[int, int]:
     lineage. Leaves with unknown statistics (Catalyst's huge default,
     e.g. an already-checkpointed LogicalRDD) count as zero — garbage
     estimates must never force a materialization.
+
+    Leaves are collected from ``withCachedData`` (the analyzed plan
+    after cache substitution), not the raw analyzed plan: a lineage
+    segment the user persisted shows up here as an ``InMemoryRelation``
+    leaf, and re-evaluating a cached segment is a warm block read, not
+    redundant input I/O — counting it would charge warm re-scans as
+    cold bytes and trigger an unneeded materialization on exactly the
+    pipelines (the generate-operator ``ids.py`` caches) that already
+    solved their re-scan problem. InMemoryRelation leaves therefore
+    count as zero. Size estimates are resolved once per distinct
+    semantic hash, so a 700-leaf chain of one duplicated scan costs one
+    ``stats()`` round-trip, not 700.
     """
-    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    leaves = df._jdf.queryExecution().withCachedData().collectLeaves()
     n = leaves.size()
     total = 0
-    distinct: dict[int, int] = {}
+    sizes: dict[int, int] = {}
     for i in range(n):
         leaf = leaves.apply(i)
-        try:
-            size = int(leaf.stats().sizeInBytes())
-        except Exception:
-            size = 0
-        if size >= _UNKNOWN_SIZE_FLOOR:
-            size = 0
-        total += size
-        distinct.setdefault(leaf.semanticHash(), size)
-    return total - sum(distinct.values()), n
+        h = leaf.semanticHash()
+        if h not in sizes:
+            if leaf.nodeName() == "InMemoryRelation":
+                size = 0
+            else:
+                try:
+                    size = int(leaf.stats().sizeInBytes())
+                except Exception:
+                    size = 0
+                if size >= _UNKNOWN_SIZE_FLOOR:
+                    size = 0
+            sizes[h] = size
+        total += sizes[h]
+    return total - sum(sizes.values()), n
 
 
 def truncate_if_rescan_heavy(df: DataFrame) -> DataFrame:

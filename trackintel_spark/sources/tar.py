@@ -101,20 +101,21 @@ def read_webdataset(
     # default spark.sql.mapKeyDedupPolicy=EXCEPTION and fail the job.
     last_per_ext = (
         members.groupBy("shard", "key", "ext")
-        .agg(
-            F.max_by(F.struct("payload", "size"), F.col("idx")).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(F.max_by(F.struct("payload", "size"), F.col("idx")).alias("m"))
         .select("shard", "key", "ext", F.col("m.payload").alias("payload"),
-                F.col("m.size").alias("size"), "n")
+                F.col("m.size").alias("size"))
     )
+    # n_parts / total_bytes describe the SAME row set as `parts`: the
+    # deduped last-wins members. Counting raw entries here would let
+    # n_parts exceed size(parts) while total_bytes excluded the losers'
+    # bytes — three columns describing three different row sets.
     return (
         last_per_ext.groupBy("shard", "key")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("ext"), F.col("payload")))
             ).alias("parts"),
-            F.sum("n").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_parts"),
             F.sum("size").alias("total_bytes"),
         )
     )

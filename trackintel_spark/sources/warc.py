@@ -65,16 +65,29 @@ def parse_warc_bytes(data: bytes):
         # blank line (any HTTP envelope does) must not pick the payload's
         # \r\n\r\n as the header terminator — that mis-reads
         # Content-Length and silently drops the rest of the file.
-        crlf_end = data.find(b"\r\n\r\n", pos)
-        lf_end = data.find(b"\n\n", pos)
-        if crlf_end == -1 and lf_end == -1:
+        # Single forward walk over "\n" hits, stopping at the first
+        # terminator of EITHER flavor: two unbounded data.find() calls
+        # here would each rescan the whole remaining buffer per record
+        # whenever one flavor never occurs (strict-CRLF Common Crawl
+        # segments have no bare "\n\n"), turning parsing into
+        # O(records x filesize) on real ~1 GB segments.
+        hdr_end = -1
+        sep = 0
+        i = data.find(b"\n", pos)
+        while i != -1:
+            if data[i + 1 : i + 2] == b"\n":
+                hdr_end, sep = i, 2  # "\n\n"
+                break
+            if (
+                i - 1 >= pos
+                and data[i - 1 : i] == b"\r"
+                and data[i + 1 : i + 3] == b"\r\n"
+            ):
+                hdr_end, sep = i - 1, 4  # "\r\n\r\n"
+                break
+            i = data.find(b"\n", i + 1)
+        if hdr_end == -1:
             break
-        if lf_end == -1 or (crlf_end != -1 and crlf_end <= lf_end):
-            # note crlf "\r\n\r\n" contains "\n\n" at offset+1, so when both
-            # match the same blank line lf_end == crlf_end + 1: prefer CRLF.
-            hdr_end, sep = crlf_end, 4
-        else:
-            hdr_end, sep = lf_end, 2
         headers = {}
         for line in data[pos:hdr_end].split(b"\n")[1:]:
             line = line.strip(b"\r")
