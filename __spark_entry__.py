@@ -1360,6 +1360,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["journey_flag"] = q_journey_flag
 
+    def q_geolife_mode_match(spark, sf):
+        """Transport-mode label matching (reference
+        io/dataset_reader.py:197-300) on synthetic intervals: triplegs
+        and label intervals both derive deterministically from the
+        events table, then the REAL banded interval join + overlap-
+        ratio argmax (sources/geolife.py:geolife_add_modes_to_triplegs)
+        picks each tripleg's best label; the oracle replays the plain
+        interval join + ROW_NUMBER argmax in SQL (the band prefilter is
+        a plan optimization, not a semantics change). Durations use
+        prime second counts so overlaps aren't grid-aligned; the argmax
+        orders by the 1e-9-rounded ratio (rounded-rank convention)."""
+        from trackintel_spark.sources.geolife import geolife_add_modes_to_triplegs
+
+        ev = load_table(spark, sf, "events")
+        dur_s = ((F.col("event_id") % 7) + 1) * 61
+        tpls = ev.select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.col("ts").alias("started_at"),
+            F.timestamp_seconds(F.col("ts").cast("double") + dur_s).alias("finished_at"),
+        )
+        off_s = (F.col("event_id") % 5) * 47 + 31
+        len_s = ((F.col("event_id") % 11) + 1) * 83
+        ls = F.timestamp_seconds(F.col("ts").cast("double") - off_s)
+        labels = ev.filter(F.col("event_id") % 3 == 0).select(
+            "user_id",
+            ls.alias("started_at"),
+            F.timestamp_seconds(ls.cast("double") + len_s).alias("finished_at"),
+            F.element_at(
+                F.array(F.lit("walk"), F.lit("bike"), F.lit("bus"), F.lit("car")),
+                (F.col("event_id") % 4).cast("int") + 1,
+            ).alias("mode"),
+        )
+        out = geolife_add_modes_to_triplegs(tpls, labels, ratio_threshold=0.25)
+        return out.select("id", "user_id", "started_at", "finished_at", "mode")
+
+    q["geolife_mode_match"] = q_geolife_mode_match
+
     # -- benchmark decontamination (full oracle: shingle join mirrored) -------
     def q_decontaminate(spark, sf):
         from trackintel_spark.scale.decontaminate import decontaminate
@@ -1671,8 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join", "anonymize_time",
         "predict_transport_mode", "modal_split", "merge_staypoints",
         "distance_matrix_chebyshev", "spatial_filter",
-        "freq_method", "osna_method", "pre_filter_locations", "location_identifier",
-        "journey_flag",
+        "osna_method", "pre_filter_locations", "location_identifier",
+        "journey_flag", "geolife_mode_match",
         "od_flows", "location_entropy", "next_location", "anonymize_grid",
         # §2.2 generate-operators (all oracle-backed now)
         "generate_staypoints", "generate_triplegs", "generate_trips",
@@ -1707,9 +1745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_flag", "temp_overlap",
         "grid_rollup", "time_rollup",
         # r11 rotation: displaced kernel-redundant siblings (see the
-        # prefix comment) — all still oracle-backed here.
+        # prefix comment) — all still oracle-backed here. freq_method
+        # rotated out for geolife_mode_match (its duration-argmax kernel
+        # rides in-prefix via location_identifier, which composes
+        # pre_filter + freq).
         "speed_positionfixes", "session_window", "quality_score",
-        "detect_language", "ngram_jaccard",
+        "detect_language", "ngram_jaccard", "freq_method",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -3548,6 +3589,45 @@ def oracle_sql() -> dict[str, str]:
                (h.user_id IS NOT NULL) AS journey
         FROM tours t LEFT JOIN homes h
           ON h.user_id = t.user_id AND h.loc = t.location_id
+    """
+
+    # Geolife mode matching: plain interval join + overlap-ratio argmax
+    # (the Spark side's banded equi-join is a plan shape, not a
+    # semantics change). epoch() here and cast-to-double there are the
+    # same micros/1e6 double; the argmax orders by the 1e-9-rounded
+    # ratio then (label start, mode), so any residual tie carries the
+    # same surviving column.
+    o["geolife_mode_match"] = """
+        WITH t AS (
+          SELECT event_id AS id, user_id, ts AS started_at,
+                 ts + ((event_id % 7) + 1) * 61 * INTERVAL 1 SECOND AS finished_at
+          FROM events
+        ),
+        l AS (
+          SELECT user_id AS lu,
+                 ts - ((event_id % 5) * 47 + 31) * INTERVAL 1 SECOND AS ls,
+                 ts - ((event_id % 5) * 47 + 31) * INTERVAL 1 SECOND
+                    + ((event_id % 11) + 1) * 83 * INTERVAL 1 SECOND AS lf,
+                 ['walk', 'bike', 'bus', 'car'][CAST(event_id % 4 AS INT) + 1] AS lmode
+          FROM events WHERE event_id % 3 = 0
+        ),
+        cand AS (
+          SELECT t.id, t.user_id, t.started_at, t.finished_at, l.ls, l.lmode,
+                 (LEAST(EPOCH(l.lf), EPOCH(t.finished_at))
+                  - GREATEST(EPOCH(l.ls), EPOCH(t.started_at)))
+                 / (EPOCH(t.finished_at) - EPOCH(t.started_at)) AS ratio
+          FROM t LEFT JOIN l
+            ON t.user_id = l.lu AND l.ls < t.finished_at AND l.lf > t.started_at
+        ),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY id
+                      ORDER BY ROUND(ratio, 9) DESC NULLS LAST, ls, lmode) AS rn
+          FROM cand
+        )
+        SELECT id, user_id, started_at, finished_at,
+               CASE WHEN ratio >= 0.25 THEN lmode END AS mode
+        FROM best WHERE rn = 1
     """
 
     # DTW / discrete Fréchet over the 2-vertex movement linestrings: the

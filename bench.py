@@ -91,18 +91,57 @@ def main() -> None:
     # 3-6x at random — documented same-day same-code spreads of
     # 22.5-40 s on the r3 total — and min-of-4 reliably dodges a wave.
     # All samples are recorded for inspection.
+    #
+    # Noise legibility (r10 verdict): a single start-of-run canary
+    # can't certify a whole run — BENCH_r10 had tpch_q1 flat while a
+    # mid-run steal wave forged 2-7x "regressions" in four consecutive
+    # cells. So the canary is INTERLEAVED: one tpch_q1 sample runs
+    # immediately before each cell (and each scale probe) and lands in
+    # the JSON as `canary[name]`, alongside the host's steal-time
+    # delta over the cell (`steal_cpu_s[name]`, CPU-seconds stolen by
+    # the hypervisor while the cell ran, from /proc/stat). Reading a
+    # "regressed" cell: if its canary sample is inflated vs the ~0.33 s
+    # norm or steal_cpu_s is large relative to wall x cores, the cell
+    # was measured inside a wave — A/B it same-session before believing
+    # the number.
+    def _steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8])  # cpu  user nice sys idle iowait irq sirq STEAL
+        except Exception:
+            return 0
+
+    _clk = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    canary_fn = lambda: em.queries()["tpch_q1"](spark, sf_dir)  # noqa: E731
+
+    def _canary_sample() -> float:
+        t0 = time.time()
+        canary_fn().count()
+        return round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    canary: dict[str, float] = {}
+    steal_cpu_s: dict[str, float] = {}
+    _canary_sample()  # warm the canary plan itself before first use
     for name, fn in QUERIES.items():
+        canary[name] = _canary_sample()
+        s0 = _steal_jiffies()
         runs = []
         for _ in range(4):
             t0 = time.time()
             df = fn()
             n = df.count()
             runs.append(round(time.time() - t0, 3))
+        steal_cpu_s[name] = round((_steal_jiffies() - s0) / _clk, 2)
         samples[name] = runs
         timings[name] = min(runs)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s {runs}", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {timings[name]:.2f}s {runs} "
+            f"canary={canary[name]}s steal={steal_cpu_s[name]}cpu-s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -135,7 +174,10 @@ def main() -> None:
         # regression. Two samples make probe regressions attributable;
         # both walls are recorded for inspection.
         for name, fn in probes:
+            canary[f"scale:{name}"] = _canary_sample()
+            s0 = _steal_jiffies()
             r1, r2 = fn(), fn()
+            steal_cpu_s[f"scale:{name}"] = round((_steal_jiffies() - s0) / _clk, 2)
             r = r1 if r1["wall_s"] <= r2["wall_s"] else r2
             keep = ("rows", "wall_s", "rows_per_s", "kept", "count_s", "kmeans_s", "dedup_s",
                     "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s",
@@ -153,6 +195,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "canary": canary,
+                "steal_cpu_s": steal_cpu_s,
                 "scale": scale,
                 "warmup_sec": warmup_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -107,7 +107,14 @@ def geolife_add_modes_to_triplegs(
     joined = joined.withColumn("__ratio", F.when(dur > 0, overlap / dur))
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id").orderBy(F.col("__ratio").desc_nulls_last(), F.col("__ls"))
+    # rounded-rank convention (same as the bm25/top-k surfaces): the
+    # argmax orders by the ratio ROUNDED to 1e-9 then (label start,
+    # mode), so sub-ulp float noise can't flip which label wins between
+    # engines, and any residual full tie carries the same mode — the
+    # only label column that survives into the output.
+    w = Window.partitionBy("id").orderBy(
+        F.round(F.col("__ratio"), 9).desc_nulls_last(), F.col("__ls"), F.col("__mode")
+    )
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     best = best.withColumn(
         "mode", F.when(F.col("__ratio") >= ratio_threshold, F.col("__mode"))
