@@ -1518,7 +1518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         The DuckDB oracle recomputes the expected envelope directly
         from documents, so any kernel mis-split (header terminator,
         Content-Length accounting, record advance) surfaces as a
-        row-count or hash mismatch."""
+        row-count or hash mismatch. r11 hardening: the fixture now mixes
+        bare-LF and CRLF header flavors, single- and multi-member gzip'd
+        segments, a truncated non-response tail record and raw trailing
+        garbage — the envelope-shape corners ADVICE found bugs in."""
         from trackintel_spark.scale import canonicalize_url, strip_html_expr
         from trackintel_spark.sources import parse_warc_frame
 
@@ -1534,13 +1537,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("</p><script>no()</script></body></html>"),
         )
         http = F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
-        rec = F.concat(
-            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
-            F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
-                  "Content-Type: application/http\r\nContent-Length: "),
-            F.octet_length(http).cast("string"),
-            F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
-        )
+
+        # r11 fixture hardening: mix the envelope shapes ADVICE keeps
+        # finding bugs in. Every 3rd record uses bare-LF WARC headers
+        # (payload still carries a CRLF HTTP envelope — the terminator-
+        # precedence case); record separators follow the header flavor.
+        def _mk_rec(nl):
+            return F.concat(
+                F.lit(f"WARC/1.0{nl}WARC-Type: response{nl}WARC-Target-URI: "), url,
+                F.lit(f"{nl}WARC-Date: 2024-01-01T00:00:00Z{nl}"
+                      f"Content-Type: application/http{nl}Content-Length: "),
+                F.octet_length(http).cast("string"),
+                F.lit(nl + nl), http, F.lit(nl + nl),
+            )
+
+        rec = F.when(F.col("doc_id") % 3 == 0, _mk_rec("\n")).otherwise(_mk_rec("\r\n"))
         segs = (
             docs.select(
                 (F.col("doc_id") % 8).alias("seg"),
@@ -1553,10 +1564,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("img")
             )
         )
+        # tail anomalies real segments carry: a TRUNCATED final record
+        # (Content-Length past EOF; non-response type so the filter
+        # drops it after the splitter must survive it) on seg%4==0, raw
+        # trailing garbage on seg%4==2.
+        segs = segs.withColumn(
+            "img",
+            F.concat(
+                F.col("img"),
+                F.when(F.col("seg") % 4 == 0,
+                       F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"
+                             "Content-Length: 100000\r\n\r\ntruncated-tail"))
+                 .when(F.col("seg") % 4 == 2, F.lit("#junk trailer, not a record"))
+                 .otherwise(F.lit("")),
+            ),
+        )
         files = segs.select(
             F.concat(F.lit("seg-"), F.col("seg").cast("string")).alias("path"),
             F.encode("img", "utf-8").alias("content"),
         )
+
+        # odd segments arrive gzipped — seg%4==1 as TWO concatenated
+        # gzip members (the per-record-member layout Common Crawl
+        # uses), seg%4==3 as one member. Deterministic (mtime=0);
+        # fixture-side compression only, the kernel under test gunzips.
+        def _gz(batches):
+            import gzip
+
+            for pdf in batches:
+                out = []
+                for p, c in zip(pdf["path"], pdf["content"]):
+                    seg = int(p.rsplit("-", 1)[1])
+                    data = bytes(c)
+                    if seg % 4 == 1:
+                        cut = len(data) // 2
+                        data = (gzip.compress(data[:cut], 6, mtime=0)
+                                + gzip.compress(data[cut:], 6, mtime=0))
+                    elif seg % 4 == 3:
+                        data = gzip.compress(data, 6, mtime=0)
+                    out.append(data)
+                pdf = pdf.assign(content=out)
+                yield pdf
+
+        files = files.mapInPandas(_gz, schema="path string, content binary")
         recs = parse_warc_frame(files, record_types=["response"])
         payload = F.col("payload").cast("string")
         html = F.regexp_replace(payload, "(?s)^.*?(\r\n\r\n|\n\n)", "")
