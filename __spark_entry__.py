@@ -635,6 +635,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count"] = q_token_count
 
+    def q_bpe_token_count(spark, sf):
+        """Token budgets under a TRAINED BPE tokenizer (Sennrich et al.
+        2016): the frozen merge table (scale/frozen_bpe.py, trained
+        deterministically on the sf0.1 corpus — the frozen-quality-model
+        provenance pattern) applies through the real Arrow-batched
+        rank-greedy kernel (scale/bpe.py:bpe_tokenize); the oracle
+        replays segmentation as a recursive SQL fixpoint over each
+        distinct word's symbol list (lowest-rank pair merges first,
+        first occurrence on rank ties — bpe_segment_word exactly), then
+        sums per-document token counts through the word multiset."""
+        from trackintel_spark.scale import bpe_token_count
+        from trackintel_spark.scale.frozen_bpe import FROZEN_BPE_MERGES
+
+        docs = load_table(spark, sf, "documents")
+        return bpe_token_count(docs, FROZEN_BPE_MERGES).select(
+            "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+        )
+
+    q["bpe_token_count"] = q_bpe_token_count
+
     def q_quality_score(spark, sf):
         from trackintel_spark.scale import quality_score
 
@@ -1759,8 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join", "anonymize_time",
         "predict_transport_mode", "modal_split", "merge_staypoints",
         "distance_matrix_chebyshev", "spatial_filter",
-        "osna_method", "pre_filter_locations", "location_identifier",
-        "journey_flag", "geolife_mode_match",
+        "osna_method", "location_identifier",
+        "journey_flag", "geolife_mode_match", "bpe_token_count",
         "od_flows", "location_entropy", "next_location", "anonymize_grid",
         # §2.2 generate-operators (all oracle-backed now)
         "generate_staypoints", "generate_triplegs", "generate_trips",
@@ -1801,6 +1821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre_filter + freq).
         "speed_positionfixes", "session_window", "quality_score",
         "detect_language", "ngram_jaccard", "freq_method",
+        # pre_filter_locations rotated out for bpe_token_count — the
+        # pre-filter kernel rides in-prefix via location_identifier
+        # (which composes pre_filter + freq).
+        "pre_filter_locations",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -2221,6 +2245,62 @@ def oracle_sql() -> dict[str, str]:
     o["token_count"] = """
         SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens
         FROM documents
+    """
+
+    # Rank-greedy BPE segmentation as a recursive SQL fixpoint. The
+    # frozen merge list becomes a 1-based rank lookup via
+    # list_position (0 = absent, hence NULLIF); each step merges the
+    # FIRST occurrence of the lowest-rank adjacent pair — exactly
+    # bpe_segment_word's loop — and a word is final when no adjacent
+    # pair has a rank. Per-doc counts re-assemble through the word
+    # multiset, so the Python kernel's per-word cache is semantically
+    # invisible.
+    from trackintel_spark.scale.frozen_bpe import FROZEN_BPE_MERGES as _BPE
+
+    _bpe_list = "[" + ", ".join(
+        "'{}' || chr(9) || '{}'".format(a.replace("'", "''"), b.replace("'", "''"))
+        for a, b in _BPE
+    ) + "]"
+    _bpe_keyed = (
+        "list_transform(range(1, len(sym)), i -> "
+        f"NULLIF(list_position({_bpe_list}, sym[i] || chr(9) || sym[i+1]), 0))"
+    )
+    o["bpe_token_count"] = f"""
+        WITH RECURSIVE
+        docw AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
+          FROM documents
+        ),
+        words AS (SELECT DISTINCT w FROM docw),
+        seg AS (
+          SELECT w, list_append(list_transform(range(1, length(w) + 1), i -> w[i:i]), '</w>') AS sym
+          FROM words
+          UNION ALL
+          SELECT w, sym[1:bi-1] || [sym[bi] || sym[bi+1]] || sym[bi+2:]
+          FROM (
+            SELECT w, sym,
+                   CASE WHEN mn IS NULL THEN NULL ELSE list_position(keyed, mn) END AS bi
+            FROM (
+              SELECT w, sym, keyed,
+                     list_aggregate(list_filter(keyed, x -> x IS NOT NULL), 'min') AS mn
+              FROM (SELECT w, sym, {_bpe_keyed} AS keyed FROM seg)
+            )
+          ) WHERE bi IS NOT NULL
+        ),
+        fin AS (
+          SELECT w, len(sym) AS n_sym
+          FROM (
+            SELECT w, sym,
+                   list_aggregate(list_filter({_bpe_keyed}, x -> x IS NOT NULL), 'min') AS mn
+            FROM seg
+          ) WHERE mn IS NULL
+        )
+        SELECT d.doc_id, CAST(COALESCE(SUM(f.n_sym), 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN (SELECT dw.doc_id, f.n_sym FROM docw dw JOIN fin f USING (w)) f
+          USING (doc_id)
+        GROUP BY d.doc_id
     """
 
     _toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
