@@ -137,6 +137,84 @@ def run_dbscan(spark, n: int) -> dict:
     return res
 
 
+def run_streaming_staypoints(spark, n: int, n_batches: int = 10) -> dict:
+    """Stateful streaming throughput: ``staypoints_stream_exact`` over
+    ``n`` mobility positionfixes delivered as ``n_batches`` time-ordered
+    parquet micro-batches (maxFilesPerTrigger=1, availableNow) — the
+    nightly-catchup / replay regime. Every user advances together in
+    each micro-batch (all devices upload continuously), so candidate
+    windows genuinely span trigger boundaries and the state store holds
+    one open window per user the whole run.
+
+    Reports input rows/s plus the state-store footprint from the last
+    StreamingQueryProgress (numRowsTotal / memoryUsedBytes) — the
+    numbers that bound executor memory at cluster scale.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from trackintel_spark.streaming import staypoints_stream_exact
+
+    per_user = 2000
+    flat = mobility_input(spark, n, pfs_per_user=per_user).select(
+        "id", "user_id", "tracked_at",
+        F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat"),
+    )
+    base = tempfile.mkdtemp(prefix="sp_stream_probe_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    step = (per_user + n_batches - 1) // n_batches
+    pos = F.col("id") % per_user
+    for k in range(n_batches):
+        d = os.path.join(src, f"b{k:03d}")
+        # one file per chunk: maxFilesPerTrigger=1 should see exactly
+        # n_batches micro-batches, not one per shuffle partition
+        flat.filter((pos >= k * step) & (pos < (k + 1) * step)).coalesce(1).write.parquet(d)
+        now = time.time() + k  # file-source order follows modification time
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now, now))
+    schema = "id long, user_id long, tracked_at timestamp, lon double, lat double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = staypoints_stream_exact(
+        stream, dist_threshold=100, time_threshold=5, gap_threshold=120
+    )
+    t0 = time.time()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sp_stream_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    n_sp = spark.sql("SELECT count(*) FROM sp_stream_probe").first()[0]
+    state_rows = state_mb = batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, so.get("numRowsTotal", 0))
+            state_mb = max(state_mb, so.get("memoryUsedBytes", 0) / 2**20)
+    spark.catalog.dropTempView("sp_stream_probe")
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "rows": n,
+        "wall_s": round(wall, 1),
+        "rows_per_s": int(n / wall),
+        "staypoints": n_sp,
+        "micro_batches": batches,
+        "state_rows_max": state_rows,
+        "state_mb_max": round(state_mb, 1),
+    }
+
+
 def main():
     from trackintel_spark import get_spark
 
