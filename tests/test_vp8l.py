@@ -93,12 +93,23 @@ def test_roundtrip_flat_and_gradient():
     assert (decode_webp(encode_webp(grad))[:, :, :3] == grad).all()
 
 
-def test_container_rejects_lossy_and_garbage():
+def test_container_rejects_garbage_routes_lossy():
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFFxxxxJUNK")
+    # lossy VP8 now routes to the real _vp8 decoder (r11); a truncated
+    # body is a clean ValueError, not a NotImplementedError gate
     lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="VP8"):
         decode_webp(lossy)
+    # and a real lossy stream decodes end-to-end through the container
+    import numpy as np
+
+    from trackintel_spark.scale._vp8 import encode_webp_lossy
+
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    out = decode_webp(encode_webp_lossy(img, qi=4))
+    assert out.shape == (16, 16, 4)
+    assert np.abs(out[..., :3].astype(int) - 77).max() <= 6
 
 
 # ---- crafted streams: features the encoder never emits ----------------------

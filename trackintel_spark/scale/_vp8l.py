@@ -527,8 +527,11 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a lossless WebP file (RIFF/WEBP/VP8L) to RGBA uint8.
-    VP8 (lossy) and VP8X-wrapped streams raise — env-gated upstream."""
+    """Decode a WebP file (RIFF/WEBP) to RGBA uint8: VP8L (lossless)
+    via :func:`decode_vp8l`, lossy VP8 key frames via the clean-room
+    :mod:`trackintel_spark.scale._vp8` decoder (r11 — see that module's
+    verification note). VP8X-wrapped streams raise — env-gated
+    upstream."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -539,9 +542,14 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(body)
         if tag == b"VP8 ":
-            raise NotImplementedError("lossy VP8 WebP needs a codec library")
+            from trackintel_spark.scale._vp8 import decode_vp8
+
+            rgb = decode_vp8(body)
+            return np.dstack(
+                [rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)]
+            )
         pos += 8 + size + (size & 1)
-    raise ValueError("WebP: no VP8L chunk found")
+    raise ValueError("WebP: no VP8L or VP8 chunk found")
 
 
 # -- minimal general encoder ---------------------------------------------------

@@ -349,8 +349,10 @@ def _decode_image_rgb(payload: bytes) -> np.ndarray:
         from trackintel_spark.scale._vp8l import decode_webp
 
         try:
-            return decode_webp(payload)[:, :, :3]  # VP8L real decode
-        except NotImplementedError as e:  # lossy VP8: codec-library territory
+            # VP8L and lossy VP8 key frames both real-decode (r11: the
+            # clean-room _vp8 module); VP8X still raises -> env-gated
+            return decode_webp(payload)[:, :, :3]
+        except NotImplementedError as e:  # VP8X extended features
             raise ValueError(str(e))
     img = decode_png(payload)
     c = img.shape[2]
@@ -495,10 +497,12 @@ def resize_images(
                         )
 
                         try:
+                            # lossy VP8 decodes too (r11); converted
+                            # output re-encodes as VP8L (lossless)
                             img = _dw(payload)[:, :, :3]
                             enc = _ew
                         except (ValueError, NotImplementedError):
-                            out.append((pid, payload))  # lossy VP8 passes through
+                            out.append((pid, payload))  # VP8X passes through
                             continue
                     else:
                         try:
