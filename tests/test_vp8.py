@@ -350,3 +350,27 @@ def test_image_decode_kernel_routes_lossy_webp():
     out = _decode_image_rgb(payload)
     assert out.shape == (24, 40, 3)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_round_trip_multiple_token_partitions():
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)
+    for lp in (1, 2, 3):
+        data, Yr, Ur, Vr = encode_vp8(img, qi=20, log2_partitions=lp, return_recon=True)
+        Y, U, V, _, _ = decode_vp8(data, return_yuv=True)
+        assert (Y == Yr).all() and (U == Ur).all() and (V == Vr).all(), lp
+
+
+def test_crafted_bpred_all_bdc_frame():
+    """One skip B_PRED macroblock, all 16 submodes B_DC (hand-derived
+    paths: ymode '0' @145, each submode '0' @KF_BMODE_PROB[0][0][0]).
+    Sequential 4x4 DC recon from the 127/129 borders gives exactly
+    rows 0-3 = 128 and rows 4-15 = 129 (hand-computed: first block
+    (4*127 + 4*129 + 4) >> 3 = 128, blocks right of it inherit 128;
+    every block from subblock-row 1 down resolves to 129)."""
+    bpred_bits = [(145, 0)] + [(231, 0)] * 16
+    data = _craft_frame(1, 1, [bpred_bits])
+    Y, U, V, _, _ = decode_vp8(data, return_yuv=True)
+    assert (Y[0:4, :] == 128).all()
+    assert (Y[4:16, :] == 129).all()
+    assert (U == 128).all() and (V == 128).all()

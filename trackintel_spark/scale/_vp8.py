@@ -1117,10 +1117,11 @@ class _TokenWriter:
 
 def encode_vp8(rgb: np.ndarray, qi: int = 4, filter_level: int = 0,
                filter_type: int = 0, sharpness: int = 0,
-               return_recon: bool = False):
+               log2_partitions: int = 0, return_recon: bool = False):
     """Encode an (H, W, 3) uint8 RGB array as a VP8 key frame (DC16
-    prediction, single token partition). Quality: lower ``qi`` = finer
-    quantizer. The reconstruction loop is closed — prediction uses the
+    prediction, 2**log2_partitions token partitions assigned
+    row-round-robin like the decoder expects). Quality: lower ``qi`` =
+    finer quantizer. The reconstruction loop is closed — prediction uses the
     same integer IDCT/WHT recon path the decoder runs — so with
     ``return_recon=True`` the returned (Y, U, V) planes are the exact
     pixels a correct decoder must produce at filter_level 0."""
@@ -1142,7 +1143,7 @@ def encode_vp8(rgb: np.ndarray, qi: int = 4, filter_level: int = 0,
     hdr.write_literal(6, filter_level)
     hdr.write_literal(3, sharpness)
     hdr.write_literal(1, 0)  # lf deltas off
-    hdr.write_literal(2, 0)  # one token partition
+    hdr.write_literal(2, log2_partitions)
     hdr.write_literal(7, qi)
     for _ in range(5):
         hdr.write_literal(1, 0)  # no quant deltas
@@ -1155,8 +1156,9 @@ def encode_vp8(rgb: np.ndarray, qi: int = 4, filter_level: int = 0,
     hdr.write_literal(1, 1)  # mb_no_coeff_skip
     hdr.write_literal(8, 128)  # prob_skip_false
 
-    tok = BoolEncoder()
-    tw = _TokenWriter(tok, DEFAULT_COEF_PROBS)
+    n_parts = 1 << log2_partitions
+    toks = [BoolEncoder() for _ in range(n_parts)]
+    tws = [_TokenWriter(t, DEFAULT_COEF_PROBS) for t in toks]
 
     above_y = np.zeros(mb_w * 4, dtype=np.int32)
     above_u = np.zeros(mb_w * 2, dtype=np.int32)
@@ -1168,6 +1170,7 @@ def encode_vp8(rgb: np.ndarray, qi: int = 4, filter_level: int = 0,
         left_u = np.zeros(2, dtype=np.int32)
         left_v = np.zeros(2, dtype=np.int32)
         left_y2 = 0
+        tw = tws[mb_y % n_parts]
         for mb_x in range(mb_w):
             x0, y0 = mb_x * 16, mb_y * 16
             cx, cy = mb_x * 8, mb_y * 8
@@ -1295,11 +1298,15 @@ def encode_vp8(rgb: np.ndarray, qi: int = 4, filter_level: int = 0,
                 rec[cy : cy + 8, cx : cx + 8] = _clamp255(blk)
 
     part1 = hdr.finish()
-    tokens = tok.finish()
+    token_parts = [t.finish() for t in toks]
     b0 = (0) | (0 << 1) | (1 << 4) | ((len(part1) & 0x7) << 5)
     tag = bytes([b0, (len(part1) >> 3) & 0xFF, (len(part1) >> 11) & 0xFF])
     dims = struct.pack("<HH", w, h)
-    data = tag + b"\x9d\x01\x2a" + dims + part1 + tokens
+    # sizes of all partitions except the last, 3-byte LE each
+    sizes = b"".join(
+        len(t).to_bytes(3, "little") for t in token_parts[:-1]
+    )
+    data = tag + b"\x9d\x01\x2a" + dims + part1 + sizes + b"".join(token_parts)
     if return_recon:
         return data, Yr, Ur, Vr
     return data
