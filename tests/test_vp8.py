@@ -374,3 +374,73 @@ def test_crafted_bpred_all_bdc_frame():
     assert (Y[0:4, :] == 128).all()
     assert (Y[4:16, :] == 129).all()
     assert (U == 128).all() and (V == 128).all()
+
+
+def test_crafted_segmentation_and_lf_delta_headers_parse():
+    """Segmentation (map + abs feature data + tree probs) and loop-
+    filter deltas in the header, per-MB segment ids in the mode stream:
+    any mis-parse desyncs the boolean decoder and corrupts the ymode
+    reads, so the uniform-128 expectation doubles as a desync canary.
+    Segment tree paths with probs 128: seg0='00' seg1='01' seg2='10'
+    seg3='11'."""
+    e = BoolEncoder()
+    e.write_literal(1, 0)  # color space
+    e.write_literal(1, 0)  # clamping
+    e.write_literal(1, 1)  # segmentation ENABLED
+    e.write_literal(1, 1)  # update mb segmentation map
+    e.write_literal(1, 1)  # update segment feature data
+    e.write_literal(1, 1)  # absolute values
+    for qv in (10, 60, 90, 120):  # per-segment quantizers (skip MBs: unused)
+        e.write_literal(1, 1)
+        e.write_literal(7, qv)
+        e.write_bool(128, 0)  # sign +
+    for lf in (0, 0, 0, 0):  # per-segment loop filter: off
+        e.write_literal(1, 1)
+        e.write_literal(6, lf)
+        e.write_bool(128, 0)
+    for _ in range(3):  # segment tree probs = 128
+        e.write_literal(1, 1)
+        e.write_literal(8, 128)
+    e.write_literal(1, 0)  # normal filter
+    e.write_literal(6, 0)  # level 0
+    e.write_literal(3, 0)  # sharpness
+    e.write_literal(1, 1)  # lf delta ENABLED
+    e.write_literal(1, 1)  # update deltas
+    for d in (3, -2, 1, 0):  # ref deltas
+        e.write_literal(1, 1)
+        e.write_literal(6, abs(d))
+        e.write_bool(128, 1 if d < 0 else 0)
+    for d in (-1, 2, 0, 4):  # mode deltas
+        e.write_literal(1, 1)
+        e.write_literal(6, abs(d))
+        e.write_bool(128, 1 if d < 0 else 0)
+    e.write_literal(2, 0)  # one token partition
+    e.write_literal(7, 4)  # frame qi
+    for _ in range(5):
+        e.write_literal(1, 0)
+    e.write_literal(1, 0)  # refresh entropy
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    e.write_bool(COEF_UPDATE_PROBS[i][j][k][l], 0)
+    e.write_literal(1, 1)  # mb_no_coeff_skip
+    e.write_literal(8, 128)
+    seg_paths = [[(128, 0), (128, 0)], [(128, 0), (128, 1)],
+                 [(128, 1), (128, 0)], [(128, 1), (128, 1)]]
+    for mb in range(4):
+        for p, b in seg_paths[mb]:  # segment id (one per MB: 0,1,2,3)
+            e.write_bool(p, b)
+        e.write_bool(128, 1)  # skip
+        for p, b in _DC_BITS:
+            e.write_bool(p, b)
+        e.write_bool(142, 0)  # uv DC
+    part1 = e.finish()
+    import struct as _s
+
+    b0 = (1 << 4) | ((len(part1) & 7) << 5)
+    tag = bytes([b0, (len(part1) >> 3) & 0xFF, (len(part1) >> 11) & 0xFF])
+    data = tag + b"\x9d\x01\x2a" + _s.pack("<HH", 32, 32) + part1 + b"\x00\x00"
+    Y, U, V, w, h = decode_vp8(data, return_yuv=True)
+    assert (w, h) == (32, 32)
+    assert (Y == 128).all() and (U == 128).all() and (V == 128).all()
