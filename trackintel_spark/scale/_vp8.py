@@ -731,8 +731,11 @@ def decode_vp8(data: bytes, return_yuv: bool = False):
                         td, hdr.coef_probs, bt, first, ctx, q["y1"][0], q["y1"][1]
                     )
                     if has_y2:
+                        # the Y2-carried DC joins the residual but NOT
+                        # the token entropy context — that flag tracks
+                        # only the coefficients coded in THIS block's
+                        # token stream (spec detokenizer behavior)
                         coeffs[0] = y2dc[r, c]
-                        nz = nz or coeffs[0] != 0
                     ycoef[b] = coeffs
                     above_y[mb_x * 4 + c] = left_y[r] = int(nz)
                     mb_nonzero |= nz
@@ -1270,8 +1273,9 @@ def encode_vp8(rgb: np.ndarray, qi: int = 4, filter_level: int = 0,
                     ctx = int(above_y[mb_x * 4 + c] + left_y[r])
                     lv_r = np.zeros(16, dtype=np.int64)
                     lv_r[:] = ylevels[b]
+                    # context flag covers coded coefficients only — the
+                    # Y2-carried DC is excluded (mirrors the decoder)
                     nz = tw.write_block(lv_r, 0, 1, ctx)
-                    nz = nz or ydeq[b][0] != 0
                     above_y[mb_x * 4 + c] = left_y[r] = int(nz)
                 for name, a_arr, l_arr in (("u", above_u, left_u), ("v", above_v, left_v)):
                     for b in range(4):
