@@ -591,3 +591,26 @@ def test_warc_frame_parse_is_map_only(spark):
     plan = _plan(parse_warc_frame(frame, record_types=["response"]))
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_geolife_mode_match_is_banded_equi_join(spark):
+    """The label-interval prefilter must stay an equi-join on
+    (user, time bin) — never a pure-range cross join — and the argmax
+    adds exactly one hash exchange."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["geolife_mode_match"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bpe_token_count_is_map_side_only(spark):
+    """Tokenizer application is one Arrow projection over the scan —
+    zero joins, zero exchanges (the 100-TB contract for scoring ops)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["bpe_token_count"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
