@@ -444,3 +444,91 @@ def test_crafted_segmentation_and_lf_delta_headers_parse():
     Y, U, V, w, h = decode_vp8(data, return_yuv=True)
     assert (w, h) == (32, 32)
     assert (Y == 128).all() and (U == 128).all() and (V == 128).all()
+
+
+def test_bpred_modes_match_spec_tables():
+    """Every B_PRED subblock predictor vs the spec's per-pixel formula
+    tables, transcribed here independently (avg2/avg3 over above A0-A7,
+    left L0-L3, above-left X). Distinct prime-ish inputs so any index
+    slip changes some pixel."""
+    from trackintel_spark.scale._vp8 import _bpred4
+
+    A = [13, 29, 47, 61, 79, 101, 113, 131]  # above + above-right
+    L = [17, 37, 53, 73]
+    X = 97
+
+    def a2(a, b):
+        return (a + b + 1) >> 1
+
+    def a3(a, b, c):
+        return (a + 2 * b + c + 2) >> 2
+
+    exp = {}
+    exp[0] = [[(sum(A[:4]) + sum(L) + 4) >> 3] * 4] * 4  # B_DC
+    exp[1] = [[max(0, min(255, A[c] + L[r] - X)) for c in range(4)] for r in range(4)]  # B_TM
+    ve = [a3(X, A[0], A[1]), a3(A[0], A[1], A[2]), a3(A[1], A[2], A[3]), a3(A[2], A[3], A[4])]
+    exp[2] = [ve] * 4  # B_VE
+    he = [a3(X, L[0], L[1]), a3(L[0], L[1], L[2]), a3(L[1], L[2], L[3]), a3(L[2], L[3], L[3])]
+    exp[3] = [[he[r]] * 4 for r in range(4)]  # B_HE
+    ld = [a3(A[i], A[i + 1], A[i + 2]) for i in range(6)] + [a3(A[6], A[7], A[7])]
+    exp[4] = [[ld[r + c] for c in range(4)] for r in range(4)]  # B_LD
+    rd = [a3(L[3], L[2], L[1]), a3(L[2], L[1], L[0]), a3(L[1], L[0], X),
+          a3(L[0], X, A[0]), a3(X, A[0], A[1]), a3(A[0], A[1], A[2]), a3(A[1], A[2], A[3])]
+    exp[5] = [[rd[3 + c - r] for c in range(4)] for r in range(4)]  # B_RD
+    vr0 = [a2(X, A[0]), a2(A[0], A[1]), a2(A[1], A[2]), a2(A[2], A[3])]
+    vr1 = [a3(L[0], X, A[0]), a3(X, A[0], A[1]), a3(A[0], A[1], A[2]), a3(A[1], A[2], A[3])]
+    exp[6] = [vr0, vr1,
+              [a3(L[1], L[0], X)] + vr0[:3],
+              [a3(L[2], L[1], L[0])] + vr1[:3]]  # B_VR
+    vl0 = [a2(A[0], A[1]), a2(A[1], A[2]), a2(A[2], A[3]), a2(A[3], A[4])]
+    vl1 = [a3(A[0], A[1], A[2]), a3(A[1], A[2], A[3]), a3(A[2], A[3], A[4]), a3(A[3], A[4], A[5])]
+    exp[7] = [vl0, vl1,
+              vl0[1:] + [a3(A[4], A[5], A[6])],
+              vl1[1:] + [a3(A[5], A[6], A[7])]]  # B_VL
+    hd0 = [a2(X, L[0]), a3(A[0], X, L[0]), a3(A[1], A[0], X), a3(A[2], A[1], A[0])]
+    hd1 = [a2(L[0], L[1]), a3(X, L[0], L[1])] + hd0[:2]
+    hd2 = [a2(L[1], L[2]), a3(L[0], L[1], L[2])] + hd1[:2]
+    hd3 = [a2(L[2], L[3]), a3(L[1], L[2], L[3])] + hd2[:2]
+    exp[8] = [hd0, hd1, hd2, hd3]  # B_HD
+    hu = [a2(L[0], L[1]), a3(L[0], L[1], L[2]), a2(L[1], L[2]), a3(L[1], L[2], L[3]),
+          a2(L[2], L[3]), a3(L[2], L[3], L[3]), L[3], L[3], L[3], L[3]]
+    exp[9] = [[hu[min(2 * r + c, 9)] for c in range(4)] for r in range(4)]  # B_HU
+
+    a = np.array(A[:4], dtype=np.int32)
+    ar = np.array(A[4:], dtype=np.int32)
+    ll = np.array(L, dtype=np.int32)
+    for mode in range(10):
+        got = _bpred4(mode, a, ll, X, ar)
+        assert got.tolist() == exp[mode], f"mode {mode}: {got.tolist()} != {exp[mode]}"
+
+
+def test_corrupt_input_raises_valueerror_fast():
+    """Crawl-data hygiene: corrupt/truncated/garbage VP8 payloads must
+    raise ValueError (the per-row error the Spark kernels absorb) —
+    never IndexError/hangs — and must fail FAST even when the corrupted
+    header claims a 16383x16383 raster (the raster-vs-bytes bound)."""
+    import time
+
+    rng = random.Random(77)
+    img = (np.arange(32 * 32 * 3) % 256).astype(np.uint8).reshape(32, 32, 3)
+    good = bytearray(encode_vp8(img, qi=30))
+    t0 = time.time()
+    for _ in range(150):
+        data = bytearray(good)
+        for _ in range(rng.randint(1, 10)):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            decode_vp8(bytes(data))
+        except ValueError:
+            pass
+    for n in (0, 3, 9, 10, 40, 200):
+        try:
+            decode_vp8(bytes([rng.randrange(256) for _ in range(n)]))
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 31):
+        try:
+            decode_vp8(bytes(good[:cut]))
+        except ValueError:
+            pass
+    assert time.time() - t0 < 30

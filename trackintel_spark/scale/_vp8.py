@@ -518,12 +518,14 @@ def _bpred4(mode, a, l, p, ar):
             for c in range(4):
                 d = 2 * c - r  # diagonal coordinate
                 if d % 2 == 0 and d >= 0:
+                    # even diagonals: avg2 chain anchored at (P, A0)
                     i = c - (r >> 1)
                     out[r, c] = _avg2(*( (P, A[0]) if i == 0 else (A[i - 1], A[i]) ))
                 elif d >= 0:
+                    # odd diagonals: avg3 chain anchored at (P, A0, A1)
                     i = c - (r >> 1)
-                    out[r, c] = (_avg3(P, A[0], A[1]) if i == 0
-                                 else _avg3(A[i - 1], A[i], A[i + 1]))
+                    out[r, c] = (_avg3(P, A[0], A[1]) if i == 1
+                                 else _avg3(A[i - 2], A[i - 1], A[i]))
                 elif d == -1:
                     out[r, c] = _avg3(A[0], P, L[0])
                 else:
@@ -537,12 +539,11 @@ def _bpred4(mode, a, l, p, ar):
                     out[r, c] = _avg2(A[i], A[i + 1])
                 else:
                     out[r, c] = _avg3(A[i], A[i + 1], A[i + 2])
-        # spec's four literal corner overrides on the bottom-right edge
-        out[3, 1] = _avg3(A[4], A[5], A[6])
+        # spec's two corner overrides reach further into above-right
         out[2, 3] = _avg3(A[4], A[5], A[6])
-        out[3, 2] = _avg3(A[5], A[6], A[7])
-        out[3, 3] = _avg3(A[6], A[7], A[7])
+        out[3, 3] = _avg3(A[5], A[6], A[7])
     elif mode == B_HD:
+        # transpose of B_VR with above/left swapped
         for r in range(4):
             for c in range(4):
                 d = 2 * r - c
@@ -551,8 +552,8 @@ def _bpred4(mode, a, l, p, ar):
                     out[r, c] = _avg2(*( (P, L[0]) if i == 0 else (L[i - 1], L[i]) ))
                 elif d >= 0:
                     i = r - (c >> 1)
-                    out[r, c] = (_avg3(P, L[0], L[1]) if i == 0
-                                 else _avg3(L[i - 1], L[i], L[i + 1]))
+                    out[r, c] = (_avg3(P, L[0], L[1]) if i == 1
+                                 else _avg3(L[i - 2], L[i - 1], L[i]))
                 elif d == -1:
                     out[r, c] = _avg3(L[0], P, A[0])
                 else:
@@ -622,7 +623,21 @@ def decode_vp8(data: bytes, return_yuv: bool = False):
         raise ValueError("VP8: bad start code")
     w_raw, h_raw = struct.unpack("<HH", data[6:10])
     width, height = w_raw & 0x3FFF, h_raw & 0x3FFF
+    if width == 0 or height == 0:
+        raise ValueError("VP8: zero dimension")
+    # corrupt headers decode to garbage 14-bit dims (up to 16383x16383
+    # = 1M macroblocks of work) — on crawl data that is a per-record
+    # denial of service, so bound the claimed raster against the bytes
+    # actually present: a key frame cannot carry more macroblocks than
+    # bits in its partitions (every MB costs >= several bool decodes).
     mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    if mb_w * mb_h > max(64, len(data) * 8):
+        raise ValueError(
+            f"VP8: implausible {width}x{height} raster for a "
+            f"{len(data)}-byte frame (likely corrupt header)"
+        )
+    if part1_size > len(data):
+        raise ValueError("VP8: first partition size exceeds frame")
 
     first_part = data[10 : 10 + part1_size]
     bd = BoolDecoder(first_part)
