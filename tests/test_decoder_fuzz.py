@@ -1,0 +1,80 @@
+"""Crawl-data exception hygiene for every byte-level decoder.
+
+A 100-TB crawl corpus contains bit-flipped, truncated and mislabeled
+payloads as a matter of course. The Arrow kernels absorb ValueError
+per row (multimodal.py feature/convert loops); any OTHER exception
+type escapes and fails the whole Spark task, and a decoder that takes
+minutes to reject a corrupt header is a per-record denial of service.
+This battery pins both properties for each decoder: bit-flip + prefix-
+truncation fuzz must produce only ValueError (or success), fast."""
+
+from __future__ import annotations
+
+import random
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from trackintel_spark.scale._jpeg import decode_jpeg, encode_jpeg
+from trackintel_spark.scale._vp8 import encode_webp_lossy
+from trackintel_spark.scale._vp8l import decode_webp, encode_webp
+from trackintel_spark.scale.multimodal import (
+    decode_bmp,
+    decode_gif,
+    decode_png,
+    decode_ppm,
+    decode_wav_pcm,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+)
+
+_IMG = (np.arange(24 * 24 * 3) % 256 // 32 * 32).astype(np.uint8).reshape(24, 24, 3)
+_PCM = (np.sin(np.arange(500)) * 10000).astype("<i2").tobytes()
+_WAV = (
+    b"RIFF" + struct.pack("<I", 36 + len(_PCM)) + b"WAVEfmt "
+    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data" + struct.pack("<I", len(_PCM)) + _PCM
+)
+
+
+def _rgba(img):
+    return np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+
+
+CASES = [
+    ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
+    ("png", lambda: encode_png(_IMG), decode_png),
+    ("gif", lambda: encode_gif(_IMG), decode_gif),
+    ("bmp", lambda: encode_bmp(_IMG), decode_bmp),
+    ("webp_vp8l", lambda: encode_webp(_rgba(_IMG)), decode_webp),
+    ("webp_vp8", lambda: encode_webp_lossy(_IMG, qi=20), decode_webp),
+    ("wav", lambda: _WAV, decode_wav_pcm),
+    ("ppm", lambda: b"P6\n24 24\n255\n" + _IMG.tobytes(), decode_ppm),
+]
+
+
+@pytest.mark.parametrize("name,mk,dec", CASES, ids=[c[0] for c in CASES])
+def test_corrupt_payloads_raise_valueerror_fast(name, mk, dec):
+    rng = random.Random(hash(name) % 2**32)
+    good = bytearray(mk())
+    t0 = time.time()
+    for _ in range(150):
+        data = bytearray(good)
+        for _ in range(rng.randint(1, 10)):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            dec(bytes(data))
+        except ValueError:
+            pass
+    step = max(1, len(good) // 60)
+    for cut in range(0, len(good), step):
+        try:
+            dec(bytes(good[:cut]))
+        except ValueError:
+            pass
+    # the whole battery stays fast: no corrupt-header work explosions
+    assert time.time() - t0 < 60, f"{name} decoder too slow on corrupt input"
+    dec(bytes(good))  # and the pristine payload still decodes

@@ -208,7 +208,17 @@ def _huff_decode(reader: _BitReader, table) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JFIF payload to (h, w, 3) uint8 RGB (grayscale
     replicates). Raises ValueError on progressive (SOF2), arithmetic,
-    12-bit, hierarchical, or malformed input."""
+    12-bit, hierarchical, or malformed input — corrupt streams (bit
+    flips, truncation: normal in crawl corpora) always surface as
+    ValueError, the per-row error the Spark kernels absorb, never as a
+    stray IndexError/KeyError that would fail the whole task."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -291,6 +301,17 @@ def _decode_scan(payload, pos, sof, sel, qt, huff, restart):
             )
     mcux = -(-w // (8 * maxh))
     mcuy = -(-h // (8 * maxv))
+    # crawl-data hygiene: a bit-flipped SOF can claim a 65535x65535
+    # raster that takes minutes of numpy work before failing. Baseline
+    # entropy coding spends >= 2 bits per 8x8 block (one DC code), so a
+    # frame whose block count exceeds 4x the remaining entropy BYTES is
+    # structurally impossible — reject it in microseconds instead.
+    total_blocks = sum(mcux * c["h"] * mcuy * c["v"] for c in comps)
+    if total_blocks > max(4096, (len(payload) - pos) * 4):
+        raise ValueError(
+            f"implausible {w}x{h} raster for {len(payload) - pos} "
+            "entropy bytes (likely corrupt SOF)"
+        )
     for c in comps:
         bw, bh = mcux * c["h"], mcuy * c["v"]
         c["coef"] = np.zeros((bh, bw, 8, 8), dtype=np.int64)

@@ -760,7 +760,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
     codec library: GIF is palette indices under LZW, both plain
     Python. Interlaced frames are de-interlaced; animated GIFs yield
     frame 0 (curation features don't replay animations). Raises
-    ValueError on non-GIF or malformed streams."""
+    ValueError on non-GIF or malformed streams — truncated crawl
+    records surface as ValueError (the per-row error the kernels
+    absorb), never a stray IndexError."""
+    try:
+        return _decode_gif(payload)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"corrupt GIF stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(payload[6:8], "little")
