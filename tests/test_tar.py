@@ -101,3 +101,18 @@ def test_webdataset_to_image_features(spark, tmp_path):
     )
     feats = image_features(df).collect()
     assert len(feats) == 1 and feats[0].mean_b == 250.0
+
+
+def test_corrupt_shard_keeps_good_members_and_shards(spark, tmp_path):
+    """One corrupt shard in a directory must not fail the task: members
+    parsed before the corruption survive, other shards are untouched."""
+    good = _tar_bytes([("a/000001.txt", b"alpha"), ("a/000002.txt", b"beta")])
+    bad = bytearray(_tar_bytes([("b/000001.txt", b"gamma"), ("b/000002.txt", b"delta")]))
+    bad[600:1000] = b"\xff" * 400  # clobber the second member's header region
+    open(os.path.join(str(tmp_path), "good.tar"), "wb").write(good)
+    open(os.path.join(str(tmp_path), "bad.tar"), "wb").write(bytes(bad))
+    open(os.path.join(str(tmp_path), "junk.tar"), "wb").write(b"not a tar at all")
+    rows = read_tar_members(spark, str(tmp_path)).collect()
+    keys = sorted(r.key for r in rows)
+    assert "a/000001" in keys and "a/000002" in keys  # good shard complete
+    assert len(keys) >= 2  # bad/junk shards degrade, never raise

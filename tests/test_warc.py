@@ -196,3 +196,27 @@ def test_read_warc_stream_online_url_dedup(spark, tmp_path):
         "https://example.com/b",
         "https://example.com/c",
     ]
+
+
+def test_corrupt_gzip_member_keeps_decoded_prefix():
+    """A corrupt or truncated gzip member mid-segment must not throw
+    away the whole segment (or the Spark task): every record from the
+    members BEFORE the corruption survives; garbage with a gzip magic
+    yields zero records instead of raising."""
+    img = b"".join(
+        _record("response", f"http://x/{i}", b"hello") for i in range(100)
+    )
+    quarters = [img[i * len(img) // 4 : (i + 1) * len(img) // 4] for i in range(4)]
+    members = [gzip.compress(p, 6) for p in quarters]
+    # pristine multi-member: all 100
+    assert len(list(parse_warc_bytes(b"".join(members)))) == 100
+    # corrupt 3rd member: the first two quarters' records survive
+    bad = bytearray(members[2])
+    bad[len(bad) // 2] ^= 0xFF
+    recs = list(parse_warc_bytes(members[0] + members[1] + bytes(bad) + members[3]))
+    assert 45 <= len(recs) <= 55
+    # truncated final member: first member's records survive
+    recs = list(parse_warc_bytes(members[0] + members[1][: len(members[1]) // 2]))
+    assert len(recs) >= 25
+    # gzip magic + garbage: empty, not an exception
+    assert list(parse_warc_bytes(b"\x1f\x8b" + b"\x00" * 50)) == []

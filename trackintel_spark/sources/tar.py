@@ -54,27 +54,34 @@ def read_tar_members(spark: SparkSession, path: str, extensions: list[str] | Non
         for pdf in batches:
             rows = {k: [] for k in ("shard", "key", "ext", "member", "idx", "size", "payload")}
             for shard, data in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:*") as tf:
-                    for idx, m in enumerate(tf):
-                        if not m.isreg():
-                            continue
-                        name = m.name
-                        base = name.rsplit("/", 1)[-1]
-                        if "." in base:
-                            stem, ext = base.split(".", 1)
-                        else:
-                            stem, ext = base, ""
-                        if wanted is not None and ext not in wanted:
-                            continue
-                        prefix = name[: len(name) - len(base)]
-                        f = tf.extractfile(m)
-                        rows["shard"].append(shard)
-                        rows["key"].append(prefix + stem)
-                        rows["ext"].append(ext)
-                        rows["member"].append(name)
-                        rows["idx"].append(idx)
-                        rows["size"].append(m.size)
-                        rows["payload"].append(f.read() if f is not None else b"")
+                # corrupt/truncated shards are routine in large corpora:
+                # keep every member parsed before the failure and move
+                # on — one bad shard must not fail the whole Spark task.
+                # Each member appends atomically (tuple built first) so
+                # a mid-member error can't desync the column lists.
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:*") as tf:
+                        for idx, m in enumerate(tf):
+                            if not m.isreg():
+                                continue
+                            name = m.name
+                            base = name.rsplit("/", 1)[-1]
+                            if "." in base:
+                                stem, ext = base.split(".", 1)
+                            else:
+                                stem, ext = base, ""
+                            if wanted is not None and ext not in wanted:
+                                continue
+                            prefix = name[: len(name) - len(base)]
+                            f = tf.extractfile(m)
+                            payload = f.read() if f is not None else b""
+                            for k, v in zip(
+                                ("shard", "key", "ext", "member", "idx", "size", "payload"),
+                                (shard, prefix + stem, ext, name, idx, m.size, payload),
+                            ):
+                                rows[k].append(v)
+                except (tarfile.TarError, EOFError, OSError):
+                    continue
             yield pd.DataFrame(rows)
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")

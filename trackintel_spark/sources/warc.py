@@ -39,6 +39,35 @@ _WARC_SCHEMA = T.StructType(
 )
 
 
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream, keeping every
+    member that decodes: real crawl segments arrive truncated or with a
+    corrupt tail member, and ``gzip.decompress`` would throw the WHOLE
+    segment away (and with it the Spark task — one bad segment in a
+    64k-file crawl must not fail the job). Member-by-member via
+    zlib(wbits=31); stops at the first undecodable byte."""
+    import zlib
+
+    out = []
+    rest = data
+    chunk = 1 << 16
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        i = 0
+        err = False
+        while i < len(rest) and not d.eof:
+            try:
+                out.append(d.decompress(rest[i : i + chunk]))
+            except zlib.error:
+                err = True  # chunks decoded before the error are kept
+                break
+            i += chunk
+        if err or not d.eof:  # corrupt or truncated member ends the scan
+            break
+        rest = d.unused_data + rest[i:]
+    return b"".join(out)
+
+
 def parse_warc_bytes(data: bytes):
     """Split one (possibly multi-member gzip) WARC byte stream into
     records: yields (record_type, url, date, content_type, length,
@@ -49,9 +78,7 @@ def parse_warc_bytes(data: bytes):
     scan rather than raising.
     """
     if data[:2] == b"\x1f\x8b":
-        import gzip
-
-        data = gzip.decompress(data)  # handles concatenated members
+        data = _gunzip_members(data)
     pos = 0
     n = len(data)
     while pos < n:
