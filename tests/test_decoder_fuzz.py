@@ -78,3 +78,39 @@ def test_corrupt_payloads_raise_valueerror_fast(name, mk, dec):
     # the whole battery stays fast: no corrupt-header work explosions
     assert time.time() - t0 < 60, f"{name} decoder too slow on corrupt input"
     dec(bytes(good))  # and the pristine payload still decodes
+
+
+def test_container_probes_corrupt_hygiene():
+    """The metadata probes (no frame decode) get the same contract."""
+    from trackintel_spark.scale.multimodal import (
+        probe_gif,
+        probe_mp3,
+        probe_mp4,
+        probe_webp,
+    )
+
+    mp4 = (b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2"
+           + b"\x00\x00\x00\x08free" + b"\x00" * 64)
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 400
+    cases = [
+        (probe_mp4, mp4),
+        (probe_mp3, mp3),
+        (probe_gif, encode_gif(_IMG)),
+        (probe_webp, encode_webp_lossy(_IMG, qi=20)),
+    ]
+    rng = random.Random(3)
+    for probe, good in cases:
+        good = bytearray(good)
+        for _ in range(150):
+            data = bytearray(good)
+            for _ in range(rng.randint(1, 10)):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            try:
+                probe(bytes(data))
+            except ValueError:
+                pass
+        for cut in range(len(good)):
+            try:
+                probe(bytes(good[:cut]))
+            except ValueError:
+                pass

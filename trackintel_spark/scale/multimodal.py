@@ -951,6 +951,8 @@ def probe_gif(payload: bytes) -> dict:
     their length prefixes). Raises ValueError on non-GIF."""
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
