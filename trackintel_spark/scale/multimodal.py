@@ -974,6 +974,8 @@ def probe_gif(payload: bytes) -> dict:
                 has_netscape = True
             pos = skip_subblocks(pos + 2)
         elif b == 0x2C:
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
             iflags = payload[pos + 9]
             pos += 10
             if iflags & 0x80:
