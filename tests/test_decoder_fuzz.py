@@ -114,3 +114,26 @@ def test_container_probes_corrupt_hygiene():
                 probe(bytes(good[:cut]))
             except ValueError:
                 pass
+
+
+def test_shapefile_record_parser_hygiene():
+    from trackintel_spark.sources.shapefile import _parse_shape
+
+    pts = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    buf = (struct.pack("<i", 3) + struct.pack("<4d", 0, 0, 10, 10)
+           + struct.pack("<2i", 1, 3) + struct.pack("<i", 0) + pts.tobytes())
+    rng = random.Random(3)
+    for _ in range(300):
+        data = bytearray(buf)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            _parse_shape(bytes(data))
+        except ValueError:
+            pass
+    for cut in range(len(buf)):
+        try:
+            _parse_shape(bytes(buf[:cut]))
+        except ValueError:
+            pass
+    assert _parse_shape(buf).startswith("LINESTRING")

@@ -147,7 +147,16 @@ def _wkt_coords(xy: np.ndarray) -> str:
 
 
 def _parse_shape(buf: bytes) -> str | None:
-    """One .shp record's *content* (after the 8-byte record header) -> WKT."""
+    """One .shp record's *content* (after the 8-byte record header) ->
+    WKT. Truncated/corrupt records raise ValueError (the per-row error
+    the kernels absorb), never struct.error."""
+    try:
+        return _parse_shape_impl(buf)
+    except struct.error as e:
+        raise ValueError(f"corrupt shapefile record: {e}") from e
+
+
+def _parse_shape_impl(buf: bytes) -> str | None:
     stype = struct.unpack("<i", buf[:4])[0]
     base = _TYPE_BASE.get(stype)
     if base is None or base == "null":
