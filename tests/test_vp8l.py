@@ -408,3 +408,45 @@ def test_crafted_predictor_mode13_truncating_division():
     assert tuple(out[1, 0][:3]) == (4, 4, 4)
     # avg2(4,5)=4; pred = clamp(4 + trunc((4-7)/2)) = 3; +res 0
     assert tuple(out[1, 1][:3]) == (3, 3, 3)
+
+
+def test_vp8x_alph_compressed_lossless_alpha():
+    """VP8X ALPH compression method 1: the alpha plane ships as a
+    HEADERLESS VP8L bitstream with values in the green channel. Craft
+    one by hand (no transform bits, literal trees) — a 2x2 plane with
+    distinct alpha values — wrap it with a VP8 base frame, and check
+    decode_webp stitches RGBA together."""
+    import struct as s
+
+    import numpy as np
+
+    from trackintel_spark.scale._vp8 import encode_vp8
+    from trackintel_spark.scale._vp8l import decode_alph
+
+    w = h = 2
+    alphas = [10, 200, 33, 250]  # green-channel values, raster order
+    bw = _BitWriter()
+    bw.write(0, 1)  # no transform
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-huffman
+    g, r, b, a, d = _literal_trees(bw, greens=alphas, reds=[0], blues=[0], alphas=[255])
+    for v in alphas:
+        _emit(bw, g, v)
+        _emit(bw, r, 0)
+        _emit(bw, b, 0)
+    body = bytes([1]) + bw.bytes()  # header byte: compression=1, filter=0
+    got = decode_alph(body, w, h)
+    assert got.tolist() == [[10, 200], [33, 250]]
+
+    # through the full container: VP8X + ALPH(method 1) + VP8
+    rgb = np.full((2, 2, 3), 128, dtype=np.uint8)
+    payload = encode_vp8(rgb, qi=4)
+
+    def chunk(tag, body_):
+        return tag + s.pack("<I", len(body_)) + body_ + (b"\x00" if len(body_) & 1 else b"")
+
+    vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    inner = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ALPH", body) + chunk(b"VP8 ", payload)
+    out = decode_webp(b"RIFF" + s.pack("<I", len(inner)) + inner)
+    assert out.shape == (2, 2, 4)
+    assert out[:, :, 3].tolist() == [[10, 200], [33, 250]]

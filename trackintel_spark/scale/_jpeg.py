@@ -287,6 +287,9 @@ def _decode_scan(payload, pos, sof, sel, qt, huff, restart):
     h, w, comps = sof["h"], sof["w"], sof["comps"]
     if h < 1 or w < 1:
         raise ValueError("invalid dimensions")
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"invalid sampling factors {c['h']}x{c['v']}")
     maxh = max(c["h"] for c in comps)
     maxv = max(c["v"] for c in comps)
     for c in comps:

@@ -1339,3 +1339,46 @@ def encode_webp_lossy(rgb: np.ndarray, qi: int = 4, **kw) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_webp_vp8x(rgb: np.ndarray, alpha: np.ndarray | None = None,
+                     qi: int = 4, alph_filter: int = 0, **kw) -> bytes:
+    """Wrap a VP8 key frame in a VP8X extended container, optionally
+    with a raw ALPH alpha plane (prediction filter 0-3 applied forward;
+    mod-256 arithmetic makes the plane round-trip exactly). Fixture
+    sibling for the VP8X/ALPH decode path."""
+    payload = encode_vp8(rgb, qi=qi, **kw)
+    h, w = rgb.shape[0], rgb.shape[1]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    flags = 0x10 if alpha is not None else 0
+    vp8x = bytes([flags, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    out = chunk(b"VP8X", vp8x)
+    if alpha is not None:
+        a = alpha.astype(np.int64)
+        res = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif alph_filter == 0:
+                    pred = 0
+                elif alph_filter == 1:
+                    pred = a[y, x - 1] if x > 0 else a[y - 1, 0]
+                elif alph_filter == 2:
+                    pred = a[y - 1, x] if y > 0 else a[y, x - 1]
+                else:
+                    if y == 0:
+                        pred = a[y, x - 1]
+                    elif x == 0:
+                        pred = a[y - 1, x]
+                    else:
+                        g = a[y, x - 1] + a[y - 1, x] - a[y - 1, x - 1]
+                        pred = min(255, max(0, g))
+                res[y, x] = (a[y, x] - pred) & 0xFF
+        out += chunk(b"ALPH", bytes([(alph_filter << 2) | 0]) + res.astype(np.uint8).tobytes())
+    out += chunk(b"VP8 ", payload)
+    riff = b"WEBP" + out
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

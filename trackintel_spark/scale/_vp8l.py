@@ -481,7 +481,16 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha-used hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unsupported version")
+    img = _decode_vp8l_body(br, w, h)
+    # internal order is (A, R, G, B) -> return RGBA
+    return img[:, :, [1, 2, 3, 0]]
 
+
+def _decode_vp8l_body(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Transforms + entropy image for a VP8L stream whose signature and
+    dimensions were already consumed (or, for a VP8X ALPH chunk, never
+    present — the WebP spec ships alpha as exactly this headerless
+    bitstream). Returns the internal (A, R, G, B) array."""
     transforms = []  # (type, data) in reading order
     xsize = w
     seen = set()
@@ -522,32 +531,91 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
         else:  # predictor
             bits, sub = data
             img = _inverse_predictor(img, sub[:, :, 2], bits)
-    # internal order is (A, R, G, B) -> return RGBA
-    return img[:, :, [1, 2, 3, 0]]
+    return img
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode a VP8X ALPH chunk to an (h, w) uint8 alpha plane.
+
+    Header byte: rsv(2) | preprocessing(2) | filter(2) | compression(2).
+    Compression 0 = raw w*h bytes, 1 = a HEADERLESS VP8L bitstream with
+    alpha in the green channel. The per-pixel prediction filter
+    (none/horizontal/vertical/gradient, same border fallbacks as the
+    spec) is inverted after decompression; the preprocessing bit is a
+    level-reduction hint with no inverse."""
+    if not body:
+        raise ValueError("ALPH: empty chunk")
+    method = body[0] & 0x3
+    flt = (body[0] >> 2) & 0x3
+    if method == 0:
+        raw = np.frombuffer(body, np.uint8, offset=1)
+        if raw.size < w * h:
+            raise ValueError("ALPH: truncated raw alpha plane")
+        a = raw[: w * h].reshape(h, w).astype(np.int64)
+    elif method == 1:
+        img = _decode_vp8l_body(_BitReader(body, 1), w, h)
+        if img.shape[0] != h or img.shape[1] != w:
+            raise ValueError("ALPH: alpha image dimension mismatch")
+        a = img[:, :, 2].astype(np.int64)  # green channel
+    else:
+        raise ValueError(f"ALPH: unknown compression method {method}")
+    if flt == 0:
+        return a.astype(np.uint8)
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif flt == 1:  # horizontal: left (first col falls to above)
+                pred = out[y, x - 1] if x > 0 else out[y - 1, 0]
+            elif flt == 2:  # vertical: above (first row falls to left)
+                pred = out[y - 1, x] if y > 0 else out[y, x - 1]
+            else:  # gradient with the same border fallbacks
+                if y == 0:
+                    pred = out[y, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, x]
+                else:
+                    g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                    pred = min(255, max(0, g))
+            out[y, x] = (a[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
 
 
 def decode_webp(data: bytes) -> np.ndarray:
     """Decode a WebP file (RIFF/WEBP) to RGBA uint8: VP8L (lossless)
     via :func:`decode_vp8l`, lossy VP8 key frames via the clean-room
-    :mod:`trackintel_spark.scale._vp8` decoder (r11 — see that module's
-    verification note). VP8X-wrapped streams raise — env-gated
-    upstream."""
+    :mod:`trackintel_spark.scale._vp8` decoder (r11), VP8X-wrapped
+    STILLS (canvas header + optional ALPH alpha plane over VP8/VP8L)
+    via the same decoders. Animated VP8X (ANIM/ANMF) raises —
+    env-gated upstream."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
+    alpha = None  # raw ALPH body, decoded once dims are known
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
-        if tag == b"VP8L":
-            return decode_vp8l(body)
-        if tag == b"VP8 ":
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("VP8X: truncated header")
+            if body[0] & 0x02:
+                raise NotImplementedError("animated WebP needs frame compositing")
+            # canvas dims are informational for stills; the frame chunk
+            # carries its own — keep walking (ICCP/EXIF/XMP skip below)
+        elif tag == b"ALPH":
+            alpha = bytes(body)
+        elif tag == b"VP8L":
+            return decode_vp8l(body)  # VP8L carries its own alpha
+        elif tag == b"VP8 ":
             from trackintel_spark.scale._vp8 import decode_vp8
 
             rgb = decode_vp8(body)
-            return np.dstack(
-                [rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)]
-            )
+            h, w = rgb.shape[:2]
+            if alpha is not None:
+                return np.dstack([rgb, decode_alph(alpha, w, h)])
+            return np.dstack([rgb, np.full((h, w), 255, dtype=np.uint8)])
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no VP8L or VP8 chunk found")
 

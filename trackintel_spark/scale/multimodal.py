@@ -37,6 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# crawl-data hygiene: a bit-flipped header can claim a ~4G-pixel
+# raster (65535x65535 GIF screens, zlib-bombed PNG IDAT) and allocate
+# tens of GB before any later validation fails. 2^28 pixels (a
+# legitimate 16384x16384 image) bounds every raster allocation.
+_MAX_PIXELS = 1 << 28
+
+
 MEDIA_META = T.StructType(
     [
         T.StructField("media_type", T.StringType()),   # image | audio | video
@@ -248,12 +255,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unknown color type {ctype}")
     if w < 1 or h < 1:
         raise ValueError(f"invalid dimensions {w}x{h}")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"raster too large ({w}x{h})")
+    stride = w * nch
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length bounds a corrupt/bombed IDAT stream to the raster
+        # the header claims (+1 so over-length is detectable)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), need + 1)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from e
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != need:
         raise ValueError("truncated raster")
 
     out = np.empty((h, stride), dtype=np.uint8)
@@ -349,10 +362,10 @@ def _decode_image_rgb(payload: bytes) -> np.ndarray:
         from trackintel_spark.scale._vp8l import decode_webp
 
         try:
-            # VP8L and lossy VP8 key frames both real-decode (r11: the
-            # clean-room _vp8 module); VP8X still raises -> env-gated
+            # VP8L, lossy VP8 and VP8X stills (incl. ALPH alpha) all
+            # real-decode (r11); only ANIMATED VP8X raises -> env-gated
             return decode_webp(payload)[:, :, :3]
-        except NotImplementedError as e:  # VP8X extended features
+        except NotImplementedError as e:  # animation compositing
             raise ValueError(str(e))
     img = decode_png(payload)
     c = img.shape[2]
@@ -497,12 +510,12 @@ def resize_images(
                         )
 
                         try:
-                            # lossy VP8 decodes too (r11); converted
-                            # output re-encodes as VP8L (lossless)
+                            # lossy VP8 + VP8X stills decode too (r11);
+                            # converted output re-encodes as VP8L
                             img = _dw(payload)[:, :, :3]
                             enc = _ew
                         except (ValueError, NotImplementedError):
-                            out.append((pid, payload))  # VP8X passes through
+                            out.append((pid, payload))  # animations pass through
                             continue
                     else:
                         try:
@@ -798,6 +811,10 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             iflags = payload[pos + 9]
             pos += 10
+            if iw < 1 or ih < 1 or sw < 1 or sh < 1:
+                raise ValueError("invalid GIF dimensions")
+            if sw * sh > _MAX_PIXELS or iw * ih > _MAX_PIXELS:
+                raise ValueError(f"raster too large ({sw}x{sh} screen)")
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x7)
@@ -838,7 +855,7 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("no image data in GIF")
 
 
-def _lzw_decode(data: bytes, min_code: int, limit: int) -> list:
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> bytearray:
     """GIF-variant LZW (LSB-first bit packing, CLEAR/EOI codes,
     12-bit max width)."""
     clear = 1 << min_code
@@ -857,28 +874,36 @@ def _lzw_decode(data: bytes, min_code: int, limit: int) -> list:
         bitpos += width
         return v
 
-    table = [[i] for i in range(clear)] + [None, None]
+    if not 1 <= min_code <= 8:
+        # GIF palettes cap at 256 colors, so root codes fit one byte
+        raise ValueError(f"invalid LZW minimum code size {min_code}")
+    table = [bytes([i]) for i in range(clear)] + [None, None]
     width = min_code + 1
-    out = []
+    out = bytearray()
     prev = None
     while len(out) < limit:
         code = read_code(width)
         if code is None or code == eoi:
             break
         if code == clear:
-            table = [[i] for i in range(clear)] + [None, None]
+            table = [bytes([i]) for i in range(clear)] + [None, None]
             width = min_code + 1
             prev = None
             continue
         if code < len(table) and table[code] is not None:
             entry = table[code]
         elif code == len(table) and prev is not None:
-            entry = prev + [prev[0]]
+            entry = prev + prev[:1]
         else:
             raise ValueError("corrupt LZW code")
         out.extend(entry)
-        if prev is not None:
-            table.append(prev + [entry[0]])
+        if prev is not None and len(table) < 4096:
+            # the table is CAPPED at 4096 entries (12-bit codes): real
+            # encoders may defer CLEAR indefinitely ("deferred clear")
+            # and expect the decoder to stop growing; unbounded growth
+            # also made ever-longer entries — quadratic memory on
+            # corrupt streams (a few flipped KB allocated tens of GB)
+            table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
