@@ -150,11 +150,40 @@ def run_streaming_staypoints(spark, n: int, n_batches: int = 10) -> dict:
     StreamingQueryProgress (numRowsTotal / memoryUsedBytes) — the
     numbers that bound executor memory at cluster scale.
     """
+    from trackintel_spark.streaming import staypoints_stream_exact
+
+    return _run_streaming_mobility(
+        spark, n, n_batches, "sp_stream_probe",
+        lambda st: staypoints_stream_exact(
+            st, dist_threshold=100, time_threshold=5, gap_threshold=120
+        ),
+        out_key="staypoints",
+    )
+
+
+def run_streaming_trips(spark, n: int, n_batches: int = 10) -> dict:
+    """Sibling probe for the END-TO-END stateful operator: raw
+    positionfixes -> trips in ONE applyInPandasWithState pass
+    (streaming/trips_state.py carries candidate window + travel buffer
+    + open-trip units per user). The heaviest per-row streaming state
+    in the library — its rows/s and state size bound the online
+    mobility pipeline."""
+    from trackintel_spark.streaming import trips_stream_exact
+
+    return _run_streaming_mobility(
+        spark, n, n_batches, "trips_stream_probe",
+        lambda st: trips_stream_exact(
+            st, dist_threshold=100, time_threshold=5, gap_threshold=120,
+            activity_threshold=15,
+        ),
+        out_key="trips",
+    )
+
+
+def _run_streaming_mobility(spark, n, n_batches, qname, op, out_key):
     import os
     import shutil
     import tempfile
-
-    from trackintel_spark.streaming import staypoints_stream_exact
 
     per_user = 2000
     flat = mobility_input(spark, n, pfs_per_user=per_user).select(
@@ -181,13 +210,11 @@ def run_streaming_staypoints(spark, n: int, n_batches: int = 10) -> dict:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    out = staypoints_stream_exact(
-        stream, dist_threshold=100, time_threshold=5, gap_threshold=120
-    )
+    out = op(stream)
     t0 = time.time()
     q = (
         out.writeStream.format("memory")
-        .queryName("sp_stream_probe")
+        .queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -195,20 +222,20 @@ def run_streaming_staypoints(spark, n: int, n_batches: int = 10) -> dict:
     )
     q.awaitTermination()
     wall = time.time() - t0
-    n_sp = spark.sql("SELECT count(*) FROM sp_stream_probe").first()[0]
+    n_out = spark.sql(f"SELECT count(*) FROM {qname}").first()[0]
     state_rows = state_mb = batches = 0
     for p in q.recentProgress:
         batches += 1
         for so in p.get("stateOperators", []):
             state_rows = max(state_rows, so.get("numRowsTotal", 0))
             state_mb = max(state_mb, so.get("memoryUsedBytes", 0) / 2**20)
-    spark.catalog.dropTempView("sp_stream_probe")
+    spark.catalog.dropTempView(qname)
     shutil.rmtree(base, ignore_errors=True)
     return {
         "rows": n,
         "wall_s": round(wall, 1),
         "rows_per_s": int(n / wall),
-        "staypoints": n_sp,
+        out_key: n_out,
         "micro_batches": batches,
         "state_rows_max": state_rows,
         "state_mb_max": round(state_mb, 1),
