@@ -1,12 +1,12 @@
 """Multimodal shard-ingest example: WebDataset TARs end-to-end.
 
-Synthesizes two WebDataset shards in a temp dir (GIF/JPEG/PNG images +
-captions + MP4/MP3 sidecars — every payload built by this repo's own
-codec-free encoders), then runs the ingest chain a multimodal
-curation job would:
+Synthesizes two WebDataset shards in a temp dir (GIF/JPEG/PNG/WebP
+images — lossy VP8 and a VP8X+alpha still included — plus captions and
+MP4/MP3 sidecars; every payload built by this repo's own codec-free
+encoders), then runs the ingest chain a multimodal curation job would:
 
     read_webdataset (one task per shard)
-    -> image_features on real decoded pixels (GIF/JPEG/PNG)
+    -> image_features on real decoded pixels (GIF/JPEG/PNG/WebP)
     -> resize_images thumbnails
     -> video_metadata / mp3_metadata container probes
     -> caption quality gate (pure expressions)
@@ -37,6 +37,7 @@ from trackintel_spark.scale.multimodal import (
     video_metadata,
 )
 from trackintel_spark.scale._jpeg import encode_jpeg
+from trackintel_spark.scale._vp8 import encode_webp_lossy, encode_webp_vp8x
 from trackintel_spark.scale.text import quality_score
 from trackintel_spark.sources import read_webdataset
 
@@ -89,6 +90,12 @@ def main() -> None:
             ("000000.txt", b"a smooth two-way gradient over a blue base"),
             ("000001.gif", encode_gif(flat)),
             ("000001.txt", b"flat green card"),
+            # r11: lossy WebP (VP8 key frame) and a VP8X still with a
+            # real ALPH alpha plane — both decode in-container
+            ("000002.webp", encode_webp_lossy(rgb, qi=20)),
+            ("000002.txt", b"the gradient again, lossy webp"),
+            ("000003.webp", encode_webp_vp8x(flat, np.full((16, 16), 128, np.uint8), qi=8)),
+            ("000003.txt", b"green card with 50% alpha (vp8x)"),
         ]
     )
     shard1 = _shard(
@@ -107,7 +114,7 @@ def main() -> None:
     wds = read_webdataset(spark, tmp).cache()
     print(f"samples: {wds.count()} across {wds.select('shard').distinct().count()} shards")
 
-    img_payload = F.coalesce(*[F.col("parts")[e] for e in ("jpg", "gif", "png")])
+    img_payload = F.coalesce(*[F.col("parts")[e] for e in ("jpg", "gif", "png", "webp")])
     images = wds.filter(img_payload.isNotNull()).select(
         F.monotonically_increasing_id().alias("doc_id"),
         F.col("key"),
