@@ -81,5 +81,8 @@ def test_multimodal_shards_example():
         [sys.executable, os.path.join(repo, "examples", "multimodal_shards.py")],
         capture_output=True, text=True, timeout=600, check=True,
     )
-    assert "samples: 5 across 2 shards" in out.stdout
+    assert "samples: 7 across 2 shards" in out.stdout
     assert "video: 4.0s 320x240 codecs=avc1" in out.stdout
+    # r11: the lossy-WebP and VP8X+alpha samples decode to real pixels
+    assert "image 000002: 48x32" in out.stdout
+    assert "image 000003: 16x16" in out.stdout
