@@ -220,3 +220,21 @@ def test_corrupt_gzip_member_keeps_decoded_prefix():
     assert len(recs) >= 25
     # gzip magic + garbage: empty, not an exception
     assert list(parse_warc_bytes(b"\x1f\x8b" + b"\x00" * 50)) == []
+
+
+def test_gunzip_per_record_members_linear_time():
+    """Common Crawl gzips each record as its own member: tens of
+    thousands of members per segment. The member scan must advance a
+    cursor through the original buffer (O(n) total), never rebuild the
+    remaining tail per member (O(members x stream_size) — a per-task
+    hang on real ~1 GB segments)."""
+    import time
+
+    one = gzip.compress(_record("conversion", "http://x/a", b"y" * 20), 6)
+    blob = one * 30000
+    t0 = time.time()
+    recs = list(parse_warc_bytes(blob))
+    dt = time.time() - t0
+    assert len(recs) == 30000
+    # quadratic tail-rebuild took >60s on this shape; linear is <1s
+    assert dt < 10.0, f"member scan took {dt:.1f}s — quadratic regression"

@@ -45,26 +45,36 @@ def _gunzip_members(data: bytes) -> bytes:
     corrupt tail member, and ``gzip.decompress`` would throw the WHOLE
     segment away (and with it the Spark task — one bad segment in a
     64k-file crawl must not fail the job). Member-by-member via
-    zlib(wbits=31); stops at the first undecodable byte."""
+    zlib(wbits=31); stops at the first undecodable byte.
+
+    O(n) over the whole stream: a cursor ``off`` advances through the
+    ORIGINAL buffer by exactly the bytes each member consumed
+    (fed - len(unused_data)); the tail is never re-concatenated.
+    Common Crawl segments gzip each record as its own member (tens of
+    thousands per ~1 GB file), so any per-member copy of the remaining
+    buffer would be O(members x stream_size) — a per-task hang on
+    exactly the workload this reader targets."""
     import zlib
 
     out = []
-    rest = data
     chunk = 1 << 16
-    while rest[:2] == b"\x1f\x8b":
+    n = len(data)
+    off = 0
+    while data[off : off + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        i = 0
+        i = off
         err = False
-        while i < len(rest) and not d.eof:
+        while i < n and not d.eof:
             try:
-                out.append(d.decompress(rest[i : i + chunk]))
+                out.append(d.decompress(data[i : i + chunk]))
             except zlib.error:
                 err = True  # chunks decoded before the error are kept
                 break
             i += chunk
         if err or not d.eof:  # corrupt or truncated member ends the scan
             break
-        rest = d.unused_data + rest[i:]
+        fed = min(i, n) - off
+        off += fed - len(d.unused_data)
     return b"".join(out)
 
 
