@@ -24,6 +24,12 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This example's lossy-WebP samples were encoded by THIS repo's own VP8
+# encoder, so the shared entropy tables round-trip them exactly — safe
+# to opt into the experimental lossy decode here. Leave this unset for
+# crawled (externally-encoded) WebP; see scale/_vp8l.py for why.
+os.environ["SPARK_TRACKINTEL_VP8_EXPERIMENTAL"] = "1"
+
 import numpy as np
 from pyspark.sql import functions as F
 

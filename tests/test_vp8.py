@@ -328,7 +328,8 @@ def test_simple_filter_matches_scalar_spec():
 # ---------------------------------------------------------------------------
 
 
-def test_webp_container_round_trip():
+def test_webp_container_round_trip(monkeypatch):
+    monkeypatch.setenv("SPARK_TRACKINTEL_VP8_EXPERIMENTAL", "1")
     from trackintel_spark.scale._vp8l import decode_webp
 
     yy, xx = np.mgrid[0:32, 0:48]
@@ -340,7 +341,8 @@ def test_webp_container_round_trip():
     assert np.abs(rgba[..., :3].astype(int) - img.astype(int)).mean() < 6
 
 
-def test_image_decode_kernel_routes_lossy_webp():
+def test_image_decode_kernel_routes_lossy_webp(monkeypatch):
+    monkeypatch.setenv("SPARK_TRACKINTEL_VP8_EXPERIMENTAL", "1")
     from trackintel_spark.scale.multimodal import _decode_image_rgb, probe_webp
 
     img = np.full((24, 40, 3), (10, 200, 60), dtype=np.uint8)
@@ -534,7 +536,8 @@ def test_corrupt_input_raises_valueerror_fast():
     assert time.time() - t0 < 30
 
 
-def test_vp8x_alpha_round_trip_all_filters():
+def test_vp8x_alpha_round_trip_all_filters(monkeypatch):
+    monkeypatch.setenv("SPARK_TRACKINTEL_VP8_EXPERIMENTAL", "1")
     """VP8X stills with a raw ALPH plane: all four prediction filters
     round-trip the alpha exactly (mod-256 residuals are lossless), the
     lossy RGB matches the encoder recon, and animation stays gated."""
@@ -554,3 +557,48 @@ def test_vp8x_alpha_round_trip_all_filters():
     anim[20] |= 0x02  # animation flag inside the VP8X body
     with pytest.raises(NotImplementedError):
         decode_webp(bytes(anim))
+
+
+def test_external_vp8_gate_default_off():
+    """r12 ADVICE: the decoder's default entropy tables are partially
+    transcribed, and a range decoder with wrong probabilities
+    mis-decodes SILENTLY — so externally-encoded lossy WebP must not
+    reach image_features / resize_images by default. The gate is the
+    container path: without the env opt-in decode_webp raises the
+    per-row ValueError (kernels absorb it), and resize passes the
+    payload through UNCHANGED instead of re-encoding garbage over it.
+    Module-produced streams still round-trip via decode_vp8 directly."""
+    import os
+
+    import pytest
+
+    from trackintel_spark.scale._vp8l import decode_webp
+    from trackintel_spark.scale.multimodal import _decode_image_rgb
+
+    assert os.environ.get("SPARK_TRACKINTEL_VP8_EXPERIMENTAL") != "1"
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    lossy = encode_webp_lossy(img, qi=4)
+    with pytest.raises(ValueError, match="experimental"):
+        decode_webp(lossy)
+    with pytest.raises(ValueError, match="experimental"):
+        _decode_image_rgb(lossy)
+    # direct frame decode (module-internal contract) stays available
+    body = lossy[20:]  # strip RIFF/WEBP/VP8 -chunk header
+    assert decode_vp8(body).shape == (16, 16, 3)
+
+
+def test_truncated_partition_size_table_raises_valueerror():
+    """r12 ADVICE: a frame whose header claims log2_parts > 0 but is cut
+    inside the 3-byte partition-size table must raise the decoder
+    contract's ValueError, never IndexError (which would fail the whole
+    Spark task)."""
+    import pytest
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = encode_vp8(img, qi=4, log2_partitions=2)
+    b0, b1, b2 = data[0], data[1], data[2]
+    part1 = (b0 >> 5) | (b1 << 3) | (b2 << 11)
+    # cut mid-way through the size triplets (3 partitions -> 9 bytes)
+    for cut in range(10 + part1, min(10 + part1 + 9, len(data))):
+        with pytest.raises(ValueError):
+            decode_vp8(data[:cut])

@@ -93,7 +93,8 @@ def test_roundtrip_flat_and_gradient():
     assert (decode_webp(encode_webp(grad))[:, :, :3] == grad).all()
 
 
-def test_container_rejects_garbage_routes_lossy():
+def test_container_rejects_garbage_routes_lossy(monkeypatch):
+    monkeypatch.setenv("SPARK_TRACKINTEL_VP8_EXPERIMENTAL", "1")
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFFxxxxJUNK")
     # lossy VP8 now routes to the real _vp8 decoder (r11); a truncated
@@ -410,7 +411,8 @@ def test_crafted_predictor_mode13_truncating_division():
     assert tuple(out[1, 1][:3]) == (3, 3, 3)
 
 
-def test_vp8x_alph_compressed_lossless_alpha():
+def test_vp8x_alph_compressed_lossless_alpha(monkeypatch):
+    monkeypatch.setenv("SPARK_TRACKINTEL_VP8_EXPERIMENTAL", "1")
     """VP8X ALPH compression method 1: the alpha plane ships as a
     HEADERLESS VP8L bitstream with values in the green channel. Craft
     one by hand (no transform bits, literal trees) — a 2x2 plane with
@@ -450,3 +452,56 @@ def test_vp8x_alph_compressed_lossless_alpha():
     out = decode_webp(b"RIFF" + s.pack("<I", len(inner)) + inner)
     assert out.shape == (2, 2, 4)
     assert out[:, :, 3].tolist() == [[10, 200], [33, 250]]
+
+
+def test_alph_filter_inversion_vectorized_parity_and_speed():
+    """r12 ADVICE: ALPH prediction-filter inversion must not be a
+    per-pixel Python loop. Pin the vectorized cumsum forms (and the
+    row-wise gradient loop) against an independent naive
+    implementation on random residual planes, then bound wall time on
+    a megapixel plane."""
+    import time
+
+    import numpy as np
+
+    from trackintel_spark.scale._vp8l import decode_alph
+
+    def naive(res, w, h, flt):
+        out = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif flt == 1:
+                    pred = out[y, x - 1] if x > 0 else out[y - 1, 0]
+                elif flt == 2:
+                    pred = out[y - 1, x] if y > 0 else out[y, x - 1]
+                else:
+                    if y == 0:
+                        pred = out[y, x - 1]
+                    elif x == 0:
+                        pred = out[y - 1, x]
+                    else:
+                        g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                        pred = min(255, max(0, g))
+                out[y, x] = (res[y, x] + pred) & 0xFF
+        return out.astype(np.uint8)
+
+    rng = np.random.default_rng(12)
+    for flt in (1, 2, 3):
+        for w, h in ((1, 1), (7, 1), (1, 9), (23, 17)):
+            res = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            body = bytes([flt << 2]) + res.tobytes()
+            got = decode_alph(body, w, h)
+            assert (got == naive(res.astype(np.int64), w, h, flt)).all(), (flt, w, h)
+    # cumsum filters on a 1 MP plane: the old per-pixel loop took >10 s
+    # per filter; the vectorized form is ~10 ms warm. First call pays
+    # one-time page-fault/init cost on this shared host, so warm up
+    # first and keep a noise margin under the 10x-regression bar.
+    res = rng.integers(0, 256, (1000, 1000), dtype=np.uint8)
+    for flt in (1, 2):
+        body = bytes([flt << 2]) + res.tobytes()
+        decode_alph(body, 1000, 1000)  # warm-up
+        t0 = time.time()
+        decode_alph(body, 1000, 1000)
+        assert time.time() - t0 < 2.0, f"filter {flt} not vectorized"

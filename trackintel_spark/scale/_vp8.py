@@ -636,7 +636,7 @@ def decode_vp8(data: bytes, return_yuv: bool = False):
             f"VP8: implausible {width}x{height} raster for a "
             f"{len(data)}-byte frame (likely corrupt header)"
         )
-    if part1_size > len(data):
+    if 10 + part1_size > len(data):  # 10-byte uncompressed header first
         raise ValueError("VP8: first partition size exceeds frame")
 
     first_part = data[10 : 10 + part1_size]
@@ -646,6 +646,10 @@ def decode_vp8(data: bytes, return_yuv: bool = False):
     pos = 10 + part1_size
     sizes = []
     for _ in range(n_parts - 1):
+        # a truncated frame whose header claims log2_parts > 0 must
+        # raise the decoder-contract ValueError, not IndexError
+        if pos + 3 > len(data):
+            raise ValueError("VP8: truncated token-partition size table")
         sizes.append(data[pos] | data[pos + 1] << 8 | data[pos + 2] << 16)
         pos += 3
     parts = []

@@ -561,24 +561,37 @@ def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
         raise ValueError(f"ALPH: unknown compression method {method}")
     if flt == 0:
         return a.astype(np.uint8)
+    # Filter inversion is a prefix sum mod 256 (addition mod 256 is
+    # associative, so one cumsum + final mask is exact): horizontal =
+    # row-wise cumsum after chaining column 0 down (the first-column
+    # border falls back to above), vertical is the transpose case.
+    # A per-pixel Python loop here is O(w*h) interpreted ops — a
+    # multi-second-per-megapixel cliff on the ingest path (r12 ADVICE).
+    if flt == 1:  # horizontal: left (first col falls to above)
+        a[:, 0] = np.cumsum(a[:, 0])
+        return (np.cumsum(a, axis=1) & 0xFF).astype(np.uint8)
+    if flt == 2:  # vertical: above (first row falls to left)
+        a[0, :] = np.cumsum(a[0, :])
+        return (np.cumsum(a, axis=0) & 0xFF).astype(np.uint8)
+    # gradient: clamp(left + above - above_left) breaks the prefix-sum
+    # form (clamp is not associative with mod-256 addition), so rows
+    # stay sequential — but borders vectorize and the inner loop runs
+    # over Python lists (~10x numpy scalar indexing).
     out = np.zeros((h, w), dtype=np.int64)
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = 0
-            elif flt == 1:  # horizontal: left (first col falls to above)
-                pred = out[y, x - 1] if x > 0 else out[y - 1, 0]
-            elif flt == 2:  # vertical: above (first row falls to left)
-                pred = out[y - 1, x] if y > 0 else out[y, x - 1]
-            else:  # gradient with the same border fallbacks
-                if y == 0:
-                    pred = out[y, x - 1]
-                elif x == 0:
-                    pred = out[y - 1, x]
-                else:
-                    g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
-                    pred = min(255, max(0, g))
-            out[y, x] = (a[y, x] + pred) & 0xFF
+    out[0, :] = np.cumsum(a[0, :]) & 0xFF  # y==0 falls back to left
+    out[:, 0] = np.cumsum(a[:, 0]) & 0xFF  # x==0 falls back to above
+    prev = out[0].tolist()
+    for y in range(1, h):
+        row_a = a[y].tolist()
+        cur = [int(out[y, 0])] + [0] * (w - 1)
+        left = cur[0]
+        for x in range(1, w):
+            g = left + prev[x] - prev[x - 1]
+            pred = 255 if g > 255 else (0 if g < 0 else g)
+            left = (row_a[x] + pred) & 0xFF
+            cur[x] = left
+        out[y] = cur
+        prev = cur
     return out.astype(np.uint8)
 
 
@@ -609,6 +622,28 @@ def decode_webp(data: bytes) -> np.ndarray:
         elif tag == b"VP8L":
             return decode_vp8l(body)  # VP8L carries its own alpha
         elif tag == b"VP8 ":
+            # Lossy VP8 is EXPERIMENTAL for externally-encoded streams:
+            # the clean-room decoder's default entropy tables are only
+            # partially transcribed (see _vp8.py confidence note), and a
+            # range decoder with wrong probabilities mis-decodes
+            # SILENTLY — it cannot fail. Decoding a real libwebp file
+            # here would hand garbage pixels to image_features, and
+            # resize_images would re-encode that garbage OVER the
+            # original payload: silent data corruption. Until the
+            # tables are externally validated, external lossy WebP
+            # raises the per-row ValueError (image_features records the
+            # error, resize_images passes the payload through
+            # unchanged). Opt in via SPARK_TRACKINTEL_VP8_EXPERIMENTAL=1
+            # (set spark.executorEnv.* on a cluster); module-produced
+            # streams round-trip exactly either way via decode_vp8.
+            import os
+
+            if os.environ.get("SPARK_TRACKINTEL_VP8_EXPERIMENTAL") != "1":
+                raise ValueError(
+                    "lossy VP8 (WebP) decode is experimental: entropy "
+                    "tables not externally validated; set "
+                    "SPARK_TRACKINTEL_VP8_EXPERIMENTAL=1 to opt in"
+                )
             from trackintel_spark.scale._vp8 import decode_vp8
 
             rgb = decode_vp8(body)

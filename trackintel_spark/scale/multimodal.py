@@ -362,8 +362,10 @@ def _decode_image_rgb(payload: bytes) -> np.ndarray:
         from trackintel_spark.scale._vp8l import decode_webp
 
         try:
-            # VP8L, lossy VP8 and VP8X stills (incl. ALPH alpha) all
-            # real-decode (r11); only ANIMATED VP8X raises -> env-gated
+            # VP8L and VP8X-over-VP8L stills (incl. ALPH alpha)
+            # real-decode; lossy VP8 is gated as experimental (r12 —
+            # entropy tables not externally validated, see _vp8l.py)
+            # and animated VP8X raises — both fall to the per-row error
             return decode_webp(payload)[:, :, :3]
         except NotImplementedError as e:  # animation compositing
             raise ValueError(str(e))
@@ -510,12 +512,14 @@ def resize_images(
                         )
 
                         try:
-                            # lossy VP8 + VP8X stills decode too (r11);
-                            # converted output re-encodes as VP8L
+                            # VP8L stills re-encode as VP8L; gated lossy
+                            # VP8 (r12) and animations raise here and
+                            # PASS THROUGH UNCHANGED — never re-encode a
+                            # payload the decoder can't faithfully read
                             img = _dw(payload)[:, :, :3]
                             enc = _ew
                         except (ValueError, NotImplementedError):
-                            out.append((pid, payload))  # animations pass through
+                            out.append((pid, payload))
                             continue
                     else:
                         try:
