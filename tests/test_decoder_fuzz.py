@@ -45,8 +45,15 @@ def _rgba(img):
     return np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
 
 
+def _mk_prog():
+    from trackintel_spark.scale._jpeg import encode_jpeg_progressive
+
+    return encode_jpeg_progressive(_IMG, subsample=True)
+
+
 CASES = [
     ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
+    ("jpeg_prog", _mk_prog, decode_jpeg),
     ("png", lambda: encode_png(_IMG), decode_png),
     ("gif", lambda: encode_gif(_IMG), decode_gif),
     ("bmp", lambda: encode_bmp(_IMG), decode_bmp),

@@ -1598,11 +1598,81 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(b"\x89PNG not a jpeg")
     data = bytearray(encode_jpeg(_jpeg_test_image(8, 8)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with _pytest.raises(ValueError, match="baseline"):
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2: a baseline-style full-band
+    # scan is not a legal progressive scan (r12: SOF2 itself now decodes)
+    with _pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC3  # lossless sequential: still unsupported
+    with _pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC9  # arithmetic coding: still unsupported
+    with _pytest.raises(ValueError, match="SOF2"):
         decode_jpeg(bytes(data))
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(encode_jpeg(_jpeg_test_image(8, 8))[: 40]))  # truncated pre-SOS
+
+
+def test_progressive_jpeg_matches_baseline_pixels():
+    """SOF2 (r12): a progressive encoding carries the SAME quantized
+    coefficients as the baseline encoding (shared _prep_quantized), so
+    decode_jpeg must produce pixel-IDENTICAL output for both — the scan
+    structures share no code, only the coefficients. Covers 4:4:4,
+    4:2:0, grayscale, restart intervals, non-divisible dims, and the
+    content classes that force each entropy path (flat -> batched EOB
+    runs, gradient -> long runs + refinement, dots -> ZRL)."""
+    import numpy as np
+
+    from trackintel_spark.scale._jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:95, 0:133]
+    grad = np.stack(
+        [(xx // 4) % 256, (yy // 4) % 256, ((xx + yy) // 8) % 256], -1
+    ).astype(np.uint8)
+    dots = np.zeros((64, 64, 3), np.uint8)
+    dots[::9, ::11] = 255
+    cases = [
+        (rng.integers(0, 256, (37, 53, 3), dtype=np.uint8), False, 0),
+        (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), True, 5),
+        (rng.integers(0, 256, (29, 31), dtype=np.uint8), False, 0),
+        (rng.integers(0, 256, (129, 77, 3), dtype=np.uint8), True, 0),
+        (rng.integers(0, 256, (1, 1, 3), dtype=np.uint8), False, 0),
+        (np.full((48, 80, 3), 130, np.uint8), True, 4),
+        (grad, True, 7),
+        (dots, False, 0),
+        (dots, True, 0),
+        ((yy % 256).astype(np.uint8), False, 2),
+    ]
+    for i, (img, sub, ri) in enumerate(cases):
+        base = decode_jpeg(encode_jpeg(img, subsample=sub, restart_interval=ri))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, subsample=sub, restart_interval=ri)
+        )
+        assert (base == prog).all(), (i, img.shape, sub, ri)
+
+
+def test_progressive_jpeg_through_spark_image_kernels(spark):
+    """A progressive payload real-decodes inside image_features and
+    re-encodes (as baseline) through resize_images."""
+    import numpy as np
+
+    from trackintel_spark.scale._jpeg import decode_jpeg, encode_jpeg_progressive
+    from trackintel_spark.scale.multimodal import image_features, resize_images
+
+    flat = np.full((24, 40, 3), [10, 200, 60], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_progressive(flat, subsample=True)))],
+        "doc_id long, payload binary",
+    )
+    f = image_features(df).collect()[0]
+    assert (f.width, f.height) == (40, 24)
+    assert abs(f.mean_g - 200) < 4 and abs(f.mean_r - 10) < 4
+    out = decode_jpeg(bytes(resize_images(df, 8, 8).collect()[0].payload))
+    assert out.shape == (8, 8, 3)
 
 
 def test_jpeg_through_spark_image_kernels(spark):

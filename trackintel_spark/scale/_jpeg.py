@@ -1,17 +1,24 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) decode + encode, numpy + stdlib.
+"""Baseline + progressive JPEG (ITU-T T.81 / JFIF) decode + encode,
+numpy + stdlib.
 
-JPEG needs no codec LIBRARY either — baseline sequential DCT is
-Huffman coding + dequantize + 8x8 inverse DCT + chroma upsample, all
-of which numpy expresses directly. This closes the last common web
-image format in the real-decode family (PPM/PNG/WAV siblings in
-multimodal.py); progressive/arithmetic/12-bit variants raise
-ValueError and stay on the documented stub path.
+JPEG needs no codec LIBRARY either — sequential DCT is Huffman coding
++ dequantize + 8x8 inverse DCT + chroma upsample, all of which numpy
+expresses directly; progressive (SOF2, r12) adds multi-scan spectral
+selection + successive approximation (T.81 Annex G) over the same
+reconstruction. This closes the last common web image formats in the
+real-decode family (PPM/PNG/WAV siblings in multimodal.py);
+arithmetic/12-bit/lossless/hierarchical variants raise ValueError and
+stay on the documented stub path.
 
-Decoder scope: baseline (SOF0), 8-bit, 1 or 3 components, any
-sampling factors, restart intervals. Encoder scope (fixture/test
-sibling, like encode_png): 4:4:4 or 4:2:0, Annex K example tables,
-optional restart interval — enough to exercise every decoder path
-with known pixels.
+Decoder scope: baseline (SOF0/1) and progressive (SOF2), 8-bit, 1 or
+3 components, any sampling factors, restart intervals, EOB runs.
+Encoder scope (fixture/test siblings, like encode_png):
+:func:`encode_jpeg` — 4:4:4 or 4:2:0, Annex K example tables,
+optional restart interval; :func:`encode_jpeg_progressive` — the same
+quantized coefficients through a 10-scan progressive script, so the
+two encodings of any image must decode pixel-identically (the
+strongest internal cross-check available without a reference codec:
+the scan structures share no code, only the coefficients).
 
 Reference: reference io/ has no image codecs (multimodal columns are
 an extension surface); tables and layout follow the public T.81 spec.
@@ -206,9 +213,10 @@ def _huff_decode(reader: _BitReader, table) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JFIF payload to (h, w, 3) uint8 RGB (grayscale
-    replicates). Raises ValueError on progressive (SOF2), arithmetic,
-    12-bit, hierarchical, or malformed input — corrupt streams (bit
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JFIF payload to
+    (h, w, 3) uint8 RGB (grayscale replicates). Raises ValueError on
+    arithmetic, 12-bit, hierarchical, or malformed input — corrupt
+    streams (bit
     flips, truncation: normal in crawl corpora) always surface as
     ValueError, the per-row error the Spark kernels absorb, never as a
     stray IndexError/KeyError that would fail the whole task."""
@@ -224,6 +232,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    prog = None  # progressive coefficient state, allocated at first SOS
     restart = 0
     pos = 2
     n = len(payload)
@@ -256,7 +265,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + cnt])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -264,22 +273,53 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            sof = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential DCT (SOF0/1) supported")
+            sof = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0/1) and progressive (SOF2) DCT supported")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            sel = {}
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
+            if not sof["progressive"]:
+                sel = {}
+                for c in range(ns):
+                    cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                    sel[cs] = (tda >> 4, tda & 0xF)
+                return _decode_scan(payload, pos, sof, sel, qt, huff, restart)
+            # progressive: one of MANY scans — decode it into the
+            # persistent per-component coefficient arrays, then keep
+            # walking markers (DHT/DRI may be redefined between scans)
+            if prog is None:
+                prog = _prog_state(sof, len(payload))
+            # crawl-data hygiene: each scan is O(blocks) work, so a
+            # crafted file with thousands of near-empty scans is a
+            # per-record DoS. Real encoders emit ~10; cap generously
+            # (libjpeg-turbo caps at 100).
+            prog["scans"] = prog.get("scans", 0) + 1
+            if prog["scans"] > 100:
+                raise ValueError("more than 100 progressive scans (likely crafted input)")
+            scomps = []
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cs] = (tda >> 4, tda & 0xF)
-            return _decode_scan(payload, pos, sof, sel, qt, huff, restart)
-        elif marker == 0xD9:  # EOI before SOS
+                match = [cc for cc in sof["comps"] if cc["id"] == cs]
+                if not match:
+                    raise ValueError("scan references unknown component")
+                scomps.append((match[0], tda >> 4, tda & 0xF))
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos, prog, scomps, ss, se, ahl >> 4, ahl & 0xF,
+                huff, restart,
+            )
+        elif marker == 0xD9:  # EOI
             break
+    if prog is not None:
+        maxh = max(c["h"] for c in sof["comps"])
+        maxv = max(c["v"] for c in sof["comps"])
+        return _reconstruct(sof["comps"], qt, maxh, maxv, sof["h"], sof["w"])
     raise ValueError("no scan data found")
 
 
@@ -358,8 +398,18 @@ def _decode_scan(payload, pos, sof, sel, qt, huff, restart):
                             k += 1
                         c["coef"][my * c["v"] + by, mx * c["h"] + bx] = blk.reshape(8, 8)
 
+    return _reconstruct(comps, qt, maxh, maxv, h, w)
+
+
+def _reconstruct(comps, qt, maxh, maxv, h, w):
+    """Dequantize + IDCT + upsample + color-convert decoded coefficient
+    arrays — shared by the baseline and progressive paths (identical
+    coefficients MUST give identical pixels; the progressive round-trip
+    tests rely on this)."""
     planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("missing quantization table")
         deq = c["coef"] * qt[c["tq"]][None, None]
         # one vectorized IDCT over every block: (bh, bw, 8, 8)
         spatial = np.einsum("xu,ijuv,vy->ijxy", _C.T, deq.astype(np.float64), _C)
@@ -379,6 +429,219 @@ def _decode_scan(payload, pos, sof, sel, qt, huff, restart):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive DCT (SOF2) — ITU-T T.81 Annex G spectral selection +
+# successive approximation. Scans accumulate into persistent
+# per-component coefficient arrays; reconstruction is shared with the
+# baseline path, so a complete progressive encoding of the same
+# quantized coefficients MUST decode to pixel-identical output (the
+# round-trip tests pin exactly that).
+
+
+def _prog_state(sof, payload_len):
+    """Allocate per-component coefficient arrays + block grids for a
+    progressive frame (called at the first SOS)."""
+    h, w, comps = sof["h"], sof["w"], sof["comps"]
+    if h < 1 or w < 1:
+        raise ValueError("invalid dimensions")
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"invalid sampling factors {c['h']}x{c['v']}")
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    for c in comps:
+        if maxh % c["h"] != 0 or maxv % c["v"] != 0:
+            raise ValueError(
+                "unsupported sampling factors: %dx%d vs max %dx%d"
+                % (c["h"], c["v"], maxh, maxv)
+            )
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    # crawl-data hygiene (same bound as baseline, against the WHOLE
+    # payload: the mandatory first DC scan spends >= 2 bits per block)
+    total_blocks = sum(mcux * c["h"] * mcuy * c["v"] for c in comps)
+    if total_blocks > max(4096, payload_len * 4):
+        raise ValueError(
+            f"implausible {w}x{h} raster for {payload_len} "
+            "payload bytes (likely corrupt SOF)"
+        )
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
+        # non-interleaved (single-component) scans cover the component's
+        # OWN block grid, not the MCU-padded one (T.81 A.2.2)
+        comp_w = -(-(w * c["h"]) // maxh)
+        comp_h = -(-(h * c["v"]) // maxv)
+        c["cbw"] = -(-comp_w // 8)
+        c["cbh"] = -(-comp_h // 8)
+    return {"mcux": mcux, "mcuy": mcuy}
+
+
+def _next_marker_pos(data, pos):
+    """Position of the next real marker at/after ``pos``, skipping
+    stuffed 0xFF00 pairs, fill 0xFF bytes and stray RSTn."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        else:
+            return pos
+    raise ValueError("unterminated scan")
+
+
+def _decode_progressive_scan(payload, pos, prog, scomps, ss, se, ah, al, huff, restart):
+    """Decode one progressive scan into the components' coefficient
+    arrays; returns the payload position of the next marker."""
+    if al > 13 or ah > 14 or se > 63 or ss > se:
+        raise ValueError("invalid spectral selection / successive approximation")
+    reader = _BitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        tbls = []
+        for c, td, _ta in scomps:
+            if ah == 0:
+                if (0, td) not in huff:
+                    raise ValueError("missing Huffman table")
+                tbls.append(huff[(0, td)])
+            else:
+                tbls.append(None)  # DC refinement: raw bits, no table
+        pred = [0] * len(scomps)
+
+        def dc_one(ci, blk):
+            if ah == 0:
+                t = _huff_decode(reader, tbls[ci])
+                pred[ci] += _extend(reader.receive(t), t)
+                blk[0, 0] = pred[ci] << al
+            elif reader.read_bit():
+                blk[0, 0] = int(blk[0, 0]) | (1 << al)
+
+        cnt = 0
+        if len(scomps) > 1:  # interleaved MCU order
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    if restart and cnt and cnt % restart == 0:
+                        reader.align_to_marker()
+                        pred = [0] * len(scomps)
+                    cnt += 1
+                    for ci, (c, _td, _ta) in enumerate(scomps):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_one(ci, c["coef"][my * c["v"] + by, mx * c["h"] + bx])
+        else:  # non-interleaved: the component's own block grid
+            c = scomps[0][0]
+            for by in range(c["cbh"]):
+                for bx in range(c["cbw"]):
+                    if restart and cnt and cnt % restart == 0:
+                        reader.align_to_marker()
+                        pred = [0] * len(scomps)
+                    cnt += 1
+                    dc_one(0, c["coef"][by, bx])
+        return _next_marker_pos(payload, reader.pos)
+
+    # AC scan: always single-component, non-interleaved (T.81 G.1.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must have exactly one component")
+    c, _td, ta = scomps[0]
+    if (1, ta) not in huff:
+        raise ValueError("missing Huffman table")
+    actbl = huff[(1, ta)]
+    eobrun = 0
+    cnt = 0
+    for by in range(c["cbh"]):
+        for bx in range(c["cbw"]):
+            if restart and cnt and cnt % restart == 0:
+                reader.align_to_marker()
+                eobrun = 0
+            cnt += 1
+            blk = c["coef"][by, bx].reshape(64)
+            if ah == 0:
+                eobrun = _ac_first_block(reader, actbl, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, actbl, blk, ss, se, al, eobrun)
+    return _next_marker_pos(payload, reader.pos)
+
+
+def _ac_first_block(reader, actbl, blk, ss, se, al, eobrun):
+    """First AC scan for one block (T.81 G.1.2.2): EOB runs, ZRL, and
+    point-transformed coefficients shifted up by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, actbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient run past band end")
+        blk[_ZZ[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, actbl, blk, ss, se, al, eobrun):
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as +-1<<Al; already-nonzero ones receive one
+    correction bit each, interleaved in scan order."""
+    p1 = 1 << al
+
+    def correct(k):
+        cval = int(blk[_ZZ[k]])
+        if cval != 0:
+            if reader.read_bit() and (abs(cval) & p1) == 0:
+                blk[_ZZ[k]] = cval + (p1 if cval > 0 else -p1)
+            return True
+        return False
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, actbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    # unlike the first-scan case, the run INCLUDES this
+                    # block: the tail-correction loop below handles it
+                    # and then decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if not correct(k):
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[_ZZ[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --------------------------------------------------------------------------
@@ -440,11 +703,11 @@ def _encode_block(bw_, blk_zz, pred, dc_codes, ac_codes):
     return int(blk_zz[0])
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder over the Annex K tables: 4:4:4 by default,
-    4:2:0 with ``subsample=True``, optional restart markers. Fixture
-    sibling of :func:`decode_jpeg` (the pair is round-trip-tested; the
-    decoder is the product surface)."""
+def _prep_quantized(img: np.ndarray, subsample: bool):
+    """Color-convert + pad + FDCT + quantize to MCU-padded block arrays
+    — shared by the baseline and progressive encoders, so a progressive
+    encoding of the same image carries IDENTICAL quantized coefficients
+    (the cross-encoder pixel-equality tests rest on this)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -466,10 +729,7 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
     else:
         raise ValueError("expected 1 or 3 channels")
 
-    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
-    ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
     qts = [_Q_LUMA, _Q_CHROMA]
-
     # pad each plane to whole MCUs (edge replicate) and pre-block FDCT
     mcux_n = -(-w // (8 * maxh))
     mcuy_n = -(-h // (8 * maxv))
@@ -484,6 +744,18 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
         coef = np.einsum("ux,ijxy,yv->ijuv", _C, tiles, _C.T)
         q = np.round(coef / qts[tq][None, None]).astype(np.int64)
         blocks.append((q, hs, vs, tq))
+    return h, w, planes, blocks, maxh, maxv
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder over the Annex K tables: 4:4:4 by default,
+    4:2:0 with ``subsample=True``, optional restart markers. Fixture
+    sibling of :func:`decode_jpeg` (the pair is round-trip-tested; the
+    decoder is the product surface)."""
+    h, w, planes, blocks, maxh, maxv = _prep_quantized(img, subsample)
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+    qts = [_Q_LUMA, _Q_CHROMA]
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -536,6 +808,291 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
                         )
     bw_.pad()
     out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (fixture sibling of the SOF2 decoder)
+#
+# Universal fixed-length Huffman tables: every symbol present (DC 0..15
+# at 5 bits, AC 0x00..0xFF at 9/10 bits), Kraft sum < 1 so no code is
+# all ones (T.81 C.2). Spec-valid, deliberately inefficient, and
+# deliberately DIFFERENT from the baseline encoder's Annex K tables —
+# the decoder's generic-DHT path gets exercised, and progressive EOB/
+# refinement symbols (absent from Annex K) are all encodable.
+
+_DC_UNIV = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+_AC_UNIV = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(255)) + [255],
+)
+
+
+class _ScanWriter:
+    """One scan's entropy output: a _BitWriter plus restart-marker
+    bookkeeping shared by every progressive scan emitter."""
+
+    def __init__(self, out: bytearray, restart_interval: int):
+        self.out = out
+        self.ri = restart_interval
+        self.bw = _BitWriter()
+        self.cnt = 0
+        self.rst = 0
+
+    def due(self) -> bool:
+        """True when the NEXT unit_boundary() will emit a restart —
+        AC emitters must flush their pending EOB run before that."""
+        return bool(self.ri) and self.cnt > 0 and self.cnt % self.ri == 0
+
+    def unit_boundary(self) -> bool:
+        """Call before each MCU/block; emits RSTn when due. True means
+        a restart was emitted (caller resets its pred/EOB state)."""
+        due = self.due()
+        if due:
+            self.bw.pad()
+            self.out += self.bw.out
+            self.bw = _BitWriter()
+            self.out += bytes([0xFF, 0xD0 + (self.rst % 8)])
+            self.rst += 1
+        self.cnt += 1
+        return due
+
+    def finish(self):
+        self.bw.pad()
+        self.out += self.bw.out
+
+
+def _emit_dc_scan(out, blocks, al, ah, dc_codes, restart_interval):
+    """DC scan, first (Ah=0: Huffman-coded diffs of coef>>Al) or
+    refinement (Ah>0: one raw bit per block). Interleaved MCU order —
+    for a single component maxh=maxv=1 makes this the block grid too."""
+    sw = _ScanWriter(out, restart_interval)
+    pred = [0] * len(blocks)
+    q0, hs0, vs0, _ = blocks[0]
+    mcuy = q0.shape[0] // vs0
+    mcux = q0.shape[1] // hs0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if sw.unit_boundary():
+                pred = [0] * len(blocks)
+            for i, (q, hs, vs, _tq) in enumerate(blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(q[my * vs + by, mx * hs + bx][0, 0])
+                        if ah:
+                            sw.bw.write((v >> al) & 1, 1)
+                            continue
+                        d = (v >> al) - pred[i]
+                        pred[i] = v >> al
+                        t = abs(d).bit_length()
+                        code, ln = dc_codes[t]
+                        sw.bw.write(code, ln)
+                        if t:
+                            mag = d if d >= 0 else d + (1 << t) - 1
+                            sw.bw.write(mag & ((1 << t) - 1), t)
+    sw.finish()
+
+
+def _emit_ac_first(out, q, cbw, cbh, ss, se, al, ac_codes, restart_interval):
+    """First AC scan over one component's own block grid: ZRL for runs
+    of 16+, point-transformed magnitudes, and BATCHED EOB runs across
+    blocks (EOBn symbols, r appended bits) like real encoders emit —
+    the decoder's eobrun>1 path gets exercised on every smooth image."""
+    sw = _ScanWriter(out, restart_interval)
+    run = 0
+
+    def flush_run():
+        nonlocal run
+        if run:
+            r = run.bit_length() - 1
+            c_, l_ = ac_codes[r << 4]
+            sw.bw.write(c_, l_)
+            if r:
+                sw.bw.write(run - (1 << r), r)
+            run = 0
+
+    for by in range(cbh):
+        for bx in range(cbw):
+            if sw.due():  # decoder resets its EOB run at RSTn
+                flush_run()
+            sw.unit_boundary()
+            blk = q[by, bx].reshape(64)[_ZZ]
+            r = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al  # AC point transform truncates toward 0
+                if t == 0:
+                    r += 1
+                    continue
+                if not emitted:
+                    flush_run()  # run ends at the first coded block
+                    emitted = True
+                while r > 15:
+                    c_, l_ = ac_codes[0xF0]
+                    sw.bw.write(c_, l_)
+                    r -= 16
+                s = t.bit_length()
+                sv = t if v > 0 else -t
+                mag = sv if sv >= 0 else sv + (1 << s) - 1
+                c_, l_ = ac_codes[(r << 4) | s]
+                sw.bw.write(c_, l_)
+                sw.bw.write(mag & ((1 << s) - 1), s)
+                r = 0
+            if not emitted or r:
+                # whole band zero, or a coded block with a zero tail:
+                # (re)start / extend the EOB run
+                run += 1
+                if run == 0x7FFF:  # r<=14: the largest expressible run
+                    flush_run()
+    flush_run()
+    sw.finish()
+
+
+def _emit_ac_refine(out, q, cbw, cbh, ss, se, al, ac_codes, restart_interval):
+    """AC refinement scan (Ah=Al+1): newly-nonzero coefficients as
+    run/1 symbols + sign, correction bits for history-nonzero ones
+    buffered and flushed after each symbol — bit-exact mirror of the
+    decoder's interleaved read order (T.81 G.1.2.3)."""
+    ah = al + 1
+    sw = _ScanWriter(out, restart_interval)
+    run = 0
+    runbits = []  # correction bits the decoder reads in its EOB tail
+
+    def flush_run():
+        nonlocal run, runbits
+        if run:
+            r = run.bit_length() - 1
+            c_, l_ = ac_codes[r << 4]
+            sw.bw.write(c_, l_)
+            if r:
+                sw.bw.write(run - (1 << r), r)
+            for bit in runbits:
+                sw.bw.write(bit, 1)
+            run = 0
+            runbits = []
+
+    for by in range(cbh):
+        for bx in range(cbw):
+            if sw.due():  # decoder resets its EOB run at RSTn
+                flush_run()
+            sw.unit_boundary()
+            blk = q[by, bx].reshape(64)[_ZZ]
+            # history-nonzero <=> t > 1 (Ah = Al+1, so a coefficient
+            # that was nonzero at Ah has abs >> Al >= 2); t == 1 is
+            # always newly nonzero
+            ts = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            if 1 not in ts:
+                # no symbols to emit: the whole band joins the EOB run;
+                # its history coefficients' correction bits are read in
+                # the decoder's per-block tail loop, in scan order
+                run += 1
+                runbits.extend(t & 1 for t in ts if t > 1)
+                if run == 0x7FFF:
+                    flush_run()
+                continue
+            flush_run()
+            r = 0
+            pending = []
+            for k, t in zip(range(ss, se + 1), ts):
+                if t == 0:
+                    r += 1
+                    continue
+                # at any nonzero coefficient, first emit ZRLs that are
+                # due: keeps every pending correction bit inside the
+                # decoder's 16-zero skip window (history coefficients
+                # do NOT reset the run)
+                while r > 15:
+                    c_, l_ = ac_codes[0xF0]
+                    sw.bw.write(c_, l_)
+                    r -= 16
+                    for bit in pending:
+                        sw.bw.write(bit, 1)
+                    pending = []
+                if t > 1:  # history-nonzero: next bit of the magnitude
+                    pending.append(t & 1)
+                    continue
+                c_, l_ = ac_codes[(r << 4) | 1]
+                sw.bw.write(c_, l_)
+                sw.bw.write(1 if int(blk[k]) > 0 else 0, 1)
+                for bit in pending:
+                    sw.bw.write(bit, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                # zero tail (plus trailing correction bits): this
+                # block's EOB starts a new batched run
+                run = 1
+                runbits = pending
+    flush_run()
+    sw.finish()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder: same color convert / FDCT /
+    quantization as :func:`encode_jpeg`, but a multi-scan script with
+    spectral selection + two successive-approximation levels. Because
+    the quantized coefficients are identical and the final scans reach
+    Al=0, decode_jpeg MUST produce pixel-identical output for the
+    baseline and progressive encodings of any image — the round-trip
+    tests pin exactly that."""
+    h, w, planes, blocks, maxh, maxv = _prep_quantized(img, subsample)
+    nc = len(planes)
+    qts = [_Q_LUMA, _Q_CHROMA]
+    dc_codes = _canonical_codes(*_DC_UNIV)
+    ac_codes = _canonical_codes(*_AC_UNIV)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qtbl in enumerate(qts[: 2 if nc > 1 else 1]):
+        zz = qtbl.reshape(64)[_ZZ]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(v) for v in zz)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (_, hs, vs, tq) in enumerate(planes):
+        sof += bytes([i + 1, (hs << 4) | vs, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc_th, (bits, vals) in ((0x00, _DC_UNIV), (0x10, _AC_UNIV)):
+        data = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    grids = []  # per-component non-interleaved block grids
+    for q, hs, vs, _tq in blocks:
+        comp_w = -(-(w * hs) // maxh)
+        comp_h = -(-(h * vs) // maxv)
+        grids.append((-(-comp_w // 8), -(-comp_h // 8)))
+
+    def sos(comp_idxs, ss, se, ah, al):
+        seg = bytes([len(comp_idxs)])
+        for i in comp_idxs:
+            seg += bytes([i + 1, 0x00])  # Td=0 Ta=0: universal tables
+        seg += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg)
+
+    all_comps = list(range(nc))
+    # scan script — hits every decoder path: interleaved and single-
+    # component DC, split spectral bands, two successive-approximation
+    # levels on luma, AC + DC refinement:
+    sos(all_comps, 0, 0, 0, 1)  # DC first, Al=1
+    _emit_dc_scan(out, blocks, 1, 0, dc_codes, restart_interval)
+    sos([0], 1, 5, 0, 2)  # luma low band, Al=2
+    _emit_ac_first(out, blocks[0][0], *grids[0], 1, 5, 2, ac_codes, restart_interval)
+    sos([0], 6, 63, 0, 2)  # luma high band, Al=2
+    _emit_ac_first(out, blocks[0][0], *grids[0], 6, 63, 2, ac_codes, restart_interval)
+    for i in all_comps[1:]:  # chroma full band, Al=1
+        sos([i], 1, 63, 0, 1)
+        _emit_ac_first(out, blocks[i][0], *grids[i], 1, 63, 1, ac_codes, restart_interval)
+    sos([0], 1, 63, 2, 1)  # luma refinement Al=2 -> 1
+    _emit_ac_refine(out, blocks[0][0], *grids[0], 1, 63, 1, ac_codes, restart_interval)
+    sos(all_comps, 0, 0, 1, 0)  # DC refinement to full precision
+    _emit_dc_scan(out, blocks, 0, 1, dc_codes, restart_interval)
+    for i in all_comps:  # AC refinement to full precision
+        sos([i], 1, 63, 1, 0)
+        _emit_ac_refine(out, blocks[i][0], *grids[i], 1, 63, 0, ac_codes, restart_interval)
     out += b"\xff\xd9"
     return bytes(out)
 

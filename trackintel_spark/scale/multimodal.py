@@ -18,7 +18,7 @@ walks the ISO-BMFF box tree (duration, resolution, codec fourccs) and
 :func:`probe_mp3` walks MPEG frame headers (duration, bitrate, VBR) —
 which is what curation filters actually key on. Only SAMPLE/FRAME
 decode of codec-bound formats (ffmpeg/librosa for MP3 audio, MP4
-frames, progressive JPEG) is stubbed:
+frames) is stubbed:
 ``decode_stub=True`` yields deterministic fake features
 (shape-correct, content-derived), while ``decode_stub=False`` raises
 ``NotImplementedError`` at the point a real codec would be invoked.
@@ -342,10 +342,10 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def _decode_image_rgb(payload: bytes) -> np.ndarray:
-    """Decode any REAL-decodable image payload (PPM, PNG or baseline
-    JPEG) to (h, w, 3) uint8: gray replicates across channels, alpha is
-    dropped. Raises ValueError for formats needing a codec library
-    (progressive JPEG, video frames etc.)."""
+    """Decode any REAL-decodable image payload (PPM, PNG, baseline or
+    progressive JPEG, GIF, BMP, lossless WebP) to (h, w, 3) uint8: gray
+    replicates across channels, alpha is dropped. Raises ValueError for
+    formats needing a codec library (video frames etc.)."""
     try:
         return decode_ppm(payload)
     except ValueError:
