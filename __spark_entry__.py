@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1013,6 +1014,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = q_multimodal_features
 
+    def q_image_probe(spark, sf):
+        # REAL pixel-decode oracle (r12): solid even-gray images
+        # round-trip EXACTLY through the lossy JPEG pair — chroma
+        # planes sit at neutral 128 (zero coefficients) and an even
+        # gray level hits the luma DC quantizer (16) without rounding —
+        # so the mapInPandas image_features kernel's decode of BASELINE
+        # and PROGRESSIVE (SOF2, r12) payloads is fully SQL-
+        # predictable: width/height from the doc_id formula, every
+        # channel mean == the gray level. Dims are deliberately not
+        # multiples of 8 (MCU edge padding) and half the payloads are
+        # 4:2:0 subsampled.
+        import pandas as pd
+
+        from trackintel_spark.scale.multimodal import image_features
+
+        @F.pandas_udf("binary")
+        def enc(doc_id: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from trackintel_spark.scale._jpeg import (
+                encode_jpeg,
+                encode_jpeg_progressive,
+            )
+
+            out = []
+            for d in doc_id:
+                d = int(d)
+                g = 2 * (d % 100) + 10
+                w = 8 + d % 17
+                h = 8 + d % 13
+                img = np.full((h, w, 3), g, np.uint8)
+                e = encode_jpeg_progressive if d % 3 else encode_jpeg
+                out.append(e(img, subsample=(d % 2 == 0)))
+            return pd.Series(out)
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        feats = image_features(docs.withColumn("payload", enc("doc_id")))
+        return feats.select(
+            "doc_id", "width", "height",
+            _r("mean_r", 5).alias("mean_r"),
+            _r("mean_g", 5).alias("mean_g"),
+            _r("mean_b", 5).alias("mean_b"),
+        )
+
+    q["image_probe"] = q_image_probe
+
+    def q_media_probe(spark, sf):
+        # REAL container-probe oracle (r12, the warc_stage0 pattern):
+        # MP4 box trees and MPEG-1 Layer III frame sequences are
+        # ASSEMBLED as pure codegen byte expressions from doc_id, the
+        # real mapInPandas probes (probe_mp4's box-tree walk,
+        # probe_mp3's frame-header walk) parse them back, and DuckDB
+        # recomputes every reported field independently from the same
+        # doc_id arithmetic. Even doc_ids carry MP4 (1 or 2 tracks,
+        # three codecs), odd ones MP3 (CBR and VBR at 48 kHz).
+        from trackintel_spark.scale.multimodal import mp3_metadata, video_metadata
+
+        d = F.col("doc_id")
+
+        def hx4(c):
+            return F.lpad(F.hex(c.cast("long")), 8, "0")
+
+        def hx2(c):
+            return F.lpad(F.hex(c.cast("long")), 2, "0")
+
+        def trak_hex(w_col, h_col, fourcc_hex):
+            # trak(156) = tkhd(92: 24B times/ids + 52B layer/matrix +
+            # 16.16 width/height) + mdia(56)/minf(48)/stbl(40)/stsd(32)
+            return F.concat(
+                F.lit("0000009C" "7472616B" "0000005C" "746B6864"),
+                F.lit("00" * 24), F.lit("00" * 52),
+                F.lpad(F.hex(w_col.cast("long")), 4, "0"), F.lit("0000"),
+                F.lpad(F.hex(h_col.cast("long")), 4, "0"), F.lit("0000"),
+                F.lit("00000038" "6D646961" "00000030" "6D696E66"
+                      "00000028" "7374626C" "00000020" "73747364"
+                      "00000000" "00000001" "00000010"),
+                fourcc_hex, F.lit("00" * 8),
+            )
+
+        # ---- MP4: ftyp(16) + moov( mvhd(108, v0) + trak [+ audio trak] )
+        dur = (d % 9973 + 17) * 3  # timescale 1000 -> 3-decimal seconds
+        width = 160 + (d % 8) * 16
+        height = 120 + (d % 6) * 8
+        fourcc = (
+            F.when(d % 3 == 0, F.lit("61766331"))  # avc1
+            .when(d % 3 == 1, F.lit("68657631"))   # hev1
+            .otherwise(F.lit("76703039"))          # vp09
+        )
+        second = d % 4 == 0  # extra zero-dim mp4a track
+        moov_size = F.when(second, F.lit(428)).otherwise(F.lit(272))
+        mp4_hex = F.concat(
+            F.lit("00000010" "66747970" "69736F6D" "00000200"),
+            hx4(moov_size), F.lit("6D6F6F76"),
+            F.lit("0000006C" "6D766864"), F.lit("00" * 12),
+            hx4(F.lit(1000)), hx4(dur), F.lit("00" * 80),
+            trak_hex(width, height, fourcc),
+            F.when(second, trak_hex(F.lit(0), F.lit(0), F.lit("6D703461"))
+                   ).otherwise(F.lit("")),
+        )
+
+        # ---- MP3: 48 kHz (frame_len = 3*bitrate, no padding), CBR or
+        # two-bitrate VBR with equal frame counts (exact mean)
+        rates = F.array(*[F.lit(x) for x in
+                          (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)])
+        vbr = d % 4 == 3
+        n_frames = 2 * (10 + d % 15)
+        idx_a = F.when(vbr, 1 + d % 7).otherwise(1 + d % 14)
+        idx_b = 8 + d % 7
+
+        def frame_hex(idx):
+            br = F.element_at(rates, (idx + 1).cast("int"))
+            return F.concat(
+                F.lit("FFFB"), hx2(idx * 16 + 4), F.lit("00"),
+                F.repeat(F.lit("00"), (3 * br - 4).cast("int")),
+            )
+
+        mp3_hex = F.when(
+            vbr,
+            F.repeat(F.concat(frame_hex(idx_a), frame_hex(idx_b)),
+                     (n_frames / 2).cast("int")),
+        ).otherwise(F.repeat(frame_hex(idx_a), n_frames.cast("int")))
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        payload = F.unhex(F.when(d % 2 == 0, mp4_hex).otherwise(mp3_hex))
+        media = docs.select("doc_id", payload.alias("payload"))
+        v = video_metadata(media.filter(d % 2 == 0))
+        a = mp3_metadata(media.filter(d % 2 == 1))
+        out = v.unionByName(a, allowMissingColumns=True)
+        return out.select(
+            "doc_id",
+            _r("duration_s", 5).alias("duration_s"),
+            "width", "height", "n_tracks", "codecs",
+            "n_frames", "sample_rate",
+            _r("bitrate_kbps", 5).alias("bitrate_kbps"),
+            "vbr",
+        )
+
+    q["media_probe"] = q_media_probe
+
     # -- generate_trips with a FULL SQL oracle over sessions/movements --------
     def q_trips_oracle(spark, sf):
         from trackintel_spark.analysis import create_activity_flag
@@ -1790,11 +1930,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1", "tpch_q3ish",
         # scale: text / dedup / similarity (r7 rotation notes in git
         # history; everything rotated out keeps its oracle + pytest).
-        "strip_html",
         "dedup_incremental", "trajectory_join", "substring_dedup",
         "minhash_lsh_pairs",
         "dsir_weights", "embedding_match", "train_shuffle",
-        "embedding_dedup", "semantic_dedup", "line_dedup",
+        "embedding_dedup", "semantic_dedup",
+        # r12 rotation (VERDICT r11 top_next #8): the round-12 flagships
+        # image_probe (REAL pixel decode incl. progressive SOF2 JPEG —
+        # solid even-gray images are exact through the lossy pair) and
+        # media_probe (REAL MP4 box-tree + MP3 frame-header probes over
+        # codegen-assembled payloads) take the driver's scored signal.
+        # Displaced: strip_html (the web stage-0 expression family stays
+        # in-prefix via warc_stage0 + url_dedup + robots_gate) and
+        # line_dedup (the md5-census window-free shape stays in-prefix
+        # via substring_dedup); both keep their oracles at 51+.
+        "image_probe", "media_probe",
         "lsh_topk", "multimodal_features",
         "robots_gate", "generate_tours",
         "decontaminate", "warc_stage0",
@@ -1803,7 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-backed here and pytest-covered. (r10:
         # chunk_dedup rotated out for warc_stage0 — its md5-census shape
         # rides in-prefix via line_dedup and substring_dedup.)
-        "chunk_dedup",
+        "chunk_dedup", "strip_html", "line_dedup",
         "trajectory_match", "trajectory_distances", "dedup_exact",
         "top_tokens", "repetition_signals",
         "jump_length", "tripleg_length", "locations_grid", "token_count",
@@ -3863,6 +4012,45 @@ def oracle_sql() -> dict[str, str]:
                     WHEN head LIKE '424D%' THEN 'bmp'
                     ELSE NULL END AS format
         FROM sniff
+    """
+
+    o["image_probe"] = """
+        SELECT doc_id,
+               CAST(8 + doc_id % 17 AS INT) AS width,
+               CAST(8 + doc_id % 13 AS INT) AS height,
+               ROUND(CAST(2 * (doc_id % 100) + 10 AS DOUBLE), 5) AS mean_r,
+               ROUND(CAST(2 * (doc_id % 100) + 10 AS DOUBLE), 5) AS mean_g,
+               ROUND(CAST(2 * (doc_id % 100) + 10 AS DOUBLE), 5) AS mean_b
+        FROM documents
+    """
+
+    o["media_probe"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 2 = 0 AS is_mp4,
+                   doc_id % 4 = 3 AS is_vbr,
+                   2 * (10 + doc_id % 15) AS nf,
+                   [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320] AS br
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN is_mp4 THEN ((doc_id % 9973 + 17) * 3) / 1000.0
+                          ELSE nf * 1152.0 / 48000 END, 5) AS duration_s,
+               CASE WHEN is_mp4 THEN CAST(160 + (doc_id % 8) * 16 AS INT) END AS width,
+               CASE WHEN is_mp4 THEN CAST(120 + (doc_id % 6) * 8 AS INT) END AS height,
+               CASE WHEN is_mp4 THEN CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT) END AS n_tracks,
+               CASE WHEN is_mp4 THEN
+                    (CASE WHEN doc_id % 3 = 0 THEN 'avc1'
+                          WHEN doc_id % 3 = 1 THEN 'hev1' ELSE 'vp09' END)
+                    || (CASE WHEN doc_id % 4 = 0 THEN ',mp4a' ELSE '' END) END AS codecs,
+               CASE WHEN NOT is_mp4 THEN CAST(nf AS INT) END AS n_frames,
+               CASE WHEN NOT is_mp4 THEN CAST(48000 AS INT) END AS sample_rate,
+               ROUND(CASE WHEN NOT is_mp4 THEN
+                    CASE WHEN is_vbr
+                         THEN (br[CAST(2 + doc_id % 7 AS INT)] + br[CAST(9 + doc_id % 7 AS INT)]) / 2.0
+                         ELSE CAST(br[CAST(2 + doc_id % 14 AS INT)] AS DOUBLE) END END, 5) AS bitrate_kbps,
+               CASE WHEN NOT is_mp4 THEN is_vbr END AS vbr
+        FROM p
     """
 
     return {k: _portable_round(v) for k, v in o.items()}
