@@ -51,6 +51,14 @@ def _mk_prog():
     return encode_jpeg_progressive(_IMG, subsample=True)
 
 
+def _mk_anim():
+    from trackintel_spark.scale._vp8l import encode_webp_anim
+
+    a = _rgba(_IMG)
+    return encode_webp_anim([a, a[:12, :16]], offsets=[(0, 0), (4, 4)],
+                            durations=[30, 40], dispose=[False, True])
+
+
 CASES = [
     ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
     ("jpeg_prog", _mk_prog, decode_jpeg),
@@ -58,6 +66,7 @@ CASES = [
     ("gif", lambda: encode_gif(_IMG), decode_gif),
     ("bmp", lambda: encode_bmp(_IMG), decode_bmp),
     ("webp_vp8l", lambda: encode_webp(_rgba(_IMG)), decode_webp),
+    ("webp_anim", _mk_anim, decode_webp),
     ("webp_vp8", lambda: encode_webp_lossy(_IMG, qi=20), decode_webp),
     ("wav", lambda: _WAV, decode_wav_pcm),
     ("ppm", lambda: b"P6\n24 24\n255\n" + _IMG.tobytes(), decode_ppm),

@@ -553,9 +553,11 @@ def test_vp8x_alpha_round_trip_all_filters(monkeypatch):
         assert (out[:, :, 3] == alpha).all(), f"filter {flt}"
     out = decode_webp(encode_webp_vp8x(img, None, qi=20))
     assert (out[:, :, 3] == 255).all()
+    # flipping the animation flag on a still (r12: animations decode
+    # now) leaves a VP8X with ZERO ANMF frames — a clean ValueError
     anim = bytearray(encode_webp_vp8x(img, alpha, qi=20))
     anim[20] |= 0x02  # animation flag inside the VP8X body
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no ANMF"):
         decode_webp(bytes(anim))
 
 

@@ -505,3 +505,156 @@ def test_alph_filter_inversion_vectorized_parity_and_speed():
         t0 = time.time()
         decode_alph(body, 1000, 1000)
         assert time.time() - t0 < 2.0, f"filter {flt} not vectorized"
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (ANIM/ANMF, r12)
+# ---------------------------------------------------------------------------
+
+
+def _rgba(img):
+    import numpy as np
+
+    if img.shape[2] == 4:
+        return img
+    return np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+
+
+def test_animated_webp_compositing_matches_reference():
+    """decode_webp_frames vs an INDEPENDENT numpy compositor: canvas
+    starts transparent, frames land at their offsets with alpha-blend
+    or overwrite, dispose-to-background clears the rectangle. Lossless
+    VP8L frames make every comparison exact."""
+    import numpy as np
+
+    from trackintel_spark.scale._vp8l import decode_webp_frames, encode_webp_anim
+
+    rng = np.random.default_rng(5)
+    n = 5
+    cw, ch = 34, 26
+    frames, offs, durs, disp, nb = [], [], [], [], []
+    for i in range(n):
+        fw, fh = 6 + 4 * i, 4 + 4 * i
+        f = rng.integers(0, 256, (fh, fw, 4), dtype=np.uint8)
+        if i % 2:
+            f[:, :, 3] = rng.integers(0, 256, (fh, fw), dtype=np.uint8)
+        frames.append(f)
+        offs.append((2 * (i % 3), 2 * (i % 4)))
+        durs.append(30 + i)
+        disp.append(i % 3 == 1)
+        nb.append(i % 2 == 0)
+    data = encode_webp_anim(frames, canvas_size=(cw, ch), offsets=offs,
+                            durations=durs, dispose=disp, no_blend=nb, loop=2)
+    got = decode_webp_frames(data)
+    assert [d for _, d in got] == durs
+
+    canvas = np.zeros((ch, cw, 4), dtype=np.float64)
+    for i, (f, (x, y)) in enumerate(zip(frames, offs)):
+        fh, fw = f.shape[:2]
+        reg = canvas[y : y + fh, x : x + fw]
+        if nb[i]:
+            reg[:] = f
+        else:
+            sa = f[:, :, 3:4] / 255.0
+            da = reg[:, :, 3:4] / 255.0
+            oa = sa + da * (1 - sa)
+            rgb = f[:, :, :3] * sa + reg[:, :, :3] * da * (1 - sa)
+            reg[:, :, :3] = np.round(rgb / np.where(oa == 0, 1, oa)).clip(0, 255)
+            reg[:, :, 3:4] = np.round(oa * 255)
+        assert (got[i][0] == canvas.astype(np.uint8)).all(), f"frame {i}"
+        if disp[i]:
+            canvas[y : y + fh, x : x + fw] = 0
+
+
+def test_animated_webp_dispose_leaves_transparent_hole():
+    import numpy as np
+
+    from trackintel_spark.scale._vp8l import decode_webp_frames, encode_webp_anim
+
+    base = np.full((16, 16, 4), [200, 10, 10, 255], dtype=np.uint8)
+    patch = np.full((8, 8, 4), [10, 200, 10, 255], dtype=np.uint8)
+    dot = np.full((2, 2, 4), [10, 10, 200, 255], dtype=np.uint8)
+    data = encode_webp_anim(
+        [base, patch, dot], canvas_size=(16, 16),
+        offsets=[(0, 0), (4, 4), (0, 0)],
+        dispose=[False, True, False], no_blend=[True, True, True],
+    )
+    f0, f1, f2 = [f for f, _ in decode_webp_frames(data)]
+    assert (f1[4:12, 4:12] == patch).all()
+    # after dispose, frame 2 shows a transparent hole where patch was
+    assert (f2[4:12, 4:12, 3] == 0).all()
+    assert (f2[0:2, 0:2] == dot).all()
+    assert (f2[14:, 14:] == base[14:, 14:]).all()
+
+
+def test_animated_webp_first_frame_and_probe(monkeypatch):
+    """decode_webp == first composited frame; probe_webp reports frame
+    count / total duration / loop without decoding; image_features
+    yields first-frame stats; resize_images passes animations through
+    UNCHANGED (a still thumbnail would silently drop the animation)."""
+    import numpy as np
+
+    from trackintel_spark.scale._vp8l import decode_webp, encode_webp_anim
+    from trackintel_spark.scale.multimodal import _decode_image_rgb, probe_webp
+
+    a = np.full((10, 12, 4), [5, 100, 200, 255], dtype=np.uint8)
+    b = np.full((10, 12, 4), [250, 5, 5, 255], dtype=np.uint8)
+    data = encode_webp_anim([a, b], durations=[40, 60], loop=7)
+    assert (decode_webp(data) == a).all()
+    assert (_decode_image_rgb(data) == a[:, :, :3]).all()
+    m = probe_webp(data)
+    assert m["variant"] == "animated" and m["frame_count"] == 2
+    assert m["duration_ms"] == 100 and m["loop_count"] == 7
+    assert (m["width"], m["height"]) == (12, 10)
+
+
+def test_animated_webp_through_spark_kernels(spark):
+    import numpy as np
+
+    from trackintel_spark.scale._vp8l import encode_webp_anim
+    from trackintel_spark.scale.multimodal import image_features, resize_images
+
+    a = np.full((10, 12, 4), [5, 100, 200, 255], dtype=np.uint8)
+    b = np.full((10, 12, 4), [250, 5, 5, 255], dtype=np.uint8)
+    data = encode_webp_anim([a, b])
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, payload binary")
+    f = image_features(df).collect()[0]
+    assert (f.width, f.height) == (12, 10)
+    assert abs(f.mean_r - 5) < 1 and abs(f.mean_b - 200) < 1
+    out = bytes(resize_images(df, 4, 4).collect()[0].payload)
+    assert out == data  # pass-through, not a still thumbnail
+
+
+def test_animated_webp_hygiene():
+    """Corrupt animations honor the decoder contract: frame rect
+    outside the canvas, dims mismatch, truncated ANMF header and a
+    bit-flip battery all raise ValueError only."""
+    import random
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from trackintel_spark.scale._vp8l import decode_webp_frames, encode_webp_anim
+
+    a = np.full((8, 8, 4), 99, dtype=np.uint8)
+    good = encode_webp_anim([a, a], offsets=[(0, 0), (2, 2)], canvas_size=(10, 10))
+    with pytest.raises(ValueError, match="outside canvas"):
+        bad = bytearray(good)
+        i = bad.find(b"ANMF")
+        bad[i + 8 : i + 11] = (30).to_bytes(3, "little")  # fx=60 > canvas
+        decode_webp_frames(bytes(bad))
+    rng = random.Random(zlib.crc32(b"anim"))
+    for _ in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 8)):
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            decode_webp_frames(bytes(bad))
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 5):
+        try:
+            decode_webp_frames(bytes(good[:cut]))
+        except ValueError:
+            pass

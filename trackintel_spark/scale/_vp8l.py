@@ -193,6 +193,8 @@ def _read_huffman_code(br: _BitReader, alphabet_size: int) -> _HuffTree:
         first_8bit = br.read(1)
         sym0 = br.read(8 if first_8bit else 1)
         lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:  # an 8-bit symbol can exceed a small
+            raise ValueError("VP8L: bad simple code symbols")  # alphabet (dist=40)
         if num_symbols == 1:
             lengths[sym0] = 1  # _HuffTree collapses 1 symbol to 0 bits
         else:
@@ -595,29 +597,20 @@ def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP file (RIFF/WEBP) to RGBA uint8: VP8L (lossless)
-    via :func:`decode_vp8l`, lossy VP8 key frames via the clean-room
-    :mod:`trackintel_spark.scale._vp8` decoder (r11), VP8X-wrapped
-    STILLS (canvas header + optional ALPH alpha plane over VP8/VP8L)
-    via the same decoders. Animated VP8X (ANIM/ANMF) raises —
-    env-gated upstream."""
-    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP file")
-    pos = 12
+_MAX_ANIM_PIXELS = 1 << 28  # frames x canvas budget (raster hygiene)
+
+
+def _decode_frame_subchunks(data: bytes, pos: int, end: int) -> np.ndarray:
+    """Walk ALPH/VP8/VP8L chunks (top-level still layout or the inside
+    of one ANMF) and return the decoded RGBA frame. Metadata chunks
+    (VP8X/ICCP/EXIF/XMP) are skipped."""
     alpha = None  # raw ALPH body, decoded once dims are known
-    while pos + 8 <= len(data):
+    end = min(end, len(data))  # a corrupt ANMF size may claim past EOF
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
-        if tag == b"VP8X":
-            if len(body) < 10:
-                raise ValueError("VP8X: truncated header")
-            if body[0] & 0x02:
-                raise NotImplementedError("animated WebP needs frame compositing")
-            # canvas dims are informational for stills; the frame chunk
-            # carries its own — keep walking (ICCP/EXIF/XMP skip below)
-        elif tag == b"ALPH":
+        body = data[pos + 8 : min(pos + 8 + size, end)]
+        if tag == b"ALPH":
             alpha = bytes(body)
         elif tag == b"VP8L":
             return decode_vp8l(body)  # VP8L carries its own alpha
@@ -653,6 +646,151 @@ def decode_webp(data: bytes) -> np.ndarray:
             return np.dstack([rgb, np.full((h, w), 255, dtype=np.uint8)])
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no VP8L or VP8 chunk found")
+
+
+def _alpha_blend_into(dst: np.ndarray, src: np.ndarray) -> None:
+    """Straight-alpha 'source over' into dst in place (WebP ANMF
+    blending method 0): A = sa + da*(1-sa); RGB = (s*sa + d*da*(1-sa))/A."""
+    sa = src[:, :, 3:4].astype(np.float64) / 255.0
+    da = dst[:, :, 3:4].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    rgb = src[:, :, :3] * sa + dst[:, :, :3] * da * (1.0 - sa)
+    safe = np.where(oa == 0.0, 1.0, oa)
+    dst[:, :, :3] = np.clip(np.round(rgb / safe), 0, 255).astype(np.uint8)
+    dst[:, :, 3:4] = np.clip(np.round(oa * 255.0), 0, 255).astype(np.uint8)
+
+
+def decode_webp_frames(data: bytes, max_frames: int | None = None):
+    """Decode a WebP file to a list of ``(rgba, duration_ms)`` frames.
+
+    Stills yield one entry with duration ``None``. Animated VP8X files
+    (ANIM/ANMF, r12) composite each frame onto the canvas per the spec:
+    the canvas starts transparent, frames render at their (even) x/y
+    offsets with either alpha-blending (flag bit 1 = 0) or overwrite,
+    and after a frame with dispose-to-background (flag bit 0 = 1) its
+    rectangle is cleared to transparent black. Every returned frame is
+    a canvas-sized snapshot. ``max_frames`` stops early (the
+    first-frame ingest path uses 1 — no full-animation work per row)."""
+    if data is None or len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    # detect animation from the VP8X header (must precede frame chunks)
+    pos = 12
+    anim = False
+    cw = ch = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"VP8X":
+            body = data[pos + 8 : pos + 8 + size]
+            if len(body) < 10:
+                raise ValueError("VP8X: truncated header")
+            anim = bool(body[0] & 0x02)
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            break
+        if tag in (b"VP8 ", b"VP8L", b"ANMF"):
+            break
+        pos += 8 + size + (size & 1)
+    if not anim:
+        return [(_decode_frame_subchunks(data, 12, len(data)), None)]
+    if cw * ch > _MAX_ANIM_PIXELS:
+        raise ValueError(f"implausible {cw}x{ch} animation canvas")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    frames: list = []
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"ANMF":
+            body = data[pos + 8 : pos + 8 + size]
+            if len(body) < 16:
+                raise ValueError("ANMF: truncated frame header")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF: frame rectangle outside canvas")
+            if (len(frames) + 1) * cw * ch > _MAX_ANIM_PIXELS:
+                raise ValueError("animation exceeds pixel budget")
+            frame = _decode_frame_subchunks(data, pos + 8 + 16, pos + 8 + size)
+            if frame.shape[0] != fh or frame.shape[1] != fw:
+                raise ValueError("ANMF: frame dimensions mismatch header")
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if flags & 0x02:  # blending method 1: overwrite
+                region[:] = frame
+            else:
+                _alpha_blend_into(region, frame)
+            frames.append((canvas.copy(), dur))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if flags & 0x01:  # dispose to background: transparent black
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return frames
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a WebP file (RIFF/WEBP) to RGBA uint8: VP8L (lossless)
+    via :func:`decode_vp8l`, lossy VP8 key frames via the clean-room
+    :mod:`trackintel_spark.scale._vp8` decoder (experimental — see the
+    gate in :func:`_decode_frame_subchunks`), VP8X-wrapped STILLS
+    (canvas header + optional ALPH alpha plane) via the same decoders,
+    and animated VP8X (r12) as the FIRST composited canvas frame (the
+    standard still view of an animation; :func:`decode_webp_frames`
+    returns them all)."""
+    return decode_webp_frames(data, max_frames=1)[0][0]
+
+
+def encode_webp_anim(
+    frames,
+    canvas_size=None,
+    offsets=None,
+    durations=None,
+    dispose=None,
+    no_blend=None,
+    loop: int = 0,
+) -> bytes:
+    """Animation encoder sibling: wrap per-frame VP8L (lossless) chunks
+    in VP8X/ANIM/ANMF. ``frames`` are (h, w, 3|4) uint8 arrays;
+    ``offsets`` are (x, y) pairs (must be even — the container stores
+    x/2, y/2); ``dispose``/``no_blend`` are per-frame flag lists.
+    Lossless frames make compositing tests exact."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    durations = durations or [100] * n
+    dispose = dispose or [False] * n
+    no_blend = no_blend if no_blend is not None else [True] * n
+    if canvas_size is None:
+        canvas_size = (
+            max(x + f.shape[1] for f, (x, y) in zip(frames, offsets)),
+            max(y + f.shape[0] for f, (x, y) in zip(frames, offsets)),
+        )
+    cw, ch = canvas_size
+    has_alpha = any(f.ndim == 3 and f.shape[2] == 4 and (f[:, :, 3] != 255).any() for f in frames)
+    body = b"VP8X" + struct.pack("<I", 10) + bytes([0x02 | (0x10 if has_alpha else 0)])
+    body += b"\x00\x00\x00"
+    body += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    anim = struct.pack("<I", 0) + struct.pack("<H", loop & 0xFFFF)  # bgcolor BGRA + loop
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f, (x, y), dur, dis, nb in zip(frames, offsets, durations, dispose, no_blend):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        sub = encode_vp8l(f)
+        sub = b"VP8L" + struct.pack("<I", len(sub)) + sub + (b"\x00" if len(sub) & 1 else b"")
+        hdr = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        hdr += (f.shape[1] - 1).to_bytes(3, "little") + (f.shape[0] - 1).to_bytes(3, "little")
+        hdr += int(dur).to_bytes(3, "little")
+        hdr += bytes([(0x02 if nb else 0) | (0x01 if dis else 0)])
+        anmf = hdr + sub
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf + (b"\x00" if len(anmf) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
 # -- minimal general encoder ---------------------------------------------------

@@ -511,11 +511,21 @@ def resize_images(
                             encode_webp as _ew,
                         )
 
+                        # animated VP8X decodes (first frame, r12) but a
+                        # thumbnail re-encode would silently REPLACE the
+                        # animation with a still — pass it through
+                        if (
+                            len(payload) > 20
+                            and payload[12:16] == b"VP8X"
+                            and payload[20] & 0x02
+                        ):
+                            out.append((pid, payload))
+                            continue
                         try:
                             # VP8L stills re-encode as VP8L; gated lossy
-                            # VP8 (r12) and animations raise here and
-                            # PASS THROUGH UNCHANGED — never re-encode a
-                            # payload the decoder can't faithfully read
+                            # VP8 (r12) raises here and PASSES THROUGH
+                            # UNCHANGED — never re-encode a payload the
+                            # decoder can't faithfully read
                             img = _dw(payload)[:, :, :3]
                             enc = _ew
                         except (ValueError, NotImplementedError):
@@ -1109,6 +1119,24 @@ def probe_webp(payload: bytes) -> dict:
         flags = payload[20]
         w = int.from_bytes(payload[24:27], "little") + 1
         h = int.from_bytes(payload[27:30], "little") + 1
-        return {"width": w, "height": h, "variant": "extended",
-                "has_alpha": bool(flags & 0x10)}
+        out = {"width": w, "height": h, "variant": "extended",
+               "has_alpha": bool(flags & 0x10)}
+        if flags & 0x02:  # animated (r12): count ANMF frames, no decode
+            out["variant"] = "animated"
+            n, total, loop = 0, 0, None
+            pos = 12
+            while pos + 8 <= len(payload):
+                tag = payload[pos : pos + 4]
+                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                body = payload[pos + 8 : pos + 8 + size]
+                if tag == b"ANIM" and len(body) >= 6:
+                    loop = int.from_bytes(body[4:6], "little")
+                elif tag == b"ANMF" and len(body) >= 16:
+                    n += 1
+                    total += int.from_bytes(body[12:15], "little")
+                pos += 8 + size + (size & 1)
+            out["frame_count"] = n
+            out["duration_ms"] = total
+            out["loop_count"] = loop
+        return out
     raise ValueError(f"unknown WebP chunk {fourcc!r}")
