@@ -151,7 +151,8 @@ def main() -> None:
         frac = float(os.environ.get("SPARK_GRAFT_SCALE_FRACTION", "1"))
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from scale_probe import (run_chain, run_streaming_staypoints,
-                                 run_streaming_trips, run_trajectory_join)
+                                 run_streaming_tours, run_streaming_trips,
+                                 run_trajectory_join)
         from scale_probe_llm import run_asof, run_incremental_dedup, run_line_dedup, run_semantic_dedup_defaults, run_web_stage0
 
         probes = [
@@ -172,6 +173,12 @@ def main() -> None:
             # per-row streaming state in the library)
             ("streaming_trips_1m",
              lambda: run_streaming_trips(spark, int(1_000_000 * frac))),
+            # tours: the last stateful stage (r11 verdict #4) — trips ->
+            # tours with the candidate stack bounded by max_time pruning
+            # (scan_step front-prune, r12); wander users stress exactly
+            # that bound
+            ("streaming_tours_1m",
+             lambda: run_streaming_tours(spark, int(1_000_000 * frac))),
             ("trajectory_join_200k",
              lambda: run_trajectory_join(spark, int(200_000 * frac))),
             # real-GPS-leg regime: 10x longer trajectories, DP-refine
@@ -192,7 +199,8 @@ def main() -> None:
             keep = ("rows", "wall_s", "rows_per_s", "kept", "count_s", "kmeans_s", "dedup_s",
                     "dedup_grouped_s", "staypoints_s", "triplegs_s", "trips_s", "tours_s",
                     "shard_rows", "index_s", "probe_s", "pairs",
-                    "staypoints", "trips", "micro_batches", "state_rows_max", "state_mb_max")
+                    "staypoints", "trips", "tours", "micro_batches",
+                    "state_rows_max", "state_mb_max")
             scale[name] = {k: r[k] for k in keep if k in r}
             scale[name]["samples_wall_s"] = [r1["wall_s"], r2["wall_s"]]
             print(f"# scale {name}: {scale[name]}", file=sys.stderr)

@@ -521,3 +521,27 @@ def test_flag_journeys_accessor(spark):
     tours = _mk_tours(spark, [(0, 1, 100)])
     out = Tours(tours).flag_journeys(sp)
     assert out.df.collect()[0].journey is True
+
+
+def test_scan_step_prunes_unreachable_front():
+    """r12: with tours closing every 5 trips, the candidate stack must
+    stay bounded by the max_time window (stale front entries are
+    unreachable by the backward scan), not accrete the whole history —
+    unbounded state in tours_stream_exact and O(n^2) batch work. The
+    emitted tours are identical either way (pinned by the batch ==
+    reference == stream parity suites and the generate_tours oracle)."""
+    import time
+
+    from trackintel_spark.operators.tours import _Trip, _scan_step
+
+    candidates = []
+    n = 20_000
+    t0 = time.time()
+    for i in range(n):
+        o, d = i % 5, (i + 1) % 5
+        start = i * 1200 * 1_000_000  # 20-min cadence
+        rec = _Trip(i, start, start + 600_000_000, o, d, o, d, 0.0, 0.0, 0.0, 0.0)
+        candidates, _members = _scan_step(candidates, rec, True, 100.0, 86400.0, 0)
+        # window = 86400 s / 1200 s per trip = 72 candidates + slack
+        assert len(candidates) <= 80, f"stack grew to {len(candidates)} at trip {i}"
+    assert time.time() - t0 < 30, "scan_step quadratic regression"

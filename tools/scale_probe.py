@@ -180,16 +180,82 @@ def run_streaming_trips(spark, n: int, n_batches: int = 10) -> dict:
     )
 
 
-def _run_streaming_mobility(spark, n, n_batches, qname, op, out_key):
-    import os
-    import shutil
-    import tempfile
+def run_streaming_tours(spark, n: int, n_batches: int = 10) -> dict:
+    """Stateful streaming throughput for ``tours_stream_exact`` over
+    ``n`` synthetic trips (locations mode) in ``n_batches`` time-ordered
+    micro-batches — the last stateful stage without a scale measurement
+    (r11 verdict #4). Three of four users run 5-location loops (a tour
+    closes every 5 trips, candidate stack ~5 rows); every FOURTH user
+    wanders to ever-new locations and never closes, so their stack is
+    bounded only by the max_time pruning window (1440 min / 20-min trip
+    cadence = 72 candidates) — the least-bounded-by-construction regime
+    the verdict flagged. state_rows_max / state_mb_max report what that
+    pruning actually holds."""
+    from trackintel_spark.streaming import tours_stream_exact
 
+    per_user = 2000
+    flat = tours_trip_input(spark, n, trips_per_user=per_user)
+    schema = (
+        "id long, user_id long, started_at timestamp, finished_at timestamp, "
+        "origin_staypoint_id long, destination_staypoint_id long, "
+        "origin_loc long, dest_loc long"
+    )
+    return _run_streaming_probe(
+        spark, flat, per_user, n_batches, schema, "tours_stream_probe",
+        lambda st: tours_stream_exact(st, max_time=1440),
+        out_key="tours", n=n,
+    )
+
+
+def tours_trip_input(spark, n: int, trips_per_user: int = 2000):
+    """Synthetic per-user trip chains in locations mode, one trip every
+    20 minutes (10-min travel + 10-min activity gap). Loop users run
+    6-trip cycles: a gap-free 5-location loop (ONE tour closes at trip
+    5) then a discontinuous jump trip that breaks the chain — a
+    realistic ~17% tours-per-trip ratio instead of the
+    every-trip-closes pathology a pure cycle produces. Wander users
+    visit location ``100 + i`` forever (chains never close), so their
+    candidate stack is bounded only by max_time pruning."""
+    ids = spark.range(n)
+    u = (F.col("id") / trips_per_user).cast("long")
+    i = F.col("id") % trips_per_user
+    wander = u % 4 == 3
+    k = i % 6
+    cyc = (i / 6).cast("long")
+    loop_o = F.when(k < 5, k).otherwise(50 + cyc % 7)
+    loop_d = F.when(k < 4, k + 1).when(k == 4, F.lit(0)).otherwise(60 + cyc % 9)
+    o_loc = F.when(wander, 100 + i).otherwise(loop_o)
+    d_loc = F.when(wander, 101 + i).otherwise(loop_d)
+    start = F.lit(1700000000) + (u % 997) + i * 1200
+    return ids.select(
+        F.col("id"),
+        u.alias("user_id"),
+        F.timestamp_seconds(start).alias("started_at"),
+        F.timestamp_seconds(start + 600).alias("finished_at"),
+        (u * 100000 + o_loc).alias("origin_staypoint_id"),
+        (u * 100000 + d_loc).alias("destination_staypoint_id"),
+        o_loc.alias("origin_loc"),
+        d_loc.alias("dest_loc"),
+    )
+
+
+def _run_streaming_mobility(spark, n, n_batches, qname, op, out_key):
     per_user = 2000
     flat = mobility_input(spark, n, pfs_per_user=per_user).select(
         "id", "user_id", "tracked_at",
         F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat"),
     )
+    schema = "id long, user_id long, tracked_at timestamp, lon double, lat double"
+    return _run_streaming_probe(
+        spark, flat, per_user, n_batches, schema, qname, op, out_key, n
+    )
+
+
+def _run_streaming_probe(spark, flat, per_user, n_batches, schema, qname, op, out_key, n):
+    import os
+    import shutil
+    import tempfile
+
     base = tempfile.mkdtemp(prefix="sp_stream_probe_")
     src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
     os.makedirs(src)
@@ -203,7 +269,6 @@ def _run_streaming_mobility(spark, n, n_batches, qname, op, out_key):
         now = time.time() + k  # file-source order follows modification time
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (now, now))
-    schema = "id long, user_id long, tracked_at timestamp, lon double, lat double"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
