@@ -32,10 +32,16 @@ Fault-tolerance tradeoff: ``localCheckpoint`` stores the materialized
 blocks on the executors WITHOUT the lineage needed to recompute them —
 if an executor is lost after truncation, the job FAILS instead of
 recomputing the lost partitions. That is the price of cutting a
-multi-hundred-leaf DAG; on clusters with preemptible/spot executors
-set ``spark.trackintel.checkpoint.minRedundantBytes=0`` (keep full
-lineage) or give the session a reliable ``spark.checkpoint.dir`` and
-checkpoint explicitly at the pipeline level instead.
+multi-hundred-leaf DAG. On clusters with preemptible/spot executors
+set ``spark.trackintel.checkpoint.reliable=true`` (r12): truncation
+then routes through ``DataFrame.checkpoint`` — the materialized
+partitions land in the session's checkpoint directory
+(``SparkContext.setCheckpointDir``, typically HDFS/S3) and survive
+executor loss. Requires a checkpoint dir to be configured (the session
+raises otherwise — a silent fallback to localCheckpoint would
+reintroduce exactly the failure mode the knob opts out of). Or set
+``spark.trackintel.checkpoint.minRedundantBytes=0`` to keep full
+lineage.
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 MIN_REDUNDANT_BYTES_CONF = "spark.trackintel.checkpoint.minRedundantBytes"
+RELIABLE_CONF = "spark.trackintel.checkpoint.reliable"
 _DEFAULT_MIN_REDUNDANT_BYTES = 1 << 30  # 1 GiB of duplicated leaf scans
 _UNKNOWN_SIZE_FLOOR = 1 << 62  # Catalyst's defaultSizeInBytes sentinel range
 
@@ -113,5 +120,19 @@ def truncate_if_rescan_heavy(df: DataFrame) -> DataFrame:
         return df
     redundant, _ = redundant_scan_bytes(df)
     if redundant > threshold:
+        if df.sparkSession.conf.get(RELIABLE_CONF, "false").lower() == "true":
+            # executor-loss-tolerant truncation: partitions go to the
+            # reliable checkpoint dir (HDFS/S3) instead of executor
+            # block storage. Fail loudly when no dir is configured — a
+            # silent localCheckpoint fallback would reintroduce the
+            # exact failure mode this knob opts out of.
+            sc = df.sparkSession.sparkContext
+            if sc._jsc.sc().getCheckpointDir().isEmpty():
+                raise ValueError(
+                    f"{RELIABLE_CONF}=true but no checkpoint directory is "
+                    "set; call SparkContext.setCheckpointDir(<hdfs/s3 "
+                    "path>) first"
+                )
+            return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
     return df
