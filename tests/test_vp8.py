@@ -604,3 +604,94 @@ def test_truncated_partition_size_table_raises_valueerror():
     for cut in range(10 + part1, min(10 + part1 + 9, len(data))):
         with pytest.raises(ValueError):
             decode_vp8(data[:cut])
+
+
+def test_quantizer_and_token_tables_second_transcription():
+    """r12 (r11 verdict #7): the high-confidence constant tables,
+    transcribed a SECOND time from RFC 6386 into this test (not
+    imported, not derived from the module), pin against the module's
+    copies — a transcription typo in either copy fails loudly. The
+    partially-transcribed probability tables (DEFAULT_COEF_PROBS tail,
+    COEF_UPDATE_PROBS, KF_BMODE_PROB contexts) are deliberately NOT
+    pinned here: they are documented stubs behind the external-VP8
+    gate, and pinning a stub would launder it into a spec claim."""
+    from trackintel_spark.scale import _vp8 as m
+
+    # RFC 6386 section 14.1 dc_qlookup / ac_qlookup, second transcription
+    dc_q = (
+        4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17,
+        18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28,
+        29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43,
+        44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+        59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74,
+        75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
+        91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114, 116, 118,
+        122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143, 145, 148, 151, 154, 157,
+    )
+    ac_q = (
+        4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+        20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+        36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51,
+        52, 53, 54, 55, 56, 57, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76,
+        78, 80, 82, 84, 86, 88, 90, 92, 94, 96, 98, 100, 102, 104, 106, 108,
+        110, 112, 114, 116, 119, 122, 125, 128, 131, 134, 137, 140, 143, 146, 149, 152,
+        155, 158, 161, 164, 167, 170, 173, 177, 181, 185, 189, 193, 197, 201, 205, 209,
+        213, 217, 221, 225, 229, 234, 239, 245, 249, 254, 259, 264, 269, 274, 279, 284,
+    )
+    assert tuple(m.DC_QLOOKUP) == dc_q
+    assert tuple(m.AC_QLOOKUP) == ac_q
+
+    # section 13.2 token extra-bit probabilities (Pcat1..Pcat6)
+    assert m.CAT_PROBS == {
+        m.TOK_CAT1: (159,),
+        m.TOK_CAT2: (165, 145),
+        m.TOK_CAT3: (173, 148, 140),
+        m.TOK_CAT4: (176, 155, 140, 135),
+        m.TOK_CAT5: (180, 157, 141, 134, 130),
+        m.TOK_CAT6: (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+    }
+    # extra-bit base values: EOB-relative bases 5,7,11,19,35,67
+    assert m.CAT_BASE == {m.TOK_CAT1: 5, m.TOK_CAT2: 7, m.TOK_CAT3: 11,
+                          m.TOK_CAT4: 19, m.TOK_CAT5: 35, m.TOK_CAT6: 67}
+
+    # section 13.3 coefficient band map + 8.1 zigzag
+    assert m.COEF_BANDS == (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+    assert m.ZIGZAG == (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+    # mode trees (sections 11.2, 11.3): structural re-transcription
+    assert m.KF_YMODE_TREE == (-m.B_PRED, 2, 4, 6, -m.DC_PRED, -m.V_PRED,
+                               -m.H_PRED, -m.TM_PRED)
+    assert m.KF_YMODE_PROB == (145, 156, 163, 128)
+    assert m.UV_MODE_TREE == (-m.DC_PRED, 2, -m.V_PRED, 4, -m.H_PRED, -m.TM_PRED)
+    assert m.KF_UV_MODE_PROB == (142, 114, 183)
+    assert m.COEF_TREE == (
+        -m.TOK_EOB, 2, -m.TOK_0, 4, -m.TOK_1, 6, 8, 12,
+        -m.TOK_2, 10, -m.TOK_3, -m.TOK_4, 14, 16,
+        -m.TOK_CAT1, -m.TOK_CAT2, 18, 20, -m.TOK_CAT3, -m.TOK_CAT4,
+        -m.TOK_CAT5, -m.TOK_CAT6,
+    )
+
+
+def test_vp8_golden_files_env_gated():
+    """Staged external validation (r11 verdict #7): when a reference
+    codec ever lands, drop pairs <name>.webp + <name>.npy (RGB uint8
+    array from the reference decoder) into a directory and point
+    SPARK_TRACKINTEL_VP8_GOLDEN_DIR at it — this test then decodes
+    every .webp with the clean-room decoder and requires near-exact
+    pixels. Until then it skips, keeping the harness checked in."""
+    import os
+
+    import pytest
+
+    d = os.environ.get("SPARK_TRACKINTEL_VP8_GOLDEN_DIR")
+    if not d:
+        pytest.skip("no reference-codec golden dir configured")
+    from trackintel_spark.scale._vp8l import decode_webp
+
+    cases = [f for f in os.listdir(d) if f.endswith(".webp")]
+    assert cases, "golden dir has no .webp files"
+    for f in cases:
+        want = np.load(os.path.join(d, f[:-5] + ".npy"))
+        got = decode_webp(open(os.path.join(d, f), "rb").read())[:, :, :3]
+        assert got.shape == want.shape, f
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, f
