@@ -51,6 +51,14 @@ def _mk_prog():
     return encode_jpeg_progressive(_IMG, subsample=True)
 
 
+def _mk_gif_anim():
+    from trackintel_spark.scale.multimodal import encode_gif_anim
+
+    q = (_IMG // 32) * 32  # <=256 unique colors
+    return encode_gif_anim([q, q[:12, :16]], offsets=[(0, 0), (4, 4)],
+                           durations=[30, 40], disposal=[0, 2])
+
+
 def _mk_anim():
     from trackintel_spark.scale._vp8l import encode_webp_anim
 
@@ -64,6 +72,7 @@ CASES = [
     ("jpeg_prog", _mk_prog, decode_jpeg),
     ("png", lambda: encode_png(_IMG), decode_png),
     ("gif", lambda: encode_gif(_IMG), decode_gif),
+    ("gif_anim", _mk_gif_anim, decode_gif),
     ("bmp", lambda: encode_bmp(_IMG), decode_bmp),
     ("webp_vp8l", lambda: encode_webp(_rgba(_IMG)), decode_webp),
     ("webp_anim", _mk_anim, decode_webp),

@@ -2012,3 +2012,95 @@ def test_bmp_through_image_kernels(spark):
     assert (f.mean_r, f.mean_g, f.mean_b) == (5.0, 100.0, 250.0)
     out = resize_images(df, 2, 2).collect()[0]
     assert decode_bmp(bytes(out.payload)).shape == (2, 2, 3)
+
+
+def test_gif_animation_frames_compositing():
+    """r12: decode_gif_frames composites GCE-controlled animations —
+    transparency keeps the canvas, disposal 2 clears the rect to
+    transparent, disposal 3 restores the previous canvas — with the
+    encode_gif_anim fixture sibling providing exact (palette-indexed,
+    losslessly-packed) frames. decode_gif stays the cheap
+    first-frame-RGB path and must agree on frame 0."""
+    import numpy as np
+
+    from trackintel_spark.scale.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_anim,
+        probe_gif,
+    )
+
+    rng = np.random.default_rng(1)
+    img = (rng.integers(0, 8, (10, 14, 3)) * 32).astype(np.uint8)
+    fr = decode_gif_frames(encode_gif(img))
+    assert len(fr) == 1 and fr[0][1] is None
+    assert (fr[0][0][:, :, :3] == img).all() and (fr[0][0][:, :, 3] == 255).all()
+
+    base = np.full((12, 16, 3), [200, 10, 10], np.uint8)
+    patch = np.full((6, 6, 3), [10, 200, 10], np.uint8)
+    dot = np.full((3, 3, 3), [10, 10, 200], np.uint8)
+    tcol = (1, 2, 3)
+    patch[0, 0] = tcol
+    data = encode_gif_anim(
+        [base, patch, dot], durations=[40, 50, 60],
+        offsets=[(0, 0), (4, 4), (0, 0)], disposal=[0, 2, 0],
+        canvas_size=(16, 12), transparent=tcol, loop=3,
+    )
+    frames = decode_gif_frames(data)
+    assert [d for _, d in frames] == [40, 50, 60]
+    f0, f1, f2 = [f for f, _ in frames]
+    assert (f0[:, :, :3] == base).all()
+    assert (f1[4:10, 4:10, :3][1:, 1:] == patch[1:, 1:]).all()
+    assert tuple(f1[4, 4, :3]) == (200, 10, 10)  # transparent px kept canvas
+    assert (f2[4:10, 4:10, 3] == 0).all()  # disposal-2 transparent hole
+    assert (f2[0:3, 0:3, :3] == dot).all()
+    p = probe_gif(data)
+    assert p["n_frames"] == 3 and p["animated"] and p["duration_ms"] == 150
+    assert (decode_gif(data) == f0[:, :, :3]).all()
+    assert len(decode_gif_frames(data, max_frames=2)) == 2
+
+    a = np.full((8, 8, 3), 9, np.uint8)
+    b = np.full((4, 4, 3), 99, np.uint8)
+    c = np.full((2, 2, 3), 199, np.uint8)
+    f2b = decode_gif_frames(
+        encode_gif_anim([a, b, c], offsets=[(0, 0), (2, 2), (0, 0)],
+                        disposal=[0, 3, 0])
+    )[2][0]
+    assert (f2b[2:6, 2:6, :3] == 9).all()  # disposal-3 restored previous
+    assert (f2b[0:2, 0:2, :3] == 199).all()
+
+
+def test_gif_animation_hygiene():
+    """decode_gif_frames honors the ValueError-only contract under the
+    bit-flip + truncation battery, and rejects frames outside the
+    logical screen."""
+    import random
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from trackintel_spark.scale.multimodal import decode_gif_frames, encode_gif_anim
+
+    a = np.full((8, 8, 3), 5, np.uint8)
+    good = encode_gif_anim([a, a], offsets=[(0, 0), (2, 2)], canvas_size=(10, 10))
+    with _pytest.raises(ValueError, match="outside"):
+        bad = bytearray(good)
+        i = bad.find(bytes([0x2C]))
+        bad[i + 1 : i + 3] = (9).to_bytes(2, "little")  # ix=9 + iw=8 > 10
+        decode_gif_frames(bytes(bad))
+    rng = random.Random(zlib.crc32(b"gifanim"))
+    for _ in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 8)):
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            decode_gif_frames(bytes(bad))
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 5):
+        try:
+            decode_gif_frames(bytes(good[:cut]))
+        except ValueError:
+            pass

@@ -819,45 +819,7 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         if b == 0x21:  # extension: label + sub-blocks
             pos = skip_subblocks(pos + 2)
         elif b == 0x2C:  # image descriptor
-            ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
-            iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
-            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
-            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
-            iflags = payload[pos + 9]
-            pos += 10
-            if iw < 1 or ih < 1 or sw < 1 or sh < 1:
-                raise ValueError("invalid GIF dimensions")
-            if sw * sh > _MAX_PIXELS or iw * ih > _MAX_PIXELS:
-                raise ValueError(f"raster too large ({sw}x{sh} screen)")
-            pal = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 0x7)
-                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
-                pos += n * 3
-            if pal is None:
-                raise ValueError("no color table")
-            min_code = payload[pos]
-            pos += 1
-            data = bytearray()
-            while pos < len(payload) and payload[pos]:
-                ln = payload[pos]
-                data += payload[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = _lzw_decode(bytes(data), min_code, iw * ih)
-            if len(idx) < iw * ih:
-                raise ValueError("truncated LZW stream")
-            img = np.array(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
-            if iflags & 0x40:  # interlaced: 4-pass row order
-                order = (
-                    list(range(0, ih, 8)) + list(range(4, ih, 8))
-                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
-                )
-                out = np.empty_like(img)
-                out[order] = img
-                img = out
-            if int(img.max()) >= len(pal):
-                raise ValueError("palette index out of range")
+            img, pal, ix, iy, iw, ih, pos = _decode_gif_image(payload, pos, gct, sw, sh)
             # compose onto the logical screen (frame may be a sub-rect)
             full = np.zeros((sh, sw), dtype=np.uint8)
             full[iy : iy + ih, ix : ix + iw] = img
@@ -867,6 +829,137 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("no image data in GIF")
+
+
+def _decode_gif_image(payload, pos, gct, sw, sh):
+    """Decode ONE image block (descriptor at ``pos``): returns
+    (index array (ih, iw), palette, ix, iy, iw, ih, new_pos)."""
+    ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+    iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+    iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    iflags = payload[pos + 9]
+    pos += 10
+    if iw < 1 or ih < 1 or sw < 1 or sh < 1:
+        raise ValueError("invalid GIF dimensions")
+    if sw * sh > _MAX_PIXELS or iw * ih > _MAX_PIXELS:
+        raise ValueError(f"raster too large ({sw}x{sh} screen)")
+    if ix + iw > sw or iy + ih > sh:
+        raise ValueError("GIF frame rectangle outside logical screen")
+    pal = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x7)
+        pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if pal is None:
+        raise ValueError("no color table")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    idx = _lzw_decode(bytes(data), min_code, iw * ih)
+    if len(idx) < iw * ih:
+        raise ValueError("truncated LZW stream")
+    img = np.array(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+    if iflags & 0x40:  # interlaced: 4-pass row order
+        order = (
+            list(range(0, ih, 8)) + list(range(4, ih, 8))
+            + list(range(2, ih, 4)) + list(range(1, ih, 2))
+        )
+        out = np.empty_like(img)
+        out[order] = img
+        img = out
+    if int(img.max()) >= len(pal):
+        raise ValueError("palette index out of range")
+    return img, pal, ix, iy, iw, ih, pos
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Decode a GIF to a list of ``(rgba, duration_ms)`` canvas frames
+    (r12, parity with :func:`decode_webp_frames`): each frame's
+    sub-rect composites onto the logical screen honoring the Graphic
+    Control Extension — transparency index (those pixels leave the
+    canvas untouched), disposal 2 (restore background = clear the
+    rectangle to transparent, the modern-renderer convention) and
+    disposal 3 (restore previous canvas). Non-animated GIFs yield one
+    frame with duration ``None``. ``max_frames`` stops early
+    (:func:`decode_gif` stays the cheap first-frame RGB path)."""
+    try:
+        return _decode_gif_frames(payload, max_frames)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"corrupt GIF stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_gif_frames(payload, max_frames):
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    if sw < 1 or sh < 1:
+        raise ValueError("invalid GIF dimensions")
+    if sw * sh > _MAX_PIXELS:
+        raise ValueError(f"raster too large ({sw}x{sh} screen)")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    def skip_subblocks(p):
+        while p < len(payload) and payload[p]:
+            p += 1 + payload[p]
+        return p + 1
+
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    frames: list = []
+    n_images = 0
+    # pending Graphic Control Extension state (applies to ONE image)
+    disposal, tindex, delay_ms = 0, None, None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            if payload[pos + 1 : pos + 2] == b"\xf9" and pos + 7 <= len(payload):
+                gflags = payload[pos + 3]
+                disposal = (gflags >> 2) & 0x7
+                delay_ms = int.from_bytes(payload[pos + 4 : pos + 6], "little") * 10
+                tindex = payload[pos + 6] if gflags & 0x1 else None
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:
+            if (len(frames) + 1) * sw * sh > _MAX_PIXELS:
+                raise ValueError("animation exceeds pixel budget")
+            img, pal, ix, iy, iw, ih, pos = _decode_gif_image(payload, pos, gct, sw, sh)
+            n_images += 1
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            saved = region.copy() if disposal == 3 else None
+            rgba = np.dstack([pal[img], np.full((ih, iw), 255, dtype=np.uint8)])
+            if tindex is not None:
+                mask = img != tindex  # transparent pixels keep the canvas
+                region[mask] = rgba[mask]
+            else:
+                region[:] = rgba
+            frames.append((canvas.copy(), delay_ms))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore background: transparent rect
+                canvas[iy : iy + ih, ix : ix + iw] = 0
+            elif disposal == 3 and saved is not None:
+                canvas[iy : iy + ih, ix : ix + iw] = saved
+            disposal, tindex, delay_ms = 0, None, None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    if n_images == 1:
+        return [(frames[0][0], None)]
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code: int, limit: int) -> bytearray:
@@ -924,25 +1017,10 @@ def _lzw_decode(data: bytes, min_code: int, limit: int) -> bytearray:
     return out
 
 
-def encode_gif(img: np.ndarray) -> bytes:
-    """Fixture sibling of :func:`decode_gif`: GIF89a with a global
-    palette built from the image's unique colors (<= 256) and the
-    classic "uncompressed LZW" packing — root codes only, with a CLEAR
+def _gif_lzw_pack(inv, min_code: int) -> bytearray:
+    """Classic 'uncompressed LZW' packing: root codes only, a CLEAR
     emitted before the code width would ever grow. Valid LZW, zero
-    compression; the decoder is the product surface."""
-    if img.ndim == 2:
-        img = np.repeat(img[:, :, None], 3, axis=2)
-    h, w, _ = img.shape
-    flat = img.reshape(-1, 3)
-    pal, inv = np.unique(flat, axis=0, return_inverse=True)
-    if len(pal) > 256:
-        raise ValueError("encode_gif needs <= 256 unique colors")
-    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
-    psize = 1 << bits
-    pal_full = np.zeros((psize, 3), dtype=np.uint8)
-    pal_full[: len(pal)] = pal
-
-    min_code = bits
+    compression (shared by the still + animation fixture encoders)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
     group = clear - 2  # root codes per CLEAR before width would grow
@@ -967,6 +1045,105 @@ def encode_gif(img: np.ndarray) -> bytes:
     put(eoi)
     if acc:
         out.append(bitbuf & 0xFF)
+    return out
+
+
+def encode_gif_anim(
+    frames,
+    durations=None,
+    offsets=None,
+    disposal=None,
+    canvas_size=None,
+    transparent=None,
+    loop: int = 0,
+) -> bytes:
+    """Animated-GIF fixture sibling of :func:`decode_gif_frames`:
+    GIF89a with one global palette over every frame's colors, a
+    NETSCAPE loop extension, and per-frame Graphic Control Extensions
+    (delay in ms rounded to centiseconds, disposal method, optional
+    transparency). ``frames`` are (h, w, 3) uint8 sub-rects placed at
+    ``offsets``; ``transparent`` is an RGB triple rendered transparent
+    wherever a frame contains it."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(frames)
+    durations = durations or [100] * n
+    offsets = offsets or [(0, 0)] * n
+    disposal = disposal or [0] * n
+    if canvas_size is None:
+        canvas_size = (
+            max(x + f.shape[1] for f, (x, y) in zip(frames, offsets)),
+            max(y + f.shape[0] for f, (x, y) in zip(frames, offsets)),
+        )
+    sw, sh = canvas_size
+    allpix = np.vstack([np.asarray(f, dtype=np.uint8).reshape(-1, 3) for f in frames])
+    pal = np.unique(allpix, axis=0)
+    if len(pal) > 256:
+        raise ValueError("encode_gif_anim needs <= 256 unique colors")
+    tindex = None
+    if transparent is not None:
+        t = np.asarray(transparent, dtype=np.uint8)
+        hits = np.nonzero((pal == t).all(axis=1))[0]
+        if len(hits) == 0:
+            raise ValueError("transparent color not present in any frame")
+        tindex = int(hits[0])
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    psize = 1 << bits
+    pal_full = np.zeros((psize, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    # palette lookup: encode RGB as a single int key
+    key = pal[:, 0].astype(np.int64) * 65536 + pal[:, 1] * 256 + pal[:, 2]
+    order = np.argsort(key)
+
+    data = bytearray()
+    data += b"GIF89a"
+    data += int(sw).to_bytes(2, "little") + int(sh).to_bytes(2, "little")
+    data += bytes([0x80 | (bits - 1), 0, 0])
+    data += pal_full.tobytes()
+    data += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+    data += bytes([3, 1]) + int(loop).to_bytes(2, "little") + b"\x00"
+    for f, dur, (x, y), dis in zip(frames, durations, offsets, disposal):
+        f = np.asarray(f, dtype=np.uint8)
+        h, w = f.shape[:2]
+        fkey = f[:, :, 0].astype(np.int64) * 65536 + f[:, :, 1] * 256 + f[:, :, 2]
+        inv = order[np.searchsorted(key[order], fkey.reshape(-1))]
+        gflags = ((dis & 0x7) << 2) | (0x1 if tindex is not None else 0)
+        data += bytes([0x21, 0xF9, 4, gflags])
+        data += (int(dur) // 10).to_bytes(2, "little")
+        data += bytes([tindex or 0, 0])
+        data += bytes([0x2C])
+        data += int(x).to_bytes(2, "little") + int(y).to_bytes(2, "little")
+        data += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+        data += bytes([0x00, bits])
+        packed = _gif_lzw_pack(inv, bits)
+        for s in range(0, len(packed), 255):
+            chunk = packed[s : s + 255]
+            data += bytes([len(chunk)]) + chunk
+        data += b"\x00"
+    data += b"\x3b"
+    return bytes(data)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Fixture sibling of :func:`decode_gif`: GIF89a with a global
+    palette built from the image's unique colors (<= 256) and the
+    classic "uncompressed LZW" packing — root codes only, with a CLEAR
+    emitted before the code width would ever grow. Valid LZW, zero
+    compression; the decoder is the product surface."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif needs <= 256 unique colors")
+    bits = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    psize = 1 << bits
+    pal_full = np.zeros((psize, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+
+    min_code = bits
+    out = _gif_lzw_pack(inv, min_code)
 
     data = bytearray()
     data += b"GIF89a"
@@ -1000,6 +1177,7 @@ def probe_gif(payload: bytes) -> dict:
         pos += (2 << (flags & 0x7)) * 3
     n_frames = 0
     has_netscape = False
+    duration_ms = 0
 
     def skip_subblocks(p):
         while p < len(payload) and payload[p]:
@@ -1011,6 +1189,8 @@ def probe_gif(payload: bytes) -> dict:
         if b == 0x21:
             if payload[pos + 1 : pos + 2] == b"\xff" and payload[pos + 3 : pos + 11] == b"NETSCAPE":
                 has_netscape = True
+            elif payload[pos + 1 : pos + 2] == b"\xf9" and pos + 6 <= len(payload):
+                duration_ms += int.from_bytes(payload[pos + 4 : pos + 6], "little") * 10
             pos = skip_subblocks(pos + 2)
         elif b == 0x2C:
             if pos + 10 > len(payload):
@@ -1028,6 +1208,7 @@ def probe_gif(payload: bytes) -> dict:
     return {
         "width": w, "height": h, "n_frames": n_frames,
         "animated": n_frames > 1 or has_netscape,
+        "duration_ms": duration_ms,
     }
 
 
