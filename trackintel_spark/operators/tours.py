@@ -125,27 +125,33 @@ def _scan_step(
             candidates = candidates + [_GAP]
     candidates = candidates + [cur]
 
-    # Prune the unreachable front (r12): the backward scan below always
-    # terminates at the NEWEST stale candidate (staleness is checked
-    # before closure, and start times are non-decreasing), so entries
-    # older than it can never be inspected again — cur.end_us only
-    # grows. The reference loop keeps them (it only slices when the
-    # scan actually REACHES a stale entry), which is invisible in its
-    # results but accretes an unbounded tail whenever tours keep
-    # closing near the top of the stack: O(n^2) work in batch and
-    # unbounded per-user state in tours_stream_exact. Dropping
-    # everything strictly older than the newest stale candidate emits
-    # the exact same tours (tests pin batch == reference == stream).
-    j = -1  # forward index of the newest stale non-GAP candidate
-    for idx, cand in enumerate(candidates):
-        if cand is _GAP:
-            continue
-        if cur.end_us - cand.start_us > max_time_s * 1e6:
-            j = idx
-        else:
-            break
-    if j > 0:
-        candidates = candidates[j:]
+    # Prune the unreachable front (r12, gap-free scans only): the
+    # backward scan below always terminates at the NEWEST stale
+    # candidate (staleness is checked before closure, and start times
+    # are non-decreasing), so entries older than it can never be
+    # inspected again — cur.end_us only grows. The reference loop keeps
+    # them (it only slices when the scan actually REACHES a stale
+    # entry), which is invisible in its results but accretes an
+    # unbounded tail whenever tours keep closing near the top of the
+    # stack: O(n^2) work in batch and unbounded per-user state in
+    # tours_stream_exact. Dropping everything strictly older than the
+    # newest stale candidate emits the exact same tours (tests pin
+    # batch == reference == stream). With max_nr_gaps > 0 the prune is
+    # DISABLED: the reference's gap-overflow slice is bottom-relative
+    # (candidates[j+1:] against the ABSOLUTE stack length — the same
+    # property that already restricts session salting to gap-free
+    # scans, see SCALE.md), so shortening the stack would shift that
+    # slice and change which tours close (caught by the round-12
+    # hypothesis battery).
+    if max_nr_gaps == 0:
+        j = -1  # forward index of the newest stale candidate
+        for idx, cand in enumerate(candidates):
+            if cur.end_us - cand.start_us > max_time_s * 1e6:
+                j = idx
+            else:
+                break
+        if j > 0:
+            candidates = candidates[j:]
 
     # endpoint is an unknown activity -> cannot close a tour (:281)
     if cur.d_stp is None:
