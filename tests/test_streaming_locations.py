@@ -283,3 +283,39 @@ def test_online_clusterer_reorder_matches_in_order_run(spark, tmp_path):
     assert len(got) >= len(expected) - 2
     for k, v in got.items():
         assert expected[k] == v, (k, v, expected[k])
+
+
+def test_max_open_locations_lru_cap(spark):
+    """r12: the opened-center list is the only unbounded state in the
+    online clusterer (grows with NEW places, not stream length) —
+    max_open_locations caps it with LRU eviction. A user visiting 5
+    fresh places under cap 3 keeps only the 3 most-recently-assigned
+    centers; returning to an evicted place opens a NEW id, returning
+    to a recent one (which also refreshes its recency) reuses it."""
+    far = 40 * DLON  # places far apart (>> eps)
+    rows = [
+        (0, 1, 0, 8.50 + 0 * far, 47.40),   # opens -1      recency [-1]
+        (1, 1, 10, 8.50 + 1 * far, 47.40),  # opens -2      [-1,-2]
+        (2, 1, 20, 8.50 + 2 * far, 47.40),  # opens -3      [-1,-2,-3]
+        (3, 1, 25, 8.50 + 0 * far, 47.40),  # reuse -1, LRU touch [-2,-3,-1]
+        (4, 1, 30, 8.50 + 3 * far, 47.40),  # opens -4, evicts -2 [-3,-1,-4]
+        (5, 1, 40, 8.50 + 1 * far, 47.40),  # place 1 evicted -> NEW -5,
+                                            # evicts -3          [-1,-4,-5]
+        (6, 1, 50, 8.50 + 0 * far, 47.40),  # -1 survived its touch -> reuse
+        (7, 1, 60, 8.50 + 2 * far, 47.40),  # place 2 evicted -> NEW -6
+    ]
+    got = {
+        r.id: r.location_id
+        for r in locations_stream_exact(
+            _sp_df(spark, rows), None, epsilon_m=100.0, max_open_locations=3
+        ).collect()
+    }
+    assert got == {0: -1, 1: -2, 2: -3, 3: -1, 4: -4, 5: -5, 6: -1, 7: -6}
+    # uncapped: the same input reuses every opened center
+    got_unb = {
+        r.id: r.location_id
+        for r in locations_stream_exact(
+            _sp_df(spark, rows), None, epsilon_m=100.0
+        ).collect()
+    }
+    assert got_unb == {0: -1, 1: -2, 2: -3, 3: -1, 4: -4, 5: -2, 6: -1, 7: -3}

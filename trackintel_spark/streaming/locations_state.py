@@ -147,6 +147,7 @@ def locations_stream_exact(
     epsilon_m: float = 100.0,
     max_disorder: float = 0.0,
     late: str = "raise",
+    max_open_locations: int | None = None,
 ) -> DataFrame:
     """Assign a ``location_id`` to every (streamed) staypoint.
 
@@ -166,7 +167,21 @@ def locations_stream_exact(
     is arrival-order dependent (module doc) — with the buffer, any
     within-bound jitter yields the SAME opened-center ids as the
     in-order run; ``late`` picks raise vs drop beyond the bound.
+
+    ``max_open_locations`` (r12, default None = unbounded) caps the
+    per-user opened-center list with LRU eviction: state grows with
+    the number of NEW places a user visits, so a user endlessly
+    visiting fresh places (or a bot feed) grows state linearly without
+    a cap. With the cap, the least-recently-ASSIGNED opened center is
+    evicted when a fresh place would exceed it; a staypoint returning
+    to an evicted place opens a NEW negative id (exactly how any
+    bounded online clusterer forgets). Trained-center assignment is
+    unaffected — at scale, run generate_locations nightly and let the
+    stream-static join absorb the stable places, keeping the online
+    tail small.
     """
+    if max_open_locations is not None and max_open_locations < 1:
+        raise ValueError(f"max_open_locations must be >= 1, got {max_open_locations}")
     if epsilon_m <= 0:
         raise ValueError(f"epsilon_m must be positive, got {epsilon_m}")
     cell_deg = epsilon_m / _DEG2M
@@ -231,16 +246,27 @@ def locations_stream_exact(
             if assigned is None:
                 # nearest OPENED center within eps (tie -> first-opened,
                 # i.e. the LARGEST negative id: -1 before -2)
+                hit = None
                 for j in range(len(o_id)):
                     d = _haversine_scalar(s_lon, s_lat, o_lon[j], o_lat[j])
                     if d <= eps and (d, -o_id[j]) < best_key:
-                        best_key, assigned = (d, -o_id[j]), o_id[j]
+                        best_key, assigned, hit = (d, -o_id[j]), o_id[j], j
+                if hit is not None and max_open_locations is not None:
+                    # LRU touch: the lists are kept in recency order
+                    # (state schema unchanged — order is ours)
+                    o_id.append(o_id.pop(hit))
+                    o_lon.append(o_lon.pop(hit))
+                    o_lat.append(o_lat.pop(hit))
             if assigned is None:
                 n_opened += 1
                 assigned = -n_opened
                 o_id.append(assigned)
                 o_lon.append(float(s_lon))
                 o_lat.append(float(s_lat))
+                if max_open_locations is not None and len(o_id) > max_open_locations:
+                    o_id.pop(0)  # evict least-recently-assigned
+                    o_lon.pop(0)
+                    o_lat.pop(0)
             rows.append((int(sp_id), int(user_id), int(assigned)))
 
         state.update((o_id, o_lon, o_lat, int(n_opened)))
