@@ -116,16 +116,32 @@ def dbscan_distributed(
     graph, not the point graph."""
     cell_deg = (epsilon_m / 2.0) / _DEG2M  # eps/2 band height, see module doc
 
-    pts = points.select(
-        F.col(id_col).alias("pid"),
-        F.col(lon_col).cast("double").alias("lon"),
-        F.col(lat_col).cast("double").alias("lat"),
-    )
+    # r12 driver-cost note: every geometry expression below is built as
+    # ONE SQL string per projection instead of Column-object chains —
+    # the Column form cost ~7,000 py4j round trips (~3 s of socket
+    # latency per call, measured). The parsed expression trees are
+    # identical; float literals carry the D suffix so nothing lands in
+    # decimal arithmetic.
+    CD = repr(float(cell_deg)) + "D"  # cell height, degrees latitude
+    DM = repr(float(_DEG2M)) + "D"  # meters per degree
+    EPS = repr(float(epsilon_m)) + "D"
+    REACH = repr(float(epsilon_m * 1.05)) + "D"
+
+    def _band_sql(band: str) -> tuple[str, str, str, str]:
+        """(cos_eq, cos_pole, w, n) SQL for the band expression ``band``
+        — the string form of _band_cos/_band_cells."""
+        eq_edge = f"CAST(greatest({band}, -({band}) - 1) AS double) * {CD}"
+        pole_edge = f"least(({eq_edge}) + {CD}, 90.0D)"
+        cos_eq = f"greatest(cos(radians({eq_edge})), 1.0E-9)"
+        cos_pole = f"greatest(cos(radians({pole_edge})), 1.0E-9)"
+        n = f"CAST(greatest(ceil(360.0D / ({CD} / ({cos_eq}))), 1) AS long)"
+        w = f"360.0D / CAST({n} AS double)"
+        return cos_eq, cos_pole, w, n
+
+    _, _, own_w, own_n = _band_sql("cy")
     # anchored at lon+180 the seam is exactly a cell boundary (no cell
     # straddles it) and pmod aliases indices across ±180°; cy is
     # materialized first so the band subtrees below reference a leaf
-    pts = pts.withColumn("cy", F.floor(F.col("lat") / cell_deg).cast("long"))
-    own_w, own_n = _band_cells(F.col("cy"), cell_deg)
     # eager localCheckpoint, not persist: every downstream branch
     # re-analyzes its full lineage, and this operator chains ~40 of
     # them — truncating here (and at cross/flag below) is what keeps
@@ -134,10 +150,19 @@ def dbscan_distributed(
     # cost, the r7 judge watch item). The lineage-loss tradeoff is the
     # plans/graph.py idiom; the checkpoint jobs run at call time, which
     # is when the CC iterations inside would have forced them anyway.
-    pts = pts.withColumn(
-        "cx",
-        F.pmod(F.floor((F.col("lon") + F.lit(180.0)) / own_w).cast("long"), own_n),
-    ).localCheckpoint(eager=True)
+    pts = (
+        points.selectExpr(
+            f"`{id_col}` AS pid",
+            f"CAST(`{lon_col}` AS double) AS lon",
+            f"CAST(`{lat_col}` AS double) AS lat",
+        )
+        .selectExpr("*", f"CAST(floor(lat / {CD}) AS long) AS cy")
+        .selectExpr(
+            "*",
+            f"pmod(CAST(floor((lon + 180.0D) / ({own_w})) AS long), {own_n}) AS cx",
+        )
+        .localCheckpoint(eager=True)
+    )
 
     # per-cell size and minimum pid: one row per occupied cell
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
@@ -158,9 +183,8 @@ def dbscan_distributed(
     # keeps two saturated adjacent cells — a railway-station blob
     # straddling a boundary — from pair-listing n*m rows: the
     # GriDBSCAN fully-covered-cell rule.
-    reach = epsilon_m * 1.05
-    lon_c, lat_c = F.col("lon"), F.col("lat")
-    ulon = lon_c + F.lit(180.0)  # unwrapped frame: windows generated
+    reach = epsilon_m * 1.05  # noqa: F841 — kept for doc symmetry; REACH above
+    ulon = "(lon + 180.0D)"  # unwrapped frame: windows generated
     # around the prober's own position, wrapped (pmod) only on emit, so
     # the farthest-corner geometry stays translation-correct across ±180°
     #
@@ -171,11 +195,9 @@ def dbscan_distributed(
     # the ceil/cos subtrees at every reference tripled the suite's
     # wall time when this was first inlined.
     geom_cols = []
-    cosq = F.greatest(F.cos(F.radians(lat_c)), F.lit(1e-9))
+    cosq = "greatest(cos(radians(lat)), 1.0E-9)"
     for dy in (0, 1, 2):
-        ty = F.col("cy") + dy
-        cos_eq_t, cos_pole_t = _band_cos(ty, cell_deg)
-        w_t, n_t = _band_cells(ty, cell_deg)
+        cos_eq_t, cos_pole_t, w_t, n_t = _band_sql(f"cy + {dy}")
         # max lon-degrees the eps·1.05 disk spans at any latitude it
         # touches: the great-circle's lon extent is governed by the
         # SMALLEST cosine along the path, which can be the prober's own
@@ -183,10 +205,9 @@ def dbscan_distributed(
         # hemisphere dy>0) — within ~2 km of a pole the band-only bound
         # undershot and dropped true neighbors. Capped so the polar
         # band can't explode the candidate sequence.
-        cos_min = F.least(cos_pole_t, cosq)
-        r_deg = F.least(F.lit(reach) / (F.lit(_DEG2M) * cos_min), F.lit(360.0))
-        raw_lo = F.floor((ulon - r_deg) / w_t).cast("long")
-        raw_hi = F.floor((ulon + r_deg) / w_t).cast("long")
+        r_deg = f"least({REACH} / ({DM} * least({cos_pole_t}, {cosq})), 360.0D)"
+        raw_lo = f"CAST(floor(({ulon} - ({r_deg})) / ({w_t})) AS long)"
+        raw_hi = f"CAST(floor(({ulon} + ({r_deg})) / ({w_t})) AS long)"
         # The FINAL window bounds (east-half cap for dy=0, full-band
         # clamp for dy>0) are leaf-ified here too — the r9 polar fix
         # (55ad419) rebuilt them as conditional expressions referenced
@@ -195,38 +216,32 @@ def dbscan_distributed(
         # bench cell (r9 VERDICT watch item). Same leaf-column pattern
         # as the band geometry above.
         if dy == 0:
-            cx_u = F.floor(ulon / w_t).cast("long")
-            half_cap = F.floor((n_t - F.lit(1)) / F.lit(2)).cast("long")
-            hdist = (n_t / F.lit(2)).cast("long")
+            cx_u = f"CAST(floor({ulon} / ({w_t})) AS long)"
+            half_cap = f"CAST(floor(({n_t} - 1) / 2) AS long)"
+            hdist = f"CAST({n_t} / 2 AS long)"
             bound_cols = [
-                (cx_u + 1).alias("__flo0"),
-                F.least(raw_hi, cx_u + half_cap).alias("__fhi0"),
-                (cx_u + hdist).alias("__opp0"),
-                (
-                    (n_t % 2 == 0)
-                    & (raw_hi - cx_u >= hdist)
-                    & (F.col("cx") < F.pmod(cx_u + hdist, n_t))
-                ).alias("__oppc0"),
+                f"({cx_u}) + 1 AS __flo0",
+                f"least({raw_hi}, ({cx_u}) + ({half_cap})) AS __fhi0",
+                f"({cx_u}) + ({hdist}) AS __opp0",
+                f"(({n_t}) % 2 = 0) AND (({raw_hi}) - ({cx_u}) >= ({hdist}))"
+                f" AND (cx < pmod(({cx_u}) + ({hdist}), {n_t})) AS __oppc0",
             ]
         else:
-            full_band = raw_hi - raw_lo + 1 >= n_t
+            full_band = f"({raw_hi}) - ({raw_lo}) + 1 >= {n_t}"
             bound_cols = [
-                F.when(full_band, F.lit(0).cast("long")).otherwise(raw_lo).alias(f"__flo{dy}"),
-                F.when(full_band, (n_t - 1).cast("long")).otherwise(raw_hi).alias(f"__fhi{dy}"),
+                f"CASE WHEN {full_band} THEN CAST(0 AS long) ELSE {raw_lo} END AS __flo{dy}",
+                f"CASE WHEN {full_band} THEN CAST(({n_t}) - 1 AS long) ELSE {raw_hi} END AS __fhi{dy}",
             ]
         geom_cols += [
-            w_t.alias(f"__w{dy}"),
-            n_t.alias(f"__n{dy}"),
-            cos_eq_t.alias(f"__ce{dy}"),
+            f"({w_t}) AS __w{dy}",
+            f"({n_t}) AS __n{dy}",
+            f"({cos_eq_t}) AS __ce{dy}",
             *bound_cols,
         ]
-    ppre = pts.select("pid", "lon", "lat", "cx", "cy", *geom_cols)
+    ppre = pts.selectExpr("pid", "lon", "lat", "cx", "cy", *geom_cols)
 
     probe_arrays = []
     for dy in (0, 1, 2):
-        ty = F.col("cy") + dy
-        w_t, n_t = F.col(f"__w{dy}"), F.col(f"__n{dy}")
-        cos_eq_t = F.col(f"__ce{dy}")
         # FINAL bounds, pre-computed as leaf columns in ppre:
         # dy == 0 — cyclic east half-space: cells strictly east of the
         # own cell, at most floor((n-1)/2) away — the canonical
@@ -238,73 +253,63 @@ def dbscan_distributed(
         # full-band predicate (resetting only lo would drop the
         # residues the wrapped-west part covered — near-pole bands then
         # miss cross-band neighbors entirely).
-        tx_lo, tx_hi = F.col(f"__flo{dy}"), F.col(f"__fhi{dy}")
-        extra_tx = (F.col("__opp0"), F.col("__oppc0")) if dy == 0 else None
-
-        def _mk_factory(ty, w_t, n_t, cos_eq_t, cos_pole_t):
-            def _mk(tx):
-                lo_lon = tx.cast("double") * w_t - F.lit(180.0)
-                hi_lon = (tx + 1).cast("double") * w_t - F.lit(180.0)
-                lo_lat = ty.cast("double") * F.lit(cell_deg)
-                hi_lat = (ty + 1).cast("double") * F.lit(cell_deg)
-                # no per-candidate distance prune: the tx sequence range
-                # IS the longitude prune (cells outside lon±r_deg are
-                # never generated), and within ±2 bands the latitude gap
-                # can't exceed 2 cells = eps < reach — a per-axis `keep`
-                # test here is provably always true, and every deleted
-                # expression node pays off across the ~40 downstream
-                # plan re-analyses (see the "full" note below).
-                cos_q = F.cos(F.radians(lat_c))
-                # farthest corner, per axis (>= 0 by construction)
-                fdx = F.greatest(lon_c - lo_lon, hi_lon - lon_c)
-                fdy = F.greatest(lat_c - lo_lat, hi_lat - lat_c)
-                # "full" = a CERTAIN upper bound on the farthest-corner
-                # distance is within eps. For eps-scale boxes haversine
-                # ≈ R·√(Δφ² + cos²(φ)Δλ²) with φ between the endpoint
-                # lats; scaling Δλ by the LARGEST cos over the involved
-                # lat range and inflating 1% makes the planar form a
-                # rigorous upper bound. Conservative misses (a truly
-                # full cell in the 1% margin) just take the pair join's
-                # exact check — correctness never rides on this flag.
-                # (An exact 4-corner haversine variant was reverted:
-                # the expression tree tripled and every downstream
-                # DataFrame call re-analyzes it — plan-build time, not
-                # execution, dominated.)
-                cos_ub = F.greatest(cos_q, cos_eq_t)
-                ub_m = F.sqrt(
-                    F.pow(fdx * _DEG2M * cos_ub, F.lit(2.0)) + F.pow(fdy * _DEG2M, F.lit(2.0))
-                ) * 1.01
-                return F.struct(
-                    F.pmod(tx, n_t).alias("cx"), ty.alias("cy"), (ub_m <= epsilon_m).alias("full")
-                )
-
-            return _mk
-
-        mk = _mk_factory(ty, w_t, n_t, cos_eq_t, cos_pole_t)
+        #
+        # the _mk struct per candidate cell index tx:
+        # no per-candidate distance prune: the tx sequence range IS the
+        # longitude prune (cells outside lon±r_deg are never
+        # generated), and within ±2 bands the latitude gap can't exceed
+        # 2 cells = eps < reach — a per-axis `keep` test is provably
+        # always true, and every deleted expression node pays off
+        # across the ~40 downstream plan re-analyses.
+        # "full" = a CERTAIN upper bound on the farthest-corner
+        # distance is within eps. For eps-scale boxes haversine
+        # ≈ R·√(Δφ² + cos²(φ)Δλ²) with φ between the endpoint lats;
+        # scaling Δλ by the LARGEST cos over the involved lat range and
+        # inflating 1% makes the planar form a rigorous upper bound.
+        # Conservative misses (a truly full cell in the 1% margin) just
+        # take the pair join's exact check — correctness never rides on
+        # this flag. (An exact 4-corner haversine variant was reverted:
+        # the expression tree tripled and every downstream DataFrame
+        # call re-analyzes it — plan-build time, not execution,
+        # dominated.)
+        fdx = (
+            f"greatest(lon - (CAST(tx AS double) * __w{dy} - 180.0D),"
+            f" (CAST(tx + 1 AS double) * __w{dy} - 180.0D) - lon)"
+        )
+        fdy_ = (
+            f"greatest(lat - (CAST(cy + {dy} AS double) * {CD}),"
+            f" (CAST(cy + {dy} + 1 AS double) * {CD}) - lat)"
+        )
+        ub_m = (
+            f"sqrt(pow({fdx} * {DM} * greatest(cos(radians(lat)), __ce{dy}), 2.0D)"
+            f" + pow({fdy_} * {DM}, 2.0D)) * 1.01D"
+        )
+        mk = (
+            f"struct(pmod(tx, __n{dy}) AS cx, cy + {dy} AS cy, ({ub_m}) <= {EPS} AS full)"
+        )
         if dy == 0:
             # the capped east window can be legitimately empty (n <= 2;
             # sequence() would descend, so slice the guard range down to
             # the true length), and the opposite cell rides along as a
-            # conditional extra index — the tx list is assembled FIRST
-            # so the big _mk struct tree is instantiated exactly once
-            # per band (plan-analysis cost, see the note inside _mk)
-            length = F.greatest(tx_hi - tx_lo + 1, F.lit(0)).cast("int")
-            win = F.slice(F.sequence(tx_lo, F.greatest(tx_hi, tx_lo)), F.lit(1), length)
-            opp_tx, opp_cond = extra_tx
-            opp = F.filter(F.array(opp_tx), lambda _: opp_cond)
-            probe_arrays.append(F.transform(F.concat(win, opp), mk))
+            # conditional extra index
+            length = "CAST(greatest(__fhi0 - __flo0 + 1, 0) AS int)"
+            win = f"slice(sequence(__flo0, greatest(__fhi0, __flo0)), 1, {length})"
+            opp = "filter(array(__opp0), x -> __oppc0)"
+            probe_arrays.append(f"transform(concat({win}, {opp}), tx -> {mk})")
         else:
-            probe_arrays.append(F.transform(F.sequence(tx_lo, tx_hi), mk))
-    probe = ppre.select(
-        F.col("pid").alias("qid"),
-        F.col("lon").alias("qlon"),
-        F.col("lat").alias("qlat"),
-        F.col("cx").alias("qcx"),
-        F.col("cy").alias("qcy"),
-        F.explode(F.concat(*probe_arrays)).alias("__c"),
-    ).select(
+            probe_arrays.append(
+                f"transform(sequence(__flo{dy}, __fhi{dy}), tx -> {mk})"
+            )
+    probe = ppre.selectExpr(
+        "pid AS qid",
+        "lon AS qlon",
+        "lat AS qlat",
+        "cx AS qcx",
+        "cy AS qcy",
+        f"explode(concat({', '.join(probe_arrays)})) AS __c",
+    ).selectExpr(
         "qid", "qlon", "qlat", "qcx", "qcy",
-        F.col("__c.cx").alias("cx"), F.col("__c.cy").alias("cy"), F.col("__c.full").alias("full"),
+        "__c.cx AS cx", "__c.cy AS cy", "__c.full AS full",
     )
     # full probes: (prober, target cell) — no pair rows ever materialize.
     # probe is NOT persisted: both branches re-derive it with pure map

@@ -37,7 +37,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -200,13 +200,13 @@ def generate_staypoints(
 
     elevation_flag = "elevation" in pfs.columns
 
-    kernel_in = pfs.select(
+    kernel_in = pfs.selectExpr(
         "id",
         "user_id",
         "tracked_at",
-        F.col("geom.lon").alias("lon"),
-        F.col("geom.lat").alias("lat"),
-        (F.col("elevation").cast("double") if elevation_flag else F.lit(None).cast("double")).alias("elevation"),
+        "geom.lon AS lon",
+        "geom.lat AS lat",
+        ("CAST(elevation AS double) AS elevation" if elevation_flag else "CAST(NULL AS double) AS elevation"),
     )
 
     time_threshold_s = time_threshold * 60.0
@@ -226,15 +226,6 @@ def generate_staypoints(
 
     if salt_sessions and not include_last:
         salt_rows = salt_min_user_rows(kernel_in.sparkSession, _SALT_MIN_USER_ROWS)
-        wgap = Window.partitionBy("user_id").orderBy("tracked_at", "id")
-        kernel_in = kernel_in.withColumn(
-            "__gap_flag",
-            F.coalesce(
-                (F.col("tracked_at").cast("double") - F.lag("tracked_at").over(wgap).cast("double"))
-                > gap_threshold_s,
-                F.lit(True),
-            ).cast("long"),
-        )
         # salting only pays off for mega-users: every applyInPandas
         # group costs a fixed Arrow dispatch (~1 ms), so splitting
         # ordinary users at their gaps multiplies overhead for zero
@@ -243,16 +234,23 @@ def generate_staypoints(
         # small users run as one group, big users split per session.
         # Results are identical either way — the kernel resets its
         # anchor at gaps without emitting, so no state crosses one.
-        wuser = Window.partitionBy("user_id")
-        kernel_in = (
-            kernel_in.withColumn("__session", F.sum("__gap_flag").over(wgap))
-            .withColumn(
-                "__session",
-                F.when(
-                    F.count(F.lit(1)).over(wuser) > salt_rows, F.col("__session")
-                ).otherwise(F.lit(0)),
-            )
-            .drop("__gap_flag")
+        _WG = "OVER (PARTITION BY user_id ORDER BY tracked_at, id)"
+        kernel_in = kernel_in.selectExpr(
+            "*",
+            "CAST(coalesce(CAST(tracked_at AS double) - CAST(lag(tracked_at) "
+            f"{_WG} AS double) > {gap_threshold_s!r}, true) AS long) AS __gap_flag",
+        ).selectExpr(
+            "*",
+            f"sum(__gap_flag) {_WG} AS __session0",
+            "count(1) OVER (PARTITION BY user_id) AS __user_n",
+        ).selectExpr(
+            "id",
+            "user_id",
+            "tracked_at",
+            "lon",
+            "lat",
+            "elevation",
+            f"CASE WHEN __user_n > {int(salt_rows)} THEN __session0 ELSE CAST(0 AS long) END AS __session",
         )
         group_cols = ["user_id", "__session"]
     else:

@@ -315,46 +315,42 @@ def generate_tours(
         # twice would embed the staypoint lineage twice in the plan
         # (chained operators then grow plans multiplicatively) and
         # shuffle the trip table twice.
-        sp_loc = staypoints.select(F.col("id").alias("__sp"), F.col("location_id").alias("__loc"))
-        melt = trips_in.select(
+        sp_loc = staypoints.selectExpr("id AS __sp", "location_id AS __loc")
+        melt = trips_in.selectExpr(
             "id", "user_id", "started_at", "finished_at",
             "origin_staypoint_id", "destination_staypoint_id",
-            F.explode(
-                F.array(
-                    F.struct(F.lit("o").alias("r"), F.col("origin_staypoint_id").alias("__sp")),
-                    F.struct(F.lit("d").alias("r"), F.col("destination_staypoint_id").alias("__sp")),
-                )
-            ).alias("__m"),
-        ).select(
+            "explode(array(struct('o' AS r, origin_staypoint_id AS __sp),"
+            " struct('d' AS r, destination_staypoint_id AS __sp))) AS __m",
+        ).selectExpr(
             "id", "user_id", "started_at", "finished_at",
             "origin_staypoint_id", "destination_staypoint_id",
-            F.col("__m.r").alias("__r"), F.col("__m.__sp").alias("__sp"),
+            "__m.r AS __r", "__m.__sp AS __sp",
         )
         kin = (
             melt.join(sp_loc, on="__sp", how="left")
             .groupBy("id")
             .agg(
-                F.first("user_id").alias("user_id"),
-                F.first("started_at").alias("started_at"),
-                F.first("finished_at").alias("finished_at"),
-                F.first("origin_staypoint_id").alias("origin_staypoint_id"),
-                F.first("destination_staypoint_id").alias("destination_staypoint_id"),
-                F.max(F.when(F.col("__r") == "o", F.col("__loc"))).alias("origin_loc"),
-                F.max(F.when(F.col("__r") == "d", F.col("__loc"))).alias("dest_loc"),
+                F.expr("first(user_id) AS user_id"),
+                F.expr("first(started_at) AS started_at"),
+                F.expr("first(finished_at) AS finished_at"),
+                F.expr("first(origin_staypoint_id) AS origin_staypoint_id"),
+                F.expr("first(destination_staypoint_id) AS destination_staypoint_id"),
+                F.expr("max(CASE WHEN __r = 'o' THEN __loc END) AS origin_loc"),
+                F.expr("max(CASE WHEN __r = 'd' THEN __loc END) AS dest_loc"),
             )
         )
     else:
-        kin = trips_in.select(
+        kin = trips_in.selectExpr(
             "id",
             "user_id",
             "started_at",
             "finished_at",
             "origin_staypoint_id",
             "destination_staypoint_id",
-            F.col("geom.origin.lon").alias("o_lon"),
-            F.col("geom.origin.lat").alias("o_lat"),
-            F.col("geom.dest.lon").alias("d_lon"),
-            F.col("geom.dest.lat").alias("d_lat"),
+            "geom.origin.lon AS o_lon",
+            "geom.origin.lat AS o_lat",
+            "geom.dest.lon AS d_lon",
+            "geom.dest.lat AS d_lat",
         )
 
     max_time_s = max_time * 60.0
@@ -362,7 +358,6 @@ def generate_tours(
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _tours_kernel(pdf, use_locations, max_dist, max_time_s, max_nr_gaps)
 
-    from pyspark.sql import Window
     from trackintel_spark.operators import staypoints as _sp_mod
     from trackintel_spark.plans.partitioning import kernel_partitions, salt_min_user_rows
 
@@ -377,39 +372,33 @@ def generate_tours(
         # (monkeypatchable) overridden by spark.trackintel.salt.minUserRows
         salt_rows = salt_min_user_rows(kin.sparkSession, _sp_mod._SALT_MIN_USER_ROWS)
         base_cols = list(kin.columns)
-        wgap = Window.partitionBy("user_id").orderBy("started_at", "id")
-        lag_start = F.lag("started_at").over(wgap)
-        flagged = kin.withColumn(
+        _WG = "OVER (PARTITION BY user_id ORDER BY started_at, id)"
+        flagged = kin.selectExpr(
+            "*",
+            "CAST(coalesce(CAST(started_at AS double) - CAST(lag(started_at) "
+            f"{_WG} AS double) > {max_time_s!r}, true) AS long) AS __gap_flag",
+        ).selectExpr(
+            "*",
+            f"sum(__gap_flag) {_WG} AS __session0",
+            "count(1) OVER (PARTITION BY user_id) AS __user_n",
+        ).selectExpr(
+            *base_cols,
             "__gap_flag",
-            F.coalesce(
-                (F.col("started_at").cast("double") - lag_start.cast("double")) > max_time_s,
-                F.lit(True),
-            ).cast("long"),
-        )
-        wuser = Window.partitionBy("user_id")
-        flagged = flagged.withColumn("__session", F.sum("__gap_flag").over(wgap)).withColumn(
-            "__session",
-            F.when(
-                F.count(F.lit(1)).over(wuser) > salt_rows, F.col("__session")
-            ).otherwise(F.lit(0)),
+            f"CASE WHEN __user_n > {int(salt_rows)} THEN __session0 ELSE CAST(0 AS long) END AS __session",
         )
         # context rows: the previous trip, injected into the NEW session
         # (same wgap exchange — the lags ride the existing sort)
-        ctx = flagged.withColumns(
-            {f"__prev_{c}": F.lag(c).over(wgap) for c in base_cols if c != "user_id"}
+        ctx = flagged.selectExpr(
+            "*",
+            *[f"lag({c}) {_WG} AS __prev_{c}" for c in base_cols if c != "user_id"],
         ).filter(
-            (F.col("__gap_flag") == 1)
-            & (F.col("__session") > 0)
-            & F.col("__prev_started_at").isNotNull()
-        ).select(
-            *[
-                (F.col(f"__prev_{c}").alias(c) if c != "user_id" else F.col("user_id"))
-                for c in base_cols
-            ],
-            F.col("__session"),
-            F.lit(1).alias("__ctx"),
+            "__gap_flag = 1 AND __session > 0 AND __prev_started_at IS NOT NULL"
+        ).selectExpr(
+            *[(f"__prev_{c} AS {c}" if c != "user_id" else "user_id") for c in base_cols],
+            "__session",
+            "1 AS __ctx",
         )
-        kin2 = flagged.select(*base_cols, "__session", F.lit(0).alias("__ctx")).unionByName(ctx)
+        kin2 = flagged.selectExpr(*base_cols, "__session", "0 AS __ctx").unionByName(ctx)
         group_cols = ["user_id", "__session"]
         schema = T.StructType(
             list(_TOUR_SCHEMA.fields) + [T.StructField("__session", T.LongType())]

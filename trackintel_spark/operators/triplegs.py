@@ -6,6 +6,12 @@ vectorizable: the reference uses shift/ffill/searchsorted; we use lag()
 + running-sum window segmentation — zero Python, whole-stage codegen,
 one shuffle on user_id.
 
+Driver-cost note (r12): projection layers are batched into single
+``selectExpr`` calls (SQL strings) — the Column-object form cost
+hundreds of py4j round trips per call, which dominated the operator's
+wall time at bench scale (see trips.py note). Logic and output are
+unchanged (oracle-pinned).
+
 Semantics reproduced:
 * new-leg triggers (reference :307-330): user change, temporal gap >
   gap_threshold, staypoint-membership change — all masked to rows that
@@ -103,53 +109,65 @@ def generate_triplegs(
     if "tripleg_id" in pfs.columns:
         pfs = pfs.drop("tripleg_id")
 
-    w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
+    _W = "OVER (PARTITION BY user_id ORDER BY tracked_at, id)"
+    gap_sql = f"CAST(tracked_at AS double) - CAST(__prev_ts AS double) > {gap_threshold * 60.0!r}"
 
     # stage 1: lag-based raw signals (window functions can't nest, so
-    # materialize these before the running sum).
-    staged = pfs.withColumn("__prev_ts", F.lag("tracked_at").over(w)).withColumn(
-        "__prev_sp", F.lag("staypoint_id").over(w)
-    ).withColumn("__first", F.row_number().over(w) == 1)
+    # materialize these before the running sum); stage 2: triggers +
+    # boundary; stage 3: running sum — each ONE selectExpr layer.
+    seg = pfs.selectExpr(
+        "*",
+        f"lag(tracked_at) {_W} AS __prev_ts",
+        f"lag(staypoint_id) {_W} AS __prev_sp",
+        f"row_number() {_W} = 1 AS __first",
+    ).selectExpr(
+        "*",
+        # staypoint-membership change: NULL-safe inequality with the
+        # previous row (reference cond_stp via the +1/fillna(0) diff
+        # trick, :316-320 — true on the first row of each user).
+        "NOT (staypoint_id <=> __prev_sp) OR __first AS __sp_change",
+        f"coalesce({gap_sql}, false) AS __gap",
+    ).selectExpr(
+        "*",
+        # leg trigger & segment boundary: a leg start OR entering a (new)
+        # staypoint — the running sum of boundaries gives each leg /
+        # staypoint-block its own segment id, which bounds leg length
+        # exactly like the reference's searchsorted bookkeeping (:332-366).
+        "(__first OR __gap OR __sp_change) AND staypoint_id IS NULL AS __leg_trigger",
+    ).selectExpr(
+        "*",
+        "__leg_trigger OR (staypoint_id IS NOT NULL AND __sp_change) AS __boundary",
+    ).selectExpr(
+        "*",
+        f"sum(CAST(__boundary AS long)) {_W} AS __seg",
+    ).drop("__prev_ts", "__prev_sp", "__first", "__sp_change", "__boundary")
 
-    is_sp = F.col("staypoint_id").isNotNull()
-    gap = (F.col("tracked_at").cast("double") - F.col("__prev_ts").cast("double")) > gap_threshold * 60.0
-    # staypoint-membership change: NULL-safe inequality with the previous
-    # row (reference cond_stp via the +1/fillna(0) diff trick, :316-320 —
-    # true on the first row of each user because the shift is NaN there).
-    sp_change = ~F.col("staypoint_id").eqNullSafe(F.col("__prev_sp")) | F.col("__first")
-
-    leg_trigger = (F.col("__first") | F.coalesce(gap, F.lit(False)) | sp_change) & ~is_sp
-    # segment boundary: a leg start OR entering a (new) staypoint — the
-    # running sum of boundaries gives each leg / staypoint-block its own
-    # segment id, which bounds leg length exactly like the reference's
-    # searchsorted bookkeeping (:332-366).
-    staged = staged.withColumn("__leg_trigger", leg_trigger).withColumn(
-        "__boundary", leg_trigger | (is_sp & sp_change)
-    ).withColumn("__gap", F.coalesce(gap, F.lit(False)))
-    seg = staged.withColumn("__seg", F.sum(F.col("__boundary").cast("long")).over(w)).drop(
-        "__prev_ts", "__prev_sp", "__first", "__boundary"
+    _WS = "OVER (PARTITION BY user_id, __seg)"
+    seg = seg.selectExpr(
+        "*",
+        f"count(1) {_WS} AS __seg_n",
+        f"max(CAST(__leg_trigger AS int)) {_WS} = 1 AS __is_leg",
+    ).selectExpr(
+        "*",
+        # valid legs have >=2 member pfs (:368-372)
+        "__is_leg AND __seg_n >= 2 AND staypoint_id IS NULL AS __valid_leg",
     )
-
-    wseg = Window.partitionBy("user_id", "__seg")
-    seg = seg.withColumn("__seg_n", F.count(F.lit(1)).over(wseg)).withColumn(
-        "__is_leg", F.max(F.col("__leg_trigger").cast("int")).over(wseg) == 1
-    )
-
-    # valid legs have >=2 member pfs (:368-372)
-    seg = seg.withColumn("__valid_leg", F.col("__is_leg") & (F.col("__seg_n") >= 2) & ~is_sp)
 
     legs = (
-        seg.filter(F.col("__valid_leg"))
+        seg.filter("__valid_leg")
         .groupBy("user_id", "__seg")
         .agg(
-            F.min("tracked_at").alias("started_at"),
-            F.max("tracked_at").alias("finished_at"),
-            F.array_sort(
-                F.collect_list(F.struct(F.col("tracked_at").alias("t"), F.col("id").alias("i"), F.col("geom").alias("p")))
-            ).alias("__pts"),
+            F.expr("min(tracked_at) AS started_at"),
+            F.expr("max(tracked_at) AS finished_at"),
+            F.expr(
+                "array_sort(collect_list(struct(tracked_at AS t, id AS i, geom AS p))) AS __pts"
+            ),
         )
-        .withColumn("geom", F.transform(F.col("__pts"), lambda s: s["p"]))
-        .withColumn("__distinct_pts", F.size(F.array_distinct(F.col("geom"))))
+        .selectExpr(
+            "*",
+            "transform(__pts, s -> s.p) AS geom",
+        )
+        .selectExpr("*", "size(array_distinct(geom)) AS __distinct_pts")
     )
 
     # ids are assigned BEFORE the geometric-validity drop, matching the
@@ -166,7 +184,7 @@ def generate_triplegs(
 
     tpls = legs.select("id", "user_id", "started_at", "finished_at", "geom")
 
-    link = legs.select(F.col("user_id").alias("__lu"), "__seg", F.col("id").alias("tripleg_id"))
+    link = legs.selectExpr("user_id AS __lu", "__seg", "id AS tripleg_id")
     pfs_out = (
         seg.join(
             link,

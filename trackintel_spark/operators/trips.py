@@ -6,6 +6,13 @@ with ``_concat_staypoints_triplegs`` (:235-291) and
 (shift/ffill over an interleaved frame); here it is pure DataFrame ops —
 unionByName + per-user windows + running sums. No Python kernel.
 
+Driver-cost note (r12): expression construction is batched — each
+projection layer is ONE ``selectExpr``/``withColumns`` call with SQL
+strings instead of dozens of Column-object py4j round trips. Profiling
+showed ~2,500 py4j commands (≈1.5 s of socket latency + eager
+re-analysis) per call in the Column-chain form; the operator's logic
+and output are unchanged (oracle-pinned).
+
 Semantics reproduced:
 * sp_tpls = staypoints ∪ triplegs per user ordered by started_at
   (:73, :290); staypoints must carry ``is_activity`` (:256-257);
@@ -30,11 +37,13 @@ Semantics reproduced:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trackintel_spark.model.schemas import validate
 from trackintel_spark.plans.ids import dense_id_by_user
+
+_PT_T = "struct<lon:double,lat:double>"
 
 
 def generate_trips(
@@ -64,68 +73,66 @@ def generate_trips(
     sp_base = staypoints.drop(*[c for c in ("trip_id", "prev_trip_id", "next_trip_id") if c in staypoints.columns])
     tpls_base = triplegs.drop(*[c for c in ("trip_id",) if c in triplegs.columns])
 
-    sp_part = sp_base.select(
+    sp_part = sp_base.selectExpr(
         "user_id",
         "started_at",
         "finished_at",
-        F.lit("staypoint").alias("type"),
-        F.coalesce(F.col("is_activity"), F.lit(False)).alias("is_activity"),
-        F.col("id").alias("sp_tpls_id"),
-        F.col("geom").alias("pt") if add_geometry else F.lit(None).cast("struct<lon:double,lat:double>").alias("pt"),
+        "'staypoint' AS type",
+        "coalesce(is_activity, false) AS is_activity",
+        "id AS sp_tpls_id",
+        ("geom AS pt" if add_geometry else f"CAST(NULL AS {_PT_T}) AS pt"),
     )
-    tpls_part = tpls_base.select(
+    tpls_part = tpls_base.selectExpr(
         "user_id",
         "started_at",
         "finished_at",
-        F.lit("tripleg").alias("type"),
-        F.lit(False).alias("is_activity"),
-        F.col("id").alias("sp_tpls_id"),
-        F.lit(None).cast("struct<lon:double,lat:double>").alias("pt"),
+        "'tripleg' AS type",
+        "false AS is_activity",
+        "id AS sp_tpls_id",
+        f"CAST(NULL AS {_PT_T}) AS pt",
     )
     sp_tpls = sp_part.unionByName(tpls_part)
 
-    w = Window.partitionBy("user_id").orderBy("started_at", "type", "sp_tpls_id")
+    # one ordered per-user window shared by every signal below
+    _W = "OVER (PARTITION BY user_id ORDER BY started_at, type, sp_tpls_id)"
 
-    staged = (
-        sp_tpls.withColumn("__first", F.row_number().over(w) == 1)
-        .withColumn("__next_act", F.lead("is_activity").over(w))
-        .withColumn(
-            "__gap",
-            (F.lead("started_at").over(w).cast("double") - F.col("finished_at").cast("double")) > gap_s,
-        )
-        .withColumn("__pos", F.row_number().over(w))
+    staged = sp_tpls.selectExpr(
+        "*",
+        f"row_number() {_W} = 1 AS __first",
+        f"lead(is_activity) {_W} AS __next_act",
+        f"coalesce(CAST(lead(started_at) {_W} AS double) - CAST(finished_at AS double) > {gap_s!r}, false) AS __gap",
+        f"row_number() {_W} AS __pos",
+    ).selectExpr(
+        "*",
+        f"coalesce(lag(__gap) {_W}, false) AS __prev_gap",
+    ).selectExpr(
+        "*",
+        # new-trip trigger (reference :77-87): user change | last activity
+        # of a block | first row after a gap.
+        "__first OR (is_activity AND NOT coalesce(__next_act, false)) OR __prev_gap AS __new_trip",
+    ).selectExpr(
+        "*",
+        f"sum(CAST(__new_trip AS long)) {_W} AS __temp_trip",
     )
-    staged = staged.withColumn("__gap", F.coalesce(F.col("__gap"), F.lit(False))).withColumn(
-        "__prev_gap", F.coalesce(F.lag("__gap").over(w), F.lit(False))
-    )
-    # new-trip trigger (reference :77-87): user change | last activity of
-    # a block | first row after a gap.
-    new_trip = (
-        F.col("__first")
-        | (F.col("is_activity") & ~F.coalesce(F.col("__next_act"), F.lit(False)))
-        | F.col("__prev_gap")
-    )
-    staged = staged.withColumn("__new_trip", new_trip)
-    staged = staged.withColumn("__temp_trip", F.sum(F.col("__new_trip").cast("long")).over(w))
 
     # aggregate non-activity members per temp trip (:97-116)
-    members = staged.filter(~F.col("is_activity"))
+    members = staged.filter("NOT is_activity")
     trips_raw = members.groupBy("user_id", "__temp_trip").agg(
-        F.min("started_at").alias("started_at"),
-        F.max("finished_at").alias("finished_at"),
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("type") == "staypoint", F.struct(F.col("__pos").alias("o"), F.col("sp_tpls_id").alias("i")))
-            )
-        ).alias("__sps"),
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("type") == "tripleg", F.struct(F.col("__pos").alias("o"), F.col("sp_tpls_id").alias("i")))
-            )
-        ).alias("__tpls"),
-    )
-    trips_raw = trips_raw.withColumn("sps", F.transform("__sps", lambda s: s["i"])).withColumn(
-        "tpls", F.transform("__tpls", lambda s: s["i"])
+        F.expr("min(started_at) AS started_at"),
+        F.expr("max(finished_at) AS finished_at"),
+        F.expr(
+            "array_sort(collect_list(CASE WHEN type = 'staypoint'"
+            " THEN struct(__pos AS o, sp_tpls_id AS i) END)) AS __sps"
+        ),
+        F.expr(
+            "array_sort(collect_list(CASE WHEN type = 'tripleg'"
+            " THEN struct(__pos AS o, sp_tpls_id AS i) END)) AS __tpls"
+        ),
+    ).withColumns(
+        {
+            "sps": F.expr("transform(__sps, s -> s.i)"),
+            "tpls": F.expr("transform(__tpls, s -> s.i)"),
+        }
     )
     # drop trips without triplegs (:119) and assign dense ids (:122-123)
     trips_raw = trips_raw.filter(F.size("tpls") > 0)
@@ -135,50 +142,50 @@ def generate_trips(
     trips_raw = trips_raw.persist()
 
     # interleave trips + activity staypoints + gap buffers (:126-146)
-    trip_rows = trips_raw.select(
+    trip_rows = trips_raw.selectExpr(
         "user_id",
         "started_at",
-        F.lit("trip").alias("type"),
-        F.lit(None).cast("long").alias("sp_tpls_id"),
-        F.col("id").alias("trip_id"),
-        F.lit(False).alias("is_activity"),
-        F.lit(None).cast("struct<lon:double,lat:double>").alias("pt"),
+        "'trip' AS type",
+        "CAST(NULL AS long) AS sp_tpls_id",
+        "id AS trip_id",
+        "false AS is_activity",
+        f"CAST(NULL AS {_PT_T}) AS pt",
     )
-    act_rows = staged.filter(F.col("is_activity") & (F.col("type") == "staypoint")).select(
+    act_rows = staged.filter("is_activity AND type = 'staypoint'").selectExpr(
         "user_id",
         "started_at",
-        F.lit("staypoint").alias("type"),
+        "'staypoint' AS type",
         "sp_tpls_id",
-        F.lit(None).cast("long").alias("trip_id"),
-        F.lit(True).alias("is_activity"),
+        "CAST(NULL AS long) AS trip_id",
+        "true AS is_activity",
         "pt",
     )
-    gap_rows = staged.filter(F.col("__gap")).select(
+    gap_rows = staged.filter("__gap").selectExpr(
         "user_id",
-        F.timestamp_seconds(F.col("finished_at").cast("double") + gap_s / 2.0).alias("started_at"),
-        F.lit("gap").alias("type"),
-        F.lit(None).cast("long").alias("sp_tpls_id"),
-        F.lit(None).cast("long").alias("trip_id"),
-        F.lit(True).alias("is_activity"),
-        F.lit(None).cast("struct<lon:double,lat:double>").alias("pt"),
+        f"timestamp_seconds(CAST(finished_at AS double) + {gap_s / 2.0!r}) AS started_at",
+        "'gap' AS type",
+        "CAST(NULL AS long) AS sp_tpls_id",
+        "CAST(NULL AS long) AS trip_id",
+        "true AS is_activity",
+        f"CAST(NULL AS {_PT_T}) AS pt",
     )
     inter = trip_rows.unionByName(act_rows).unionByName(gap_rows)
 
-    wi = Window.partitionBy("user_id").orderBy("started_at", "type", "sp_tpls_id")
     inter = inter.persist()
-    inter = (
-        inter.withColumn("origin_staypoint_id", F.lag("sp_tpls_id").over(wi))
-        .withColumn("destination_staypoint_id", F.lead("sp_tpls_id").over(wi))
-        .withColumn("origin_pt", F.lag("pt").over(wi))
-        .withColumn("destination_pt", F.lead("pt").over(wi))
-        .withColumn("prev_trip_id", F.lag("trip_id").over(wi))
-        .withColumn("next_trip_id", F.lead("trip_id").over(wi))
+    inter = inter.selectExpr(
+        "*",
+        f"lag(sp_tpls_id) {_W} AS origin_staypoint_id",
+        f"lead(sp_tpls_id) {_W} AS destination_staypoint_id",
+        f"lag(pt) {_W} AS origin_pt",
+        f"lead(pt) {_W} AS destination_pt",
+        f"lag(trip_id) {_W} AS prev_trip_id",
+        f"lead(trip_id) {_W} AS next_trip_id",
     )
 
     trips = (
-        inter.filter(F.col("type") == "trip")
-        .select(
-            F.col("trip_id").alias("id"),
+        inter.filter("type = 'trip'")
+        .selectExpr(
+            "trip_id AS id",
             "user_id",
             "origin_staypoint_id",
             "destination_staypoint_id",
@@ -194,29 +201,37 @@ def generate_trips(
 
     if add_geometry:
         # impute missing endpoints from the first/last tripleg coordinate
-        # (:196-208): join the tripleg geometry for first/last member legs.
-        first_last = trips.select(
-            F.col("id").alias("__tid"),
-            F.element_at("tpls", 1).alias("__first_tpl"),
-            F.element_at("tpls", -1).alias("__last_tpl"),
-        )
-        tg = tpls_base.select(F.col("id").alias("__gid"), F.col("geom").alias("__tgeom"))
-        fg = first_last.join(tg, first_last["__first_tpl"] == tg["__gid"], "left").select(
-            "__tid", F.element_at("__tgeom", 1).alias("__first_pt")
-        )
-        lg = first_last.join(tg, first_last["__last_tpl"] == tg["__gid"], "left").select(
-            F.col("__tid").alias("__tid2"), F.element_at("__tgeom", -1).alias("__last_pt")
+        # (:196-208). ONE join against the tripleg geometry: each trip
+        # probes with its first and its last member leg id (two exploded
+        # probe rows), and the group-back picks the matching endpoint —
+        # the tripleg table is scanned/joined once instead of twice.
+        probes = trips.selectExpr(
+            "id AS __tid",
+            "explode(array(struct(true AS f, element_at(tpls, 1) AS g),"
+            " struct(false AS f, element_at(tpls, -1) AS g))) AS __p",
+        ).selectExpr("__tid", "__p.f AS __f", "__p.g AS __gid")
+        tg = tpls_base.selectExpr("id AS __gid", "geom AS __tgeom")
+        ends = (
+            probes.join(tg, on="__gid", how="left")
+            .groupBy("__tid")
+            .agg(
+                F.expr("max(CASE WHEN __f THEN element_at(__tgeom, 1) END) AS __first_pt"),
+                F.expr("max(CASE WHEN NOT __f THEN element_at(__tgeom, -1) END) AS __last_pt"),
+            )
         )
         trips = (
-            trips.join(fg, trips["id"] == fg["__tid"], "left")
-            .join(lg, trips["id"] == lg["__tid2"], "left")
-            .withColumn("origin_pt", F.coalesce("origin_pt", "__first_pt"))
-            .withColumn("destination_pt", F.coalesce("destination_pt", "__last_pt"))
+            trips.join(ends, trips["id"] == ends["__tid"], "left")
+            .withColumns(
+                {
+                    "origin_pt": F.expr("coalesce(origin_pt, __first_pt)"),
+                    "destination_pt": F.expr("coalesce(destination_pt, __last_pt)"),
+                }
+            )
             .withColumn(
                 "geom",
-                F.struct(F.col("origin_pt").alias("origin"), F.col("destination_pt").alias("dest")),
+                F.expr("struct(origin_pt AS origin, destination_pt AS dest)"),
             )
-            .drop("__tid", "__tid2", "__first_pt", "__last_pt")
+            .drop("__tid", "__first_pt", "__last_pt")
         )
 
     # trips feeds the final projection plus the tpls/sp link-backs —
@@ -229,12 +244,12 @@ def generate_trips(
     trips_out = trips.select(*trips_out_cols)
 
     # link back: tpls.trip_id (:181), sp.trip_id + prev/next (:183-191)
-    tpl_links = trips.select(F.col("id").alias("trip_id"), F.explode("tpls").alias("id"))
+    tpl_links = trips.selectExpr("id AS trip_id", "explode(tpls) AS id")
     tpls_out = tpls_base.join(tpl_links, on="id", how="left")
 
-    sp_links = trips.select(F.col("id").alias("trip_id"), F.explode("sps").alias("id"))
-    act_links = inter.filter(F.col("type") == "staypoint").select(
-        F.col("sp_tpls_id").alias("id"), "prev_trip_id", "next_trip_id"
+    sp_links = trips.selectExpr("id AS trip_id", "explode(sps) AS id")
+    act_links = inter.filter("type = 'staypoint'").selectExpr(
+        "sp_tpls_id AS id", "prev_trip_id", "next_trip_id"
     )
     sp_out = sp_base.join(sp_links, on="id", how="left").join(act_links, on="id", how="left")
 
