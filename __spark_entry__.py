@@ -197,31 +197,27 @@ def _sessions(spark: SparkSession, sf_dir: str, gap_min: float = 30.0) -> DataFr
     """Gap-based event sessions as staypoint-shaped rows (id, user_id,
     started_at, finished_at, geom=centroid, n_pfs)."""
     pfs = _pfs(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("tracked_at", "id")
-    flagged = pfs.withColumn(
-        "__new",
-        (
-            F.coalesce(
-                (F.col("tracked_at").cast("double") - F.lag("tracked_at").over(w).cast("double"))
-                > gap_min * 60.0,
-                F.lit(True),
-            )
-        ).cast("long"),
-    )
-    seg = flagged.withColumn("__sess", F.sum("__new").over(w))
+    # one selectExpr per layer — the Column-chain form cost dozens of
+    # py4j round trips per bench cell (see trips.py r12 note)
+    _W = "OVER (PARTITION BY user_id ORDER BY tracked_at, id)"
+    seg = pfs.selectExpr(
+        "*",
+        "CAST(coalesce(CAST(tracked_at AS double) - CAST(lag(tracked_at) "
+        f"{_W} AS double) > {gap_min * 60.0!r}, true) AS long) AS __new",
+    ).selectExpr("*", f"sum(__new) {_W} AS __sess")
     grouped = seg.groupBy("user_id", "__sess").agg(
-        F.min("tracked_at").alias("started_at"),
-        F.max("tracked_at").alias("finished_at"),
-        F.count(F.lit(1)).alias("n_pfs"),
-        F.avg("geom.lon").alias("__lon"),
-        F.avg("geom.lat").alias("__lat"),
+        F.expr("min(tracked_at) AS started_at"),
+        F.expr("max(tracked_at) AS finished_at"),
+        F.expr("count(1) AS n_pfs"),
+        F.expr("avg(geom.lon) AS __lon"),
+        F.expr("avg(geom.lat) AS __lat"),
     )
     from trackintel_spark.plans.ids import dense_id_by_user
 
     out = dense_id_by_user(grouped, order_by=["started_at"], id_col="id")
-    return out.select(
+    return out.selectExpr(
         "id", "user_id", "started_at", "finished_at", "n_pfs",
-        F.struct(F.col("__lon").alias("lon"), F.col("__lat").alias("lat")).alias("geom"),
+        "struct(__lon AS lon, __lat AS lat) AS geom",
     )
 
 
@@ -274,23 +270,22 @@ def _movements(spark: SparkSession, sf_dir: str, max_gap_min: float = 120.0) -> 
     """Tripleg-shaped movements between consecutive sessions of a user
     (closer than max_gap_min): 2-vertex linestrings."""
     s = _sessions(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("started_at")
-    nxt = (
-        s.withColumn("__n_start", F.lead("started_at").over(w))
-        .withColumn("__n_geom", F.lead("geom").over(w))
-        .filter(
-            F.col("__n_start").isNotNull()
-            & ((F.col("__n_start").cast("double") - F.col("finished_at").cast("double")) <= max_gap_min * 60.0)
-            & ((F.col("__n_start").cast("double") - F.col("finished_at").cast("double")) > 0)
-        )
+    nxt = s.selectExpr(
+        "*",
+        "lead(started_at) OVER (PARTITION BY user_id ORDER BY started_at) AS __n_start",
+        "lead(geom) OVER (PARTITION BY user_id ORDER BY started_at) AS __n_geom",
+    ).filter(
+        "__n_start IS NOT NULL"
+        f" AND CAST(__n_start AS double) - CAST(finished_at AS double) <= {max_gap_min * 60.0!r}"
+        " AND CAST(__n_start AS double) - CAST(finished_at AS double) > 0"
     )
     from trackintel_spark.plans.ids import dense_id_by_user
 
-    nxt = nxt.select(
+    nxt = nxt.selectExpr(
         "user_id",
-        F.col("finished_at").alias("started_at"),
-        F.col("__n_start").alias("finished_at"),
-        F.array(F.col("geom"), F.col("__n_geom")).alias("geom"),
+        "finished_at AS started_at",
+        "__n_start AS finished_at",
+        "array(geom, __n_geom) AS geom",
     )
     return dense_id_by_user(nxt, order_by=["started_at"], id_col="id")
 

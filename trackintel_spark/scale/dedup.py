@@ -161,17 +161,16 @@ def minhash_signature(
     )
     # materialize the base hash first: referencing the md5 expression in
     # all num_perm projections would recompute it per permutation
-    based = ex.select("__mid", F.conv(F.substring(F.md5("__s"), 1, 7), 16, 10).cast("long").alias("__h"))
-    hashed = based.select(
+    based = ex.selectExpr("__mid", "CAST(conv(substring(md5(__s), 1, 7), 16, 10) AS long) AS __h")
+    hashed = based.selectExpr(
         "__mid",
         *[
-            ((F.lit(minhash_a(i)) * F.col("__h") + F.lit(minhash_b(i))) % F.lit(MINHASH_P)).alias(f"__h{i}")
+            f"({minhash_a(i)} * __h + {minhash_b(i)}) % {MINHASH_P} AS __h{i}"
             for i in range(num_perm)
         ],
     )
-    sig = hashed.groupBy("__mid").agg(
-        F.array(*[F.min(f"__h{i}") for i in range(num_perm)]).alias("minhash")
-    )
+    mins = ", ".join(f"min(__h{i})" for i in range(num_perm))
+    sig = hashed.groupBy("__mid").agg(F.expr(f"array({mins}) AS minhash"))
     return df.join(sig, on=df[id_col] == sig["__mid"], how="left").drop("__mid")
 
 
@@ -199,22 +198,15 @@ def minhash_lsh_candidates(
     sig_df = minhash_signature(df, text_col, num_perm, shingle_n, id_col=id_col).select(
         F.col(id_col).alias("__id"), "minhash"
     ).filter(F.col("minhash").isNotNull())
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *[F.element_at("minhash", b * rows + r + 1) for r in range(rows)])).alias(
-                        "bhash"
-                    ),
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("__band")
-    banded = sig_df.select("__id", "minhash", band_cols).select(
-        "__id", "minhash", F.col("__band.band").alias("band"), F.col("__band.bhash").alias("bhash")
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"element_at(minhash, {b * rows + r + 1})" for r in range(rows))
+        + ")) AS bhash)"
+        for b in range(bands)
     )
+    banded = sig_df.selectExpr(
+        "__id", "minhash", f"explode(array({band_structs})) AS __band"
+    ).selectExpr("__id", "minhash", "__band.band AS band", "__band.bhash AS bhash")
     a = banded.select(F.col("__id").alias("id_a"), F.col("minhash").alias("__ma"), "band", "bhash")
     b = banded.select(F.col("__id").alias("id_b"), F.col("minhash").alias("__mb"), "band", "bhash")
     pairs = (
@@ -238,16 +230,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     groupBy — engine-portable and UDF-free.
     """
     ex = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__tok"))
-    h = F.md5(F.col("__tok"))
+    # SQL-string column generators: the Column-object form cost ~300
+    # py4j round trips for the 32 digit sums (r12 driver-cost note)
+    digits = "('" + "', '".join("89abcdef") + "')"
     sums = [
-        F.sum(
-            F.when(F.substring(h, d + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"__s{d}")
+        F.expr(
+            f"sum(CASE WHEN substring(md5(__tok), {d + 1}, 1) IN {digits}"
+            f" THEN 1 ELSE -1 END) AS __s{d}"
+        )
         for d in range(32)
     ]
     agg = ex.groupBy("__id").agg(*sums)
-    bits = F.concat(*[F.when(F.col(f"__s{d}") >= 0, F.lit("1")).otherwise(F.lit("0")) for d in range(32)])
-    fp = agg.select(F.col("__id").alias(id_col), bits.alias("simhash"))
+    bits = ", ".join(f"CASE WHEN __s{d} >= 0 THEN '1' ELSE '0' END" for d in range(32))
+    fp = agg.selectExpr(f"__id AS `{id_col}`", f"concat({bits}) AS simhash")
     return df.join(fp, on=id_col, how="left")
 
 
