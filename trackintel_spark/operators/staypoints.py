@@ -188,13 +188,26 @@ def generate_staypoints(
     if "staypoint_id" in pfs.columns:
         pfs = pfs.drop("staypoint_id")
 
+    from trackintel_spark.plans.partitioning import kernel_partitions, salt_min_user_rows
+
+    # ONE user_id exchange serves the whole operator (r12, guide §2.4):
+    # the duplicate-drop aggregation, the salt windows, the kernel
+    # groupBy and the link-back join's pfs side all require only
+    # clustering by a key set CONTAINING user_id, so hash(user_id)
+    # satisfies every one of them — the previous shape paid four
+    # full-table exchanges (dedup keys, window, kernel keys, join id).
+    # Explicit repartition => AQE cannot coalesce the kernel stage.
+    kp = kernel_partitions(pfs)
+    pfs = pfs.repartition(kp, "user_id")
+
     if exclude_duplicate_pfs:
         # reference drop_duplicates ignores the index/id (preprocessing/
         # positionfixes.py:105-114): keep the smallest id per duplicate group.
         # Hash aggregation instead of a sort window: the group keys are all
-        # non-id columns, so min(id) per group IS the deduped row set — with
-        # map-side partial combine, where a row_number window would shuffle
-        # and sort every full row.
+        # non-id columns, so min(id) per group IS the deduped row set —
+        # and since user_id is among the group keys, the aggregation runs
+        # in-place on the user_id exchange above (no shuffle of its own;
+        # map-side combine would be useless on near-unique keys anyway).
         dedup_cols = [c for c in pfs.columns if c != "id"]
         pfs = pfs.groupBy(*dedup_cols).agg(F.min("id").alias("id")).select(*pfs.columns)
 
@@ -221,8 +234,6 @@ def generate_staypoints(
             include_last=include_last,
             elevation_flag=elevation_flag,
         )
-
-    from trackintel_spark.plans.partitioning import kernel_partitions, salt_min_user_rows
 
     if salt_sessions and not include_last:
         salt_rows = salt_min_user_rows(kernel_in.sparkSession, _SALT_MIN_USER_ROWS)
@@ -253,12 +264,18 @@ def generate_staypoints(
             f"CASE WHEN __user_n > {int(salt_rows)} THEN __session0 ELSE CAST(0 AS long) END AS __session",
         )
         group_cols = ["user_id", "__session"]
+        # the salt exchange stays: it is what spreads a mega-user's
+        # sessions across tasks (the whole point of salting) — but it
+        # now carries only the 7 narrow kernel columns, and it is the
+        # ONLY extra exchange in the operator.
+        kernel_in = kernel_in.repartition(kp, *group_cols)
     else:
+        # hash(user_id) from the operator-top exchange already clusters
+        # the kernel groups — no further shuffle.
         group_cols = ["user_id"]
 
     raw_sp = (
-        kernel_in.repartition(kernel_partitions(kernel_in), *group_cols)
-        .groupBy(*group_cols)
+        kernel_in.groupBy(*group_cols)
         .applyInPandas(_run, schema=_KERNEL_SCHEMA)
     )
     # the kernel output is small (staypoints << pfs) but expensive to
@@ -269,9 +286,13 @@ def generate_staypoints(
     sp = dense_id_by_user(raw_sp, order_by=["started_at"], id_col="id")
 
     # link staypoint_id back onto pfs: explode the member-id list and join
-    # (reference _explode_agg, preprocessing/util.py:87-114).
-    links = sp.select(F.col("id").alias("staypoint_id"), F.explode("pfs_ids").alias("id"))
-    pfs_out = pfs.join(links, on="id", how="left")
+    # (reference _explode_agg, preprocessing/util.py:87-114). user_id
+    # rides along as a join key so the pfs side reuses the operator-top
+    # user_id exchange (sort only, no re-shuffle of the full table);
+    # only the narrow link rows shuffle. A pf's id determines its user,
+    # so the extra key never changes the match set.
+    links = sp.selectExpr("user_id", "id AS staypoint_id", "explode(pfs_ids) AS id")
+    pfs_out = pfs.join(links, on=["user_id", "id"], how="left")
 
     sp_cols = ["id", "user_id", "started_at", "finished_at"]
     if elevation_flag:

@@ -142,27 +142,33 @@ def generate_triplegs(
         f"sum(CAST(__boundary AS long)) {_W} AS __seg",
     ).drop("__prev_ts", "__prev_sp", "__first", "__sp_change", "__boundary")
 
-    _WS = "OVER (PARTITION BY user_id, __seg)"
-    seg = seg.selectExpr(
-        "*",
-        f"count(1) {_WS} AS __seg_n",
-        f"max(CAST(__leg_trigger AS int)) {_WS} = 1 AS __is_leg",
-    ).selectExpr(
-        "*",
-        # valid legs have >=2 member pfs (:368-372)
-        "__is_leg AND __seg_n >= 2 AND staypoint_id IS NULL AS __valid_leg",
-    )
-
+    # per-segment stats land in the SAME aggregation that builds the leg
+    # geometry (r12): the previous shape computed them with an unordered
+    # window over (user_id, __seg) — a second full sort of the pfs table
+    # (sorted (user, time) does not satisfy (user, seg) for Spark even
+    # though __seg is monotone in it). A segment is homogeneous by
+    # construction — every staypoint-membership change is a __boundary —
+    # so the row-level ~is_sp of the old __valid_leg is a per-segment
+    # constant and the filter moves after the aggregation unchanged;
+    # staypoint blocks contribute NULL to the conditional collect_list
+    # (collect_list skips NULLs), so geometry arrays only materialize
+    # for leg segments.
     legs = (
-        seg.filter("__valid_leg")
-        .groupBy("user_id", "__seg")
+        seg.groupBy("user_id", "__seg")
         .agg(
             F.expr("min(tracked_at) AS started_at"),
             F.expr("max(tracked_at) AS finished_at"),
+            F.expr("count(1) AS __seg_n"),
+            F.expr("max(CAST(__leg_trigger AS int)) AS __is_leg_i"),
+            F.expr("max(CASE WHEN staypoint_id IS NULL THEN 0 ELSE 1 END) AS __has_sp"),
             F.expr(
-                "array_sort(collect_list(struct(tracked_at AS t, id AS i, geom AS p))) AS __pts"
+                "array_sort(collect_list(CASE WHEN staypoint_id IS NULL"
+                " THEN struct(tracked_at AS t, id AS i, geom AS p) END)) AS __pts"
             ),
         )
+        # valid legs have >=2 member pfs (:368-372)
+        .filter("__is_leg_i = 1 AND __seg_n >= 2 AND __has_sp = 0")
+        .drop("__seg_n", "__is_leg_i", "__has_sp")
         .selectExpr(
             "*",
             "transform(__pts, s -> s.p) AS geom",
