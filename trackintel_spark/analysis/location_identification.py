@@ -29,18 +29,31 @@ def location_identifier(
     validate(sp, "staypoints")
     if "location_id" not in sp.columns:
         raise AssertionError("staypoints must contain column 'location_id'")
-    work = sp
+    # ONE user_id exchange feeds the whole operator (r12, guide §2.4):
+    # every aggregation/window/join inside pre_filter + FREQ/OSNA is
+    # keyed by user_id or (user_id, location_id), so hash(user_id)
+    # satisfies all of them; id-keyed joins carry user_id as an extra
+    # key (a staypoint's id determines its user — match set unchanged).
+    # The explicit repartition has no pinned partition count, so AQE
+    # still sizes it from the data.
+    work = sp.repartition(F.col("user_id"))
     if pre_filter:
-        mask = pre_filter_locations(sp, **pre_filter_kwargs)
-        work = sp.join(mask.filter(F.col("total_filter")).select("id"), on="id", how="inner")
+        mask = pre_filter_locations(work, **pre_filter_kwargs)
+        work = work.join(
+            mask.filter(F.col("total_filter")).select("user_id", "id"),
+            on=["user_id", "id"],
+            how="inner",
+        )
     if method == "FREQ":
         labeled = freq_method(work)
     elif method == "OSNA":
         labeled = osna_method(work)
     else:
         raise ValueError(f"Method {method} not known (one of FREQ, OSNA).")
-    purpose = labeled.select("id", "purpose")
-    return sp.drop(*[c for c in ("purpose",) if c in sp.columns]).join(purpose, on="id", how="left")
+    purpose = labeled.select("user_id", "id", "purpose")
+    return sp.drop(*[c for c in ("purpose",) if c in sp.columns]).join(
+        purpose, on=["user_id", "id"], how="left"
+    )
 
 
 def pre_filter_locations(
@@ -90,7 +103,9 @@ def pre_filter_locations(
         .join(locs, on=loc_keys, how="left")
         .withColumn("total_filter", F.col("user_filter") & F.coalesce(F.col("loc_filter"), F.lit(False)))
     )
-    return out.select("id", "total_filter")
+    # user_id rides along so a caller holding a user_id-partitioned
+    # frame can join the mask back without re-shuffling by id (r12)
+    return out.select("user_id", "id", "total_filter")
 
 
 def freq_method(sp: DataFrame, *labels: str) -> DataFrame:

@@ -932,17 +932,27 @@ def line_dedup(
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     # F.split takes a Java regex; \Q...\E quotes the delimiter so '.'
     # or '|' split literally (array_join on the rebuild side is literal)
+    # the raw line text never enters a shuffle (guide §8: decide with
+    # small rows, move big rows once — r12): the census and the drop
+    # decisions flow as (doc, pos, md5) rows only, and the surviving
+    # text is re-sliced MAP-SIDE from the original document using the
+    # dropped-position list. The previous shape carried every raw line
+    # through the verdict join's __k exchange and again through the
+    # per-doc rebuild exchange — 2x the corpus bytes shuffled for
+    # information that 16-byte digests and integer positions encode.
+    split_col = F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
     lines = (
         docs.select(
             F.col(id_col).alias("__did"),
-            F.posexplode(F.split(F.col(text_col), "\\Q" + delimiter + "\\E")).alias(
-                "__pos", "__line"
-            ),
+            F.posexplode(split_col).alias("__pos", "__line"),
         )
         .withColumn("__t", F.trim(F.col("__line")))
-        .withColumn("__k", F.md5(F.col("__t")))
-        .withColumn("__long", F.length("__t") >= min_chars)
-        .drop("__t")
+        .select(
+            "__did",
+            "__pos",
+            F.md5(F.col("__t")).alias("__k"),
+            (F.length("__t") >= min_chars).alias("__long"),
+        )
     )
     per_doc = (
         lines.filter(F.col("__long"))
@@ -965,32 +975,34 @@ def line_dedup(
             )
         ),
     )
-    rebuilt = flagged.groupBy("__did").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            ~F.col("__drop"),
-                            F.struct(F.col("__pos"), F.col("__line").alias("l")),
-                        )
-                    )
-                ),
-                lambda s: s["l"],
-            ),
-            delimiter,
-        ).alias("__new_text"),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("__drop").cast("int")).alias("n_lines_removed"),
+    # per doc: just the sorted dropped positions — a few ints, never text
+    drops = (
+        flagged.filter(F.col("__drop"))
+        .groupBy("__did")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__dropped"))
     )
     # a prior run's stat columns are superseded, not duplicated — keeps
     # the operator idempotently chainable
     base_docs = docs.drop("n_lines", "n_lines_removed")
-    return (
-        base_docs.join(rebuilt, base_docs[id_col] == rebuilt["__did"], how="left")
-        .withColumn(text_col, F.coalesce("__new_text", F.col(text_col)))
-        .drop("__did", "__new_text")
+    out = (
+        base_docs.join(drops, base_docs[id_col] == drops["__did"], how="left")
+        .withColumn("__dropped", F.coalesce("__dropped", F.array().cast("array<int>")))
+        .withColumn("n_lines", F.size(split_col).cast("long"))
+        # NULL-text docs produced no line rows before — keep their stat
+        # columns NULL like the old left-join shape did
+        .withColumn(
+            "n_lines_removed",
+            F.when(split_col.isNotNull(), F.size("__dropped")).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.array_join(
+                F.filter(split_col, lambda l, i: ~F.array_contains(F.col("__dropped"), i)),
+                delimiter,
+            ),
+        )
     )
+    return out.drop("__did", "__dropped")
 
 
 def chunk_dedup_fraction(
