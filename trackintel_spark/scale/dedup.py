@@ -941,45 +941,48 @@ def line_dedup(
     # per-doc rebuild exchange — 2x the corpus bytes shuffled for
     # information that 16-byte digests and integer positions encode.
     split_col = F.split(F.col(text_col), "\\Q" + delimiter + "\\E")
+    # identity is unhex(md5) — 16 raw bytes, half the shuffle width of
+    # the hex string and cheaper equality in every agg/join below
     lines = (
         docs.select(
             F.col(id_col).alias("__did"),
             F.posexplode(split_col).alias("__pos", "__line"),
         )
         .withColumn("__t", F.trim(F.col("__line")))
+        .filter(F.length("__t") >= min_chars)
         .select(
             "__did",
             "__pos",
-            F.md5(F.col("__t")).alias("__k"),
-            (F.length("__t") >= min_chars).alias("__long"),
+            F.unhex(F.md5(F.col("__t"))).alias("__k"),
         )
     )
-    per_doc = (
-        lines.filter(F.col("__long"))
-        .groupBy("__k", "__did")
-        .agg(F.min("__pos").alias("__mp"))
-    )
+    per_doc = lines.groupBy("__k", "__did").agg(F.min("__pos").alias("__mp"))
     verdict = per_doc.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__docs"),
         F.min(F.struct(F.col("__did"), F.col("__mp"))).alias("__first"),
     )
-    flagged = lines.join(verdict, on="__k", how="left").withColumn(
-        "__drop",
-        F.col("__long")
-        & (F.coalesce("__docs", F.lit(0)) >= min_count)
-        & (
-            F.lit(keep == "none")
-            | ~(
+    # only lines duplicated across >= min_count docs can ever be
+    # dropped, so probe with an INNER join against that (selective)
+    # verdict subset instead of left-joining every occurrence against
+    # every distinct line: AQE broadcasts the dup side when small and
+    # the short/unique majority of the corpus never enters the join
+    dup = verdict.filter(F.col("__docs") >= min_count)
+    flagged = lines.join(dup, on="__k", how="inner")
+    if keep == "first":
+        flagged = flagged.filter(
+            ~(
                 (F.col("__did") == F.col("__first.__did"))
                 & (F.col("__pos") == F.col("__first.__mp"))
             )
-        ),
-    )
-    # per doc: just the sorted dropped positions — a few ints, never text
-    drops = (
-        flagged.filter(F.col("__drop"))
-        .groupBy("__did")
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__dropped"))
+        )
+    # per doc: just the sorted dropped positions — a few ints, never
+    # text. The removed COUNT is a separate declarative column so a
+    # consumer that only reads the stats (the bench probe, any QC
+    # rollup) lets Spark prune the collect_list/sort_array entirely and
+    # run this as a codegen hash agg
+    drops = flagged.groupBy("__did").agg(
+        F.sort_array(F.collect_list("__pos")).alias("__dropped"),
+        F.count(F.lit(1)).alias("__nd"),
     )
     # a prior run's stat columns are superseded, not duplicated — keeps
     # the operator idempotently chainable
@@ -992,7 +995,7 @@ def line_dedup(
         # columns NULL like the old left-join shape did
         .withColumn(
             "n_lines_removed",
-            F.when(split_col.isNotNull(), F.size("__dropped")).cast("long"),
+            F.when(split_col.isNotNull(), F.coalesce("__nd", F.lit(0))).cast("long"),
         )
         .withColumn(
             text_col,
@@ -1002,7 +1005,7 @@ def line_dedup(
             ),
         )
     )
-    return out.drop("__did", "__dropped")
+    return out.drop("__did", "__dropped", "__nd")
 
 
 def chunk_dedup_fraction(
