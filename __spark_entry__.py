@@ -1908,9 +1908,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shingle path rides minhash_lsh_pairs + the PPJoin pytest
         # battery). Everything displaced keeps its oracle after
         # position 50 plus pytest coverage.
+        # r13 rotation (VERDICT r12 "Next round" #1): line_dedup was
+        # rewritten twice during the r12 optimization round while sitting
+        # OUTSIDE the driver-scored prefix (the r12 rotation had displaced
+        # it pre-round) — the driver's oracle never saw the rewritten
+        # operator. It returns to the scored set here so CORRECTNESS_r13
+        # carries driver ground truth for the rewrite. Displaced:
+        # tracking_quality_hour — kernel-redundant with the in-prefix
+        # siblings (tracking_quality_day exercises the same split+agg
+        # kernel and the splitting paths; tracking_quality_weekday keeps a
+        # second granularity scored). It keeps its oracle after position
+        # 50 and its pytest coverage, like every prior rotation.
         "pfs_ingest", "tripleg_segmentation",
         "gopher_quality", "radius_gyration",
-        "tracking_quality_day", "tracking_quality_weekday", "tracking_quality_hour",
+        "tracking_quality_day", "tracking_quality_weekday", "line_dedup",
         "asof_join", "anonymize_time",
         "predict_transport_mode", "modal_split", "merge_staypoints",
         "distance_matrix_chebyshev", "spatial_filter",
@@ -1947,7 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-backed here and pytest-covered. (r10:
         # chunk_dedup rotated out for warc_stage0 — its md5-census shape
         # rides in-prefix via line_dedup and substring_dedup.)
-        "chunk_dedup", "strip_html", "line_dedup",
+        "chunk_dedup", "strip_html", "tracking_quality_hour",
         "trajectory_match", "trajectory_distances", "dedup_exact",
         "top_tokens", "repetition_signals",
         "jump_length", "tripleg_length", "locations_grid", "token_count",

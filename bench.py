@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "scale": {probe: {rows, wall_s, rows_per_s}},
-"sf": ...}.
+ONE compact JSON line on stdout (last line): {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: min_sec}, "noop_total": ...,
+"scale": {probe: {wall_s, steal_cpu_s, canary_s}}, "sf": ...}. Full
+telemetry (all samples, interleaved canary, steal counters, noop-sink
+per-query walls, scale-probe details) goes to stderr as a second JSON
+line prefixed ``TELEMETRY`` — the r12 driver archiver truncated the
+stdout line once it carried all of this (VERDICT r12 #2).
 
 The sf0.1 tier is latency-bound (~1 s of fixed stage latency per cell),
 so a plan regression that doubles shuffled BYTES is invisible there.
@@ -124,26 +128,47 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     canary: dict[str, float] = {}
     steal_cpu_s: dict[str, float] = {}
+    # noop-sink cells (r12 verdict #10, guide §1.4): count() lets Spark
+    # prune output columns, so the count cells under-measure
+    # materialization. Each query ADDITIONALLY runs through the built-in
+    # noop data source (computes every column of every row, discards the
+    # result) — min-of-2, reported per query in the stderr telemetry and
+    # as `noop_total` in the compact stdout JSON. The count() cells and
+    # the headline `value` are unchanged for round-over-round continuity.
+    noop_timings: dict[str, float] = {}
+    noop_samples: dict[str, list[float]] = {}
     _canary_sample()  # warm the canary plan itself before first use
     for name, fn in QUERIES.items():
         canary[name] = _canary_sample()
         s0 = _steal_jiffies()
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         runs = []
         for _ in range(4):
             t0 = time.time()
             df = fn()
             n = df.count()
             runs.append(round(time.time() - t0, 3))
+        nruns = []
+        spark.sparkContext.setJobDescription(f"bench-noop:{name}")
+        for _ in range(2):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            nruns.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
         steal_cpu_s[name] = round((_steal_jiffies() - s0) / _clk, 2)
         samples[name] = runs
         timings[name] = min(runs)
+        noop_samples[name] = nruns
+        noop_timings[name] = min(nruns)
         print(
             f"# {name}: {n} rows in {timings[name]:.2f}s {runs} "
+            f"noop={noop_timings[name]:.2f}s {nruns} "
             f"canary={canary[name]}s steal={steal_cpu_s[name]}cpu-s",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    noop_total = round(sum(noop_timings.values()), 3)
 
     # -- scale tier: throughput probes on synthetic data (see module doc)
     scale: dict[str, dict] = {}
@@ -193,7 +218,9 @@ def main() -> None:
         for name, fn in probes:
             canary[f"scale:{name}"] = _canary_sample()
             s0 = _steal_jiffies()
+            spark.sparkContext.setJobDescription(f"bench-scale:{name}")
             r1, r2 = fn(), fn()
+            spark.sparkContext.setJobDescription(None)
             steal_cpu_s[f"scale:{name}"] = round((_steal_jiffies() - s0) / _clk, 2)
             r = r1 if r1["wall_s"] <= r2["wall_s"] else r2
             keep = ("rows", "wall_s", "rows_per_s", "kept", "count_s", "kmeans_s", "dedup_s",
@@ -206,6 +233,38 @@ def main() -> None:
             print(f"# scale {name}: {scale[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full telemetry (samples / canary / steal / noop samples / scale
+    # details) goes to STDERR as its own JSON line: the r12 verdict
+    # (#2) found the driver's archiver truncating the stdout line once
+    # it carried all of this, which killed the round-over-round
+    # comparison. Machine-readable, greppable via the TELEMETRY prefix.
+    print(
+        "TELEMETRY " + json.dumps(
+            {
+                "samples": samples,
+                "noop_queries": noop_timings,
+                "noop_samples": noop_samples,
+                "canary": canary,
+                "steal_cpu_s": steal_cpu_s,
+                "scale_detail": scale,
+                "warmup_sec": warmup_sec,
+            }
+        ),
+        file=sys.stderr,
+    )
+    # ONE compact JSON line on stdout, printed last (driver contract):
+    # per-query min + per-probe wall_s (with its steal/canary so scale
+    # readings are attributable to host noise without the stderr log,
+    # r12 verdict #5) + totals. Everything else lives on stderr above.
+    scale_compact = {
+        name: {
+            "wall_s": d["wall_s"],
+            "steal_cpu_s": steal_cpu_s.get(f"scale:{name}"),
+            "canary_s": canary.get(f"scale:{name}"),
+        }
+        for name, d in scale.items()
+    }
     print(
         json.dumps(
             {
@@ -213,12 +272,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
-                "canary": canary,
-                "steal_cpu_s": steal_cpu_s,
-                "scale": scale,
+                "noop_total": noop_total,
+                "scale": scale_compact,
                 "warmup_sec": warmup_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or None,
+                "sf": sf_val,
             }
         )
     )

@@ -222,3 +222,55 @@ def test_antimeridian_streaming_match(spark):
     cells, arrays = index_trajectory_corpus(_df(spark, corpus), tau)
     m = trajectory_match_stream(_df(spark, probe), cells, arrays, tau).collect()
     assert len(m) == 1 and m[0].match_id == 0
+
+
+# ---------------------------------------------------------------------------
+# r13: batched wavefront DP == per-pair kernels, bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def test_batched_dp_bit_equal_to_per_pair():
+    """The refine stages now group pairs by (len_a, len_b) and run ONE
+    batched anti-diagonal DP per shape (r13). Every cell computes the
+    identical float64 operations as the per-pair kernels, so results
+    must be bit-equal — including degenerate 1-vertex trajectories."""
+    from trackintel_spark.geogr.trajectory_distance import (
+        _pairwise_distance_batched,
+        dtw_distance_batch,
+        frechet_distance_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    for fn, bfn in (
+        (dtw_distance, dtw_distance_batch),
+        (frechet_distance, frechet_distance_batch),
+    ):
+        la, pa, lb, pb, refs = [], [], [], [], []
+        for _ in range(300):
+            n = int(rng.integers(1, 60))
+            m = int(rng.integers(1, 60))
+            a = np.column_stack((rng.uniform(7, 9, n), rng.uniform(46, 48, n)))
+            b = np.column_stack((rng.uniform(7, 9, m), rng.uniform(46, 48, m)))
+            la.append(a[:, 0])
+            pa.append(a[:, 1])
+            lb.append(b[:, 0])
+            pb.append(b[:, 1])
+            refs.append(fn(a, b))
+        out = _pairwise_distance_batched(la, pa, lb, pb, bfn)
+        assert all(r == o for r, o in zip(refs, out))
+
+
+def test_batched_dp_chunking_matches_unchunked(monkeypatch):
+    """The cost-tensor cell cap splits big same-shape groups into
+    chunks; chunked and unchunked paths must agree exactly."""
+    import trackintel_spark.geogr.trajectory_distance as td
+
+    rng = np.random.default_rng(11)
+    la = [rng.uniform(7, 9, 20) for _ in range(64)]
+    pa = [rng.uniform(46, 48, 20) for _ in range(64)]
+    lb = [rng.uniform(7, 9, 25) for _ in range(64)]
+    pb = [rng.uniform(46, 48, 25) for _ in range(64)]
+    full = td._pairwise_distance_batched(la, pa, lb, pb, td.frechet_distance_batch)
+    monkeypatch.setattr(td, "_BATCH_DP_MAX_CELLS", 20 * 25 * 7)  # 7 pairs/chunk
+    chunked = td._pairwise_distance_batched(la, pa, lb, pb, td.frechet_distance_batch)
+    assert np.array_equal(full, chunked)

@@ -93,6 +93,88 @@ def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
     return float(ca[n - 1, m - 1])
 
 
+def _batch_cost(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Great-circle cost tensor between stacked vertex arrays (B,n,2)
+    and (B,m,2) — the batched form of :func:`_pair_cost` (identical
+    arithmetic per cell, so results are bit-equal)."""
+    lon1, lat1 = np.deg2rad(a[:, :, 0])[:, :, None], np.deg2rad(a[:, :, 1])[:, :, None]
+    lon2, lat2 = np.deg2rad(b[:, :, 0])[:, None, :], np.deg2rad(b[:, :, 1])[:, None, :]
+    s = np.sqrt(
+        np.sin((lat1 - lat2) / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin((lon1 - lon2) / 2.0) ** 2
+    )
+    return 2.0 * 6371000.0 * np.arcsin(np.minimum(1.0, s))
+
+
+def dtw_distance_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """DTW for a BATCH of same-length pairs: ``a`` (B,n,2), ``b``
+    (B,m,2) -> (B,) distances.
+
+    Same anti-diagonal wavefront as :func:`dtw_distance`, with the
+    batch as an extra leading axis: one numpy dispatch per diagonal
+    serves every pair in the batch, so the per-call overhead that
+    dominated the per-pair refine loop (r12 verdict #8 — 90k kernel
+    invocations of ~100 tiny numpy steps each) is amortized B-fold.
+    Each cell computes min of the same three operands then adds, so
+    results are bit-equal to both per-pair paths."""
+    cost = _batch_cost(a, b)
+    B, n, m = cost.shape
+    acc = np.full((B, n + 1, m + 1), np.inf)
+    acc[:, 0, 0] = 0.0
+    for d in range(2, n + m + 1):
+        i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+        j = d - i
+        prev = np.minimum(np.minimum(acc[:, i - 1, j], acc[:, i, j - 1]), acc[:, i - 1, j - 1])
+        acc[:, i, j] = cost[:, i - 1, j - 1] + prev
+    return acc[:, n, m]
+
+
+def frechet_distance_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Discrete Fréchet for a BATCH of same-length pairs (see
+    :func:`dtw_distance_batch`): (B,n,2) x (B,m,2) -> (B,)."""
+    cost = _batch_cost(a, b)
+    B, n, m = cost.shape
+    ca = np.full((B, n, m), np.inf)
+    ca[:, :, 0] = np.maximum.accumulate(cost[:, :, 0], axis=1)
+    ca[:, 0, :] = np.maximum.accumulate(cost[:, 0, :], axis=1)
+    for d in range(2, n + m - 1):
+        i = np.arange(max(1, d - m + 1), min(n - 1, d - 1) + 1)
+        j = d - i
+        mn = np.minimum(np.minimum(ca[:, i - 1, j], ca[:, i, j - 1]), ca[:, i - 1, j - 1])
+        ca[:, i, j] = np.maximum(mn, cost[:, i, j])
+    return ca[:, n - 1, m - 1]
+
+
+# cap on cost-tensor cells per batched DP call: bounds the (B,n,m)
+# float64 temporaries to ~tens of MB per task regardless of group size
+_BATCH_DP_MAX_CELLS = 4_000_000
+
+
+def _pairwise_distance_batched(
+    la: list, pa: list, lb_: list, pb: list, batch_fn
+) -> np.ndarray:
+    """Distances for parallel lists of vertex arrays, grouped by the
+    (len_a, len_b) shape so each group runs one batched wavefront DP
+    instead of one numpy DP per pair. Returns (len(la),) float64."""
+    k = len(la)
+    out = np.empty(k)
+    shapes: dict[tuple[int, int], list[int]] = {}
+    for idx in range(k):
+        shapes.setdefault((len(la[idx]), len(lb_[idx])), []).append(idx)
+    for (n, m), idxs in shapes.items():
+        step = max(1, _BATCH_DP_MAX_CELLS // (n * m))
+        for s in range(0, len(idxs), step):
+            chunk = idxs[s : s + step]
+            A = np.empty((len(chunk), n, 2))
+            Bv = np.empty((len(chunk), m, 2))
+            for t, idx in enumerate(chunk):
+                A[t, :, 0] = la[idx]
+                A[t, :, 1] = pa[idx]
+                Bv[t, :, 0] = lb_[idx]
+                Bv[t, :, 1] = pb[idx]
+            out[chunk] = batch_fn(A, Bv)
+    return out
+
+
 _PAIR_SCHEMA = T.StructType(
     [
         T.StructField("i", T.LongType()),
@@ -145,13 +227,18 @@ def trajectory_distance_matrix(
     else:
         pairs = a.crossJoin(b)
 
+    batch_fn = dtw_distance_batch if metric == "dtw" else frechet_distance_batch
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for row in pdf.itertuples(index=False):
-            ta = np.column_stack((row.la, row.ya))
-            tb = np.column_stack((row.lb, row.yb))
-            out.append((row.i, row.j, fn(ta, tb)))
-        return pd.DataFrame(out, columns=["i", "j", "dist_m"])
+        # batched DP over same-shape pairs (r13, guide §4.5) — bit-equal
+        # to the per-pair kernels, one wavefront per (len_i, len_j) shape
+        d = _pairwise_distance_batched(
+            pdf["la"].tolist(), pdf["ya"].tolist(),
+            pdf["lb"].tolist(), pdf["yb"].tolist(), batch_fn,
+        )
+        return pd.DataFrame(
+            {"i": pdf["i"].to_numpy(), "j": pdf["j"].to_numpy(), "dist_m": d}
+        )
 
     return pairs.groupBy("i").applyInPandas(lambda pdf: kernel(pdf), schema=_PAIR_SCHEMA)
 
@@ -212,14 +299,19 @@ def trajectory_topk(
     lb = F.greatest(d_ss, d_ee) if metric == "frechet" else (d_ss + d_ee)
     flat = flat.withColumn("__lb", lb).persist()
 
+    batch_fn = dtw_distance_batch if metric == "dtw" else frechet_distance_batch
+    q_lons, q_lats = q[:, 0], q[:, 1]
+
     def exact(df: DataFrame) -> DataFrame:
-        # itertuples renames underscore-prefixed fields -> plain aliases
+        # batched refine (r13): candidates grouped by vertex count run
+        # one wavefront DP per length against the tiled query
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for row in pdf.itertuples(index=False):
-                t = np.column_stack((row.lons, row.lats))
-                out.append((row.tid, fn(q, t)))
-            return pd.DataFrame(out, columns=["tid", "dist_m"])
+            k_ = len(pdf)
+            d = _pairwise_distance_batched(
+                [q_lons] * k_, [q_lats] * k_,
+                pdf["lons"].tolist(), pdf["lats"].tolist(), batch_fn,
+            )
+            return pd.DataFrame({"tid": pdf["tid"].to_numpy(), "dist_m": d})
 
         schema = T.StructType(
             [T.StructField("tid", T.LongType()), T.StructField("dist_m", T.DoubleType())]
@@ -393,15 +485,24 @@ def trajectory_similarity_join(
                           F.col("__lons").alias("lb"), F.col("__lats").alias("pb")), on="id_b")
     )
 
+    batch_fn = dtw_distance_batch if metric == "dtw" else frechet_distance_batch
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for row in pdf.itertuples(index=False):
-            ta = np.column_stack((row.la, row.pa))
-            tb = np.column_stack((row.lb, row.pb))
-            d = fn(ta, tb)
-            if d <= tau_m:
-                out.append((row.id_a, row.id_b, d))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "dist_m"])
+        # batched refine (r13, guide §4.5/§4.2): pairs grouped by vertex
+        # count run ONE wavefront DP per (len_a, len_b) shape — the
+        # per-pair numpy dispatch loop was the probe's dominant cost
+        d = _pairwise_distance_batched(
+            pdf["la"].tolist(), pdf["pa"].tolist(),
+            pdf["lb"].tolist(), pdf["pb"].tolist(), batch_fn,
+        )
+        keep = d <= tau_m
+        return pd.DataFrame(
+            {
+                "id_a": pdf["id_a"].to_numpy()[keep],
+                "id_b": pdf["id_b"].to_numpy()[keep],
+                "dist_m": d[keep],
+            }
+        )
 
     schema = T.StructType(
         [
