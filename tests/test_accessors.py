@@ -23,6 +23,7 @@ def _walkers(spark):
     return make_pfs(spark, rows)
 
 
+@pytest.mark.slow
 def test_accessor_pipeline_chains(spark):
     pfs = Positionfixes(_walkers(spark))
 
@@ -62,6 +63,7 @@ def test_accessor_center_property(spark):
     assert 8.49 < lon < 8.53 and 47.39 < lat < 47.41
 
 
+@pytest.mark.slow
 def test_trips_generate_tours_roundtrip(spark):
     pfs = Positionfixes(_walkers(spark))
     _, sp = pfs.generate_staypoints(dist_threshold=150, time_threshold=20, gap_threshold=600)

@@ -165,3 +165,30 @@ def test_reliable_checkpoint_routing(spark, tmp_path):
             spark.conf.unset(MIN_REDUNDANT_BYTES_CONF)
         else:
             spark.conf.set(MIN_REDUNDANT_BYTES_CONF, old)
+
+
+def test_plan_complexity_trigger_fires_on_leaf_fanout(spark):
+    """r13: an input whose analyzed plan already references more leaves
+    than maxLeafOccurrences gets truncated even when its redundant
+    BYTES are tiny (or zero, e.g. fully persisted lineage) — plan
+    analysis cost is per-submission and scale-independent."""
+    from trackintel_spark.plans.checkpoint import MAX_LEAF_OCCURRENCES_CONF
+
+    tiny = _chained(spark, n=100, copies=80)  # 81 leaves, ~nothing in bytes
+    old = spark.conf.get(MAX_LEAF_OCCURRENCES_CONF, None)
+    try:
+        # default (64): 81 > 64 -> truncates despite zero-ish bytes
+        cut = truncate_if_rescan_heavy(tiny)
+        assert _leaves(cut) == 1
+        assert cut.count() == tiny.count()
+        # raising the knob past the fan-out leaves the frame untouched
+        spark.conf.set(MAX_LEAF_OCCURRENCES_CONF, "100")
+        assert _leaves(truncate_if_rescan_heavy(tiny)) == 81
+        # <= 0 disables only this trigger
+        spark.conf.set(MAX_LEAF_OCCURRENCES_CONF, "0")
+        assert _leaves(truncate_if_rescan_heavy(tiny)) == 81
+    finally:
+        if old is None:
+            spark.conf.unset(MAX_LEAF_OCCURRENCES_CONF)
+        else:
+            spark.conf.set(MAX_LEAF_OCCURRENCES_CONF, old)

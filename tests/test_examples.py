@@ -3,11 +3,14 @@ tests/examples/test_examples.py runs its example scripts the same way)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_preprocess_trajectories_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -18,6 +21,7 @@ def test_preprocess_trajectories_example():
     assert "trips:" in out.stdout and "plot layers:" in out.stdout, out.stdout[-2000:]
 
 
+@pytest.mark.slow
 def test_llm_data_pipeline_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -32,6 +36,7 @@ def test_llm_data_pipeline_example():
     )
 
 
+@pytest.mark.slow
 def test_streaming_mobility_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -44,6 +49,7 @@ def test_streaming_mobility_example():
     assert "streaming trips emitted:" in out.stdout, out.stdout[-2000:]
 
 
+@pytest.mark.slow
 def test_bucketed_warehouse_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -54,6 +60,7 @@ def test_bucketed_warehouse_example():
     assert "exchange-free bucketed stages: 5/5" in out.stdout, out.stdout[-2000:]
 
 
+@pytest.mark.slow
 def test_incremental_ingest_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -65,6 +72,7 @@ def test_incremental_ingest_example():
     assert "replay day 2: newly accepted 0 (expect 0)" in out.stdout, out.stdout[-2000:]
 
 
+@pytest.mark.slow
 def test_heatmap_tiles_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -75,6 +83,7 @@ def test_heatmap_tiles_example():
     assert "merge identity holds" in out.stdout, out.stdout[-2000:]
 
 
+@pytest.mark.slow
 def test_multimodal_shards_example():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(

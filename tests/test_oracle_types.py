@@ -58,6 +58,7 @@ def test_every_oracle_describes_to_driver_safe_types(con):
     assert not offenders, f"driver-unsafe oracle column types: {offenders}"
 
 
+@pytest.mark.slow
 def test_every_spark_query_schema_is_driver_safe(spark):
     """No DecimalType (hashes as Decimal vs the oracle's float/int) and no
     nested/binary output columns — the driver hashes flat scalar rows."""

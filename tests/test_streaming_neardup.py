@@ -181,6 +181,7 @@ def test_staged_signature_matches_single_expression(spark):
     assert one == staged
 
 
+@pytest.mark.slow
 def test_state_ttl_accepted_and_correct_within_window(spark, tmp_path):
     """state_ttl_min wires ProcessingTimeTimeout through the stream path
     (and is a no-op in batch mode); with a generous TTL nothing is

@@ -4,6 +4,8 @@ transformations (pure expressions / Arrow batches) plus stream-static
 broadcast joins, so the SAME functions run unmodified under Structured
 Streaming — the ingest-time filtering story for a live crawl."""
 
+import pytest
+
 import os
 import time
 
@@ -113,6 +115,7 @@ def test_decontaminate_map_side_runs_under_streaming(spark, tmp_path):
     assert kept == [2]
 
 
+@pytest.mark.slow
 def test_classifier_and_incremental_dedup_run_under_streaming(spark, tmp_path):
     """Ingest-time composition: a pre-trained quality classifier scores
     a document stream (model.transform is map-side, so it lifts to

@@ -3,6 +3,8 @@ against the BATCH generate_trips on the same closed history."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -131,6 +133,7 @@ def _stream_result(spark, tmp_path, files, max_files=None):
     return _norm(spark.sql(f"SELECT * FROM {name}").collect())
 
 
+@pytest.mark.slow
 def test_batch_fallback_matches_generate_trips(spark):
     rows = _mk_rows()
     got = _norm(trips_stream_exact(_pfs_df(spark, rows), **PARAMS).collect())
@@ -143,11 +146,13 @@ def test_batch_fallback_matches_generate_trips(spark):
     assert any(o is None for (_, _, _, o, _) in got)
 
 
+@pytest.mark.slow
 def test_stream_single_pass_matches_batch(spark, tmp_path):
     rows = _mk_rows()
     assert _stream_result(spark, tmp_path, [rows]) == _batch_expected(spark, rows)
 
 
+@pytest.mark.slow
 def test_stream_state_spans_microbatches(spark, tmp_path):
     rows = _mk_rows()
     cut1, cut2 = len(rows) // 3 + 5, 2 * len(rows) // 3 + 11

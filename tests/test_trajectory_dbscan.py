@@ -88,6 +88,7 @@ def test_dbscan_distributed_matches_local(spark):
     assert got[pid] is None  # noise
 
 
+@pytest.mark.slow
 def test_dbscan_distributed_partition_invariance(spark):
     pts = [(i, 8.5 + (i % 5) * 1e-4, 47.4) for i in range(50)]
     df = spark.createDataFrame(pts, "id long, lon double, lat double")
@@ -96,6 +97,7 @@ def test_dbscan_distributed_partition_invariance(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_dbscan_dense_blob_straddling_cells(spark):
     """A single dense blob whose points straddle grid-cell boundaries
     must cluster without pair-listing (fully-covered-cell rule): 50k
@@ -277,6 +279,7 @@ def test_trajectory_topk_endpoint_bound_is_valid(spark):
         assert d_ss + d_ee <= dtw_distance(a, b) + 1e-9
 
 
+@pytest.mark.slow
 def test_dbscan_border_tie_deviation_is_bounded(spark):
     """Adversarial equidistant border points: a non-core point within
     eps of core points of TWO clusters. sklearn-semantics

@@ -3,6 +3,8 @@
 
 from datetime import datetime, timedelta
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from trackintel_spark.operators import generate_trips
@@ -133,6 +135,7 @@ def test_trips_partition_count_invariance(spark):
     assert outs[0] == outs[1]
 
 
+@pytest.mark.slow
 def test_generate_trips_randomized_duckdb_fuzz(spark):
     """200 independent random unit streams (one per user) x 3 gap
     thresholds, checked against a DuckDB re-implementation of the

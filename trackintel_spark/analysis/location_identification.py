@@ -73,7 +73,13 @@ def pre_filter_locations(
 
     Reference: pre_filter_locations (analysis/location_identification.py:
     74-162). Time thresholds in minutes (reference '1h' / '5h').
-    Returns sp's ``id`` plus ``total_filter``.
+    Returns ``(user_id, id, total_filter)``.
+
+    .. versionchanged:: r12
+       The output gained a leading ``user_id`` column (so a caller
+       holding a user_id-partitioned frame can join the mask back
+       without re-shuffling by id). Select columns by name, not
+       position, when consuming this exported API.
     """
     validate(sp, "staypoints")
     if agg_level not in ("user", "dataset"):

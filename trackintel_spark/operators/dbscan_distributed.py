@@ -366,18 +366,26 @@ def dbscan_distributed(
 
     # cell graph: node = core-bearing cell, labeled by its min core pid
     cell_node = core_pts.groupBy("cx", "cy").agg(F.min("pid").alias("node"))
-    crossf = (
-        cross.join(flag.select(F.col("pid").alias("a"), F.col("is_core").alias("a_core")), on="a")
-        .join(flag.select(F.col("pid").alias("b"), F.col("is_core").alias("b_core")), on="b")
-        .localCheckpoint(eager=True)
-    )
+    crossf_lazy = cross.join(
+        flag.select(F.col("pid").alias("a"), F.col("is_core").alias("a_core")), on="a"
+    ).join(flag.select(F.col("pid").alias("b"), F.col("is_core").alias("b_core")), on="b")
     # full probes annotated with the prober's core flag; target cells
     # with a core resolve through cell_node joins below. A core prober
     # fully covering a core-bearing cell proves a core-core eps pair
     # without materializing it.
-    pfullf = pfull.join(
+    pfullf_lazy = pfull.join(
         flag.select(F.col("pid").alias("qid"), F.col("is_core").alias("q_core")), on="qid"
-    ).localCheckpoint(eager=True)
+    )
+    # the two eager checkpoints are independent (both read only the
+    # already-checkpointed cross/flag/pts) — submit them concurrently so
+    # the second job's tasks back-fill the first job's straggler tail
+    # (guide §2.6) instead of paying two full sequential job latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f1 = _pool.submit(lambda: crossf_lazy.localCheckpoint(eager=True))
+        _f2 = _pool.submit(lambda: pfullf_lazy.localCheckpoint(eager=True))
+        crossf, pfullf = _f1.result(), _f2.result()
     edges_part = (
         crossf.filter(F.col("a_core") & F.col("b_core"))
         .groupBy("acx", "acy", "bcx", "bcy")

@@ -28,6 +28,30 @@ already ``persist()``-ed is exempt: the metric reads the
 cache-substituted plan, so ``InMemoryRelation`` segments count zero
 (see :func:`redundant_scan_bytes`).
 
+A second, scale-INDEPENDENT trigger guards plan size itself (r13):
+when the input's analyzed plan already carries more than
+``spark.trackintel.checkpoint.maxLeafOccurrences`` leaf references
+(default 64), the consuming operator's 2-8x input embedding would
+multiply an already-multiplied plan — geometric growth in plan nodes,
+and analysis/optimization cost is paid per submission on the DRIVER
+regardless of data volume (guide §3.3/§7.3). Cutting at that point
+bounds plan growth to a constant factor per operator generation.
+
+The default is deliberately ABOVE the composed bench pipelines
+(tours sees 8 leaf references at its trips boundary): an r13 A/B at
+sf0.1 measured warm generate_tours cells of 2.6-3.0 s with full
+lineage vs 5.5-6.5 s with the boundary truncated — the checkpoint
+gives every run a fresh LogicalRDD identity, which defeats Spark's
+cache substitution of the persisted trip/kernel intermediates and
+re-executes them, costing far more than the plan analysis it saves.
+The 15.5k-line rendered tours plan is dominated by the explain
+renderer re-printing 4 shared ``InMemoryRelation`` subtrees at every
+reference (339 prints); the executed top-level plan is ~290 nodes,
+so per-submission planning cost is bounded. The trigger therefore
+exists for genuinely unbounded compositions (5+ chained operators
+with no persisted intermediates) where leaf fan-out grows
+geometrically past this bound.
+
 Fault-tolerance tradeoff: ``localCheckpoint`` stores the materialized
 blocks on the executors WITHOUT the lineage needed to recompute them —
 if an executor is lost after truncation, the job FAILS instead of
@@ -49,8 +73,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 MIN_REDUNDANT_BYTES_CONF = "spark.trackintel.checkpoint.minRedundantBytes"
+MAX_LEAF_OCCURRENCES_CONF = "spark.trackintel.checkpoint.maxLeafOccurrences"
 RELIABLE_CONF = "spark.trackintel.checkpoint.reliable"
 _DEFAULT_MIN_REDUNDANT_BYTES = 1 << 30  # 1 GiB of duplicated leaf scans
+_DEFAULT_MAX_LEAF_OCCURRENCES = 64  # leaf references before plan-size truncation
 _UNKNOWN_SIZE_FLOOR = 1 << 62  # Catalyst's defaultSizeInBytes sentinel range
 
 
@@ -101,10 +127,15 @@ def redundant_scan_bytes(df: DataFrame) -> tuple[int, int]:
 def truncate_if_rescan_heavy(df: DataFrame) -> DataFrame:
     """Eagerly ``localCheckpoint`` ``df`` when re-evaluating its lineage
     would re-read more than ``spark.trackintel.checkpoint.
-    minRedundantBytes`` of duplicated leaf input; otherwise return it
-    unchanged. Called by the generate-operators at their input
-    boundaries so chained pipelines reset plan growth between stages
-    exactly when the re-scans outweigh one materialization.
+    minRedundantBytes`` of duplicated leaf input, OR when its analyzed
+    plan already carries more than ``spark.trackintel.checkpoint.
+    maxLeafOccurrences`` leaf references (plan-size protection — driver
+    analysis cost is per-submission and scale-independent, see the
+    inline comment); otherwise return it unchanged. Called by the
+    generate-operators at their input boundaries so chained pipelines
+    reset plan growth between stages. ``minRedundantBytes <= 0`` is the
+    master off-switch for both triggers; ``maxLeafOccurrences <= 0``
+    disables only the complexity trigger.
     """
     if df.isStreaming:
         return df
@@ -119,20 +150,45 @@ def truncate_if_rescan_heavy(df: DataFrame) -> DataFrame:
     if threshold <= 0:
         return df
     redundant, _ = redundant_scan_bytes(df)
-    if redundant > threshold:
-        if df.sparkSession.conf.get(RELIABLE_CONF, "false").lower() == "true":
-            # executor-loss-tolerant truncation: partitions go to the
-            # reliable checkpoint dir (HDFS/S3) instead of executor
-            # block storage. Fail loudly when no dir is configured — a
-            # silent localCheckpoint fallback would reintroduce the
-            # exact failure mode this knob opts out of.
-            sc = df.sparkSession.sparkContext
-            if sc._jsc.sc().getCheckpointDir().isEmpty():
-                raise ValueError(
-                    f"{RELIABLE_CONF}=true but no checkpoint directory is "
-                    "set; call SparkContext.setCheckpointDir(<hdfs/s3 "
-                    "path>) first"
+    if redundant <= threshold:
+        # Plan-COMPLEXITY trigger (r13, VERDICT r12 #4 / guide §3.3,
+        # §7.3): a persisted input substitutes to ONE InMemoryRelation
+        # in withCachedData, so its redundant bytes read zero even when
+        # downstream embedding multiplies the analyzed plan; and plan
+        # analysis cost is paid per SUBMISSION, independent of data
+        # volume. When the input's analyzed plan already references
+        # more than maxLeafOccurrences leaves (pre-cache-substitution
+        # occurrences — caching does not reduce planning cost), another
+        # operator generation can only multiply that geometrically, so
+        # the lineage is cut here. The default sits ABOVE the bench
+        # pipelines on purpose — see the module docstring for the r13
+        # A/B that showed boundary truncation defeating cache reuse of
+        # persisted intermediates. ``<= 0`` disables the trigger.
+        try:
+            max_occ = int(
+                df.sparkSession.conf.get(
+                    MAX_LEAF_OCCURRENCES_CONF, str(_DEFAULT_MAX_LEAF_OCCURRENCES)
                 )
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-    return df
+            )
+        except ValueError:
+            max_occ = _DEFAULT_MAX_LEAF_OCCURRENCES
+        if max_occ <= 0:
+            return df
+        n_occurrences = df._jdf.queryExecution().analyzed().collectLeaves().size()
+        if n_occurrences <= max_occ:
+            return df
+    if df.sparkSession.conf.get(RELIABLE_CONF, "false").lower() == "true":
+        # executor-loss-tolerant truncation: partitions go to the
+        # reliable checkpoint dir (HDFS/S3) instead of executor
+        # block storage. Fail loudly when no dir is configured — a
+        # silent localCheckpoint fallback would reintroduce the
+        # exact failure mode this knob opts out of.
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                f"{RELIABLE_CONF}=true but no checkpoint directory is "
+                "set; call SparkContext.setCheckpointDir(<hdfs/s3 "
+                "path>) first"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -990,7 +990,15 @@ def line_dedup(
     out = (
         base_docs.join(drops, base_docs[id_col] == drops["__did"], how="left")
         .withColumn("__dropped", F.coalesce("__dropped", F.array().cast("array<int>")))
-        .withColumn("n_lines", F.size(split_col).cast("long"))
+        # NULL guard on BOTH stat columns (r13, ADVICE r12): size(NULL)
+        # returns -1 instead of NULL on sessions running with
+        # spark.sql.ansi.enabled=false / legacy sizeOfNull semantics, so
+        # an unguarded n_lines would silently diverge from the old
+        # left-join shape there
+        .withColumn(
+            "n_lines",
+            F.when(split_col.isNotNull(), F.size(split_col)).cast("long"),
+        )
         # NULL-text docs produced no line rows before — keep their stat
         # columns NULL like the old left-join shape did
         .withColumn(
