@@ -601,8 +601,10 @@ def test_kmeans_ivf(spark):
 
 
 def test_kmeans_udf_assignment_path_matches_codegen(spark):
-    """Large k*dim switches assignment to the Arrow/BLAS pandas UDF;
-    both shapes must produce identical centers."""
+    """Large k*dim switches the Lloyd iteration to the fused
+    mapInPandas path (r13: assignment + per-partition sum/count
+    partials in one pass, driver-merged mean); centers must agree with
+    the codegen + posexplode/avg shape to float-merge-order noise."""
     import numpy as np
 
     from trackintel_spark.scale.similarity import kmeans_centers

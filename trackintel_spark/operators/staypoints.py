@@ -66,6 +66,17 @@ _KERNEL_SCHEMA = T.StructType(
 )
 
 
+def _is_time_id_sorted(ts: np.ndarray, ids: np.ndarray) -> bool:
+    """True when (ts, ids) is already in stable-lexsort order (ts
+    non-decreasing; ids non-decreasing within equal ts)."""
+    if len(ts) < 2:
+        return True
+    dt = np.diff(ts.astype("int64"))
+    if (dt < 0).any():
+        return False
+    return bool(((dt > 0) | (np.diff(ids) >= 0)).all())
+
+
 def _sliding_kernel(
     pdf: pd.DataFrame,
     dist_threshold: float,
@@ -83,7 +94,6 @@ def _sliding_kernel(
     longer input could still extend. The streaming operator
     (streaming/staypoints_state.py) carries exactly that slice as state.
     """
-    pdf = pdf.sort_values(["tracked_at", "id"], kind="stable")
     n = len(pdf)
     if n == 0:
         if tail_out is not None:
@@ -91,10 +101,20 @@ def _sliding_kernel(
         return pd.DataFrame(columns=[f.name for f in _KERNEL_SCHEMA.fields])
 
     ts = pdf["tracked_at"].to_numpy()  # datetime64
+    ids = pdf["id"].to_numpy()
+    # (tracked_at, id) stable sort — skipped when the input is already
+    # ordered (the streaming callers sort before slicing state, and
+    # time-ordered sources arrive sorted): a redundant lexsort was ~20%
+    # of per-group kernel time in the streaming micro-batch regime
+    # (r13, guide §4.2). A stable sort of sorted input is the identity,
+    # so the fast path is exact.
+    if not _is_time_id_sorted(ts, ids):
+        pdf = pdf.sort_values(["tracked_at", "id"], kind="stable")
+        ts = pdf["tracked_at"].to_numpy()
+        ids = pdf["id"].to_numpy()
     t = ts.astype("int64") / 1e9  # epoch seconds
     x = pdf["lon"].to_numpy()
     y = pdf["lat"].to_numpy()
-    ids = pdf["id"].to_numpy()
     elev = pdf["elevation"].to_numpy() if elevation_flag else None
     lon_rad = np.deg2rad(x)
     lat_rad = np.deg2rad(y)
@@ -121,7 +141,7 @@ def _sliding_kernel(
         o_lon.append(float(np.rad2deg(np.arctan2(np.sin(xr).mean(), np.cos(xr).mean()))))
         o_lat.append(float(coords[:, 1].mean()))
         o_elev.append(float(np.median(elev[start:stop])) if elevation_flag else None)
-        o_pfs.append([int(i) for i in ids[start:stop]])
+        o_pfs.append(ids[start:stop].tolist())
 
     curr = start = 0
     for curr in range(1, n):
@@ -142,14 +162,17 @@ def _sliding_kernel(
     if tail_out is not None:
         tail_out.append(start)
 
+    # typed numpy columns (None -> NaN under float64, like the former
+    # Series path) — cheaper to assemble than per-column Series in the
+    # per-group streaming regime
     return pd.DataFrame(
         {
-            "user_id": pd.Series([pdf["user_id"].iloc[0]] * len(o_start), dtype="int64"),
-            "started_at": pd.Series(o_start, dtype="datetime64[ns]"),
-            "finished_at": pd.Series(o_finish, dtype="datetime64[ns]"),
-            "lon": pd.Series(o_lon, dtype="float64"),
-            "lat": pd.Series(o_lat, dtype="float64"),
-            "elevation": pd.Series(o_elev, dtype="float64"),
+            "user_id": np.full(len(o_start), pdf["user_id"].iloc[0], dtype="int64"),
+            "started_at": np.asarray(o_start, dtype="datetime64[ns]"),
+            "finished_at": np.asarray(o_finish, dtype="datetime64[ns]"),
+            "lon": np.asarray(o_lon, dtype="float64"),
+            "lat": np.asarray(o_lat, dtype="float64"),
+            "elevation": np.asarray(o_elev, dtype="float64"),
             # explicit object dtype: an empty list would otherwise infer
             # float64, which Arrow cannot convert to list<int64>
             "pfs_ids": pd.Series(o_pfs, dtype="object"),

@@ -17,6 +17,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Rows-x-centers similarity chunk: the (rows x k) matmul temp stays a
+# small REUSED buffer (guide §4.2). 2M float64 elements = 16 MiB per
+# worker — large enough for BLAS efficiency at any k, small enough
+# that the one-time first-touch page-fault wave across all concurrent
+# workers stays negligible (r13; at the former 8M/64 MiB the first
+# evaluation paid ~2 GiB of faults across 32 workers). Chunking along
+# rows only regroups dgemm calls — each output element is a fixed
+# k-dim reduction, so cid/ccos are bit-identical for any chunk size.
+_CHUNK_ELEMS = 2_000_000
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -223,7 +233,7 @@ def nearest_center_expr(
         # page faults across every concurrent worker dominated the
         # first evaluation (measured 170 s first vs 6 s warm at
         # 1.6M x 3200 on 32 cores)
-        step = max(1, 8_000_000 // max(n_k, 1))
+        step = max(1, _CHUNK_ELEMS // max(n_k, 1))
         buf = _np.empty((min(step, n_rows), n_k), dtype="float64")
         for s in range(0, n_rows, step):
             e = min(s + step, n_rows)
@@ -311,31 +321,123 @@ def kmeans_centers(
             d2 = np.minimum(d2, (1.0 - pts_unit @ pts_unit[nxt]) ** 2)
     centers = [pts[i].tolist() for i in chosen]
 
+    k, dim = len(centers), len(centers[0])
     for _ in range(max(iters, 0)):
-        cleanups: list = []  # per-iteration broadcasts (large-k path)
-        assign = nearest_center_expr(
-            F.col("__v"), F.col("__n"), centers, codegen_max_terms, cleanups
-        )["cid"]
-        cell = (
-            c.withColumn("__cid", assign)
-            .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
-            .groupBy("__cid", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-        )
-        rows = cell.collect()  # k*dim cells — bounded driver state
-        for bc in cleanups:  # the assignment job is done; release now
-            bc.destroy()
-        new = [None] * len(centers)
-        dim = len(centers[0])
-        for r in rows:
-            if new[r["__cid"]] is None:
-                new[r["__cid"]] = [0.0] * dim
-            new[r["__cid"]][r["__pos"]] = r["__m"]
-        centers = [
-            (np.asarray(m) / (np.linalg.norm(m) or 1.0)).tolist() if m is not None else old
-            for m, old in zip(new, centers)
-        ]
+        if k * dim > codegen_max_terms:
+            # Fused Lloyd update for the BLAS regime (r13, guide §2.3
+            # "aggregate before you shuffle" + §4.2): ONE mapInPandas
+            # pass computes the assignment (same normalization /
+            # chunked matmul / first-argmax tie-break as
+            # nearest_center_expr's pandas path) AND the per-partition
+            # (sum, count) partials per center — shipping k*dim partial
+            # rows per partition to the driver instead of posexploding
+            # N*dim cells through a shuffle. Mean = sum/count with
+            # row-order partial accumulation, the same structure as the
+            # posexplode path's F.avg (per-partition partials merged
+            # then divided), so results agree to float-merge-order
+            # noise; empty clusters keep their previous center as
+            # before.
+            centers = _lloyd_update_fused(c, centers)
+        else:
+            cleanups: list = []
+            assign = nearest_center_expr(
+                F.col("__v"), F.col("__n"), centers, codegen_max_terms, cleanups
+            )["cid"]
+            cell = (
+                c.withColumn("__cid", assign)
+                .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+                .groupBy("__cid", "__pos")
+                .agg(F.avg("__x").alias("__m"))
+            )
+            rows = cell.collect()  # k*dim cells — bounded driver state
+            for bc in cleanups:  # the assignment job is done; release now
+                bc.destroy()
+            new = [None] * len(centers)
+            for r in rows:
+                if new[r["__cid"]] is None:
+                    new[r["__cid"]] = [0.0] * dim
+                new[r["__cid"]][r["__pos"]] = r["__m"]
+            centers = [
+                (np.asarray(m) / (np.linalg.norm(m) or 1.0)).tolist() if m is not None else old
+                for m, old in zip(new, centers)
+            ]
     return centers
+
+
+def _lloyd_update_fused(c: DataFrame, centers: list[list[float]]) -> list[list[float]]:
+    """One Lloyd iteration for the large-k (BLAS) regime: assignment +
+    per-partition (sum, count) partials in a single ``mapInPandas``
+    pass over the ``__v`` column only. See :func:`kmeans_centers` for
+    the equivalence argument; the assignment replicates
+    :func:`nearest_center_expr`'s pandas path exactly (unit-normalized
+    rows against the broadcast unit-center matrix, reused chunk
+    buffer, first-maximum = smallest-id tie-break)."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    k, dim = len(centers), len(centers[0])
+    norms = [float(np.linalg.norm(ctr)) or 1.0 for ctr in centers]
+    spark = SparkSession.getActiveSession()
+    mat_bc = spark.sparkContext.broadcast(
+        (np.asarray(centers, dtype=np.float64) / np.asarray(norms)[:, None]).T.copy()
+    )
+
+    def part(batches):
+        mat = mat_bc.value  # (dim, k)
+        sums = np.zeros((k, dim), dtype="float64")
+        cnts = np.zeros(k, dtype="int64")
+        buf = None
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            m = np.stack(pdf["__v"].to_numpy())
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            mu = m / nm[:, None]
+            n_rows = len(m)
+            cid = np.empty(n_rows, dtype="int64")
+            step = max(1, _CHUNK_ELEMS // max(k, 1))
+            if buf is None or buf.shape[0] < min(step, n_rows):
+                buf = np.empty((min(step, n_rows), k), dtype="float64")
+            for s in range(0, n_rows, step):
+                e = min(s + step, n_rows)
+                np.dot(mu[s:e], mat, out=buf[: e - s])
+                cid[s:e] = np.argmax(buf[: e - s], axis=1)
+            np.add.at(sums, cid, m)  # raw vectors, row order
+            cnts += np.bincount(cid, minlength=k)
+        if not seen:
+            return
+        nz = np.flatnonzero(cnts)
+        yield pd.DataFrame(
+            {
+                "__cid": nz.astype("int64"),
+                "__sum": [sums[i] for i in nz],
+                "__cnt": cnts[nz],
+            }
+        )
+
+    parts = c.select("__v").mapInPandas(
+        part, schema="__cid long, __sum array<double>, __cnt long"
+    )
+    pdfc = parts.toPandas()  # <= n_partitions * k tiny rows
+    mat_bc.destroy()
+    tot = np.zeros((k, dim), dtype="float64")
+    cnt = np.zeros(k, dtype="int64")
+    # toPandas concatenates partitions in partition order — the merge
+    # order is deterministic
+    for cid_v, sum_v, cnt_v in zip(pdfc["__cid"], pdfc["__sum"], pdfc["__cnt"]):
+        tot[cid_v] += np.asarray(sum_v, dtype="float64")
+        cnt[cid_v] += cnt_v
+    out = []
+    for i, old in enumerate(centers):
+        if cnt[i]:
+            m = tot[i] / cnt[i]
+            out.append((m / (np.linalg.norm(m) or 1.0)).tolist())
+        else:
+            out.append(old)
+    return out
 
 
 def sample_centers(

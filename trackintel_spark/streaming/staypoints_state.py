@@ -28,12 +28,13 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
-from trackintel_spark.operators.staypoints import _sliding_kernel
+from trackintel_spark.operators.staypoints import _is_time_id_sorted, _sliding_kernel
 from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
@@ -92,31 +93,50 @@ def staypoints_stream_exact(
         else:
             ids, ts_us, lons, lats = [], [], [], []
 
+        # state frame built from typed numpy arrays (r13, guide §4.2):
+        # equivalent to the former per-column Series + to_datetime
+        # construction (int64 epoch-µs -> datetime64[us] -> [ns] is
+        # exactly to_datetime(unit="us")) at a fraction of the per-group
+        # overhead — this body runs once per user per micro-batch.
         frames = []
         if ids:
             frames.append(
                 pd.DataFrame(
                     {
-                        "id": pd.Series(ids, dtype="int64"),
-                        "tracked_at": pd.to_datetime(pd.Series(ts_us, dtype="int64"), unit="us"),
-                        "lon": pd.Series(lons, dtype="float64"),
-                        "lat": pd.Series(lats, dtype="float64"),
+                        "id": np.asarray(ids, dtype="int64"),
+                        "tracked_at": np.asarray(ts_us, dtype="int64")
+                        .astype("datetime64[us]")
+                        .astype("datetime64[ns]"),
+                        "lon": np.asarray(lons, dtype="float64"),
+                        "lat": np.asarray(lats, dtype="float64"),
                     }
                 )
             )
         for pdf in batches:
             frames.append(pdf[["id", "tracked_at", "lon", "lat"]])
-        full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            columns=["id", "tracked_at", "lon", "lat"]
-        )
+        if not frames:
+            full = pd.DataFrame(columns=["id", "tracked_at", "lon", "lat"])
+        elif len(frames) == 1:
+            full = frames[0]
+        else:
+            full = pd.concat(frames, ignore_index=True)
         # drop late fixes that precede the retained anchor — they can no
         # longer influence the scan (explicit watermark semantics)
         if ts_us:
             floor_ts = pd.Timestamp(ts_us[0], unit="us")
             full = full[full["tracked_at"] >= floor_ts]
-        full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
+        # stable (tracked_at, id) order; skip the lexsort when already
+        # ordered (state is sorted by construction and time-ordered
+        # sources arrive sorted — the common case)
+        if not _is_time_id_sorted(
+            full["tracked_at"].to_numpy(), full["id"].to_numpy()
+        ):
+            full = full.sort_values(["tracked_at", "id"], kind="stable")
+        full = full.reset_index(drop=True)
         full["user_id"] = user_id
-        full["elevation"] = None
+        # NOTE: no "elevation" column — the kernel only reads it when
+        # elevation_flag=True; building an all-None object column per
+        # group was pure overhead
 
         tail: list[int] = []
         out = _sliding_kernel(
@@ -129,12 +149,14 @@ def staypoints_stream_exact(
             tail_out=tail,
         )
         keep = full.iloc[tail[0]:] if len(full) else full
+        # vectorized state extraction: datetime64[ns] -> int64 ns
+        # // 1000 is exactly Timestamp.value // 1000 per row
         state.update(
             (
-                [int(v) for v in keep["id"]],
-                [int(v.value // 1000) for v in keep["tracked_at"]],
-                [float(v) for v in keep["lon"]],
-                [float(v) for v in keep["lat"]],
+                keep["id"].to_numpy(dtype="int64").tolist(),
+                (keep["tracked_at"].to_numpy().astype("int64") // 1000).tolist(),
+                keep["lon"].to_numpy(dtype="float64").tolist(),
+                keep["lat"].to_numpy(dtype="float64").tolist(),
             )
         )
         if len(out):

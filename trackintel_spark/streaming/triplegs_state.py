@@ -31,12 +31,13 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
-from trackintel_spark.operators.staypoints import _sliding_kernel
+from trackintel_spark.operators.staypoints import _is_time_id_sorted, _sliding_kernel
 from trackintel_spark.streaming.reorder import apply_with_reorder
 
 _OUT_SCHEMA = T.StructType(
@@ -94,15 +95,24 @@ def _ingest_and_settle(
     else:
         ids, ts_us, lons, lats, n_travel = [], [], [], [], 0
 
+    # state frame from typed numpy arrays + sort fast-path + no
+    # all-None elevation column (r13, guide §4.2): this body runs once
+    # per user per micro-batch — see staypoints_state.fn for the
+    # equivalence notes (int64 µs -> M8[us] -> M8[ns] is exactly
+    # to_datetime(unit="us"); a stable sort of sorted input is the
+    # identity; the kernel only reads "elevation" when
+    # elevation_flag=True).
     frames = []
     if ids:
         frames.append(
             pd.DataFrame(
                 {
-                    "id": pd.Series(ids, dtype="int64"),
-                    "tracked_at": pd.to_datetime(pd.Series(ts_us, dtype="int64"), unit="us"),
-                    "lon": pd.Series(lons, dtype="float64"),
-                    "lat": pd.Series(lats, dtype="float64"),
+                    "id": np.asarray(ids, dtype="int64"),
+                    "tracked_at": np.asarray(ts_us, dtype="int64")
+                    .astype("datetime64[us]")
+                    .astype("datetime64[ns]"),
+                    "lon": np.asarray(lons, dtype="float64"),
+                    "lat": np.asarray(lats, dtype="float64"),
                 }
             )
         )
@@ -116,12 +126,16 @@ def _ingest_and_settle(
         if floor_ts is not None:
             part = part[part["tracked_at"] >= floor_ts]
         frames.append(part)
-    full = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        columns=["id", "tracked_at", "lon", "lat"]
-    )
-    full = full.sort_values(["tracked_at", "id"], kind="stable").reset_index(drop=True)
+    if not frames:
+        full = pd.DataFrame(columns=["id", "tracked_at", "lon", "lat"])
+    elif len(frames) == 1:
+        full = frames[0]
+    else:
+        full = pd.concat(frames, ignore_index=True)
+    if not _is_time_id_sorted(full["tracked_at"].to_numpy(), full["id"].to_numpy()):
+        full = full.sort_values(["tracked_at", "id"], kind="stable")
+    full = full.reset_index(drop=True)
     full["user_id"] = user_id
-    full["elevation"] = None
 
     scan = full.iloc[n_travel:].reset_index(drop=True)
     tail: list[int] = []
@@ -136,16 +150,16 @@ def _ingest_and_settle(
     )
     anchor = n_travel + (tail[0] if tail else 0)
 
-    sp_ids: set[int] = set()
-    for _, sp in sps.iterrows():
-        for v in sp["pfs_ids"]:
-            sp_ids.add(int(v))
     n_settled = anchor
     ids_arr = full["id"].to_numpy()[:n_settled]
     ts_arr = full["tracked_at"].to_numpy()[:n_settled].astype("int64") / 1e9
+    # membership of the settled prefix in ANY closed staypoint —
+    # np.isin handles duplicate needle values, so the flat concat of
+    # the pfs_ids lists replaces the former per-row python set build
+    sp_id_lists = sps["pfs_ids"].to_list() if len(sps) else []
     sp_mask = (
-        np.isin(ids_arr, np.fromiter(sp_ids, dtype="int64"))
-        if sp_ids
+        np.isin(ids_arr, np.concatenate([np.asarray(a, dtype="int64") for a in sp_id_lists]))
+        if sp_id_lists
         else np.zeros(n_settled, dtype=bool)
     )
     travel_pos = np.flatnonzero(~sp_mask)
@@ -171,14 +185,17 @@ def _ingest_and_settle(
             else:
                 closed_runs.append(run)
 
-    travel_idx = [int(v) for v in open_run]
-    keep = pd.concat([full.iloc[travel_idx], full.iloc[anchor:]], ignore_index=True)
+    keep_idx = np.concatenate(
+        [np.asarray(open_run, dtype="int64"), np.arange(anchor, len(full), dtype="int64")]
+    )
+    keep = full.iloc[keep_idx]
+    # vectorized state extraction (M8[ns] int64 // 1000 ≡ .value // 1000)
     new_scan_state = (
-        [int(v) for v in keep["id"]],
-        [int(v.value // 1000) for v in keep["tracked_at"]],
-        [float(v) for v in keep["lon"]],
-        [float(v) for v in keep["lat"]],
-        len(travel_idx),
+        keep["id"].to_numpy(dtype="int64").tolist(),
+        (keep["tracked_at"].to_numpy().astype("int64") // 1000).tolist(),
+        keep["lon"].to_numpy(dtype="float64").tolist(),
+        keep["lat"].to_numpy(dtype="float64").tolist(),
+        len(open_run),
     )
     return full, sps, closed_runs, open_run, new_scan_state
 
