@@ -137,6 +137,7 @@ def main() -> None:
     # the headline `value` are unchanged for round-over-round continuity.
     noop_timings: dict[str, float] = {}
     noop_samples: dict[str, list[float]] = {}
+    noop_steal_cpu_s: dict[str, float] = {}
     _canary_sample()  # warm the canary plan itself before first use
     for name, fn in QUERIES.items():
         canary[name] = _canary_sample()
@@ -148,6 +149,12 @@ def main() -> None:
             df = fn()
             n = df.count()
             runs.append(round(time.time() - t0, 3))
+        # steal window closes HERE: steal_cpu_s[name] must keep meaning
+        # "steal during the four count cells" (the headline number it
+        # attributes noise for) — the additive noop cells get their own
+        # counter in the stderr telemetry
+        steal_cpu_s[name] = round((_steal_jiffies() - s0) / _clk, 2)
+        s1 = _steal_jiffies()
         nruns = []
         spark.sparkContext.setJobDescription(f"bench-noop:{name}")
         for _ in range(2):
@@ -155,7 +162,7 @@ def main() -> None:
             fn().write.format("noop").mode("overwrite").save()
             nruns.append(round(time.time() - t0, 3))
         spark.sparkContext.setJobDescription(None)
-        steal_cpu_s[name] = round((_steal_jiffies() - s0) / _clk, 2)
+        noop_steal_cpu_s[name] = round((_steal_jiffies() - s1) / _clk, 2)
         samples[name] = runs
         timings[name] = min(runs)
         noop_samples[name] = nruns
@@ -247,6 +254,7 @@ def main() -> None:
                 "noop_samples": noop_samples,
                 "canary": canary,
                 "steal_cpu_s": steal_cpu_s,
+                "noop_steal_cpu_s": noop_steal_cpu_s,
                 "scale_detail": scale,
                 "warmup_sec": warmup_sec,
             }

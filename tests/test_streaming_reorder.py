@@ -127,7 +127,6 @@ def _sp_batch_expected(spark, rows):
     }
 
 
-@pytest.mark.slow
 def test_staypoints_stream_reorder_matches_batch(spark, tmp_path):
     rows = _mk_pfs_rows()
     exp = _sp_batch_expected(spark, rows)

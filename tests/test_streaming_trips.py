@@ -146,7 +146,6 @@ def test_batch_fallback_matches_generate_trips(spark):
     assert any(o is None for (_, _, _, o, _) in got)
 
 
-@pytest.mark.slow
 def test_stream_single_pass_matches_batch(spark, tmp_path):
     rows = _mk_rows()
     assert _stream_result(spark, tmp_path, [rows]) == _batch_expected(spark, rows)

@@ -88,7 +88,6 @@ def test_dbscan_distributed_matches_local(spark):
     assert got[pid] is None  # noise
 
 
-@pytest.mark.slow
 def test_dbscan_distributed_partition_invariance(spark):
     pts = [(i, 8.5 + (i % 5) * 1e-4, 47.4) for i in range(50)]
     df = spark.createDataFrame(pts, "id long, lon double, lat double")

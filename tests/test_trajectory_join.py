@@ -274,3 +274,26 @@ def test_batched_dp_chunking_matches_unchunked(monkeypatch):
     monkeypatch.setattr(td, "_BATCH_DP_MAX_CELLS", 20 * 25 * 7)  # 7 pairs/chunk
     chunked = td._pairwise_distance_batched(la, pa, lb, pb, td.frechet_distance_batch)
     assert np.array_equal(full, chunked)
+
+
+def test_batched_dp_zero_vertex_matches_scalar():
+    """Zero-vertex trajectories can't batch (zero-cell DP); they must
+    route through the scalar kernel and reproduce its exact values
+    (dtw: inf against an empty side, 0.0 for empty-vs-empty) instead
+    of tripping the chunk sizing's division by the cell count."""
+    from trackintel_spark.geogr.trajectory_distance import (
+        _pairwise_distance_batched,
+        dtw_distance,
+        dtw_distance_batch,
+    )
+
+    la = [[8.0, 8.1], [], []]
+    pa = [[47.0, 47.1], [], []]
+    lb = [[], [8.0, 8.2], []]
+    pb = [[], [47.0, 47.2], []]
+    out = _pairwise_distance_batched(la, pa, lb, pb, dtw_distance_batch)
+    refs = [
+        dtw_distance(np.column_stack((la[i], pa[i])), np.column_stack((lb[i], pb[i])))
+        for i in range(3)
+    ]
+    assert list(out) == refs

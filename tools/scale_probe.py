@@ -294,7 +294,9 @@ def _run_streaming_probe(spark, flat, per_user, n_batches, schema, qname, op, ou
     # still rules. Override: SPARK_GRAFT_STREAM_SHUFFLE.
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     rows_per_trigger = max(1, n // n_batches)
-    derived = max(4, min(sess_parts, -(-rows_per_trigger // 6_250)))
+    # session default is the hard ceiling (a smaller cluster/test config
+    # always rules); the floor of 4 only applies below it
+    derived = min(sess_parts, max(4, -(-rows_per_trigger // 6_250)))
     stream_parts = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "0") or 0) or derived
     spark.conf.set("spark.sql.shuffle.partitions", str(stream_parts))
     try:

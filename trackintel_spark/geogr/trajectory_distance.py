@@ -161,6 +161,18 @@ def _pairwise_distance_batched(
     for idx in range(k):
         shapes.setdefault((len(la[idx]), len(lb_[idx])), []).append(idx)
     for (n, m), idxs in shapes.items():
+        if n == 0 or m == 0:
+            # zero-vertex trajectories cannot batch (zero-cell DP, the
+            # chunk sizing below would divide by zero); route them
+            # through the scalar kernel so their behavior is exactly
+            # the pre-batching per-pair path's
+            scalar_fn = dtw_distance if batch_fn is dtw_distance_batch else frechet_distance
+            for idx in idxs:
+                out[idx] = scalar_fn(
+                    np.column_stack((la[idx], pa[idx])),
+                    np.column_stack((lb_[idx], pb[idx])),
+                )
+            continue
         step = max(1, _BATCH_DP_MAX_CELLS // (n * m))
         for s in range(0, len(idxs), step):
             chunk = idxs[s : s + step]

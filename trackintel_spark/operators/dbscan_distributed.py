@@ -379,12 +379,22 @@ def dbscan_distributed(
     # the two eager checkpoints are independent (both read only the
     # already-checkpointed cross/flag/pts) — submit them concurrently so
     # the second job's tasks back-fill the first job's straggler tail
-    # (guide §2.6) instead of paying two full sequential job latencies
+    # (guide §2.6) instead of paying two full sequential job latencies.
+    # inheritable_thread_target carries the caller's JVM thread-locals
+    # (job group/description, scheduler pool) into the pool threads,
+    # which plain threads drop under the default pinned-thread mode —
+    # without it a caller's cancelJobGroup would not cover these jobs
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=2) as _pool:
-        _f1 = _pool.submit(lambda: crossf_lazy.localCheckpoint(eager=True))
-        _f2 = _pool.submit(lambda: pfullf_lazy.localCheckpoint(eager=True))
+        _f1 = _pool.submit(
+            inheritable_thread_target(lambda: crossf_lazy.localCheckpoint(eager=True))
+        )
+        _f2 = _pool.submit(
+            inheritable_thread_target(lambda: pfullf_lazy.localCheckpoint(eager=True))
+        )
         crossf, pfullf = _f1.result(), _f2.result()
     edges_part = (
         crossf.filter(F.col("a_core") & F.col("b_core"))

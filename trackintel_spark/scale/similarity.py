@@ -221,29 +221,49 @@ def nearest_center_expr(
 
         mat = mat_bc.value  # (dim, k)
         m = _np.stack(vs.to_numpy())  # (batch, dim)
-        nm = _np.linalg.norm(m, axis=1)
-        nm[nm == 0] = 1.0
-        m = m / nm[:, None]
-        n_rows, n_k = len(m), mat.shape[1]
-        cid = _np.empty(n_rows, dtype="int64")
-        ccos = _np.empty(n_rows, dtype="float64")
-        # chunk the matmul so the (rows x k) similarity temp stays a
-        # small REUSED buffer: one (batch x k) allocation per batch is
-        # hundreds of MB per worker at large k, and the first-touch
-        # page faults across every concurrent worker dominated the
-        # first evaluation (measured 170 s first vs 6 s warm at
-        # 1.6M x 3200 on 32 cores)
-        step = max(1, _CHUNK_ELEMS // max(n_k, 1))
-        buf = _np.empty((min(step, n_rows), n_k), dtype="float64")
-        for s in range(0, n_rows, step):
-            e = min(s + step, n_rows)
-            _np.dot(m[s:e], mat, out=buf[: e - s])
-            # argmax takes the FIRST maximum — the min-id tie-break
-            cid[s:e] = _np.argmax(buf[: e - s], axis=1)
-            ccos[s:e] = buf[_np.arange(e - s), cid[s:e]]
+        mu = _unit_rows(m)
+        cid, ccos = _chunked_assign(mu, mat, want_cos=True)
         return _pd.DataFrame({"cid": cid, "ccos": ccos})
 
     return _nearest(vec)
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-L2-normalize, zero rows mapped through norm 1 (the shared
+    zero-norm guard of the BLAS assignment paths)."""
+    nm = np.linalg.norm(m, axis=1)
+    nm[nm == 0] = 1.0
+    return m / nm[:, None]
+
+
+def _chunked_assign(mu: np.ndarray, mat: np.ndarray, want_cos: bool = False):
+    """First-argmax (= smallest-center-id tie-break) assignment of
+    unit-normalized rows against the (dim, k) unit-center matrix —
+    the ONE implementation shared by ``nearest_center_expr``'s pandas
+    UDF and ``_lloyd_update_fused`` so the two can never drift.
+
+    The matmul is chunked through a small buffer so the (rows x k)
+    similarity temp stays ~``_CHUNK_ELEMS`` float64s: one full
+    (batch x k) allocation per batch is hundreds of MB per worker at
+    large k, and the first-touch page faults across every concurrent
+    worker dominated the first evaluation (measured 170 s first vs
+    6 s warm at 1.6M x 3200 on 32 cores). Chunking along rows only
+    regroups dgemm calls (each output element is a fixed k-dim
+    reduction), so cid/ccos are bit-identical for any chunk size.
+    """
+    n_rows, n_k = len(mu), mat.shape[1]
+    cid = np.empty(n_rows, dtype="int64")
+    ccos = np.empty(n_rows, dtype="float64") if want_cos else None
+    step = max(1, _CHUNK_ELEMS // max(n_k, 1))
+    buf = np.empty((min(step, n_rows), n_k), dtype="float64")
+    for s in range(0, n_rows, step):
+        e = min(s + step, n_rows)
+        np.dot(mu[s:e], mat, out=buf[: e - s])
+        # argmax takes the FIRST maximum — the min-id tie-break
+        cid[s:e] = np.argmax(buf[: e - s], axis=1)
+        if want_cos:
+            ccos[s:e] = buf[np.arange(e - s), cid[s:e]]
+    return cid, ccos
 
 
 def kmeans_centers(
@@ -386,25 +406,13 @@ def _lloyd_update_fused(c: DataFrame, centers: list[list[float]]) -> list[list[f
         mat = mat_bc.value  # (dim, k)
         sums = np.zeros((k, dim), dtype="float64")
         cnts = np.zeros(k, dtype="int64")
-        buf = None
         seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
             seen = True
             m = np.stack(pdf["__v"].to_numpy())
-            nm = np.linalg.norm(m, axis=1)
-            nm[nm == 0] = 1.0
-            mu = m / nm[:, None]
-            n_rows = len(m)
-            cid = np.empty(n_rows, dtype="int64")
-            step = max(1, _CHUNK_ELEMS // max(k, 1))
-            if buf is None or buf.shape[0] < min(step, n_rows):
-                buf = np.empty((min(step, n_rows), k), dtype="float64")
-            for s in range(0, n_rows, step):
-                e = min(s + step, n_rows)
-                np.dot(mu[s:e], mat, out=buf[: e - s])
-                cid[s:e] = np.argmax(buf[: e - s], axis=1)
+            cid, _ = _chunked_assign(_unit_rows(m), mat)
             np.add.at(sums, cid, m)  # raw vectors, row order
             cnts += np.bincount(cid, minlength=k)
         if not seen:
