@@ -174,6 +174,10 @@ def generate_triplegs(
             "transform(__pts, s -> s.p) AS geom",
         )
         .selectExpr("*", "size(array_distinct(geom)) AS __distinct_pts")
+        # __pts is consumed above; dropping it here keeps the member
+        # struct array (t, i, p per pf) out of the id-assignment
+        # exchange and the legs cache — geom alone is half the bytes
+        .drop("__pts")
     )
 
     # ids are assigned BEFORE the geometric-validity drop, matching the

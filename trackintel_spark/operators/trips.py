@@ -134,9 +134,11 @@ def generate_trips(
             "tpls": F.expr("transform(__tpls, s -> s.i)"),
         }
     )
-    # drop trips without triplegs (:119) and assign dense ids (:122-123)
-    trips_raw = trips_raw.filter(F.size("tpls") > 0)
-    trips_raw = dense_id_by_user(trips_raw, order_by=["__temp_trip"], id_col="id").drop("__sps", "__tpls")
+    # drop trips without triplegs (:119) and assign dense ids (:122-123);
+    # the ordered member structs are consumed by sps/tpls above — drop
+    # them BEFORE the id assignment so they never cross its exchange
+    trips_raw = trips_raw.filter(F.size("tpls") > 0).drop("__sps", "__tpls")
+    trips_raw = dense_id_by_user(trips_raw, order_by=["__temp_trip"], id_col="id")
     # trips_raw feeds the interleave, endpoint-geometry joins, and both
     # link-backs — persist so its (window-heavy) lineage runs once.
     trips_raw = trips_raw.persist()
