@@ -237,27 +237,18 @@ def test_generate_locations_user_offsets_not_broadcast(spark):
     assert _hints(spo) == 0 and _hints(locs) == 0
 
 
-def test_dense_id_by_user_moves_payload_through_one_hash_exchange(spark):
-    """Id assignment must be the per-user-base scheme (guide §8): the
-    payload crosses at most ONE hash(user) exchange — never a range
-    exchange (whose key sampling executes the input a second time and
-    whose sort carries the full payload) and never a SinglePartition
-    funnel. The bases side joins back from a checkpoint leaf bounded
-    by the user count."""
+def test_dense_id_by_user_offsets_are_range_partitioned(spark):
+    """Id assignment must be the zipWithIndex scheme: one range
+    exchange, per-partition window, literal base map — no joins, no
+    broadcasts, no SinglePartition exchange anywhere."""
     from trackintel_spark.plans.ids import dense_id_by_user
 
     out = dense_id_by_user(_mk_sp_loc(spark).drop("id"), order_by=["started_at"])
     assert _hints(out) == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
-    norm = plan.replace(" ", "").lower()
-    # the payload's own lineage (the main branch, printed first, down
-    # to its leaf) must cross no range exchange and no SinglePartition
-    # funnel; the bases branch may use both — it operates on the
-    # counts leaf, bounded by the user count / parallelism, never data
-    payload_side = norm.split("scanexistingrdd")[0]
-    assert "rangepartitioning" not in payload_side
-    assert "exchangesinglepartition" not in payload_side
-    assert payload_side.count("exchangehashpartitioning") <= 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" in plan.replace(" ", "").lower()
 
 
 def test_dedup_exact_shuffles_on_digest_not_text(spark):

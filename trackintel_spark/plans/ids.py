@@ -3,26 +3,26 @@
 Every trackintel generate-operator assigns fresh int64 ids 0..n-1 in
 (user_id, time) order (e.g. preprocessing/positionfixes.py:162-164).
 A naive ``row_number() OVER (ORDER BY ...)`` funnels the whole table
-through ONE task — unacceptable at 100 TB.
+through ONE task — unacceptable at 100 TB. Instead both helpers use
+the ``zipWithIndex`` scheme: range-partition on the sort key,
+row-number within partitions, and add per-PARTITION base offsets
+(<= defaultParallelism longs) collected to the driver and folded back
+as a literal map lookup on ``spark_partition_id()``.
 
-:func:`dense_id_by_user` decomposes the global rank per guide §8
-(decide with small rows, move big rows once): a per-user COUNTS table
-(bounded by users, never data) is aggregated eagerly and checkpointed
-to a leaf; its exclusive prefix sum in user order gives each user's
-base offset; the row's id is base + row_number() within the user —
-a window that reuses the operator's existing hash(user) clustering.
-The payload crosses at most one hash exchange; the earlier
-zipWithIndex shape range-shuffled the FULL payload (twice — key
-sampling pass plus the shuffle), cached a copy, and collected
-per-partition bases to the driver.
+The driver collect is bounded by cluster parallelism, never data, and
+replaces joins/broadcasts of cardinality-growing offset tables — the
+100 TB driver-OOM trap — AND keeps the input lineage in the output
+plan exactly once: offset-table joins re-embed the input subtree, and
+chained generate-operators then grow the logical plan exponentially (a
+five-operator chain was literally un-plannable before this). Like
+``zipWithIndex``, the helpers trigger one counting job at call time
+and cache the shuffled input for the main query to reuse.
 
-:func:`exclusive_prefix_sum` still offers that driver-collected
-eager mode for callers that need an in-plan literal (bounded by
-cluster parallelism, never data). Its cache is LOAD-BEARING: the
-collected bases describe the cached partitioning, so it must not
-unpersist under its own output. Long sessions accumulate one cached
-copy per eager call — call :func:`release_id_caches` after the
-consuming action (write/collect) to free them all.
+The cache is LOAD-BEARING: the collected bases describe the cached
+partitioning, so the eager helpers must not unpersist under their own
+output. Long sessions chaining many operators accumulate one cached
+copy per call — call :func:`release_id_caches` after the consuming
+action (write/collect) to free them all.
 """
 
 from __future__ import annotations
@@ -52,12 +52,7 @@ def release_id_caches() -> int:
 
 
 def exclusive_prefix_sum(
-    df: DataFrame,
-    order_col: str,
-    val_col: str,
-    out_col: str = "__off",
-    lazy: bool = False,
-    hint: bool = True,
+    df: DataFrame, order_col: str, val_col: str, out_col: str = "__off", lazy: bool = False
 ) -> DataFrame:
     """Add ``out_col`` = exclusive running sum of ``val_col`` in
     ``order_col`` order, without a single-task global window and
@@ -102,7 +97,7 @@ def exclusive_prefix_sum(
             "__p", F.coalesce(F.sum("__tot").over(w_base), F.lit(0)).alias("__base")
         )
         return (
-            d.join(F.broadcast(bases_df) if hint else bases_df, on="__p")
+            d.join(F.broadcast(bases_df), on="__p")
             .withColumn(out_col, (F.col("__base") + run).cast("long"))
             .drop("__p", "__base")
         )
@@ -134,56 +129,35 @@ def dense_id_by_user(
 ) -> DataFrame:
     """Add ``id_col`` = dense 0-based rank over (user_col, *order_by).
 
-    Equivalent to ``row_number() over (order by user, *order_by) - 1``,
-    decomposed per guide §8 (decide with small rows, move big rows
-    once): global id = per-user base offset + in-user rank.
-
-    * per-user counts: ONE eager aggregation over ``df`` (map-side
-      partial; payload columns the count doesn't need are pruned),
-      checkpointed to a leaf bounded by the USER count, never data;
-    * bases: exclusive prefix sum of those counts in ``user_col``
-      order — lazy mode over the tiny leaf, so no driver collect and
-      no broadcast of anything data-sized;
-    * rank: ``row_number()`` per user, which reuses ``df``'s existing
-      hash(user) clustering when present. The payload crosses at most
-      ONE hash exchange and is never range-sampled, range-shuffled or
-      pinned in storage memory (the previous zipWithIndex shape did
-      all three: the range exchange executed the input twice — key
-      sampling pass, then the shuffle itself — and kept a full cached
-      copy alive for the main query).
-
-    The input lineage appears in the output plan exactly once (the
-    counts branch ends at the checkpoint leaf), so chained
-    generate-operators still plan in linear tree size. NULL users sort
-    first in the prefix order and join-miss to a 0 base — exactly the
-    rank the global row_number gives them. Ids are deterministic
-    wherever (user_col, *order_by) is unique per row; when ``df`` is
-    not persisted the counts pass and the main query each evaluate it,
-    so ``df`` must be deterministic (all operator kernels are).
+    Equivalent to ``row_number() over (order by user, *order_by) - 1``
+    but with the zipWithIndex scheme: ONE range shuffle on the sort
+    key, per-partition row_number, driver-collected per-partition
+    bases (<= defaultParallelism longs) added as a literal map lookup.
+    No global sort task, no join, and the input lineage appears in the
+    output plan exactly once — chains of generate-operators plan in
+    linear, not exponential, tree size. Range partitioning keeps equal
+    keys together, so ids are deterministic wherever the sort key is.
     """
-    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    counts = (
-        df.groupBy(user_col)
-        .agg(F.count(F.lit(1)).alias("__di_n"))
-        .localCheckpoint(eager=True)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in [user_col, *order_by]]
+    d = (
+        df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__p", F.spark_partition_id())
+        .persist()
     )
-    # hint=False: every join side here derives from the tiny counts
-    # leaf — AQE broadcasts them at runtime from MEASURED sizes, and
-    # skipping the static hint keeps operator plans hint-free (the
-    # plan-quality suite treats ResolvedHint as a forced broadcast)
-    bases = exclusive_prefix_sum(
-        counts, user_col, "__di_n", out_col="__di_base", lazy=True, hint=False
-    ).select(user_col, "__di_base")
-    w = Window.partitionBy(user_col).orderBy(*ocols)
-    return (
-        df.withColumn("__di_rn", F.row_number().over(w))
-        .join(bases, on=user_col, how="left")
-        .withColumn(
-            id_col,
-            (F.coalesce(F.col("__di_base"), F.lit(0)) + F.col("__di_rn") - 1).cast("long"),
-        )
-        .drop("__di_rn", "__di_base")
-    )
+    _ID_CACHES.append(d)
+    counts = {r["__p"]: r["__n"] for r in d.groupBy("__p").agg(F.count(F.lit(1)).alias("__n")).collect()}
+    bases: list[str] = []
+    acc = 0
+    for pid in sorted(counts):
+        bases.extend([str(pid), str(acc)])
+        acc += int(counts[pid])
+    # ONE SQL string instead of 2p F.lit py4j round trips (r12): the
+    # literal map is identical, building it is ~60 fewer JVM calls.
+    base = f"coalesce(element_at(map({', '.join(bases)}), __p), 0)" if bases else "0"
+    w = Window.partitionBy("__p").orderBy(*cols)
+    return d.withColumn(id_col, (F.expr(base) + F.row_number().over(w) - 1).cast("long")).drop("__p")
 
 
 def dense_rank_ordered(df: DataFrame, order_col: str, out_col: str = "dense_id") -> DataFrame:
