@@ -141,16 +141,18 @@ def dbscan_distributed(
     _, _, own_w, own_n = _band_sql("cy")
     # anchored at lon+180 the seam is exactly a cell boundary (no cell
     # straddles it) and pmod aliases indices across ±180°; cy is
-    # materialized first so the band subtrees below reference a leaf
-    # eager localCheckpoint, not persist: every downstream branch
+    # materialized first so the band subtrees below reference a leaf.
+    # pts_base stays LAZY — the eager localCheckpoint happens once, a
+    # few projections down, after the probe-candidate array is computed
+    # (see the `pts` definition below): every downstream branch
     # re-analyzes its full lineage, and this operator chains ~40 of
-    # them — truncating here (and at cross/flag below) is what keeps
+    # them — truncating there (and at cross/flag below) is what keeps
     # the physical plan linear in operator depth instead of carrying
     # hundreds of re-inlined copies of the input scan (plan-compile
     # cost, the r7 judge watch item). The lineage-loss tradeoff is the
     # plans/graph.py idiom; the checkpoint jobs run at call time, which
     # is when the CC iterations inside would have forced them anyway.
-    pts = (
+    pts_base = (
         points.selectExpr(
             f"`{id_col}` AS pid",
             f"CAST(`{lon_col}` AS double) AS lon",
@@ -161,11 +163,7 @@ def dbscan_distributed(
             "*",
             f"pmod(CAST(floor((lon + 180.0D) / ({own_w})) AS long), {own_n}) AS cx",
         )
-        .localCheckpoint(eager=True)
     )
-
-    # per-cell size and minimum pid: one row per occupied cell
-    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
 
     # cross-cell candidates: probe the lexicographically-upper half of
     # the neighborhood — bands dy ∈ {0,1,2} (eps reach = 2 bands), and
@@ -238,7 +236,7 @@ def dbscan_distributed(
             f"({cos_eq_t}) AS __ce{dy}",
             *bound_cols,
         ]
-    ppre = pts.selectExpr("pid", "lon", "lat", "cx", "cy", *geom_cols)
+    ppre = pts_base.selectExpr("*", *geom_cols)
 
     probe_arrays = []
     for dy in (0, 1, 2):
@@ -300,20 +298,44 @@ def dbscan_distributed(
             probe_arrays.append(
                 f"transform(sequence(__flo{dy}, __fhi{dy}), tx -> {mk})"
             )
-    probe = ppre.selectExpr(
+    # The candidate-cell array is computed ONCE, inside the pts
+    # checkpoint, and stored per point (`__probes`, <= 12 small structs/
+    # point — strictly narrower than materializing probe ROWS, which
+    # would replicate qid/qlon/qlat per candidate). r13 profiling: the
+    # transform/sequence/farthest-corner expression tree above costs
+    # ~0.3-1 s of driver analysis+optimization PER QUERY EXECUTION that
+    # embeds it, and it used to be embedded in the cross plan, twice in
+    # the flag plan and once more in the full-probe plan — pure
+    # planning time, scale-independent, ~2.5 s of the sf0.1 cell.
+    # Downstream plans now reference a checkpoint-leaf column instead.
+    pts = (
+        ppre.selectExpr(
+            "pid", "lon", "lat", "cx", "cy",
+            f"concat({', '.join(probe_arrays)}) AS __probes",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # per-cell size: one row per occupied cell
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
+
+    probe = pts.selectExpr(
         "pid AS qid",
         "lon AS qlon",
         "lat AS qlat",
         "cx AS qcx",
         "cy AS qcy",
-        f"explode(concat({', '.join(probe_arrays)})) AS __c",
+        "explode(__probes) AS __c",
     ).selectExpr(
         "qid", "qlon", "qlat", "qcx", "qcy",
         "__c.cx AS cx", "__c.cy AS cy", "__c.full AS full",
     )
     # full probes: (prober, target cell) — no pair rows ever materialize.
-    # probe is NOT persisted: both branches re-derive it with pure map
-    # work from pts' cache, cheaper than materializing 12x N probe rows.
+    # probe is NOT persisted: both branches re-derive it by exploding
+    # the checkpointed `__probes` leaf column — pure map work, cheaper
+    # than materializing 12x N probe ROWS, and since the array lives in
+    # the checkpoint the re-derivation carries no expression-tree
+    # planning cost either.
     pfull = probe.filter(F.col("full")).select("qid", "qcx", "qcy", "cx", "cy")
 
     half = probe.filter(~F.col("full")).join(pts, on=["cx", "cy"], how="inner").filter(
