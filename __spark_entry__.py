@@ -27,6 +27,7 @@ import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from trackintel_spark.plans.literals import sql_double
 from trackintel_spark.sources import load_table
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -203,7 +204,7 @@ def _sessions(spark: SparkSession, sf_dir: str, gap_min: float = 30.0) -> DataFr
     seg = pfs.selectExpr(
         "*",
         "CAST(coalesce(CAST(tracked_at AS double) - CAST(lag(tracked_at) "
-        f"{_W} AS double) > {gap_min * 60.0!r}, true) AS long) AS __new",
+        f"{_W} AS double) > {sql_double(gap_min * 60.0)}, true) AS long) AS __new",
     ).selectExpr("*", f"sum(__new) {_W} AS __sess")
     grouped = seg.groupBy("user_id", "__sess").agg(
         F.expr("min(tracked_at) AS started_at"),
@@ -276,7 +277,7 @@ def _movements(spark: SparkSession, sf_dir: str, max_gap_min: float = 120.0) -> 
         "lead(geom) OVER (PARTITION BY user_id ORDER BY started_at) AS __n_geom",
     ).filter(
         "__n_start IS NOT NULL"
-        f" AND CAST(__n_start AS double) - CAST(finished_at AS double) <= {max_gap_min * 60.0!r}"
+        f" AND CAST(__n_start AS double) - CAST(finished_at AS double) <= {sql_double(max_gap_min * 60.0)}"
         " AND CAST(__n_start AS double) - CAST(finished_at AS double) > 0"
     )
     from trackintel_spark.plans.ids import dense_id_by_user

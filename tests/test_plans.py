@@ -69,3 +69,23 @@ def test_dense_rank_ordered_empty(spark):
     from trackintel_spark.plans.ids import dense_rank_ordered
 
     assert dense_rank_ordered(df, "lbl").count() == 0
+
+
+def test_sql_double_renders_typed_literal(spark):
+    import math
+
+    import pytest
+
+    from trackintel_spark.plans.literals import sql_double
+
+    assert sql_double(1800.0) == "1800.0D"
+    assert sql_double(30) == "30.0D"  # ints render as doubles
+    # shortest-repr round-trip: the rendered literal re-parses bit-equal
+    v = 0.1 + 0.2
+    assert float(sql_double(v)[:-1]) == v
+    # Spark parses it as a DOUBLE literal (no decimal promotion in the plan)
+    row = spark.sql(f"SELECT {sql_double(1800.0)} AS x").schema["x"]
+    assert row.dataType.typeName() == "double"
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError):
+            sql_double(bad)

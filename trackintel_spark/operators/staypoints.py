@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 
 from trackintel_spark.model.schemas import validate
 from trackintel_spark.plans.ids import dense_id_by_user
+from trackintel_spark.plans.literals import sql_double
 
 # users below this row count run the sliding kernel as ONE group; above
 # it, their stream splits at recording gaps so no single task serializes
@@ -272,7 +273,7 @@ def generate_staypoints(
         kernel_in = kernel_in.selectExpr(
             "*",
             "CAST(coalesce(CAST(tracked_at AS double) - CAST(lag(tracked_at) "
-            f"{_WG} AS double) > {gap_threshold_s!r}, true) AS long) AS __gap_flag",
+            f"{_WG} AS double) > {sql_double(gap_threshold_s)}, true) AS long) AS __gap_flag",
         ).selectExpr(
             "*",
             f"sum(__gap_flag) {_WG} AS __session0",

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from trackintel_spark.model.schemas import validate
 from trackintel_spark.plans.ids import dense_id_by_user
+from trackintel_spark.plans.literals import sql_double
 
 _TOUR_SCHEMA = T.StructType(
     [
@@ -376,7 +377,7 @@ def generate_tours(
         flagged = kin.selectExpr(
             "*",
             "CAST(coalesce(CAST(started_at AS double) - CAST(lag(started_at) "
-            f"{_WG} AS double) > {max_time_s!r}, true) AS long) AS __gap_flag",
+            f"{_WG} AS double) > {sql_double(max_time_s)}, true) AS long) AS __gap_flag",
         ).selectExpr(
             "*",
             f"sum(__gap_flag) {_WG} AS __session0",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from trackintel_spark.model.schemas import validate
 from trackintel_spark.plans.ids import dense_id_by_user
+from trackintel_spark.plans.literals import sql_double
 
 
 def _match_pfs_to_staypoint_intervals(pfs: DataFrame, sp: DataFrame) -> DataFrame:
@@ -110,7 +111,7 @@ def generate_triplegs(
         pfs = pfs.drop("tripleg_id")
 
     _W = "OVER (PARTITION BY user_id ORDER BY tracked_at, id)"
-    gap_sql = f"CAST(tracked_at AS double) - CAST(__prev_ts AS double) > {gap_threshold * 60.0!r}"
+    gap_sql = f"CAST(tracked_at AS double) - CAST(__prev_ts AS double) > {sql_double(gap_threshold * 60.0)}"
 
     # stage 1: lag-based raw signals (window functions can't nest, so
     # materialize these before the running sum); stage 2: triggers +

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from trackintel_spark.model.schemas import validate
 from trackintel_spark.plans.ids import dense_id_by_user
+from trackintel_spark.plans.literals import sql_double
 
 _PT_T = "struct<lon:double,lat:double>"
 
@@ -100,7 +101,7 @@ def generate_trips(
         "*",
         f"row_number() {_W} = 1 AS __first",
         f"lead(is_activity) {_W} AS __next_act",
-        f"coalesce(CAST(lead(started_at) {_W} AS double) - CAST(finished_at AS double) > {gap_s!r}, false) AS __gap",
+        f"coalesce(CAST(lead(started_at) {_W} AS double) - CAST(finished_at AS double) > {sql_double(gap_s)}, false) AS __gap",
         f"row_number() {_W} AS __pos",
     ).selectExpr(
         "*",
@@ -164,7 +165,7 @@ def generate_trips(
     )
     gap_rows = staged.filter("__gap").selectExpr(
         "user_id",
-        f"timestamp_seconds(CAST(finished_at AS double) + {gap_s / 2.0!r}) AS started_at",
+        f"timestamp_seconds(CAST(finished_at AS double) + {sql_double(gap_s / 2.0)}) AS started_at",
         "'gap' AS type",
         "CAST(NULL AS long) AS sp_tpls_id",
         "CAST(NULL AS long) AS trip_id",
